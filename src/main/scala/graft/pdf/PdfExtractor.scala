@@ -1,0 +1,57 @@
+package graft.pdf
+
+import graft.pdf.convert.{Markdown, TextAssembler}
+import graft.pdf.doc.PdfDocument
+import graft.pdf.extract.TextExtractor
+
+/** Pure per-document entry point: PDF bytes → extracted text + markdown.
+  * Never throws for malformed content past the header — the fallback
+  * ladder inside PdfDocument absorbs corruption (reference's 100%
+  * success-rate design, SURVEY §7.4.5). Callers map failures to
+  * status='error' rows.
+  */
+final case class ExtractResult(
+    text: String,
+    markdown: String,
+    nPages: Int,
+    nSpans: Int)
+
+object PdfExtractor {
+
+  /** Max pages processed per document — bounds worst-case work per row
+    * at crawl scale (oversized docs are salted separately). */
+  val DefaultMaxPages = 100
+
+  def isPdf(bytes: Array[Byte]): Boolean = {
+    // %PDF- within the first 1024 bytes (leading garbage tolerated)
+    val limit = math.min(bytes.length, 1024)
+    var i = 0
+    while (i + 4 < limit) {
+      if (bytes(i) == '%' && bytes(i + 1) == 'P' && bytes(i + 2) == 'D' &&
+          bytes(i + 3) == 'F' && bytes(i + 4) == '-') return true
+      i += 1
+    }
+    false
+  }
+
+  def extract(bytes: Array[Byte], maxPages: Int = DefaultMaxPages): ExtractResult = {
+    val doc = new PdfDocument(bytes)
+    val pages = doc.pages.take(maxPages)
+    var nSpans = 0
+    val texts = Vector.newBuilder[String]
+    val mds = Vector.newBuilder[String]
+    pages.foreach { page =>
+      val spans =
+        try new TextExtractor(doc).extract(page)
+        catch { case _: Throwable => Vector.empty }
+      nSpans += spans.size
+      texts += TextAssembler.assemble(spans)
+      mds += Markdown.convertPage(spans)
+    }
+    // page joins (reference: text "\n\n"; markdown "\n---\n\n",
+    // document.rs:2317-2333)
+    val text = texts.result().filter(_.nonEmpty).mkString("\n\n")
+    val md = mds.result().filter(_.nonEmpty).mkString("\n\n---\n\n")
+    ExtractResult(text, md, pages.size, nSpans)
+  }
+}

@@ -1,0 +1,323 @@
+package graft.pdf.cos
+
+import scala.collection.mutable
+
+/** Recursive-descent parser over a raw PDF byte array.
+  *
+  * Re-implements the semantics of the reference's nom-based lexer +
+  * parser (reference: src/lexer.rs:96-467, src/parser.rs:169-543) as a
+  * cursor-over-`Array[Byte]` scanner — no parser-combinator dependency,
+  * no intermediate token vector, zero copies until a value is built.
+  *
+  * Stream /Length values may be indirect references; the caller can
+  * supply `resolveLen` (the document's object loader). When the length
+  * is unknown or wrong, falls back to scanning for `endstream`
+  * (reference: src/parser.rs:352-377 find_endstream).
+  */
+final class ObjParser(
+    val data: Array[Byte],
+    var pos: Int = 0,
+    resolveLen: PdfObj => Option[Long] = _ => None) {
+
+  import PdfObj._
+
+  @inline def atEnd: Boolean = pos >= data.length
+  @inline private def cur: Int = if (pos < data.length) data(pos) & 0xff else -1
+  @inline private def peek(off: Int): Int =
+    if (pos + off < data.length) data(pos + off) & 0xff else -1
+
+  def error(msg: String): Nothing =
+    throw new PdfParseException(s"$msg at offset $pos")
+
+  // --- character classes (PDF 32000-1 §7.2.2) ---
+  @inline def isWs(c: Int): Boolean =
+    c == 0x00 || c == 0x09 || c == 0x0a || c == 0x0c || c == 0x0d || c == 0x20
+  @inline def isDelim(c: Int): Boolean =
+    c == '(' || c == ')' || c == '<' || c == '>' || c == '[' || c == ']' ||
+      c == '{' || c == '}' || c == '/' || c == '%'
+  @inline def isRegular(c: Int): Boolean = c >= 0 && !isWs(c) && !isDelim(c)
+  @inline private def isDigit(c: Int): Boolean = c >= '0' && c <= '9'
+
+  /** Skip whitespace and %-comments (comment runs to EOL). */
+  def skipWs(): Unit = {
+    var go = true
+    while (go && pos < data.length) {
+      val c = cur
+      if (isWs(c)) pos += 1
+      else if (c == '%') { while (pos < data.length && cur != 0x0a && cur != 0x0d) pos += 1 }
+      else go = false
+    }
+  }
+
+  /** Does `kw` start at `pos` and end at a token boundary? */
+  def peekKeyword(kw: String): Boolean = {
+    if (pos + kw.length > data.length) return false
+    var i = 0
+    while (i < kw.length) {
+      if (data(pos + i) != kw.charAt(i).toByte) return false
+      i += 1
+    }
+    !isRegular(peek(kw.length))
+  }
+
+  def takeKeyword(kw: String): Boolean =
+    if (peekKeyword(kw)) { pos += kw.length; true } else false
+
+  /** Parse any object starting at the cursor (whitespace already allowed). */
+  def parseObject(depth: Int = 0): PdfObj = {
+    if (depth > ObjParser.MaxDepth) error("object nesting too deep")
+    skipWs()
+    if (atEnd) error("unexpected EOF")
+    cur match {
+      case '/' => parseName()
+      case '(' => Str(parseLiteralString())
+      case '[' => parseArray(depth)
+      case '<' =>
+        if (peek(1) == '<') parseDictOrStream(depth) else Str(parseHexString())
+      case c if isDigit(c) || c == '+' || c == '-' || c == '.' =>
+        parseNumberOrRef()
+      case 't' if takeKeyword("true")  => Bool(true)
+      case 'f' if takeKeyword("false") => Bool(false)
+      case 'n' if takeKeyword("null")  => Null
+      case c => error(f"unexpected byte 0x$c%02x")
+    }
+  }
+
+  /** `/Name` with `#xx` escapes (reference: src/lexer.rs name path). */
+  def parseName(): Name = {
+    pos += 1 // '/'
+    val sb = new java.lang.StringBuilder(16)
+    while (isRegular(cur)) {
+      if (cur == '#' && isHexDigit(peek(1)) && isHexDigit(peek(2))) {
+        sb.append(((hexVal(peek(1)) << 4) | hexVal(peek(2))).toChar)
+        pos += 3
+      } else { sb.append(cur.toChar); pos += 1 }
+    }
+    Name(sb.toString)
+  }
+
+  @inline private def isHexDigit(c: Int): Boolean =
+    (c >= '0' && c <= '9') || (c >= 'a' && c <= 'f') || (c >= 'A' && c <= 'F')
+  @inline private def hexVal(c: Int): Int =
+    if (c <= '9') c - '0' else (c | 0x20) - 'a' + 10
+
+  /** Literal `(...)` string: nesting, escapes, EOL normalization to \n
+    * (reference: src/parser.rs:48-167). */
+  def parseLiteralString(): Array[Byte] = {
+    pos += 1 // '('
+    val out = new mutable.ArrayBuilder.ofByte
+    var depth = 1
+    while (depth > 0) {
+      if (atEnd) error("unterminated literal string")
+      val c = cur
+      c match {
+        case '(' => depth += 1; out += '('.toByte; pos += 1
+        case ')' =>
+          depth -= 1; if (depth > 0) out += ')'.toByte
+          pos += 1
+        case '\\' =>
+          pos += 1
+          cur match {
+            case 'n' => out += '\n'.toByte; pos += 1
+            case 'r' => out += '\r'.toByte; pos += 1
+            case 't' => out += '\t'.toByte; pos += 1
+            case 'b' => out += '\b'.toByte; pos += 1
+            case 'f' => out += 0x0c.toByte; pos += 1
+            case '(' => out += '('.toByte; pos += 1
+            case ')' => out += ')'.toByte; pos += 1
+            case '\\' => out += '\\'.toByte; pos += 1
+            case 0x0d => // line continuation: \ CR [LF]
+              pos += 1; if (cur == 0x0a) pos += 1
+            case 0x0a => pos += 1
+            case d if d >= '0' && d <= '7' =>
+              var v = 0; var n = 0
+              while (n < 3 && cur >= '0' && cur <= '7') { v = v * 8 + (cur - '0'); pos += 1; n += 1 }
+              out += (v & 0xff).toByte
+            case -1 => error("unterminated escape")
+            case other => out += other.toByte; pos += 1 // \x → x
+          }
+        case 0x0d => // raw EOL inside string → 0x0A (spec 7.3.4.2)
+          pos += 1; if (cur == 0x0a) pos += 1
+          out += '\n'.toByte
+        case _ => out += c.toByte; pos += 1
+      }
+    }
+    out.result()
+  }
+
+  /** Hex `<...>` string; whitespace skipped; odd length padded with 0
+    * (reference: src/parser.rs:517-543). */
+  def parseHexString(): Array[Byte] = {
+    pos += 1 // '<'
+    val out = new mutable.ArrayBuilder.ofByte
+    var hi = -1
+    var done = false
+    while (!done) {
+      if (atEnd) error("unterminated hex string")
+      val c = cur
+      if (c == '>') { done = true; pos += 1 }
+      else if (isHexDigit(c)) {
+        if (hi < 0) hi = hexVal(c)
+        else { out += ((hi << 4) | hexVal(c)).toByte; hi = -1 }
+        pos += 1
+      } else pos += 1 // skip ws/garbage inside hex strings (lenient)
+    }
+    if (hi >= 0) out += (hi << 4).toByte
+    out.result()
+  }
+
+  /** Number, or `id gen R` indirect reference (backtracks if not R). */
+  def parseNumberOrRef(): PdfObj = {
+    val start = pos
+    val n1 = parseNumber()
+    n1 match {
+      case Int64(id) if id >= 0 =>
+        val save = pos
+        skipWs()
+        if (isDigit(cur)) {
+          val genStart = pos
+          parseNumber() match {
+            case Int64(gen) if gen >= 0 =>
+              skipWs()
+              if (cur == 'R' && !isRegular(peek(1))) {
+                pos += 1
+                return Ref(id.toInt, gen.toInt)
+              } else { pos = save; return n1 }
+            case _ => pos = save; return n1
+          }
+          pos = genStart // unreachable, satisfies compiler
+        } else pos = save
+        n1
+      case other => if (pos == start) error("bad number"); other
+    }
+  }
+
+  def parseNumber(): PdfObj = {
+    val start = pos
+    var neg = false
+    if (cur == '+') pos += 1
+    else if (cur == '-') { neg = true; pos += 1 }
+    // tolerate multiple signs like "--5" (lenient, matches permissive readers)
+    while (cur == '+' || cur == '-') pos += 1
+    var intPart = 0L
+    var sawDigit = false
+    while (isDigit(cur)) { intPart = intPart * 10 + (cur - '0'); pos += 1; sawDigit = true }
+    if (cur == '.') {
+      pos += 1
+      var frac = 0.0
+      var scale = 0.1
+      while (isDigit(cur)) { frac += (cur - '0') * scale; scale *= 0.1; pos += 1; sawDigit = true }
+      if (!sawDigit) error("bare '.' is not a number")
+      val v = intPart + frac
+      Real(if (neg) -v else v)
+    } else {
+      if (!sawDigit) { pos = start; error("expected number") }
+      Int64(if (neg) -intPart else intPart)
+    }
+  }
+
+  def parseArray(depth: Int): Arr = {
+    pos += 1 // '['
+    val items = Vector.newBuilder[PdfObj]
+    var done = false
+    while (!done) {
+      skipWs()
+      if (atEnd) error("unterminated array")
+      if (cur == ']') { done = true; pos += 1 }
+      else items += parseObject(depth + 1)
+    }
+    Arr(items.result())
+  }
+
+  def parseDict(depth: Int): Dict = {
+    pos += 2 // '<<'
+    val entries = Map.newBuilder[String, PdfObj]
+    var done = false
+    while (!done) {
+      skipWs()
+      if (atEnd) error("unterminated dict")
+      if (cur == '>' && peek(1) == '>') { done = true; pos += 2 }
+      else if (cur == '/') {
+        val key = parseName().v
+        entries += key -> parseObject(depth + 1)
+      } else pos += 1 // lenient: skip stray byte inside dict
+    }
+    Dict(entries.result())
+  }
+
+  /** Dict, promoted to Stream if followed by the `stream` keyword. */
+  def parseDictOrStream(depth: Int): PdfObj = {
+    val dict = parseDict(depth)
+    val save = pos
+    skipWs()
+    if (peekKeyword("stream")) {
+      pos += "stream".length
+      // EOL after `stream` keyword: CRLF or LF (spec); lenient on CR alone
+      if (cur == 0x0d) pos += 1
+      if (cur == 0x0a) pos += 1
+      val dataStart = pos
+      val lenOpt: Option[Long] = dict.get("Length").flatMap {
+        case Int64(v)     => Some(v)
+        case r: Ref       => resolveLen(r)
+        case _            => None
+      }
+      val end: Int = lenOpt match {
+        case Some(len) if len >= 0 && dataStart + len <= data.length =>
+          val candidate = (dataStart + len).toInt
+          // verify `endstream` really follows (allow EOL before it)
+          var p = candidate
+          var k = 0
+          while (p < data.length && k < 4 && isWs(data(p) & 0xff)) { p += 1; k += 1 }
+          if (regionMatches(p, "endstream")) candidate
+          else findEndstream(dataStart)
+        case _ => findEndstream(dataStart)
+      }
+      val raw = java.util.Arrays.copyOfRange(data, dataStart, end)
+      pos = end
+      skipWs()
+      takeKeyword("endstream") // best-effort
+      Stream(dict, raw)
+    } else { pos = save; dict }
+  }
+
+  @inline private def regionMatches(p: Int, s: String): Boolean = {
+    if (p + s.length > data.length) return false
+    var i = 0
+    while (i < s.length) { if (data(p + i) != s.charAt(i).toByte) return false; i += 1 }
+    true
+  }
+
+  /** Scan forward for `endstream`, trimming a trailing EOL
+    * (reference: src/parser.rs:352-377). */
+  private def findEndstream(from: Int): Int = {
+    var p = from
+    while (p <= data.length - 9) {
+      if (data(p) == 'e' && regionMatches(p, "endstream")) {
+        var end = p
+        // trim one EOL immediately before endstream
+        if (end > from && data(end - 1) == 0x0a) end -= 1
+        if (end > from && data(end - 1) == 0x0d) end -= 1
+        return end
+      }
+      p += 1
+    }
+    data.length
+  }
+
+  /** Parse the body of an `N G obj ... endobj` at the cursor positioned
+    * AFTER the `obj` keyword; returns the contained object. Tolerates a
+    * missing `endobj` (reference: lenient object loading, document.rs). */
+  def parseIndirectBody(depth: Int = 0): PdfObj = {
+    val obj = parseObject(depth)
+    val save = pos
+    skipWs()
+    if (!takeKeyword("endobj")) pos = save
+    obj
+  }
+}
+
+final class PdfParseException(msg: String) extends RuntimeException(msg)
+
+object ObjParser {
+  val MaxDepth = 100 // reference: MAX_RECURSION_DEPTH, src/document.rs:21
+}

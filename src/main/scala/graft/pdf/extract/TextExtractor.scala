@@ -1,0 +1,289 @@
+package graft.pdf.extract
+
+import scala.collection.mutable
+import graft.pdf.cos.PdfObj
+import graft.pdf.cos.PdfObj._
+import graft.pdf.content.{ContentParser, GraphicsStack, Matrix, Op}
+import graft.pdf.doc.{Page, PdfDocument}
+import graft.pdf.font.FontInfo
+
+/** Content-stream VM → positioned `TextSpan`s.
+  *
+  * Re-implements the reference's span-mode extractor state machine
+  * (reference: src/extractors/text.rs:1179-1919 execute_operator,
+  * 614-641 extract_text_spans): TjBuffer batching, PDF 9.4.4 width
+  * advance, TJ kerning with the −120 space-insertion threshold,
+  * graphics/text state, Form-XObject recursion with cycle dedup, and
+  * MCID stamping from BDC marked content.
+  *
+  * Deliberately replicated quirk: `'` and `"` show operators advance
+  * position but their text is NOT emitted as spans, exactly like the
+  * reference's span path (text.rs:1333-1360 vs 614-641 — their text
+  * lands in the never-returned char vec). SURVEY §7.4.9.
+  */
+final class TextExtractor(doc: PdfDocument) {
+
+  /** TJ offset below which a synthetic space is inserted
+    * (reference: text.rs:44-55 space_insertion_threshold). */
+  private val SpaceInsertionThreshold = -120f
+
+  private val gs = new GraphicsStack
+  private var fonts = Map.empty[String, FontInfo]
+  private var curFont: FontInfo = FontInfo.default
+  private val spans = mutable.ArrayBuffer.empty[TextSpan]
+  private var seq = 0
+  private var curMcid = -1
+  private val xobjectStack = mutable.HashSet.empty[Int]
+  private var nestingDepth = 0
+
+  // --- TjBuffer (reference: text.rs:96-161) ---
+  private val buf = new java.lang.StringBuilder
+  private var bufStartX = 0f
+  private var bufStartY = 0f
+  private var bufFontName = ""
+  private var bufFontSize = 0f
+  private var bufBold = false
+  private var bufMcid = -1
+
+  def extract(page: Page): Vector[TextSpan] = {
+    val content = doc.pageContent(page)
+    fonts = loadFonts(page.resources)
+    run(ContentParser.parse(content), page.resources)
+    flush()
+    val sorted = ReadingOrder.sortSpans(spans.toVector, page.mediaBox)
+    ReadingOrder.mergeAdjacent(ReadingOrder.dedup(sorted))
+  }
+
+  /** Raw spans in emission order (for structure-tree reordering). */
+  def extractRaw(page: Page): Vector[TextSpan] = {
+    val content = doc.pageContent(page)
+    fonts = loadFonts(page.resources)
+    run(ContentParser.parse(content), page.resources)
+    flush()
+    spans.toVector
+  }
+
+  private def loadFonts(resources: Dict): Map[String, FontInfo] = {
+    doc.dictGet(resources, "Font") match {
+      case fd: Dict =>
+        fd.entries.keys.map { name =>
+          val fdict = doc.resolveDict(fd.get(name).getOrElse(Null))
+          name -> (try FontInfo.fromDict(doc, fdict)
+                   catch { case _: Throwable => FontInfo.default })
+        }.toMap
+      case _ => Map.empty
+    }
+  }
+
+  private def num(o: PdfObj): Float = o match {
+    case Int64(v) => v.toFloat
+    case Real(v)  => v.toFloat
+    case _        => 0f
+  }
+
+  private def run(ops: Vector[Op], resources: Dict): Unit = {
+    ops.foreach(op => exec(op, resources))
+  }
+
+  private def exec(op: Op, resources: Dict): Unit = {
+    val o = op.operands
+    op.name match {
+      case "BT" =>
+        gs.state = gs.state.copy(textMatrix = Matrix.identity, textLineMatrix = Matrix.identity)
+      case "ET" => flush()
+      case "Tf" if o.size >= 2 =>
+        flush()
+        val name = o(0).asName.getOrElse("")
+        gs.state = gs.state.copy(fontName = name, fontSize = num(o(1)))
+        curFont = fonts.getOrElse(name, FontInfo.default)
+      case "Tm" if o.size >= 6 =>
+        flush()
+        val m = Matrix(num(o(0)), num(o(1)), num(o(2)), num(o(3)), num(o(4)), num(o(5)))
+        gs.state = gs.state.copy(textMatrix = m, textLineMatrix = m)
+      case "Td" if o.size >= 2 => td(num(o(0)), num(o(1)))
+      case "TD" if o.size >= 2 =>
+        gs.state = gs.state.copy(leading = -num(o(1)))
+        td(num(o(0)), num(o(1)))
+      case "T*" => td(0f, -gs.state.leading)
+      case "Tj" if o.nonEmpty =>
+        o(0) match { case Str(b) => showText(b, emit = true); case _ => () }
+      case "TJ" if o.nonEmpty =>
+        o(0) match { case Arr(items) => processTJ(items); case _ => () }
+      case "'" if o.nonEmpty =>
+        // quirk: advances but never emits spans (see class doc)
+        td(0f, -gs.state.leading)
+        o(0) match { case Str(b) => showText(b, emit = false); case _ => () }
+      case "\"" if o.size >= 3 =>
+        gs.state = gs.state.copy(wordSpacing = num(o(0)), charSpacing = num(o(1)))
+        td(0f, -gs.state.leading)
+        o(2) match { case Str(b) => showText(b, emit = false); case _ => () }
+      case "Tc" if o.nonEmpty => gs.state = gs.state.copy(charSpacing = num(o(0)))
+      case "Tw" if o.nonEmpty => gs.state = gs.state.copy(wordSpacing = num(o(0)))
+      case "Tz" if o.nonEmpty => gs.state = gs.state.copy(horizScaling = num(o(0)) / 100f)
+      case "TL" if o.nonEmpty => gs.state = gs.state.copy(leading = num(o(0)))
+      case "Ts" if o.nonEmpty => gs.state = gs.state.copy(rise = num(o(0)))
+      case "Tr" if o.nonEmpty => gs.state = gs.state.copy(renderMode = num(o(0)).toInt)
+      case "q" => gs.push()
+      case "Q" => flush(); gs.pop(); curFont = fonts.getOrElse(gs.state.fontName, curFont)
+      case "cm" if o.size >= 6 =>
+        val m = Matrix(num(o(0)), num(o(1)), num(o(2)), num(o(3)), num(o(4)), num(o(5)))
+        gs.state = gs.state.copy(ctm = m.multiply(gs.state.ctm))
+      case "rg" if o.size >= 3 =>
+        gs.state = gs.state.copy(fillColor = (num(o(0)), num(o(1)), num(o(2))))
+      case "g" if o.nonEmpty =>
+        val v = num(o(0)); gs.state = gs.state.copy(fillColor = (v, v, v))
+      case "k" if o.size >= 4 =>
+        // CMYK → RGB (reference: text.rs:2603-2608)
+        val c = num(o(0)); val m = num(o(1)); val y = num(o(2)); val kk = num(o(3))
+        gs.state = gs.state.copy(fillColor =
+          ((1 - c) * (1 - kk), (1 - m) * (1 - kk), (1 - y) * (1 - kk)))
+      case "BDC" if o.size >= 2 =>
+        flush()
+        o(1) match {
+          case d: Dict => curMcid = d.long("MCID").map(_.toInt).getOrElse(-1)
+          case _       => ()
+        }
+      case "BMC" => flush()
+      case "EMC" => flush(); curMcid = -1
+      case "Do" if o.nonEmpty =>
+        o(0).asName.foreach(name => doXObject(name, resources))
+      case _ => () // path/painting/color-space/line-state ops: no text effect
+    }
+  }
+
+  private def td(tx: Float, ty: Float): Unit = {
+    flush()
+    val nlm = Matrix.translation(tx, ty).multiply(gs.state.textLineMatrix)
+    gs.state = gs.state.copy(textMatrix = nlm, textLineMatrix = nlm)
+  }
+
+  /** Form XObject recursion with ObjectRef dedup
+    * (reference: text.rs:1901-1910, 1924-2081). */
+  private def doXObject(name: String, resources: Dict): Unit = {
+    if (nestingDepth > 12) return
+    val xobjs = doc.dictGet(resources, "XObject") match {
+      case d: Dict => d
+      case _       => return
+    }
+    val refId = xobjs.get(name) match { case Some(Ref(id, _)) => id; case _ => -1 }
+    if (refId >= 0 && !xobjectStack.add(refId)) return // cycle
+    try {
+      doc.resolve(xobjs.get(name).getOrElse(Null)) match {
+        case s @ Stream(d, _) if d.name("Subtype").contains("Form") =>
+          flush()
+          gs.push()
+          d.get("Matrix").flatMap(m => doc.resolve(m).asArr) match {
+            case Some(xs) if xs.size >= 6 =>
+              val v = xs.map(x => doc.resolve(x).asDouble.getOrElse(0.0).toFloat)
+              gs.state = gs.state.copy(ctm =
+                Matrix(v(0), v(1), v(2), v(3), v(4), v(5)).multiply(gs.state.ctm))
+            case _ => ()
+          }
+          val formRes = doc.dictGet(d, "Resources") match {
+            case rd: Dict => rd
+            case _        => resources
+          }
+          val savedFonts = fonts
+          val savedFont = curFont
+          fonts = loadFonts(formRes)
+          nestingDepth += 1
+          try {
+            val content = try doc.streamData(s) catch { case _: Throwable => Array.emptyByteArray }
+            run(ContentParser.parse(content), formRes)
+          } finally {
+            nestingDepth -= 1
+            flush()
+            fonts = savedFonts
+            curFont = savedFont
+            gs.pop()
+          }
+        case _ => () // Image XObjects skipped
+      }
+    } finally { if (refId >= 0) xobjectStack.remove(refId) }
+  }
+
+  /** TJ array: strings buffer, offsets advance; offset < −120 ⇒ flush +
+    * synthetic word break (reference: text.rs:2194-2282). */
+  private def processTJ(items: Vector[PdfObj]): Unit = {
+    items.foreach {
+      case Str(b) => showText(b, emit = true)
+      case n @ (Int64(_) | Real(_)) =>
+        val off = num(n)
+        if (off < SpaceInsertionThreshold) {
+          if (buf.length() > 0 && !buf.toString.endsWith(" ")) buf.append(' ')
+        }
+        val st = gs.state
+        val tx = (-off / 1000f) * st.fontSize * st.horizScaling
+        gs.state = st.copy(textMatrix = Matrix.translation(tx, 0f).multiply(st.textMatrix))
+      case _ => ()
+    }
+  }
+
+  /** Decode + advance; emit=false replicates the `'`/`"` char-mode quirk. */
+  private def showText(bytes: Array[Byte], emit: Boolean): Unit = {
+    val st0 = gs.state
+    if (emit && buf.length() == 0) startBuffer()
+    val nBytes = curFont.codeBytes
+    var i = 0
+    while (i < bytes.length) {
+      val code: Int =
+        if (nBytes == 2 && i + 1 < bytes.length) {
+          val c = ((bytes(i) & 0xff) << 8) | (bytes(i + 1) & 0xff); i += 2; c
+        } else { val c = bytes(i) & 0xff; i += 1; c }
+      if (emit) {
+        curFont.decode(code) match {
+          case Some(s) => appendClean(s)
+          case None    => () // unmappable: dropped (reference skips, no U+FFFD)
+        }
+      }
+      // PDF 9.4.4 advance: tx = (w0/1000·Tfs + Tc + Tw[space]) · Th
+      val st = gs.state
+      val w0 = curFont.width(code)
+      val isSpaceCode = nBytes == 1 && code == 32
+      val tx = ((w0 / 1000f) * st.fontSize + st.charSpacing +
+        (if (isSpaceCode) st.wordSpacing else 0f)) * st.horizScaling
+      gs.state = st.copy(textMatrix = Matrix.translation(tx, 0f).multiply(st.textMatrix))
+    }
+    val _ = st0
+  }
+
+  /** Control chars except \t\n\r are dropped (reference: text.rs:2536-2545). */
+  private def appendClean(s: String): Unit = {
+    var i = 0
+    while (i < s.length) {
+      val c = s.charAt(i)
+      if (c >= ' ' || c == '\t' || c == '\n' || c == '\r') buf.append(c)
+      i += 1
+    }
+  }
+
+  private def startBuffer(): Unit = {
+    val st = gs.state
+    val trm = st.textMatrix.multiply(st.ctm)
+    bufStartX = trm.e
+    bufStartY = trm.f + st.rise
+    bufFontName = st.fontName
+    bufFontSize = st.fontSize * trm.scaleY
+    bufBold = curFont.isBold
+    bufMcid = curMcid
+  }
+
+  /** Emit the buffered run as one TextSpan (reference: TjBuffer flush). */
+  private def flush(): Unit = {
+    if (buf.length() > 0) {
+      val text = buf.toString
+      buf.setLength(0)
+      if (text.nonEmpty) {
+        val st = gs.state
+        val trm = st.textMatrix.multiply(st.ctm)
+        val endX = trm.e
+        val size = if (bufFontSize > 0) bufFontSize else 12f
+        val x0 = math.min(bufStartX, endX)
+        val x1 = math.max(bufStartX, endX)
+        spans += TextSpan(text, Rect(x0, bufStartY, x1, bufStartY + size),
+          bufFontName, size, bufBold, bufMcid, seq)
+        seq += 1
+      }
+    }
+  }
+}

@@ -1,0 +1,214 @@
+package graft.pdf.font
+
+import scala.collection.mutable
+import graft.pdf.cos.PdfObj
+import graft.pdf.cos.PdfObj._
+import graft.pdf.doc.PdfDocument
+
+/** Decoded font: the table that turns Tj byte strings into Unicode and
+  * glyph widths (reference: src/fonts/font_dict.rs:19-65, 100-379).
+  *
+  * Decode cascade (reference: font_dict.rs:624-804):
+  *   ToUnicode CMap (skipping U+FFFD entries) → symbolic built-ins
+  *   (Symbol / ZapfDingbats) → /Encoding (named table overlaid with
+  *   /Differences via the glyph list) → fallback.
+  */
+final case class FontInfo(
+    baseFont: String,
+    subtype: String,
+    toUnicode: Option[CMap],
+    /** Base 256-entry table for simple fonts (None for Type0). */
+    encTable: Option[Array[Char]],
+    /** /Differences overrides, code → decoded string. */
+    diffs: Map[Int, String],
+    isType0: Boolean,
+    /** simple-font widths: code → glyph width (1000-unit em). */
+    widths: Array[Float], // index 0..255; NaN = missing
+    /** CID widths for Type0 (sparse). */
+    cidWidths: Map[Int, Float],
+    defaultWidth: Float,
+    flags: Int,
+    isBold: Boolean) {
+
+  def codeBytes: Int =
+    if (isType0) toUnicode.map(c => math.max(c.codeBytes, 2)).getOrElse(2) else 1
+
+  private def symbolic: Option[Array[Char]] = {
+    val bf = baseFont.toLowerCase
+    if (bf.contains("symbol")) Some(Encodings.symbol)
+    else if (bf.contains("zapf") || bf.contains("dingbat")) Some(Encodings.zapfDingbats)
+    else None
+  }
+
+  /** Decode one character code to a Unicode string; None = unmappable. */
+  def decode(code: Int): Option[String] = {
+    toUnicode.flatMap(_.get(code)).filter(s => s.nonEmpty && !s.contains('�'))
+      .orElse(diffs.get(code))
+      .orElse(symbolic.flatMap(t => at(t, code)))
+      .orElse(encTable.flatMap(t => at(t, code)))
+      .orElse(fallback(code))
+  }
+
+  @inline private def at(t: Array[Char], code: Int): Option[String] =
+    if (code >= 0 && code < t.length && t(code) != 0) Some(t(code).toString) else None
+
+  /** Fallback table (reference: src/extractors/text.rs:183-347): direct
+    * printable-ASCII interpretation, else a small punct/space map. */
+  private def fallback(code: Int): Option[String] = {
+    if (code >= 0x20 && code <= 0x7e) Some(code.toChar.toString)
+    else if (code >= 0xa0 && code <= 0xff && !isType0) Some(code.toChar.toString)
+    else FontInfo.fallbackMap.get(code)
+  }
+
+  /** Glyph width in text-space units/1000 (reference: font_dict.rs:607-617). */
+  def width(code: Int): Float = {
+    if (isType0) cidWidths.getOrElse(code, defaultWidth)
+    else if (code >= 0 && code < 256 && !widths(code).isNaN) widths(code)
+    else defaultWidth
+  }
+}
+
+object FontInfo {
+
+  /** Sparse fallback for codes outside printable ASCII (reference:
+    * text.rs:183-347 fallback_char_to_unicode — punct/space subset). */
+  val fallbackMap: Map[Int, String] = Map(
+    0x09 -> "\t", 0x0a -> "\n", 0x0d -> "\n",
+    0x2018 -> "‘", 0x2019 -> "’", 0x201c -> "“", 0x201d -> "”",
+    0x2013 -> "–", 0x2014 -> "—", 0x2022 -> "•", 0x2026 -> "…")
+
+  val default: FontInfo = FontInfo(
+    baseFont = "Helvetica", subtype = "Type1", toUnicode = None,
+    encTable = Some(Encodings.standard), diffs = Map.empty,
+    isType0 = false, widths = Array.fill(256)(Float.NaN),
+    cidWidths = Map.empty, defaultWidth = 500f, flags = 0, isBold = false)
+
+  def fromDict(doc: PdfDocument, fontDict: Dict): FontInfo = {
+    def r(o: Option[PdfObj]): PdfObj = doc.resolve(o.getOrElse(Null))
+    val subtype = fontDict.name("Subtype").getOrElse("Type1")
+    val baseFont = r(fontDict.get("BaseFont")).asName.getOrElse("Unknown")
+    val isType0 = subtype == "Type0"
+
+    // descriptor: flags / StemV / weight cascade
+    val descDict: Dict =
+      if (isType0) {
+        r(fontDict.get("DescendantFonts")).asArr.flatMap(_.headOption)
+          .map(d => doc.resolveDict(d))
+          .map(cid => doc.resolveDict(cid.get("FontDescriptor").getOrElse(Null)))
+          .getOrElse(Dict.empty)
+      } else doc.resolveDict(fontDict.get("FontDescriptor").getOrElse(Null))
+    val flags = r(descDict.get("Flags")).asLong.getOrElse(0L).toInt
+    val stemV = r(descDict.get("StemV")).asDouble.getOrElse(0.0)
+    val weight = r(descDict.get("FontWeight")).asDouble.getOrElse(0.0)
+    val isBold = baseFont.toLowerCase.contains("bold") ||
+      (flags & (1 << 18)) != 0 || stemV >= 120.0 || weight >= 600.0
+
+    // ToUnicode
+    val toUnicode: Option[CMap] = r(fontDict.get("ToUnicode")) match {
+      case s: Stream =>
+        try {
+          val cm = CMap.parse(doc.streamData(s))
+          if (cm.isEmpty) None else Some(cm)
+        } catch { case _: Throwable => None }
+      case _ => None
+    }
+
+    if (isType0) {
+      val cidDict = r(fontDict.get("DescendantFonts")).asArr
+        .flatMap(_.headOption).map(doc.resolveDict).getOrElse(Dict.empty)
+      val dw = r(cidDict.get("DW")).asDouble.getOrElse(1000.0).toFloat
+      val cidWidths = parseCidWidths(doc, r(cidDict.get("W")))
+      FontInfo(baseFont, subtype, toUnicode, encTable = None,
+        diffs = Map.empty, isType0 = true,
+        widths = Array.fill(256)(Float.NaN), cidWidths = cidWidths,
+        defaultWidth = dw, flags = flags, isBold = isBold)
+    } else {
+      // /Encoding: Name | Dict{BaseEncoding, Differences}
+      // Default base: StandardEncoding (reference: font_dict.rs:414-534);
+      // symbolic flag (bit 3) ⇒ built-in (handled by the cascade).
+      var encTable: Option[Array[Char]] = Some(Encodings.standard)
+      var diffs = Map.empty[Int, String]
+      r(fontDict.get("Encoding")) match {
+        case Name(n) => encTable = Encodings.byName(n).orElse(encTable)
+        case d: Dict =>
+          d.name("BaseEncoding").foreach(n => encTable = Encodings.byName(n).orElse(encTable))
+          doc.dictGet(d, "Differences") match {
+            case Arr(items) =>
+              val m = mutable.HashMap.empty[Int, String]
+              var code = 0
+              items.foreach { it =>
+                doc.resolve(it) match {
+                  case Int64(v) => code = v.toInt
+                  case Real(v)  => code = v.toInt
+                  case Name(g) =>
+                    Glyphs.lookup(g).foreach(u => m.update(code, u))
+                    code += 1
+                  case _ => ()
+                }
+              }
+              diffs = m.toMap
+            case _ => ()
+          }
+        case _ => ()
+      }
+      val symbolicFlag = (flags & (1 << 2)) != 0
+      if (symbolicFlag && fontDict.get("Encoding").isEmpty) encTable = None
+
+      // /Widths + FirstChar
+      val widths = Array.fill(256)(Float.NaN)
+      val first = r(fontDict.get("FirstChar")).asLong.getOrElse(0L).toInt
+      r(fontDict.get("Widths")) match {
+        case Arr(ws) =>
+          var i = 0
+          while (i < ws.length && first + i < 256) {
+            doc.resolve(ws(i)).asDouble.foreach(w => widths(first + i) = w.toFloat)
+            i += 1
+          }
+        case _ => ()
+      }
+      val missingWidth = r(descDict.get("MissingWidth")).asDouble.map(_.toFloat)
+      // flag-based default 500/600 (reference: font_dict.rs:351-363)
+      val dflt = missingWidth.getOrElse(if (isBold) 600f else 500f)
+      FontInfo(baseFont, subtype, toUnicode, encTable, diffs,
+        isType0 = false, widths = widths, cidWidths = Map.empty,
+        defaultWidth = dflt, flags = flags, isBold = isBold)
+    }
+  }
+
+  /** CID /W array: [ c [w1 w2 …] | cFirst cLast w ]. */
+  private def parseCidWidths(doc: PdfDocument, w: PdfObj): Map[Int, Float] = {
+    w match {
+      case Arr(items) =>
+        val m = mutable.HashMap.empty[Int, Float]
+        var i = 0
+        while (i < items.length) {
+          doc.resolve(items(i)) match {
+            case Int64(c) =>
+              if (i + 1 < items.length) {
+                doc.resolve(items(i + 1)) match {
+                  case Arr(ws) =>
+                    var k = 0
+                    ws.foreach { wv =>
+                      doc.resolve(wv).asDouble.foreach(v => m.update(c.toInt + k, v.toFloat))
+                      k += 1
+                    }
+                    i += 2
+                  case Int64(cLast) =>
+                    if (i + 2 < items.length) {
+                      doc.resolve(items(i + 2)).asDouble.foreach { v =>
+                        var cc = c.toInt
+                        while (cc <= cLast.toInt && cc - c.toInt < 65536) { m.update(cc, v.toFloat); cc += 1 }
+                      }
+                    }
+                    i += 3
+                  case _ => i += 2
+                }
+              } else i += 1
+            case _ => i += 1
+          }
+        }
+        m.toMap
+      case _ => Map.empty
+    }
+  }
+}
