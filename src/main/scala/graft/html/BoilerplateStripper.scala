@@ -1,0 +1,206 @@
+package graft.html
+
+import scala.collection.mutable
+
+/** Main-content extraction from HTML: tag tokenizer → block segmentation
+  * → text/link-density classification, following the public
+  * Boilerpipe / jusText family of heuristics (SURVEY §2.5 — north-rule
+  * addition, no reference analog). Deterministic, no DOM library.
+  */
+object BoilerplateStripper {
+
+  private val blockTags = Set(
+    "p", "div", "h1", "h2", "h3", "h4", "h5", "h6", "li", "td", "th",
+    "tr", "table", "ul", "ol", "dl", "dd", "dt", "article", "section",
+    "main", "header", "footer", "nav", "aside", "form", "blockquote",
+    "pre", "br", "hr", "figcaption", "figure", "body")
+
+  private val skipContentTags = Set("script", "style", "noscript", "svg", "template", "iframe")
+
+  /** Containers whose text is boilerplate by construction. */
+  private val boilerplateContext = Set("nav", "footer", "aside", "form")
+
+  // tiny multi-lang stopword set (jusText uses per-lang lists; a compact
+  // high-frequency core is enough for the density signal)
+  private val stopwords: Set[String] = Set(
+    "the", "a", "an", "of", "to", "in", "and", "or", "is", "are", "was",
+    "for", "on", "with", "as", "by", "at", "it", "this", "that", "be",
+    "from", "has", "have", "not", "but", "they", "you", "we", "его",
+    "der", "die", "das", "und", "les", "des", "une", "est", "el", "la",
+    "de", "en", "que", "un", "los")
+
+  private final case class Block(
+      text: String, tag: String, linkedChars: Int, inBoiler: Boolean) {
+    def len: Int = text.length
+    def linkDensity: Double = if (len == 0) 1.0 else linkedChars.toDouble / len
+    def isHeading: Boolean = tag.length == 2 && tag.charAt(0) == 'h' && tag.charAt(1).isDigit
+    def stopwordDensity: Double = {
+      val words = text.toLowerCase.split("[^\\p{L}]+").filter(_.nonEmpty)
+      if (words.isEmpty) 0.0
+      else words.count(stopwords.contains).toDouble / words.length
+    }
+  }
+
+  def strip(bytes: Array[Byte]): String = strip(decodeCharset(bytes))
+
+  def strip(html: String): String = {
+    val blocks = segment(html)
+    classify(blocks).map(_.text).mkString("\n\n")
+  }
+
+  /** Charset sniff: meta charset=… within the first 2 KB, else UTF-8. */
+  def decodeCharset(bytes: Array[Byte]): String = {
+    val head = new String(bytes, 0, math.min(bytes.length, 2048), "ISO-8859-1").toLowerCase
+    val cs = {
+      val i = head.indexOf("charset=")
+      if (i >= 0) {
+        val s = head.substring(i + 8).dropWhile(c => c == '"' || c == '\'' || c == ' ')
+        val name = s.takeWhile(c => c.isLetterOrDigit || c == '-' || c == '_')
+        try { java.nio.charset.Charset.forName(name); name }
+        catch { case _: Throwable => "UTF-8" }
+      } else "UTF-8"
+    }
+    new String(bytes, cs)
+  }
+
+  // ------------------------------------------------------------------
+  // Tokenize + segment into text blocks
+  // ------------------------------------------------------------------
+  private def segment(html: String): Vector[Block] = {
+    val blocks = Vector.newBuilder[Block]
+    val text = new java.lang.StringBuilder
+    var linked = 0
+    var curTag = "p"
+    var aDepth = 0
+    var boilerDepth = 0
+    var skipTag: String = null
+    var i = 0
+    val n = html.length
+
+    def flush(): Unit = {
+      val t = normalizeWs(text.toString)
+      if (t.nonEmpty) blocks += Block(t, curTag, math.min(linked, t.length), boilerDepth > 0)
+      text.setLength(0)
+      linked = 0
+    }
+
+    while (i < n) {
+      val c = html.charAt(i)
+      if (c == '<') {
+        if (i + 3 < n && html.charAt(i + 1) == '!' && html.charAt(i + 2) == '-' && html.charAt(i + 3) == '-') {
+          val end = html.indexOf("-->", i + 4)
+          i = if (end < 0) n else end + 3
+        } else if (i + 1 < n && (html.charAt(i + 1) == '!' || html.charAt(i + 1) == '?')) {
+          val end = html.indexOf('>', i + 1)
+          i = if (end < 0) n else end + 1
+        } else {
+          val end = html.indexOf('>', i + 1)
+          if (end < 0) i = n
+          else {
+            val inner = html.substring(i + 1, end)
+            val closing = inner.startsWith("/")
+            val rawName = (if (closing) inner.substring(1) else inner)
+              .takeWhile(ch => ch.isLetterOrDigit).toLowerCase
+            if (skipTag != null) {
+              if (closing && rawName == skipTag) skipTag = null
+            } else if (skipContentTags.contains(rawName) && !closing && !inner.endsWith("/")) {
+              skipTag = rawName
+            } else if (rawName == "a") {
+              if (closing) aDepth = math.max(0, aDepth - 1) else aDepth += 1
+            } else if (blockTags.contains(rawName)) {
+              flush()
+              if (boilerplateContext.contains(rawName)) {
+                if (closing) boilerDepth = math.max(0, boilerDepth - 1)
+                else if (!inner.endsWith("/")) boilerDepth += 1
+              }
+              if (!closing) curTag = rawName
+            }
+            i = end + 1
+          }
+        }
+      } else {
+        if (skipTag == null) {
+          val start = i
+          while (i < n && html.charAt(i) != '<') i += 1
+          val decoded = decodeEntities(html.substring(start, i))
+          text.append(decoded)
+          if (aDepth > 0) linked += decoded.count(!_.isWhitespace)
+        } else i += 1
+      }
+    }
+    flush()
+    blocks.result()
+  }
+
+  /** jusText-style classification: context + length + link density +
+    * stopword density decide good vs boilerplate; headings survive when
+    * near good content. */
+  private def classify(blocks: Vector[Block]): Vector[Block] = {
+    val verdicts: Vector[Boolean] = blocks.map { b =>
+      if (b.inBoiler) false
+      else if (b.linkDensity > 0.33) false
+      else if (b.isHeading) b.len >= 3
+      else if (b.len < 15) false
+      else if (b.len < 60) b.linkDensity < 0.1 && b.stopwordDensity > 0.05
+      else true
+    }
+    // drop headings with no good block after them (jusText edge rule)
+    val keep = verdicts.zipWithIndex.map { case (v, idx) =>
+      if (v && blocks(idx).isHeading) {
+        val after = (idx + 1 until blocks.length)
+          .find(j => !blocks(j).isHeading)
+        after.forall(j => verdicts(j))
+      } else v
+    }
+    blocks.zip(keep).collect { case (b, true) => b }
+  }
+
+  private def normalizeWs(s: String): String = {
+    val sb = new java.lang.StringBuilder(s.length)
+    var prevWs = true
+    var i = 0
+    while (i < s.length) {
+      val c = s.charAt(i)
+      if (Character.isWhitespace(c) || c == ' ') {
+        if (!prevWs) sb.append(' ')
+        prevWs = true
+      } else { sb.append(c); prevWs = false }
+      i += 1
+    }
+    sb.toString.trim
+  }
+
+  private val namedEntities = Map(
+    "amp" -> "&", "lt" -> "<", "gt" -> ">", "quot" -> "\"",
+    "apos" -> "'", "nbsp" -> " ", "mdash" -> "—", "ndash" -> "–",
+    "hellip" -> "…", "rsquo" -> "’", "lsquo" -> "‘", "rdquo" -> "”",
+    "ldquo" -> "“", "copy" -> "©", "reg" -> "®", "trade" -> "™",
+    "eacute" -> "é", "egrave" -> "è", "agrave" -> "à", "uuml" -> "ü",
+    "ouml" -> "ö", "auml" -> "ä", "szlig" -> "ß", "ccedil" -> "ç")
+
+  def decodeEntities(s: String): String = {
+    if (s.indexOf('&') < 0) return s
+    val sb = new java.lang.StringBuilder(s.length)
+    var i = 0
+    while (i < s.length) {
+      val c = s.charAt(i)
+      if (c == '&') {
+        val semi = s.indexOf(';', i + 1)
+        if (semi > i && semi - i <= 10) {
+          val ent = s.substring(i + 1, semi)
+          if (ent.startsWith("#x") || ent.startsWith("#X")) {
+            try { sb.appendCodePoint(Integer.parseInt(ent.substring(2), 16)); i = semi + 1 }
+            catch { case _: Throwable => sb.append(c); i += 1 }
+          } else if (ent.startsWith("#")) {
+            try { sb.appendCodePoint(Integer.parseInt(ent.substring(1))); i = semi + 1 }
+            catch { case _: Throwable => sb.append(c); i += 1 }
+          } else namedEntities.get(ent) match {
+            case Some(r) => sb.append(r); i = semi + 1
+            case None    => sb.append(c); i += 1
+          }
+        } else { sb.append(c); i += 1 }
+      } else { sb.append(c); i += 1 }
+    }
+    sb.toString
+  }
+}

@@ -1,0 +1,142 @@
+package graft.spark
+
+import java.sql.Timestamp
+import org.apache.spark.TaskContext
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.html.BoilerplateStripper
+import graft.pdf.PdfExtractor
+
+/** The production job shape (SURVEY §3.3): pages table → per-row
+  * extraction inside `mapPartitions` → Dataset[ExtractedDoc] + the
+  * checkpoint/lineage table. Zero shuffles on the hot path unless skew
+  * salting is enabled (then exactly one, to spread oversized binaries).
+  */
+object ExtractJob {
+
+  final case class Config(
+      /** rows larger than this are skipped (`skipped_oversize`). */
+      oversizeCapBytes: Long = 64L * 1024 * 1024,
+      /** rows larger than this shuffle to dedicated heavy partitions. */
+      heavyThresholdBytes: Long = 1L * 1024 * 1024,
+      /** enable the salt-based skew shuffle (north rule). */
+      salt: Boolean = true,
+      saltBuckets: Int = 32,
+      heavySaltBuckets: Int = 8,
+      maxPages: Int = PdfExtractor.DefaultMaxPages)
+
+  /** Core transform: (url, html) → ExtractedDoc. Only `url` and `html`
+    * survive the scan — Catalyst prunes the rest (verify: ReadSchema in
+    * .explain should list exactly these two columns). */
+  def extract(pages: DataFrame, cfg: Config = Config()): Dataset[ExtractedDoc] = {
+    val spark = pages.sparkSession
+    import spark.implicits._
+    val pruned = pages.select(col("url"), col("html"))
+    val routed =
+      if (cfg.salt) {
+        // two-tier salt (SURVEY §4.2): normal rows bucket by url-hash;
+        // heavy rows get their own salt space so one partition never
+        // carries two giants.
+        pruned
+          .withColumn("__salt",
+            when(length(col("html")) > cfg.heavyThresholdBytes,
+              lit(cfg.saltBuckets) + pmod(xxhash64(col("url"), lit(1)), lit(cfg.heavySaltBuckets)))
+            .otherwise(pmod(xxhash64(col("url")), lit(cfg.saltBuckets))))
+          .repartition(col("__salt"))
+          .drop("__salt")
+      } else pruned
+    routed.as[(String, Array[Byte])].mapPartitions { rows =>
+      val pid = TaskContext.getPartitionId()
+      rows.map { case (u, html) => extractOne(u, html, pid, cfg) }
+    }
+  }
+
+  /** Pure per-row dispatch: sniff %PDF- magic vs HTML (SURVEY §2.5). */
+  def extractOne(u: String, html: Array[Byte], pid: Int, cfg: Config): ExtractedDoc = {
+    val nBytes = if (html == null) 0L else html.length.toLong
+    val t0 = System.nanoTime()
+    def ms: Double = (System.nanoTime() - t0) / 1e6
+    if (html == null || html.isEmpty)
+      ExtractedDoc(u, "", "", 0, 0, ms, "error", "empty payload", nBytes, pid)
+    else if (nBytes > cfg.oversizeCapBytes)
+      ExtractedDoc(u, "", "", 0, 0, ms, "skipped_oversize", "", nBytes, pid)
+    else if (PdfExtractor.isPdf(html)) {
+      try {
+        val r = PdfExtractor.extract(html, cfg.maxPages)
+        ExtractedDoc(u, r.text, r.markdown, r.nPages, r.nSpans, ms, "ok", "", nBytes, pid)
+      } catch {
+        case e: Throwable =>
+          ExtractedDoc(u, "", "", 0, 0, ms, "error",
+            Option(e.getMessage).getOrElse(e.getClass.getSimpleName).take(200), nBytes, pid)
+      }
+    } else {
+      try {
+        val text = BoilerplateStripper.strip(html)
+        val nBlocks = if (text.isEmpty) 0 else text.split("\n\n").length
+        ExtractedDoc(u, text, "", 1, nBlocks, ms, "ok", "", nBytes, pid)
+      } catch {
+        case e: Throwable =>
+          ExtractedDoc(u, "", "", 0, 0, ms, "error",
+            Option(e.getMessage).getOrElse(e.getClass.getSimpleName).take(200), nBytes, pid)
+      }
+    }
+  }
+
+  // ------------------------------------------------------------------
+  // Checkpointed, resumable run (north rule: per-partition lineage +
+  // metrics; restart = left-anti join; idempotent by url).
+  // ------------------------------------------------------------------
+  final case class RunReport(attempted: Long, ok: Long, error: Long, skipped: Long)
+
+  def runWithCheckpoint(spark: SparkSession, pages: DataFrame, outDir: String,
+                        checkpointDir: String, runId: String,
+                        cfg: Config = Config(), nBuckets: Int = 32): RunReport = {
+    import spark.implicits._
+    val doneUrls: DataFrame =
+      if (pathExists(spark, checkpointDir))
+        spark.read.parquet(checkpointDir).select("url").distinct()
+      else spark.emptyDataset[String].toDF("url")
+    // resume: only not-yet-checkpointed urls (left-anti — the one
+    // planned join; broadcast-able when the remainder is small)
+    val pending = pages.join(doneUrls, Seq("url"), "left_anti")
+    val extracted = extract(pending, cfg).persist()
+    try {
+      val statuses = extracted.groupBy($"status").count().collect()
+        .map(r => r.getString(0) -> r.getLong(1)).toMap
+      // extracted output: Iceberg-emulated bucket layout, idempotent by
+      // url (append; readers dedup by url via checkpoint or window)
+      extracted
+        .withColumn("bucket", pmod(xxhash64($"url"), lit(nBuckets)))
+        .drop("n_bytes", "partition_id")
+        .write.mode("append").partitionBy("bucket").parquet(outDir)
+      val now = new Timestamp(System.currentTimeMillis())
+      extracted.select($"url", $"status", $"duration_ms", $"n_bytes", $"partition_id")
+        .withColumn("run_id", lit(runId))
+        .withColumn("finished_at", lit(now))
+        .select("run_id", "partition_id", "url", "status", "duration_ms", "n_bytes", "finished_at")
+        .write.mode("append").parquet(checkpointDir)
+      RunReport(
+        attempted = statuses.values.sum,
+        ok = statuses.getOrElse("ok", 0L),
+        error = statuses.getOrElse("error", 0L),
+        skipped = statuses.getOrElse("skipped_oversize", 0L))
+    } finally extracted.unpersist()
+  }
+
+  /** Per-partition metrics rollup (SURVEY §2.5 aggregations). */
+  def partitionMetrics(extracted: Dataset[ExtractedDoc]): DataFrame = {
+    extracted.groupBy(col("partition_id")).agg(
+      count(lit(1)).as("n_docs"),
+      sum(col("n_pages")).as("n_pages"),
+      sum(col("n_bytes")).as("n_bytes"),
+      avg(col("duration_ms")).as("avg_ms"),
+      max(col("duration_ms")).as("max_ms"),
+      sum(when(col("status") === "ok", 1L).otherwise(0L)).as("n_ok"))
+  }
+
+  private def pathExists(spark: SparkSession, path: String): Boolean = {
+    val p = new org.apache.hadoop.fs.Path(path)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.exists(p)
+  }
+}

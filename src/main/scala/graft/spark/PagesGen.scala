@@ -1,0 +1,102 @@
+package graft.spark
+
+import java.sql.Timestamp
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import graft.pdf.testgen.PdfBuilder
+import graft.pdf.testgen.PdfBuilder.Line
+
+/** Deterministic synthetic pages corpus, generated ON THE EXECUTORS via
+  * `spark.range(n).mapPartitions` — the generator scales with the
+  * cluster instead of materializing on the driver (FIXTURES.md §5).
+  * ~70% PDF / 30% HTML payloads; log-normal line counts (seeded) plus
+  * deliberate 50× outliers every 997th doc to exercise salt routing.
+  */
+object PagesGen {
+
+  private val words = Vector(
+    "analysis", "baseline", "corpus", "document", "engine", "feature",
+    "graph", "heading", "index", "journal", "kernel", "layout", "model",
+    "network", "output", "pipeline", "query", "result", "system",
+    "theory", "update", "vector", "workflow", "extraction", "content",
+    "partition", "schema", "stream", "buffer", "matrix")
+
+  def sentence(rnd: java.util.Random, nWords: Int): String = {
+    val sb = new StringBuilder
+    var i = 0
+    while (i < nWords) {
+      if (i > 0) sb.append(' ')
+      val w = words(rnd.nextInt(words.size))
+      sb.append(if (i == 0) w.capitalize else w)
+      i += 1
+    }
+    sb.append('.')
+    sb.toString
+  }
+
+  /** One deterministic payload for doc `id`. */
+  def payload(id: Long, seed: Long): (Array[Byte], String) = {
+    val rnd = new java.util.Random(seed * 0x9e3779b97f4a7c15L + id * 0x100000001b3L)
+    val isPdf = rnd.nextInt(10) < 7
+    // log-normal-ish size: exp(N(mu=3, sigma=0.6)) lines, 50× outlier every 997th
+    val base = math.exp(3.0 + 0.6 * rnd.nextGaussian()).toInt.max(3)
+    val nLines = if (id % 997 == 0) base * 50 else base
+    if (isPdf) {
+      val linesPerPage = 40
+      val nPages = math.max(1, (nLines + linesPerPage - 1) / linesPerPage)
+      val pages = (0 until nPages).map { p =>
+        val count = math.min(linesPerPage, nLines - p * linesPerPage)
+        (0 until count).map { k =>
+          val isHeading = k == 0 && rnd.nextInt(4) == 0
+          if (isHeading) Line(72f, 720f, 18f, "F2", sentence(rnd, 3).dropRight(1))
+          else Line(72f, 720f - 14f * (k % 48), 11f, "F1", sentence(rnd, 4 + rnd.nextInt(8)))
+        }
+      }
+      (PdfBuilder.multiPage(pages, compress = rnd.nextBoolean()), "pdf")
+    } else {
+      val sb = new StringBuilder
+      sb.append("<html><head><title>Doc ").append(id).append("</title></head><body>")
+      sb.append("<nav><a href=\"/\">Home</a> <a href=\"/about\">About</a> <a href=\"/contact\">Contact</a></nav>")
+      sb.append("<article>")
+      var i = 0
+      while (i < nLines) {
+        if (i % 12 == 0) sb.append("<h2>").append(sentence(rnd, 3).dropRight(1)).append("</h2>")
+        sb.append("<p>").append(sentence(rnd, 12 + rnd.nextInt(18)))
+          .append(' ').append(sentence(rnd, 10 + rnd.nextInt(12))).append("</p>")
+        i += 1
+      }
+      sb.append("</article>")
+      sb.append("<footer><a href=\"/terms\">Terms</a> | <a href=\"/privacy\">Privacy</a> © 2025</footer>")
+      sb.append("</body></html>")
+      (sb.toString.getBytes("UTF-8"), "html")
+    }
+  }
+
+  def url(id: Long, kind: String): String =
+    s"https://host${id % 1000}.example/doc$id.$kind"
+
+  /** Distributed deterministic pages table. */
+  def generate(spark: SparkSession, nDocs: Long, seed: Long = 42L,
+               parallelism: Int = 0): Dataset[PageRow] = {
+    import spark.implicits._
+    val par = if (parallelism > 0) parallelism else spark.sparkContext.defaultParallelism
+    val baseTs = 1735689600000L // 2025-01-01T00:00:00Z, fixed (no wall-clock)
+    spark.range(0, nDocs, 1, par).mapPartitions { ids =>
+      ids.map { id =>
+        val (bytes, kind) = payload(id, seed)
+        PageRow(url(id, kind), new Timestamp(baseTs + id * 1000L), bytes, "", "en")
+      }
+    }
+  }
+
+  /** Write as the Iceberg-emulated bucketed parquet layout:
+    * directory-partitioned by bucket = pmod(xxhash64(url), nBuckets).
+    * (No Iceberg jars in this sandbox — SURVEY preamble.) */
+  def writeBucketed(pages: Dataset[PageRow], path: String, nBuckets: Int = 32): Unit = {
+    import org.apache.spark.sql.functions._
+    pages.withColumn("bucket", pmod(xxhash64(col("url")), lit(nBuckets)))
+      .write.mode("overwrite").partitionBy("bucket").parquet(path)
+  }
+
+  def readBucketed(spark: SparkSession, path: String): DataFrame =
+    spark.read.parquet(path)
+}

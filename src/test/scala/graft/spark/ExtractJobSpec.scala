@@ -1,0 +1,128 @@
+package graft.spark
+
+import java.nio.file.Files
+import org.apache.spark.sql.SparkSession
+import org.scalatest.BeforeAndAfterAll
+import org.scalatest.funsuite.AnyFunSuite
+import graft.html.BoilerplateStripper
+
+class ExtractJobSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  private var spark: SparkSession = _
+
+  override def beforeAll(): Unit = {
+    spark = SparkSession.builder()
+      .master("local[4]")
+      .appName("extract-job-spec")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.ui.enabled", "false")
+      .config("spark.sql.session.timeZone", "UTC")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+  }
+
+  override def afterAll(): Unit = if (spark != null) spark.stop()
+
+  test("html stripper keeps article, drops nav/footer") {
+    val html =
+      """<html><body>
+        |<nav><a href="/">Home</a> <a href="/x">X</a></nav>
+        |<article><h2>Real Title</h2>
+        |<p>This is the main content of the article and it is long enough to be kept by the density rules.</p>
+        |</article>
+        |<footer><a href="/terms">Terms</a> | © 2025</footer>
+        |</body></html>""".stripMargin
+    val out = BoilerplateStripper.strip(html)
+    assert(out.contains("main content of the article"), s"got: $out")
+    assert(out.contains("Real Title"))
+    assert(!out.contains("Home"))
+    assert(!out.contains("Terms"))
+  }
+
+  test("extract over synthetic pages: 100% non-failing rows") {
+    val pages = PagesGen.generate(spark, 60, seed = 42, parallelism = 4).toDF()
+    val out = ExtractJob.extract(pages, ExtractJob.Config(salt = false)).cache()
+    val n = out.count()
+    assert(n == 60)
+    val statuses = out.groupBy("status").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(statuses.getOrElse("ok", 0L) == 60L, s"statuses: $statuses")
+    // every ok row has text
+    assert(out.filter("status = 'ok' and length(text) = 0").count() == 0)
+    out.unpersist()
+  }
+
+  test("extraction is deterministic") {
+    val pages = PagesGen.generate(spark, 30, seed = 7, parallelism = 2).toDF()
+    val a = ExtractJob.extract(pages, ExtractJob.Config(salt = false))
+      .select("url", "text").collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    val b = ExtractJob.extract(pages, ExtractJob.Config(salt = false))
+      .select("url", "text").collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(a == b)
+    assert(a.values.forall(_.nonEmpty))
+  }
+
+  test("salted routing spreads heavy rows and preserves results") {
+    val pages = PagesGen.generate(spark, 50, seed = 42, parallelism = 2).toDF()
+    val unsalted = ExtractJob.extract(pages, ExtractJob.Config(salt = false))
+      .select("url", "text").collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    val salted = ExtractJob.extract(pages,
+        ExtractJob.Config(salt = true, heavyThresholdBytes = 10 * 1024))
+      .select("url", "text").collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(salted == unsalted)
+  }
+
+  test("oversize rows are skipped not failed") {
+    val s = spark
+    import s.implicits._
+    val big = PageRow("https://h.example/big.pdf",
+      new java.sql.Timestamp(0), new Array[Byte](2 * 1024 * 1024), "", "en")
+    val pages = s.createDataset(Seq(big)).toDF()
+    val out = ExtractJob.extract(pages,
+      ExtractJob.Config(salt = false, oversizeCapBytes = 1024 * 1024)).collect()
+    assert(out.length == 1)
+    assert(out(0).status == "skipped_oversize")
+  }
+
+  test("checkpoint resume: second run processes nothing; kill-resume completes the set") {
+    val dir = Files.createTempDirectory("graft-ckpt").toString
+    val outDir = s"$dir/extracted"
+    val ckptDir = s"$dir/checkpoint"
+    val pages = PagesGen.generate(spark, 40, seed = 11, parallelism = 2).toDF().cache()
+
+    // simulate a partial (killed) first run: only 25 rows got through
+    val partial = pages.limit(25)
+    val r1 = ExtractJob.runWithCheckpoint(spark, partial, outDir, ckptDir, "run-1",
+      ExtractJob.Config(salt = false))
+    assert(r1.attempted == 25)
+
+    // resumed run over the full input: only the remaining 15 processed
+    val r2 = ExtractJob.runWithCheckpoint(spark, pages, outDir, ckptDir, "run-2",
+      ExtractJob.Config(salt = false))
+    assert(r2.attempted == 15, s"expected 15 pending, got ${r2.attempted}")
+
+    // third run: idempotent no-op
+    val r3 = ExtractJob.runWithCheckpoint(spark, pages, outDir, ckptDir, "run-3",
+      ExtractJob.Config(salt = false))
+    assert(r3.attempted == 0)
+
+    // output complete + unique by url
+    val written = spark.read.parquet(outDir)
+    assert(written.select("url").distinct().count() == 40)
+    assert(written.count() == 40)
+    pages.unpersist()
+  }
+
+  test("column pruning reaches the scan (ReadSchema ⊆ {url, html})") {
+    val dir = Files.createTempDirectory("graft-pages").toString
+    PagesGen.writeBucketed(PagesGen.generate(spark, 20, seed = 3, parallelism = 2), dir, 4)
+    val pages = spark.read.parquet(dir)
+    val plan = ExtractJob.extract(pages, ExtractJob.Config(salt = false))
+      .queryExecution.executedPlan.toString
+    val readSchema = "ReadSchema: struct<([^>]*)>".r
+      .findFirstMatchIn(plan).map(_.group(1)).getOrElse("")
+    assert(readSchema.contains("url") && readSchema.contains("html"), plan)
+    assert(!readSchema.contains("warc_ts") && !readSchema.contains("lang"),
+      s"scan reads too much: $readSchema")
+  }
+}
