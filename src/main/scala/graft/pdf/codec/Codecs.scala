@@ -44,9 +44,16 @@ object Codecs {
       .getOrElse(throw new DecodeException("FlateDecode: no inflater succeeded"))
   }
 
+  // Thread-local reusable inflaters: Inflater init/end is a native
+  // malloc/free pair — at 200k+ streams/run across 32 threads the
+  // churn showed up as 30-50% *system* CPU and killed scaling.
+  private val inflaterWrapped = ThreadLocal.withInitial[Inflater](() => new Inflater(false))
+  private val inflaterRaw = ThreadLocal.withInitial[Inflater](() => new Inflater(true))
+
   private def tryInflate(in: Array[Byte], off: Int, nowrap: Boolean): Option[Array[Byte]] = {
     if (in.length - off <= 0) return Some(Array.emptyByteArray)
-    val inf = new Inflater(nowrap)
+    val inf = if (nowrap) inflaterRaw.get() else inflaterWrapped.get()
+    inf.reset()
     inf.setInput(in, off, in.length - off)
     val out = new java.io.ByteArrayOutputStream(math.min(in.length * 4, 1 << 20))
     val buf = new Array[Byte](65536)
@@ -65,7 +72,7 @@ object Codecs {
     } catch {
       case _: DataFormatException =>
         if (out.size() > 0) Some(out.toByteArray) else None
-    } finally inf.end()
+    } finally inf.reset()
   }
 
   // ------------------------------------------------------------------

@@ -158,8 +158,13 @@ final class PdfBuilder(version: String = "1.4") {
 
 object PdfBuilder {
 
+  // thread-local reusable deflater (native init/end churn — same
+  // reason as Codecs' inflater pool)
+  private val deflaterTL = ThreadLocal.withInitial[Deflater](() => new Deflater(Deflater.BEST_SPEED))
+
   def deflate(data: Array[Byte]): Array[Byte] = {
-    val d = new Deflater(Deflater.BEST_SPEED)
+    val d = deflaterTL.get()
+    d.reset()
     d.setInput(data)
     d.finish()
     val out = new ByteArrayOutputStream(data.length / 2 + 64)
@@ -168,7 +173,6 @@ object PdfBuilder {
       val n = d.deflate(buf)
       out.write(buf, 0, n)
     }
-    d.end()
     out.toByteArray
   }
 

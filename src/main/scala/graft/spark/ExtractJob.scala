@@ -21,8 +21,8 @@ object ExtractJob {
       heavyThresholdBytes: Long = 1L * 1024 * 1024,
       /** enable the salt-based skew shuffle (north rule). */
       salt: Boolean = true,
-      saltBuckets: Int = 32,
-      heavySaltBuckets: Int = 8,
+      saltBuckets: Int = 256,
+      heavySaltBuckets: Int = 64,
       maxPages: Int = PdfExtractor.DefaultMaxPages)
 
   /** Core transform: (url, html) → ExtractedDoc. Only `url` and `html`
@@ -36,13 +36,18 @@ object ExtractJob {
       if (cfg.salt) {
         // two-tier salt (SURVEY §4.2): normal rows bucket by url-hash;
         // heavy rows get their own salt space so one partition never
-        // carries two giants.
+        // carries two giants. The partition count is EXPLICIT (scaled to
+        // cluster cores): extraction cost is per-row CPU, and AQE's
+        // size-based coalescing would otherwise squeeze this CPU-bound
+        // exchange into a handful of 64MB partitions, idling the
+        // cluster (observed: 3 active lanes at local[32]).
+        val nPart = math.max(spark.sparkContext.defaultParallelism * 2, 16)
         pruned
           .withColumn("__salt",
             when(length(col("html")) > cfg.heavyThresholdBytes,
               lit(cfg.saltBuckets) + pmod(xxhash64(col("url"), lit(1)), lit(cfg.heavySaltBuckets)))
             .otherwise(pmod(xxhash64(col("url")), lit(cfg.saltBuckets))))
-          .repartition(col("__salt"))
+          .repartition(nPart, col("__salt"))
           .drop("__salt")
       } else pruned
     routed.as[(String, Array[Byte])].mapPartitions { rows =>

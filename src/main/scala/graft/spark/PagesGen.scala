@@ -93,7 +93,11 @@ object PagesGen {
     * (No Iceberg jars in this sandbox — SURVEY preamble.) */
   def writeBucketed(pages: Dataset[PageRow], path: String, nBuckets: Int = 32): Unit = {
     import org.apache.spark.sql.functions._
+    // repartition on the bucket key first: exactly one file per bucket
+    // directory (otherwise every writer task sprays one tiny file into
+    // every bucket — a small-file explosion that kills scan scheduling)
     pages.withColumn("bucket", pmod(xxhash64(col("url")), lit(nBuckets)))
+      .repartition(nBuckets, col("bucket"))
       .write.mode("overwrite").partitionBy("bucket").parquet(path)
   }
 
