@@ -44,24 +44,31 @@ object BenchScaling {
       s.stop()
     }
 
-    /** Best of 3 steady-state runs (min filters scheduler/GC noise). */
-    def run(cores: Int): (Double, Long) = {
+    /** One timed run at a given width (fresh session). */
+    def once(cores: Int): (Double, Long) = {
       val s = session(cores)
       s.sparkContext.setLogLevel("WARN")
       val pages = s.read.parquet(corpusDir)
-      var best = Double.MaxValue
-      var n = 0L
-      for (_ <- 1 to 3) {
-        val t0 = System.nanoTime()
-        n = ExtractJob.extract(pages, ExtractJob.Config()).count()
-        best = math.min(best, (System.nanoTime() - t0) / 1e9)
-      }
+      val t0 = System.nanoTime()
+      val n = ExtractJob.extract(pages, ExtractJob.Config()).count()
+      val dt = (System.nanoTime() - t0) / 1e9
       s.stop()
-      (best, n)
+      System.gc() // settle the heap between sessions
+      (dt, n)
     }
 
-    val (tN, nN) = run(nCores)
-    val (t4N, n4N) = run(nCores * 4)
+    // Alternate N / 4N rounds so ambient host-noise bursts hit both
+    // widths; take the min per width (multi-second noise observed).
+    var tN = Double.MaxValue
+    var t4N = Double.MaxValue
+    var nN = 0L
+    var n4N = 0L
+    for (round <- 1 to 3) {
+      val (a, na) = once(nCores)
+      val (b, nb) = once(nCores * 4)
+      System.err.println(f"[scaling] round $round: t($nCores)=$a%.2f s  t(${nCores * 4})=$b%.2f s")
+      tN = math.min(tN, a); t4N = math.min(t4N, b); nN = na; n4N = nb
+    }
     require(nN == n4N && nN == nDocs, s"row mismatch: $nN vs $n4N vs $nDocs")
     val thN = nDocs / tN
     val th4N = nDocs / t4N

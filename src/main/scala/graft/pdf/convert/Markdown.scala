@@ -75,8 +75,12 @@ object Markdown {
 
   /** Bare URLs/emails → autolinks (reference: markdown.rs:758-801). */
   def linkify(s: String): String = {
+    // cheap guard: skip both regex passes unless candidates exist
+    if (s.indexOf("http") < 0 && s.indexOf('@') < 0) return s
     // function-variant replaceAll treats the returned string literally
-    val withUrls = urlRe.matcher(s).replaceAll(m => "[" + m.group() + "](" + m.group() + ")")
-    emailRe.matcher(withUrls).replaceAll(m => "<" + m.group() + ">")
+    val withUrls = if (s.indexOf("http") < 0) s
+      else urlRe.matcher(s).replaceAll(m => "[" + m.group() + "](" + m.group() + ")")
+    if (withUrls.indexOf('@') < 0) withUrls
+    else emailRe.matcher(withUrls).replaceAll(m => "<" + m.group() + ">")
   }
 }

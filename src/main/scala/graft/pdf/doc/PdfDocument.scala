@@ -31,6 +31,11 @@ final class PdfDocument(val data: Array[Byte]) {
   val xref = new XRefTable
   var trailer: Dict = Dict.empty
   private val cache = mutable.HashMap.empty[Int, PdfObj]
+  /** Decoded-font cache (key: font ref id or the dict itself); fonts
+    * are shared across pages so decode tables are built once per doc.
+    * Values are graft.pdf.font.FontInfo (typed loosely to keep this
+    * package free of an upward dependency). */
+  val fontInfoCache = mutable.HashMap.empty[AnyRef, graft.pdf.font.FontInfo]
   private val resolving = mutable.HashSet.empty[Int]
   private var reconstructed = false
 

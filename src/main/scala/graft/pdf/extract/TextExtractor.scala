@@ -67,9 +67,18 @@ final class TextExtractor(doc: PdfDocument) {
     doc.dictGet(resources, "Font") match {
       case fd: Dict =>
         fd.entries.keys.map { name =>
-          val fdict = doc.resolveDict(fd.get(name).getOrElse(Null))
-          name -> (try FontInfo.fromDict(doc, fdict)
-                   catch { case _: Throwable => FontInfo.default })
+          // per-document FontInfo cache keyed by the font ref (fonts
+          // are shared across pages; reference analog: font caching,
+          // docs/ARCHITECTURE.md:255-260)
+          val cacheKey: AnyRef = fd.get(name).getOrElse(Null) match {
+            case r: PdfObj.Ref => java.lang.Integer.valueOf(r.id)
+            case other         => other
+          }
+          name -> doc.fontInfoCache.getOrElseUpdate(cacheKey, {
+            val fdict = doc.resolveDict(fd.get(name).getOrElse(Null))
+            try FontInfo.fromDict(doc, fdict)
+            catch { case _: Throwable => FontInfo.default }
+          })
         }.toMap
       case _ => Map.empty
     }
@@ -219,11 +228,17 @@ final class TextExtractor(doc: PdfDocument) {
     }
   }
 
-  /** Decode + advance; emit=false replicates the `'`/`"` char-mode quirk. */
+  /** Decode + advance; emit=false replicates the `'`/`"` char-mode quirk.
+    * Per-glyph advances are pure x-translations in text space, which
+    * compose additively — so the width sum is accumulated in a local and
+    * the text matrix updated ONCE per string (a per-glyph
+    * GraphicsState/Matrix allocation here dominated the whole job's
+    * profile). */
   private def showText(bytes: Array[Byte], emit: Boolean): Unit = {
-    val st0 = gs.state
     if (emit && buf.length() == 0) startBuffer()
+    val st = gs.state
     val nBytes = curFont.codeBytes
+    var totalTx = 0f
     var i = 0
     while (i < bytes.length) {
       val code: Int =
@@ -231,20 +246,18 @@ final class TextExtractor(doc: PdfDocument) {
           val c = ((bytes(i) & 0xff) << 8) | (bytes(i + 1) & 0xff); i += 2; c
         } else { val c = bytes(i) & 0xff; i += 1; c }
       if (emit) {
-        curFont.decode(code) match {
-          case Some(s) => appendClean(s)
-          case None    => () // unmappable: dropped (reference skips, no U+FFFD)
-        }
+        val s = curFont.decodeOrNull(code)
+        if (s != null) appendClean(s)
+        // unmappable: dropped (reference skips, no U+FFFD)
       }
       // PDF 9.4.4 advance: tx = (w0/1000·Tfs + Tc + Tw[space]) · Th
-      val st = gs.state
       val w0 = curFont.width(code)
       val isSpaceCode = nBytes == 1 && code == 32
-      val tx = ((w0 / 1000f) * st.fontSize + st.charSpacing +
+      totalTx += ((w0 / 1000f) * st.fontSize + st.charSpacing +
         (if (isSpaceCode) st.wordSpacing else 0f)) * st.horizScaling
-      gs.state = st.copy(textMatrix = Matrix.translation(tx, 0f).multiply(st.textMatrix))
     }
-    val _ = st0
+    if (totalTx != 0f)
+      gs.state = st.copy(textMatrix = Matrix.translation(totalTx, 0f).multiply(st.textMatrix))
   }
 
   /** Control chars except \t\n\r are dropped (reference: text.rs:2536-2545). */

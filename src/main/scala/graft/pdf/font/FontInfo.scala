@@ -40,13 +40,44 @@ final case class FontInfo(
     else None
   }
 
-  /** Decode one character code to a Unicode string; None = unmappable. */
-  def decode(code: Int): Option[String] = {
+  /** Cascade, evaluated once per code (hot path uses the table below). */
+  private def decodeUncached(code: Int): Option[String] = {
     toUnicode.flatMap(_.get(code)).filter(s => s.nonEmpty && !s.contains('�'))
       .orElse(diffs.get(code))
       .orElse(symbolic.flatMap(t => at(t, code)))
       .orElse(encTable.flatMap(t => at(t, code)))
       .orElse(fallback(code))
+  }
+
+  /** Precomputed 256-entry decode table for simple fonts — the cascade
+    * allocates Option/closure chains and runs per GLYPH otherwise
+    * (profiled as the extraction hot spot). null = unmappable. */
+  private lazy val simpleTable: Array[String] = {
+    val t = new Array[String](256)
+    var c = 0
+    while (c < 256) { t(c) = decodeUncached(c).orNull; c += 1 }
+    t
+  }
+
+  /** Lazy per-font cache for Type0 code points (2-byte space). */
+  private lazy val type0Cache = new java.util.HashMap[Integer, String]()
+
+  /** Decode one character code to a Unicode string; None = unmappable. */
+  def decode(code: Int): Option[String] = Option(decodeOrNull(code))
+
+  /** Allocation-free variant for the VM hot loop. */
+  def decodeOrNull(code: Int): String = {
+    if (!isType0 && code >= 0 && code < 256) simpleTable(code)
+    else {
+      val k = Integer.valueOf(code)
+      val hit = type0Cache.get(k)
+      if (hit != null) { if (hit.isEmpty) null else hit }
+      else {
+        val v = decodeUncached(code).orNull
+        type0Cache.put(k, if (v == null) "" else v)
+        v
+      }
+    }
   }
 
   @inline private def at(t: Array[Char], code: Int): Option[String] =

@@ -19,40 +19,44 @@ object ExtractJob {
       oversizeCapBytes: Long = 64L * 1024 * 1024,
       /** rows larger than this shuffle to dedicated heavy partitions. */
       heavyThresholdBytes: Long = 1L * 1024 * 1024,
-      /** enable the salt-based skew shuffle (north rule). */
+      /** enable the salt-based skew routing (north rule). */
       salt: Boolean = true,
-      saltBuckets: Int = 256,
       heavySaltBuckets: Int = 64,
       maxPages: Int = PdfExtractor.DefaultMaxPages)
 
   /** Core transform: (url, html) → ExtractedDoc. Only `url` and `html`
     * survive the scan — Catalyst prunes the rest (verify: ReadSchema in
-    * .explain should list exactly these two columns). */
+    * .explain should list exactly these two columns).
+    *
+    * Skew design (SURVEY §4.2): the NORMAL tier extracts scan-local —
+    * zero shuffle; shuffling every payload byte through a salt
+    * repartition made shuffle-file IO the scaling ceiling (profiled:
+    * FileOutputStream.writeBytes was the top stack at local[16]). Only
+    * the HEAVY tail (> heavyThresholdBytes) pays a shuffle, salted so
+    * no partition carries two giants. The heavy exchange uses an
+    * EXPLICIT partition count: extraction cost is per-row CPU, and
+    * AQE's size-based coalescing would squeeze it into a couple of
+    * 64MB partitions, idling the cluster. */
   def extract(pages: DataFrame, cfg: Config = Config()): Dataset[ExtractedDoc] = {
     val spark = pages.sparkSession
     import spark.implicits._
     val pruned = pages.select(col("url"), col("html"))
-    val routed =
-      if (cfg.salt) {
-        // two-tier salt (SURVEY §4.2): normal rows bucket by url-hash;
-        // heavy rows get their own salt space so one partition never
-        // carries two giants. The partition count is EXPLICIT (scaled to
-        // cluster cores): extraction cost is per-row CPU, and AQE's
-        // size-based coalescing would otherwise squeeze this CPU-bound
-        // exchange into a handful of 64MB partitions, idling the
-        // cluster (observed: 3 active lanes at local[32]).
-        val nPart = math.max(spark.sparkContext.defaultParallelism * 2, 16)
-        pruned
-          .withColumn("__salt",
-            when(length(col("html")) > cfg.heavyThresholdBytes,
-              lit(cfg.saltBuckets) + pmod(xxhash64(col("url"), lit(1)), lit(cfg.heavySaltBuckets)))
-            .otherwise(pmod(xxhash64(col("url")), lit(cfg.saltBuckets))))
+    def toDocs(df: DataFrame): Dataset[ExtractedDoc] =
+      df.as[(String, Array[Byte])].mapPartitions { rows =>
+        val pid = TaskContext.getPartitionId()
+        rows.map { case (u, html) => extractOne(u, html, pid, cfg) }
+      }
+    if (!cfg.salt) toDocs(pruned)
+    else {
+      val heavyPred = length(col("html")) > cfg.heavyThresholdBytes
+      val normal = toDocs(pruned.filter(!heavyPred))
+      val nPart = math.max(spark.sparkContext.defaultParallelism * 2, 16)
+      val heavy = toDocs(
+        pruned.filter(heavyPred)
+          .withColumn("__salt", pmod(xxhash64(col("url"), lit(1)), lit(cfg.heavySaltBuckets)))
           .repartition(nPart, col("__salt"))
-          .drop("__salt")
-      } else pruned
-    routed.as[(String, Array[Byte])].mapPartitions { rows =>
-      val pid = TaskContext.getPartitionId()
-      rows.map { case (u, html) => extractOne(u, html, pid, cfg) }
+          .drop("__salt"))
+      normal.unionAll(heavy)
     }
   }
 
