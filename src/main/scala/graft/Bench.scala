@@ -38,11 +38,14 @@ object Bench {
 
     // extraction throughput probe: N synthetic docs through the full
     // pipeline (PDF parse + HTML strip), salted
-    val nDocs = sys.env.getOrElse("SPARK_GRAFT_BENCH_DOCS", "3000").toLong
+    val nDocs = sys.env.getOrElse("SPARK_GRAFT_BENCH_DOCS", "20000").toLong
     val pages = PagesGen.generate(spark, nDocs, seed = 42L,
       parallelism = cpus.toInt * 2).toDF().cache()
     val nBytes = pages.selectExpr("sum(length(html))").collect()(0).getLong(0)
     pages.count() // materialize cache so generation cost is excluded
+    // full-size warmup: C2 needs a complete pass before steady state
+    ExtractJob.extract(pages, ExtractJob.Config()).write
+      .mode("overwrite").format("noop").save()
     val tExtract = time {
       ExtractJob.extract(pages, ExtractJob.Config()).write
         .mode("overwrite").format("noop").save()

@@ -159,13 +159,14 @@ object SparkEntry {
         | FROM documents) WHERE rn = 1""".stripMargin,
     "dedup_jaccard" ->
       """WITH toks AS (
-        | SELECT doc_id, unnest(list_distinct(list_filter(
+        | SELECT doc_id, lang, source, unnest(list_distinct(list_filter(
         |   string_split_regex(lower(text), '\s+'), x -> len(x) > 0))) AS tok
         | FROM documents),
         |sizes AS (SELECT doc_id, count(*) AS sz FROM toks GROUP BY doc_id),
         |inter AS (
         | SELECT a.doc_id AS a_id, b.doc_id AS b_id, count(*) AS i
-        | FROM toks a JOIN toks b ON a.tok = b.tok AND a.doc_id < b.doc_id
+        | FROM toks a JOIN toks b ON a.lang = b.lang AND a.source = b.source
+        |   AND a.tok = b.tok AND a.doc_id < b.doc_id
         | GROUP BY 1, 2)
         |SELECT a_id, b_id,
         | CAST(i AS DOUBLE) / CAST(sa.sz + sb.sz - i AS DOUBLE) AS jaccard

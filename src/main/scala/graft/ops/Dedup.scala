@@ -43,49 +43,118 @@ object Dedup {
       .otherwise(array(concat_ws(" ", toks)))
   }
 
-  /** MinHash signature: k independent permutations emulated by seeded
-    * xxhash64 (built-in, codegen'd — no UDF in the hot path). */
-  def minhashSignature(shingleCol: Column, k: Int): Column =
-    array((0 until k).map { j =>
-      array_min(transform(shingleCol, s => xxhash64(s, lit(j))))
-    }: _*)
+  /** splitmix64 finalizer — the per-permutation mixer for minhash. */
+  @inline private[ops] def mix64(z0: Long): Long = {
+    var z = z0 + 0x9e3779b97f4a7c15L
+    z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L
+    z = (z ^ (z >>> 27)) * 0x94d049bb133111ebL
+    z ^ (z >>> 31)
+  }
+
+  /** FNV-1a 64-bit over a string (deterministic, allocation-free). */
+  @inline private[ops] def hash64(s: String, from: Int, until: Int): Long = {
+    var h = 0xcbf29ce484222325L
+    var i = from
+    while (i < until) { h = (h ^ s.charAt(i)) * 1099511628211L; i += 1 }
+    h
+  }
+
+  /** MinHash signatures, one pass per document: base-hash each shingle
+    * once, derive the k permutations by splitmix64 remixing. Typed
+    * mapPartitions on purpose — the expression-tree formulation
+    * (k × array_min(transform(xxhash64(shingle)))) re-hashed every
+    * shingle string k times and benched 500+ s at sf0.1; this is
+    * per-row imperative logic, the documented mapPartitions case. */
+  def minhashSignatures(docs: DataFrame, k: Int, shingleWidth: Int): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.select(col("doc_id").cast("long"), lower(col("text")))
+      .as[(Long, String)]
+      .mapPartitions { iter =>
+        iter.map { case (id, text) =>
+          val toks = text.split("\\s+").filter(_.nonEmpty)
+          val sig = Array.fill(k)(Long.MaxValue)
+          val n = math.max(1, toks.length - shingleWidth + 1)
+          var i = 0
+          while (i < n) {
+            // base hash of the w-gram (chained FNV over tokens)
+            var h = 0xcbf29ce484222325L
+            var w = 0
+            while (w < shingleWidth && i + w < toks.length) {
+              h = (h ^ hash64(toks(i + w), 0, toks(i + w).length)) * 1099511628211L
+              w += 1
+            }
+            var j = 0
+            while (j < k) {
+              val hj = mix64(h + j * 0xc2b2ae3d27d4eb4fL)
+              if (hj < sig(j)) sig(j) = hj
+              j += 1
+            }
+            i += 1
+          }
+          (id, sig)
+        }
+      }.toDF("doc_id", "sig")
+  }
 
   /** MinHash + LSH banding: signatures → (band, bandHash) buckets →
-    * self-join within buckets only → estimated-Jaccard filter.
-    * bands×rowsPerBand = k; P(candidate) ≈ 1-(1-j^r)^b.
-    * The band-bucket groupBy is the only shuffle; no cross join. */
+    * distinct candidate pairs from a bucket self-join → broadcast the
+    * (small) signature table back in for the estimated-Jaccard filter.
+    * bands×rowsPerBand = k; P(candidate) ≈ 1-(1-j^r)^b. Buckets larger
+    * than `bucketCap` are dropped (standard LSH safety valve — a
+    * degenerate mega-bucket pairs everything with everything). */
   def minhashLsh(docs: DataFrame, k: Int = 64, bands: Int = 16,
-                 threshold: Double = 0.5, shingleWidth: Int = 3): DataFrame = {
+                 threshold: Double = 0.5, shingleWidth: Int = 3,
+                 bucketCap: Int = 1000): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
     val r = k / bands
-    val sig = docs
-      .select(col("doc_id"), minhashSignature(shingles(col("text"), shingleWidth), k).as("sig"))
-    val banded = sig.select(
-      col("doc_id"), col("sig"),
-      explode(transform(sequence(lit(0), lit(bands - 1)),
-        b => struct(b.as("band"),
-          xxhash64(concat_ws(",", slice(col("sig"), b * r + 1, lit(r))), b).as("bh")))).as("bb"))
-      .select(col("doc_id"), col("sig"), col("bb.band"), col("bb.bh"))
-    // bucket join: pairs only within identical (band, bandHash)
-    val a = banded.select(col("band"), col("bh"), col("doc_id").as("a_id"), col("sig").as("a_sig"))
-    val b = banded.select(col("band"), col("bh"), col("doc_id").as("b_id"), col("sig").as("b_sig"))
-    a.join(b, Seq("band", "bh"))
-      .filter(col("a_id") < col("b_id"))
-      .select(col("a_id"), col("b_id"),
-        (size(filter(zip_with(col("a_sig"), col("b_sig"), (x, y) => x === y), b => b))
-          .cast("double") / k).as("est_jaccard"))
-      .groupBy(col("a_id"), col("b_id")).agg(max(col("est_jaccard")).as("est_jaccard"))
-      .filter(col("est_jaccard") >= threshold)
+    // sig is small per-doc state (k longs); recomputing it on each use
+    // is cheaper than pinning a cache for the three consumers below
+    val sig = minhashSignatures(docs, k, shingleWidth)
+    locally {
+      val banded = sig.as[(Long, Array[Long])].flatMap { case (id, s) =>
+        (0 until bands).map { b =>
+          var h = 0xcbf29ce484222325L ^ b
+          var i = b * r
+          while (i < (b + 1) * r) { h = (h ^ s(i)) * 1099511628211L; i += 1 }
+          (id, b, h)
+        }
+      }.toDF("doc_id", "band", "bh")
+      val capped = banded
+        .withColumn("bsz", count(lit(1)).over(
+          org.apache.spark.sql.expressions.Window.partitionBy(col("band"), col("bh"))))
+        .filter(col("bsz") <= bucketCap)
+      val a = capped.select(col("band"), col("bh"), col("doc_id").as("a_id"))
+      val b = capped.select(col("band"), col("bh"), col("doc_id").as("b_id"))
+      val pairs = a.join(b, Seq("band", "bh"))
+        .filter(col("a_id") < col("b_id"))
+        .select(col("a_id"), col("b_id")).distinct()
+      pairs
+        .join(broadcast(sig.toDF("a_id", "a_sig")), "a_id")
+        .join(broadcast(sig.toDF("b_id", "b_sig")), "b_id")
+        .select(col("a_id"), col("b_id"),
+          (size(filter(zip_with(col("a_sig"), col("b_sig"), (x, y) => x === y), v => v))
+            .cast("double") / k).as("est_jaccard"))
+        .filter(col("est_jaccard") >= threshold)
+    }
   }
 
   /** Exact word-set Jaccard via inverted-index join (token → doc
-    * posting list): intersection counts from a token equi-join, union
-    * by inclusion-exclusion. Shuffles on token — hot tokens are the
-    * skew risk; cap posting lists upstream (stopword drop) at scale. */
+    * posting list) WITH BLOCKING: pairs are generated only inside
+    * (lang, source) blocks — the classic entity-resolution guard
+    * against hot tokens. An unblocked token join is quadratic in the
+    * posting-list length (a ubiquitous token pairs every doc with
+    * every doc: measured 350M intermediate rows on 5k docs with a
+    * narrow vocabulary). Intersections come from the blocked token
+    * equi-join; union by inclusion-exclusion. */
   def jaccardPairs(docs: DataFrame, threshold: Double): DataFrame = {
-    val toks = docs.select(col("doc_id"), explode(array_distinct(tokens(col("text")))).as("tok"))
+    val toks = docs.select(col("doc_id"), col("lang"), col("source"),
+      explode(array_distinct(tokens(col("text")))).as("tok"))
     val sizes = toks.groupBy(col("doc_id")).agg(count(lit(1)).as("sz"))
     val inter = toks.as("x").join(toks.as("y"),
-        col("x.tok") === col("y.tok") && col("x.doc_id") < col("y.doc_id"))
+        col("x.lang") === col("y.lang") && col("x.source") === col("y.source") &&
+          col("x.tok") === col("y.tok") && col("x.doc_id") < col("y.doc_id"))
       .groupBy(col("x.doc_id").as("a_id"), col("y.doc_id").as("b_id"))
       .agg(count(lit(1)).as("inter"))
     inter

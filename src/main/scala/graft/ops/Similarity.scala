@@ -35,25 +35,41 @@ object Similarity {
       .select(col("query_id"), col("neighbor_id"), col("rank"))
   }
 
-  /** Random-hyperplane signature: bit i = sign(v · r_i), hyperplanes
-    * drawn from a seeded splitmix-style integer stream (deterministic,
-    * no RNG object). nBits ≤ 32. */
-  def lshSignature(v: Column, dim: Int, nBits: Int, seed: Long): Column = {
-    def comp(bit: Int, d: Int): Double = {
-      // deterministic pseudo-gaussian-ish component in [-1, 1)
-      var z = seed + bit.toLong * 0x9e3779b97f4a7c15L + d.toLong * 0xbf58476d1ce4e5b9L
-      z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L
-      z = (z ^ (z >>> 27)) * 0x94d049bb133111ebL
-      z = z ^ (z >>> 31)
-      (z.toDouble / Long.MaxValue.toDouble)
-    }
-    val bits = (0 until nBits).map { bit =>
-      val dot = (0 until dim).map { d =>
-        element_at(v, d + 1).cast("double") * lit(comp(bit, d))
-      }.reduce(_ + _)
-      when(dot >= 0, lit(1 << bit)).otherwise(lit(0))
-    }
-    bits.reduce(_.bitwiseOR(_))
+  /** Deterministic pseudo-random hyperplane component in [-1, 1). */
+  @inline private def hyperplane(seed: Long, bit: Int, d: Int): Double = {
+    var z = seed + bit.toLong * 0x9e3779b97f4a7c15L + d.toLong * 0xbf58476d1ce4e5b9L
+    z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L
+    z = (z ^ (z >>> 27)) * 0x94d049bb133111ebL
+    z = z ^ (z >>> 31)
+    z.toDouble / Long.MaxValue.toDouble
+  }
+
+  /** Random-hyperplane signatures per table, one typed pass: bit i =
+    * sign(v · r_i). (The column-expression formulation expanded to a
+    * nBits×dim×nTables element_at tree — thousands of nodes per row —
+    * and benched 90+ s on 2k vectors; per-row numeric loops are the
+    * documented mapPartitions case.) */
+  def lshSignatures(df: DataFrame, idCol: String, nBits: Int,
+                    nTables: Int): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col(idCol).cast("long"), col("embedding"))
+      .as[(Long, Array[Float])]
+      .flatMap { case (id, v) =>
+        (0 until nTables).map { t =>
+          val seed = 42L + t * 1000003L
+          var sig = 0
+          var bit = 0
+          while (bit < nBits) {
+            var dot = 0.0
+            var d = 0
+            while (d < v.length) { dot += v(d) * hyperplane(seed, bit, d); d += 1 }
+            if (dot >= 0) sig |= (1 << bit)
+            bit += 1
+          }
+          (id, t, sig, v)
+        }
+      }.toDF(idCol, "table", "sig", "embedding")
   }
 
   /** LSH-bucketed ANN: both sides signed with the same hyperplanes;
@@ -61,22 +77,15 @@ object Similarity {
     * seeds); exact cosine re-rank inside the candidate set only. */
   def lshTopK(corpus: DataFrame, queries: DataFrame, k: Int, dim: Int,
               nBits: Int = 12, nTables: Int = 4): DataFrame = {
-    def signed(df: DataFrame, idCol: String): DataFrame = {
-      val tables = (0 until nTables).map { t =>
-        struct(lit(t).as("table"),
-          lshSignature(col("embedding"), dim, nBits, seed = 42L + t * 1000003L).as("sig"))
-      }
-      df.select(col(idCol), col("embedding"),
-        explode(array(tables: _*)).as("ts"))
-        .select(col(idCol), col("embedding"), col("ts.table"), col("ts.sig"))
-    }
+    def signed(df: DataFrame, idCol: String): DataFrame =
+      lshSignatures(df, idCol, nBits, nTables)
     val c = signed(corpus, "vec_id")
       .withColumnRenamed("vec_id", "neighbor_id")
       .withColumnRenamed("embedding", "c_emb")
-    val q = signed(broadcast(queries), "vec_id")
+    val q = signed(queries, "vec_id")
       .withColumnRenamed("vec_id", "query_id")
       .withColumnRenamed("embedding", "q_emb")
-    val cand = c.join(q, Seq("table", "sig"))
+    val cand = c.join(broadcast(q), Seq("table", "sig"))
       .filter(col("query_id") =!= col("neighbor_id"))
       .select(col("query_id"), col("neighbor_id"),
         cosine(col("q_emb"), col("c_emb")).as("cos"))
@@ -88,13 +97,21 @@ object Similarity {
   }
 
   /** Embedding near-duplicate pairs: cosine ≥ threshold. Exact variant
-    * for verification (O(n²) — at scale use lsh buckets first). Output
-    * is id pairs only (no float column) to keep results hash-stable. */
+    * for verification (O(n²) — at scale use lsh buckets first). Norms
+    * are precomputed per side so the per-pair work is one dot product.
+    * Output is id pairs only (no float column) to keep results
+    * hash-stable. */
   def nearDupPairs(corpus: DataFrame, threshold: Double): DataFrame = {
-    val a = corpus.select(col("vec_id").as("a_id"), col("embedding").as("a_emb"))
-    val b = corpus.select(col("vec_id").as("b_id"), col("embedding").as("b_emb"))
+    val norm = sqrt(aggregate(col("embedding"), lit(0.0),
+      (acc, v) => acc + v.cast("double") * v.cast("double")))
+    val a = corpus.select(col("vec_id").as("a_id"), col("embedding").as("a_emb"),
+      norm.as("a_norm"))
+    val b = corpus.select(col("vec_id").as("b_id"), col("embedding").as("b_emb"),
+      norm.as("b_norm"))
+    val dot = aggregate(zip_with(col("a_emb"), col("b_emb"),
+      (x, y) => x.cast("double") * y.cast("double")), lit(0.0), (acc, v) => acc + v)
     a.crossJoin(b).filter(col("a_id") < col("b_id"))
-      .filter(cosine(col("a_emb"), col("b_emb")) >= threshold)
+      .filter(dot / (col("a_norm") * col("b_norm")) >= threshold)
       .select(col("a_id"), col("b_id"))
   }
 }
