@@ -41,12 +41,27 @@ object PdfExtractor {
     val texts = Vector.newBuilder[String]
     val mds = Vector.newBuilder[String]
     pages.foreach { page =>
-      val spans =
-        try new TextExtractor(doc).extract(page)
+      val raw =
+        try new TextExtractor(doc).extractRaw(page)
         catch { case _: Throwable => Vector.empty }
-      nSpans += spans.size
-      texts += TextAssembler.assemble(spans)
-      mds += Markdown.convertPage(spans)
+      val spatial = graft.pdf.extract.ReadingOrder.mergeAdjacent(
+        graft.pdf.extract.ReadingOrder.dedup(
+          graft.pdf.extract.ReadingOrder.sortSpans(raw, page.mediaBox)))
+      // Tagged PDFs: structure-tree MCID order wins for plain text
+      // (reference: document.rs:1659-1666 → extract_text_structure_order)
+      val forText = graft.pdf.structure.StructTree.readingOrder(doc, page) match {
+        case Some(order) if raw.exists(_.mcid >= 0) =>
+          val inOrder = order.toSet
+          val byMcid = raw.filter(_.mcid >= 0).groupBy(_.mcid)
+          val ordered = order.flatMap(m =>
+            byMcid.getOrElse(m, Vector.empty).sortBy(_.sequence))
+          val leftovers = spatial.filter(s => s.mcid < 0 || !inOrder.contains(s.mcid))
+          graft.pdf.extract.ReadingOrder.mergeAdjacent(ordered ++ leftovers)
+        case _ => spatial
+      }
+      nSpans += forText.size
+      texts += TextAssembler.assemble(forText)
+      mds += Markdown.convertPage(spatial)
     }
     // page joins (reference: text "\n\n"; markdown "\n---\n\n",
     // document.rs:2317-2333)

@@ -7,12 +7,15 @@ import graft.pdf.codec.Codecs
 
 final class PdfLoadException(msg: String) extends RuntimeException(msg)
 
-/** One attribute-inherited page (reference: src/document.rs:1290-1425). */
+/** One attribute-inherited page (reference: src/document.rs:1290-1425).
+  * `ref` is the page object's id — the identity /StructTreeRoot /Pg
+  * entries point at. */
 final case class Page(
     dict: Dict,
     resources: Dict,
     mediaBox: Array[Double], // [x0 y0 x1 y1]
-    rotate: Int)
+    rotate: Int,
+    ref: Option[Int] = None)
 
 /** In-memory PDF document over a byte payload.
   *
@@ -484,10 +487,10 @@ final class PdfDocument(val data: Array[Byte]) {
           dictGet(d, "Kids").asArr.getOrElse(Vector.empty)
             .foreach(kid => walk(kid, res, media, rot, depth + 1))
         case Some("Page") =>
-          out += Page(d, res, media, rot)
+          out += Page(d, res, media, rot, nodeRef)
         case _ =>
           // untyped leaf with /Contents behaves as a page (lenient)
-          if (d.get("Contents").isDefined) out += Page(d, res, media, rot)
+          if (d.get("Contents").isDefined) out += Page(d, res, media, rot, nodeRef)
       }
     }
     val defaultMedia = Array(0.0, 0.0, 612.0, 792.0)
@@ -502,7 +505,7 @@ final class PdfDocument(val data: Array[Byte]) {
           resolve(Ref(id, 0)) match {
             case d: Dict if d.name("Type").contains("Page") =>
               found += Page(d, resolveDict(d.get("Resources").getOrElse(Null)),
-                defaultMedia, 0)
+                defaultMedia, 0, Some(id))
             case _ => ()
           }
         } catch { case _: Throwable => () }

@@ -1,0 +1,43 @@
+package graft.pdf
+
+import java.nio.charset.StandardCharsets.UTF_8
+import java.nio.file.{Files, Paths}
+import org.scalatest.funsuite.AnyFunSuite
+import graft.html.BoilerplateStripper
+import graft.pdf.testgen.GoldenGen
+import graft.spark.PagesGen
+
+/** Golden gate (FIXTURES.md §4, north rule "byte-identical extracted
+  * text per url"): extraction output must be byte-identical to the
+  * frozen goldens in src/test/resources/golden. Regenerate consciously
+  * with `runMain graft.pdf.testgen.GoldenGen` after a reviewed
+  * semantic change. */
+class GoldenSpec extends AnyFunSuite {
+
+  private val dir = Paths.get("src/test/resources/golden")
+
+  test("golden corpus exists") {
+    assert(Files.exists(dir.resolve("doc0.txt")),
+      "goldens missing — run `sbt \"runMain graft.pdf.testgen.GoldenGen\"` once and commit")
+  }
+
+  (0 until GoldenGen.NumDocs).foreach { i =>
+    test(s"doc$i byte-identical to golden") {
+      val (bytes, kind) = PagesGen.payload(i.toLong, GoldenGen.Seed)
+      if (kind == "pdf") {
+        val r = PdfExtractor.extract(bytes)
+        val goldenTxt = Files.readAllBytes(dir.resolve(s"doc$i.txt"))
+        assert(java.util.Arrays.equals(r.text.getBytes(UTF_8), goldenTxt),
+          s"text drifted for pdf doc$i")
+        val goldenMd = Files.readAllBytes(dir.resolve(s"doc$i.md"))
+        assert(java.util.Arrays.equals(r.markdown.getBytes(UTF_8), goldenMd),
+          s"markdown drifted for pdf doc$i")
+      } else {
+        val txt = BoilerplateStripper.strip(bytes)
+        val goldenTxt = Files.readAllBytes(dir.resolve(s"doc$i.txt"))
+        assert(java.util.Arrays.equals(txt.getBytes(UTF_8), goldenTxt),
+          s"text drifted for html doc$i")
+      }
+    }
+  }
+}
