@@ -45,6 +45,14 @@ object SparkEntry {
       ExtractJob.extract(pages, ExtractJob.Config(salt = false))
         .select(col("url"), col("text"))
     }),
+    "extract_sql_expr" -> ((s, _) => {
+      // the Catalyst Expression path: extraction addressable from SQL
+      graft.spark.ExtractText.register(s)
+      PagesGen.generate(s, 80, seed = 42L, parallelism = 4).toDF()
+        .createOrReplaceTempView("graft_pages")
+      s.sql("SELECT url, length(extract_text(html)) AS text_len FROM graft_pages")
+        .filter(col("text_len") > 0)
+    }),
     "extract_metrics" -> ((s, _) => {
       val pages = PagesGen.generate(s, 200, seed = 42L, parallelism = 8).toDF()
       ExtractJob.partitionMetrics(

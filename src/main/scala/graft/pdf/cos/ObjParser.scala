@@ -204,11 +204,16 @@ final class ObjParser(
     while (isDigit(cur)) { intPart = intPart * 10 + (cur - '0'); pos += 1; sawDigit = true }
     if (cur == '.') {
       pos += 1
-      var frac = 0.0
-      var scale = 0.1
-      while (isDigit(cur)) { frac += (cur - '0') * scale; scale *= 0.1; pos += 1; sawDigit = true }
+      // accumulate fraction as integer/10^n — digit-by-digit *0.1
+      // accumulation drifts from the closest-double parse
+      var fracInt = 0L
+      var nFrac = 0
+      while (isDigit(cur)) {
+        if (nFrac < 18) { fracInt = fracInt * 10 + (cur - '0'); nFrac += 1 }
+        pos += 1; sawDigit = true
+      }
       if (!sawDigit) error("bare '.' is not a number")
-      val v = intPart + frac
+      val v = intPart + (if (nFrac == 0) 0.0 else fracInt / math.pow(10, nFrac))
       Real(if (neg) -v else v)
     } else {
       if (!sawDigit) { pos = start; error("expected number") }
