@@ -1,0 +1,130 @@
+package graft.pdf.doc
+
+import scala.collection.mutable
+import graft.pdf.cos.PdfObj
+import graft.pdf.cos.PdfObj._
+
+/** Secondary document-level extracts (reference: src/outline.rs:12,
+  * src/annotations.rs:12, src/extractors/forms.rs:12-58) + doc-string
+  * decoding (PDFDocEncoding / UTF-16BE BOM, reference:
+  * document.rs:1509-1639).
+  */
+object DocExtras {
+
+  /** PDFDocEncoding high-range differences from Latin-1 (subset that
+    * occurs in titles; rest maps through as Latin-1). */
+  private val pdfDocHigh: Map[Int, Char] = Map(
+    0x18 -> '˘', 0x19 -> 'ˇ', 0x1a -> 'ˆ', 0x1b -> '˙',
+    0x1c -> '˝', 0x1d -> '˛', 0x1e -> '˚', 0x1f -> '˜',
+    0x80 -> '•', 0x81 -> '†', 0x82 -> '‡', 0x83 -> '…',
+    0x84 -> '—', 0x85 -> '–', 0x86 -> 'ƒ', 0x87 -> '⁄',
+    0x88 -> '‹', 0x89 -> '›', 0x8a -> '−', 0x8b -> '‰',
+    0x8c -> '„', 0x8d -> '“', 0x8e -> '”', 0x8f -> '‘',
+    0x90 -> '’', 0x91 -> '‚', 0x92 -> '™', 0x93 -> 'ﬁ',
+    0x94 -> 'ﬂ', 0x95 -> 'Ł', 0x96 -> 'Œ', 0x97 -> 'Š',
+    0x98 -> 'Ÿ', 0x99 -> 'Ž', 0x9a -> 'ı', 0x9b -> 'ł',
+    0x9c -> 'œ', 0x9d -> 'š', 0x9e -> 'ž', 0xa0 -> '€')
+
+  /** Doc-level string: UTF-16BE with BOM, else PDFDocEncoding. */
+  def decodeDocString(bytes: Array[Byte]): String = {
+    if (bytes.length >= 2 && (bytes(0) & 0xff) == 0xfe && (bytes(1) & 0xff) == 0xff)
+      new String(bytes, 2, bytes.length - 2, "UTF-16BE")
+    else {
+      val sb = new java.lang.StringBuilder(bytes.length)
+      bytes.foreach { b =>
+        val c = b & 0xff
+        pdfDocHigh.get(c) match {
+          case Some(ch)            => sb.append(ch)
+          case None if c >= 0x20   => sb.append(c.toChar)
+          case None if c == 0x09 || c == 0x0a || c == 0x0d => sb.append(c.toChar)
+          case None                => ()
+        }
+      }
+      sb.toString
+    }
+  }
+
+  final case class OutlineItem(title: String, level: Int)
+
+  /** Bookmark tree, pre-order with levels (reference: src/outline.rs). */
+  def outline(doc: PdfDocument): Vector[OutlineItem] = {
+    val out = Vector.newBuilder[OutlineItem]
+    val visited = mutable.HashSet.empty[Int]
+    def walk(itemObj: PdfObj, level: Int): Unit = {
+      var cur = itemObj
+      var guard = 0
+      while (guard < 10000) {
+        guard += 1
+        cur match {
+          case r: Ref if !visited.add(r.id) => return
+          case _ => ()
+        }
+        val d = doc.resolveDict(cur)
+        if (d.entries.isEmpty) return
+        d.get("Title").map(doc.resolve) match {
+          case Some(Str(b)) => out += OutlineItem(decodeDocString(b), level)
+          case _            => ()
+        }
+        d.get("First").foreach(f => if (level < 32) walk(f, level + 1))
+        d.get("Next") match {
+          case Some(n) => cur = n
+          case None    => return
+        }
+      }
+    }
+    val root = doc.resolveDict(doc.catalog.get("Outlines").getOrElse(Null))
+    root.get("First").foreach(walk(_, 0))
+    out.result()
+  }
+
+  final case class Annot(subtype: String, contents: String)
+
+  /** Page annotations with text contents (reference: src/annotations.rs). */
+  def annotations(doc: PdfDocument, page: Page): Vector[Annot] = {
+    doc.dictGet(page.dict, "Annots").asArr.getOrElse(Vector.empty).flatMap { a =>
+      val d = doc.resolveDict(a)
+      if (d.entries.isEmpty) None
+      else Some(Annot(
+        d.name("Subtype").getOrElse(""),
+        d.get("Contents").map(doc.resolve).flatMap(_.asStr)
+          .map(decodeDocString).getOrElse("")))
+    }
+  }
+
+  final case class FormField(name: String, value: String, fieldType: String)
+
+  /** AcroForm fields, flattened with dotted names
+    * (reference: src/extractors/forms.rs:12-58). */
+  def formFields(doc: PdfDocument): Vector[FormField] = {
+    val out = Vector.newBuilder[FormField]
+    val visited = mutable.HashSet.empty[Int]
+    def walk(fieldObj: PdfObj, prefix: String, inheritedFt: String, depth: Int): Unit = {
+      if (depth > 32) return
+      fieldObj match {
+        case r: Ref if !visited.add(r.id) => return
+        case _ => ()
+      }
+      val d = doc.resolveDict(fieldObj)
+      if (d.entries.isEmpty) return
+      val name = d.get("T").map(doc.resolve).flatMap(_.asStr).map(decodeDocString)
+        .map(t => if (prefix.isEmpty) t else s"$prefix.$t").getOrElse(prefix)
+      val ft = d.name("FT").getOrElse(inheritedFt)
+      val kids = doc.dictGet(d, "Kids").asArr.getOrElse(Vector.empty)
+      if (kids.nonEmpty) kids.foreach(walk(_, name, ft, depth + 1))
+      else {
+        val v = doc.resolve(d.get("V").getOrElse(Null)) match {
+          case Str(b)  => decodeDocString(b)
+          case Name(n) => n
+          case Int64(n) => n.toString
+          case Real(n)  => n.toString
+          case _        => ""
+        }
+        out += FormField(name, v, ft)
+      }
+    }
+    val acro = doc.resolveDict(doc.catalog.get("AcroForm").getOrElse(Null))
+    doc.dictGet(acro, "Fields").asArr.getOrElse(Vector.empty)
+      .foreach(walk(_, "", "", 0))
+    out.result()
+  }
+}

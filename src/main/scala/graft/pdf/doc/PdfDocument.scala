@@ -42,6 +42,13 @@ final class PdfDocument(val data: Array[Byte]) {
   private val resolving = mutable.HashSet.empty[Int]
   private var reconstructed = false
 
+  /** Standard security handler once /Encrypt is present; strings and
+    * streams are decrypted at object-load time, BEFORE filters
+    * (reference ordering: src/object.rs:187-260). None while loading
+    * the /Encrypt dict itself — its /O //U strings stay raw. */
+  private var encryption: Option[graft.pdf.crypto.StdSecurityHandler] = None
+  private var encryptRefId: Int = -1
+
   locally {
     try {
       val off = findXrefOffset()
@@ -50,9 +57,32 @@ final class PdfDocument(val data: Array[Byte]) {
     // Fallback ladder (reference: src/document.rs:103-152): too few
     // entries or no /Root ⇒ rebuild by scanning for object headers.
     if (xref.size <= 5 || trailer.get("Root").isEmpty) reconstructXref()
-    if (trailer.get("Encrypt").isDefined)
-      throw new PdfLoadException("encrypted PDFs not supported (v1)")
+    trailer.get("Encrypt").foreach { e =>
+      encryptRefId = e match { case Ref(id, _) => id; case _ => -1 }
+      val encDict = resolveDict(e)
+      encryption = graft.pdf.crypto.StdSecurityHandler
+        .fromTrailer(encDict, resolve(trailer.get("ID").getOrElse(Null)))
+      if (encryption.isEmpty)
+        throw new PdfLoadException("unsupported encryption configuration")
+    }
   }
+
+  /** Decrypt strings + stream payloads throughout a freshly-parsed
+    * top-level object (ObjStm members are NOT separately encrypted). */
+  private def decryptDeep(o: PdfObj, num: Int, gen: Int): PdfObj =
+    encryption match {
+      case Some(h) if num != encryptRefId =>
+        def walk(x: PdfObj): PdfObj = x match {
+          case Str(b)     => Str(h.decrypt(b, num, gen))
+          case Arr(xs)    => Arr(xs.map(walk))
+          case Dict(e)    => Dict(e.map { case (k, v) => k -> walk(v) })
+          case Stream(d, raw) =>
+            Stream(walk(d).asInstanceOf[Dict], h.decrypt(raw, num, gen))
+          case other => other
+        }
+        walk(o)
+      case _ => o
+    }
 
   // ------------------------------------------------------------------
   // Header (reference: src/document.rs:2775-2848): scan the first 1 KB
@@ -322,12 +352,13 @@ final class PdfDocument(val data: Array[Byte]) {
     resolving += ref.id
     try {
       val obj = xref.get(ref.id) match {
-        case Some(XRefEntry.Uncompressed(off, _)) =>
-          parseObjectAt(off, ref.id).getOrElse(scanForObject(ref.id))
+        case Some(XRefEntry.Uncompressed(off, gen)) =>
+          parseObjectAt(off, ref.id).map(decryptDeep(_, ref.id, gen))
+            .getOrElse(decryptDeep(scanForObject(ref.id), ref.id, ref.gen))
         case Some(XRefEntry.Compressed(streamId, idx)) =>
-          loadCompressed(streamId, idx, ref.id)
+          loadCompressed(streamId, idx, ref.id) // ObjStm members: no per-object crypt
         case _ =>
-          scanForObject(ref.id)
+          decryptDeep(scanForObject(ref.id), ref.id, ref.gen)
       }
       cache.update(ref.id, obj)
       obj

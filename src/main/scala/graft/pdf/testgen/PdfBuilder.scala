@@ -42,8 +42,9 @@ final class PdfBuilder(version: String = "1.4") {
     id
   }
 
-  /** Serialize with a classic xref table. */
-  def build(rootId: Int): Array[Byte] = {
+  /** Serialize with a classic xref table. `extraTrailer` is spliced
+    * into the trailer dict (e.g. `/Encrypt 9 0 R /ID [<...> <...>]`). */
+  def build(rootId: Int, extraTrailer: String = ""): Array[Byte] = {
     val out = new ByteArrayOutputStream(4096)
     def w(s: String): Unit = out.write(s.getBytes(ISO_8859_1), 0, s.length)
     w(s"%PDF-$version\n%âãÏÓ\n")
@@ -64,7 +65,7 @@ final class PdfBuilder(version: String = "1.4") {
       }
       id += 1
     }
-    w(s"trailer\n<< /Size ${maxId + 1} /Root $rootId 0 R >>\nstartxref\n$xrefOff\n%%EOF\n")
+    w(s"trailer\n<< /Size ${maxId + 1} /Root $rootId 0 R $extraTrailer>>\nstartxref\n$xrefOff\n%%EOF\n")
     out.toByteArray
   }
 

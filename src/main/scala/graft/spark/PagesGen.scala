@@ -74,13 +74,13 @@ object PagesGen {
   def url(id: Long, kind: String): String =
     s"https://host${id % 1000}.example/doc$id.$kind"
 
-  /** Distributed deterministic pages table. */
+  /** Distributed deterministic pages table for ids [startId, startId+nDocs). */
   def generate(spark: SparkSession, nDocs: Long, seed: Long = 42L,
-               parallelism: Int = 0): Dataset[PageRow] = {
+               parallelism: Int = 0, startId: Long = 0L): Dataset[PageRow] = {
     import spark.implicits._
     val par = if (parallelism > 0) parallelism else spark.sparkContext.defaultParallelism
     val baseTs = 1735689600000L // 2025-01-01T00:00:00Z, fixed (no wall-clock)
-    spark.range(0, nDocs, 1, par).mapPartitions { ids =>
+    spark.range(startId, startId + nDocs, 1, par).mapPartitions { ids =>
       ids.map { id =>
         val (bytes, kind) = payload(id, seed)
         PageRow(url(id, kind), new Timestamp(baseTs + id * 1000L), bytes, "", "en")

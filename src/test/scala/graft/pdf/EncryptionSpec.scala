@@ -1,0 +1,91 @@
+package graft.pdf
+
+import java.nio.charset.StandardCharsets.ISO_8859_1
+import org.scalatest.funsuite.AnyFunSuite
+import graft.pdf.cos.PdfObj
+import graft.pdf.cos.PdfObj._
+import graft.pdf.crypto.{Rc4, StdSecurityHandler}
+import graft.pdf.testgen.PdfBuilder
+
+/** Empty-user-password encryption (reference scope: auto-auth of the
+  * empty password, document.rs:276-288; handler.rs:38-171). Fixtures
+  * are built with the same key-derivation primitives (self-consistent
+  * round-trip) plus an independent RC4 known-answer vector. */
+class EncryptionSpec extends AnyFunSuite {
+
+  test("RC4 known-answer vector (RFC 6229 style: Key/Plaintext)") {
+    // classic test vector: key "Key", plaintext "Plaintext" → BBF316E8D940AF0AD3
+    val out = Rc4("Key".getBytes, "Plaintext".getBytes)
+    assert(out.map(b => f"${b & 0xff}%02X").mkString == "BBF316E8D940AF0AD3")
+  }
+
+  private val fileId: Array[Byte] =
+    (0 until 16).map(i => (i * 17 + 3).toByte).toArray
+  private def idHex: String = fileId.map(b => f"${b & 0xff}%02X").mkString
+
+  private def encDictObj(v: Int, r: Int, length: Int, cf: String): Dict = {
+    val o = (0 until 32).map(i => (i * 7 + 1).toByte).toArray // arbitrary /O
+    val base = Map[String, PdfObj](
+      "Filter" -> Name("Standard"),
+      "V" -> Int64(v), "R" -> Int64(r), "Length" -> Int64(length),
+      "P" -> Int64(-3904L), "O" -> Str(o))
+    val withCf =
+      if (cf.isEmpty) base
+      else base ++ Map(
+        "CF" -> Dict(Map("StdCF" -> Dict(Map(
+          "CFM" -> Name(cf), "Length" -> Int64(16))))),
+        "StmF" -> Name("StdCF"), "StrF" -> Name("StdCF"))
+    Dict(withCf)
+  }
+
+  private def hex(b: Array[Byte]): String = b.map(x => f"${x & 0xff}%02X").mkString
+
+  private def encryptedPdf(v: Int, r: Int, length: Int, cf: String,
+                           text: String): Array[Byte] = {
+    val ed = encDictObj(v, r, length, cf)
+    val h = new StdSecurityHandler(ed, fileId)
+    val b = new PdfBuilder()
+    val catId = b.reserveId()   // 1
+    val pagesId = b.reserveId() // 2
+    val f = b.addObject("<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica /Encoding /WinAnsiEncoding >>") // 3
+    val contentId = b.reserveId() // 4
+    val content = s"BT /F1 12 Tf 100 700 Td (${PdfBuilder.esc(text)}) Tj ET".getBytes(ISO_8859_1)
+    val enc = h.encrypt(content, contentId, 0)
+    b.addStreamAt(contentId, "", enc, flate = false)
+    val pageId = b.addObject(s"<< /Type /Page /Parent $pagesId 0 R /MediaBox [0 0 612 792] " +
+      s"/Resources << /Font << /F1 $f 0 R >> >> /Contents $contentId 0 R >>") // 5
+    b.addObjectAt(pagesId, s"<< /Type /Pages /Kids [$pageId 0 R] /Count 1 >>")
+    b.addObjectAt(catId, s"<< /Type /Catalog /Pages $pagesId 0 R >>")
+    val oHex = hex(ed.get("O").get.asStr.get)
+    val uHex = hex(h.computeU().take(32).padTo(32, 0.toByte))
+    val cfStr = if (cf.isEmpty) ""
+      else s"/CF << /StdCF << /CFM /$cf /Length 16 >> >> /StmF /StdCF /StrF /StdCF "
+    val encId = b.addObject(s"<< /Filter /Standard /V $v /R $r /Length $length " +
+      s"/P -3904 /O <$oHex> /U <$uHex> $cfStr>>")
+    b.build(catId, s"/Encrypt $encId 0 R /ID [<$idHex> <$idHex>] ")
+  }
+
+  test("RC4 40-bit (V1/R2) encrypted content stream decrypts") {
+    val pdf = encryptedPdf(v = 1, r = 2, length = 40, cf = "", text = "Secret forty")
+    assert(PdfExtractor.extract(pdf).text == "Secret forty")
+  }
+
+  test("RC4 128-bit (V2/R3) encrypted content stream decrypts") {
+    val pdf = encryptedPdf(v = 2, r = 3, length = 128, cf = "", text = "Secret one two eight")
+    assert(PdfExtractor.extract(pdf).text == "Secret one two eight")
+  }
+
+  test("AES-128 (V4/R4 AESV2) encrypted content stream decrypts") {
+    val pdf = encryptedPdf(v = 4, r = 4, length = 128, cf = "AESV2", text = "Secret aes payload")
+    assert(PdfExtractor.extract(pdf).text == "Secret aes payload")
+  }
+
+  test("unsupported encryption (V5) yields error row, not crash") {
+    val pdf = encryptedPdf(v = 1, r = 2, length = 40, cf = "", text = "x")
+    val s = new String(pdf, ISO_8859_1).replace("/V 1 /R 2", "/V 5 /R 6")
+    val doc = try {
+      PdfExtractor.extract(s.getBytes(ISO_8859_1)); None
+    } catch { case e: Throwable => Some(e) }
+    assert(doc.isDefined) // load exception → ExtractJob maps to status=error
+  }
+}
