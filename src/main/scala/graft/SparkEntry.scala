@@ -100,6 +100,8 @@ object SparkEntry {
       Dedup.jaccardPairs(t(s, dir, "documents"), threshold = 0.95)),
     "dedup_minhash_lsh" -> ((s, dir) =>
       Dedup.minhashLsh(t(s, dir, "documents"), k = 64, bands = 16, threshold = 0.5)),
+    "dedup_minhash_verified" -> ((s, dir) =>
+      Dedup.minhashVerified(t(s, dir, "documents"))),
     "dedup_simhash" -> ((s, dir) => Dedup.simhash(t(s, dir, "documents"))),
     "dedup_simhash_near" -> ((s, dir) =>
       Dedup.simhashNearDups(t(s, dir, "documents"), maxDist = 8)),

@@ -140,6 +140,25 @@ object Dedup {
     }
   }
 
+  /** Candidate-generate-then-verify pipeline: MinHash/LSH candidates
+    * (sub-quadratic) re-checked with EXACT token-set Jaccard — the
+    * production near-dup shape at corpus scale. The doc-side token
+    * arrays join back by id (hash join on the small candidate set). */
+  def minhashVerified(docs: DataFrame, estThreshold: Double = 0.35,
+                      exactThreshold: Double = 0.7): DataFrame = {
+    val candidates = minhashLsh(docs, threshold = estThreshold)
+      .select(col("a_id"), col("b_id"))
+    val tokArrays = docs.select(col("doc_id"),
+      array_distinct(tokens(col("text"))).as("toks"))
+    candidates
+      .join(tokArrays.select(col("doc_id").as("a_id"), col("toks").as("a_toks")), "a_id")
+      .join(tokArrays.select(col("doc_id").as("b_id"), col("toks").as("b_toks")), "b_id")
+      .select(col("a_id"), col("b_id"),
+        (size(array_intersect(col("a_toks"), col("b_toks"))).cast("double") /
+          size(array_union(col("a_toks"), col("b_toks"))).cast("double")).as("jaccard"))
+      .filter(col("jaccard") >= exactThreshold)
+  }
+
   /** Exact word-set Jaccard via inverted-index join (token → doc
     * posting list) WITH BLOCKING: pairs are generated only inside
     * (lang, source) blocks — the classic entity-resolution guard
