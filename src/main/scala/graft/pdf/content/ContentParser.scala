@@ -35,6 +35,14 @@ object ContentParser {
 
   def parse(data: Array[Byte]): Vector[Op] = {
     val ops = Vector.newBuilder[Op]
+    parseInto(data)(op => ops += op)
+    ops.result()
+  }
+
+  /** Streaming variant: ops are dispatched to `sink` as they complete,
+    * with no materialized op list — the VM fuses parse+exec this way
+    * (one fewer Vector per page on the hot path). */
+  def parseInto(data: Array[Byte])(sink: Op => Unit): Unit = {
     val operands = mutable.ArrayBuffer.empty[PdfObj]
     val p = new ObjParser(data, 0)
     while (!p.atEnd) {
@@ -63,17 +71,16 @@ object ContentParser {
               case "null"  => operands += PdfObj.Null
               case "BI" =>
                 consumeInlineImage(p)
-                ops += Op("BI", Vector.empty)
+                sink(Op("BI", Vector.empty))
                 operands.clear()
               case _ =>
-                ops += Op(name, operands.toVector)
+                sink(Op(name, operands.toVector))
                 operands.clear()
             }
           }
         }
       }
     }
-    ops.result()
   }
 
   /** Consume `…ID <binary> EI`; the dict keys were already consumed by

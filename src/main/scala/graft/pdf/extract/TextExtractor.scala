@@ -46,11 +46,8 @@ final class TextExtractor(doc: PdfDocument) {
   private var bufMcid = -1
 
   def extract(page: Page): Vector[TextSpan] = {
-    val content = doc.pageContent(page)
-    fonts = loadFonts(page.resources)
-    run(ContentParser.parse(content), page.resources)
-    flush()
-    val sorted = ReadingOrder.sortSpans(spans.toVector, page.mediaBox)
+    val raw = extractRaw(page)
+    val sorted = ReadingOrder.sortSpans(raw, page.mediaBox)
     ReadingOrder.mergeAdjacent(ReadingOrder.dedup(sorted))
   }
 
@@ -58,7 +55,7 @@ final class TextExtractor(doc: PdfDocument) {
   def extractRaw(page: Page): Vector[TextSpan] = {
     val content = doc.pageContent(page)
     fonts = loadFonts(page.resources)
-    run(ContentParser.parse(content), page.resources)
+    ContentParser.parseInto(content)(op => exec(op, page.resources))
     flush()
     spans.toVector
   }
@@ -88,10 +85,6 @@ final class TextExtractor(doc: PdfDocument) {
     case Int64(v) => v.toFloat
     case Real(v)  => v.toFloat
     case _        => 0f
-  }
-
-  private def run(ops: Vector[Op], resources: Dict): Unit = {
-    ops.foreach(op => exec(op, resources))
   }
 
   private def exec(op: Op, resources: Dict): Unit = {
@@ -198,7 +191,7 @@ final class TextExtractor(doc: PdfDocument) {
           nestingDepth += 1
           try {
             val content = try doc.streamData(s) catch { case _: Throwable => Array.emptyByteArray }
-            run(ContentParser.parse(content), formRes)
+            ContentParser.parseInto(content)(op => exec(op, formRes))
           } finally {
             nestingDepth -= 1
             flush()
