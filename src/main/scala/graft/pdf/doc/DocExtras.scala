@@ -91,6 +91,34 @@ object DocExtras {
     }
   }
 
+  final case class ImageInfo(name: String, width: Int, height: Int,
+                             filter: String, nBytes: Int)
+
+  /** Image XObject inventory per page — metadata only; pixel decoding
+    * is out of the north rule's text scope (reference:
+    * src/extractors/images.rs:30; SURVEY §2.1 image sink). */
+  def images(doc: PdfDocument, page: Page): Vector[ImageInfo] = {
+    doc.dictGet(page.resources, "XObject") match {
+      case xd: Dict =>
+        xd.entries.keys.toVector.sorted.flatMap { name =>
+          doc.resolve(xd.get(name).getOrElse(Null)) match {
+            case Stream(d, raw) if d.name("Subtype").contains("Image") =>
+              Some(ImageInfo(name,
+                doc.dictGet(d, "Width").asLong.getOrElse(0L).toInt,
+                doc.dictGet(d, "Height").asLong.getOrElse(0L).toInt,
+                doc.dictGet(d, "Filter") match {
+                  case Name(n) => n
+                  case Arr(xs) => xs.flatMap(_.asName).mkString("+")
+                  case _       => "none"
+                },
+                raw.length))
+            case _ => None
+          }
+        }
+      case _ => Vector.empty
+    }
+  }
+
   final case class FormField(name: String, value: String, fieldType: String)
 
   /** AcroForm fields, flattened with dotted names

@@ -64,6 +64,26 @@ class DocExtrasSpec extends AnyFunSuite {
     assert(a == Vector(DocExtras.Annot("Text", "A note")))
   }
 
+  test("image XObject inventory (metadata only)") {
+    val b = new PdfBuilder()
+    val catId = b.reserveId()
+    val pagesId = b.reserveId()
+    val f = b.addObject("<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica /Encoding /WinAnsiEncoding >>")
+    val imgData = Array.fill[Byte](120)(0x55)
+    val imgId = b.addStream("/Type /XObject /Subtype /Image /Width 4 /Height 5 " +
+      "/ColorSpace /DeviceRGB /BitsPerComponent 8 /Filter /DCTDecode ", imgData, flate = false)
+    val cId = b.addStream("", "BT /F1 12 Tf 100 700 Td (With image) Tj ET q 10 0 0 10 50 50 cm /Im1 Do Q".getBytes(ISO_8859_1), flate = false)
+    val pageId = b.addObject(s"<< /Type /Page /Parent $pagesId 0 R /MediaBox [0 0 612 792] " +
+      s"/Resources << /Font << /F1 $f 0 R >> /XObject << /Im1 $imgId 0 R >> >> /Contents $cId 0 R >>")
+    b.addObjectAt(pagesId, s"<< /Type /Pages /Kids [$pageId 0 R] /Count 1 >>")
+    b.addObjectAt(catId, s"<< /Type /Catalog /Pages $pagesId 0 R >>")
+    val doc = new PdfDocument(b.build(catId))
+    val imgs = DocExtras.images(doc, doc.pages.head)
+    assert(imgs == Vector(DocExtras.ImageInfo("Im1", 4, 5, "DCTDecode", 120)), imgs.toString)
+    // text extraction unaffected; image Do is skipped
+    assert(PdfExtractor.extract(b.build(catId)).text == "With image")
+  }
+
   test("form fields flattened with dotted names") {
     val doc = new PdfDocument(docWithExtras())
     val ff = DocExtras.formFields(doc)
