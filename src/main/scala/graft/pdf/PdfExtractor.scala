@@ -41,12 +41,14 @@ object PdfExtractor {
     val texts = Vector.newBuilder[String]
     val mds = Vector.newBuilder[String]
     pages.foreach { page =>
-      val raw =
+      val raw0 =
         try new TextExtractor(doc).extractRaw(page)
         catch { case _: Throwable => Vector.empty }
+      // /Rotate pages: sort in display orientation
+      val (raw, mediaBox) = graft.pdf.extract.Rotation.normalize(raw0, page)
       val spatial = graft.pdf.extract.ReadingOrder.mergeAdjacent(
         graft.pdf.extract.ReadingOrder.dedup(
-          graft.pdf.extract.ReadingOrder.sortSpans(raw, page.mediaBox)))
+          graft.pdf.extract.ReadingOrder.sortSpans(raw, mediaBox)))
       // Tagged PDFs: structure-tree MCID order wins for plain text
       // (reference: document.rs:1659-1666 → extract_text_structure_order)
       val forText = graft.pdf.structure.StructTree.readingOrder(doc, page) match {
