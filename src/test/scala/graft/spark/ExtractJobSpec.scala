@@ -113,6 +113,12 @@ class ExtractJobSpec extends AnyFunSuite with BeforeAndAfterAll {
     pages.unpersist()
   }
 
+  test("SparkEntry.entry: flagship query returns rows (driver smoke contract)") {
+    val df = graft.SparkEntry.entry(spark)
+    assert(df.count() > 0)
+    assert(df.columns.contains("url") && df.columns.contains("status"))
+  }
+
   test("column pruning reaches the scan (ReadSchema ⊆ {url, html})") {
     val dir = Files.createTempDirectory("graft-pages").toString
     PagesGen.writeBucketed(PagesGen.generate(spark, 20, seed = 3, parallelism = 2), dir, 4)
