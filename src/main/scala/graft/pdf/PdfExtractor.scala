@@ -16,6 +16,22 @@ final case class ExtractResult(
     nPages: Int,
     nSpans: Int)
 
+/** Markdown reading-order mode (reference: ReadingOrderMode,
+  * src/converters/mod.rs:70-158; dispatch markdown.rs:561-703). */
+sealed trait ReadingOrderMode
+object ReadingOrderMode {
+  /** Histogram-column-aware Y/X sort (default — matches the span path). */
+  case object TopToBottomLeftToRight extends ReadingOrderMode
+  /** Recursive XY-Cut segmentation (grid layouts). */
+  case object ColumnAware extends ReadingOrderMode
+  /** Tagged-PDF MCID order with spatial fallback. */
+  case object StructureTreeFirst extends ReadingOrderMode
+}
+
+final case class ConversionOptions(
+    markdownMode: ReadingOrderMode = ReadingOrderMode.TopToBottomLeftToRight,
+    maxPages: Int = PdfExtractor.DefaultMaxPages)
+
 object PdfExtractor {
 
   /** Max pages processed per document — bounds worst-case work per row
@@ -34,9 +50,12 @@ object PdfExtractor {
     false
   }
 
-  def extract(bytes: Array[Byte], maxPages: Int = DefaultMaxPages): ExtractResult = {
+  def extract(bytes: Array[Byte], maxPages: Int = DefaultMaxPages): ExtractResult =
+    extract(bytes, ConversionOptions(maxPages = maxPages))
+
+  def extract(bytes: Array[Byte], opts: ConversionOptions): ExtractResult = {
     val doc = new PdfDocument(bytes)
-    val pages = doc.pages.take(maxPages)
+    val pages = doc.pages.take(opts.maxPages)
     var nSpans = 0
     val texts = Vector.newBuilder[String]
     val mds = Vector.newBuilder[String]
@@ -63,7 +82,16 @@ object PdfExtractor {
       }
       nSpans += forText.size
       texts += TextAssembler.assemble(forText)
-      mds += Markdown.convertPage(spatial)
+      // markdown reading-order dispatch (reference: markdown.rs:561-703)
+      val forMd = opts.markdownMode match {
+        case ReadingOrderMode.TopToBottomLeftToRight => spatial
+        case ReadingOrderMode.ColumnAware =>
+          graft.pdf.extract.ReadingOrder.mergeAdjacent(
+            graft.pdf.extract.ReadingOrder.dedup(
+              graft.pdf.layout.XYCut.sortSpans(raw, mediaBox)))
+        case ReadingOrderMode.StructureTreeFirst => forText
+      }
+      mds += Markdown.convertPage(forMd)
     }
     // page joins (reference: text "\n\n"; markdown "\n---\n\n",
     // document.rs:2317-2333)

@@ -42,6 +42,17 @@ class XYCutSpec extends AnyFunSuite {
     assert(idx("COL1b") < idx("COL2a"), order.toString)
   }
 
+  test("ColumnAware markdown mode drives XY-Cut ordering end-to-end") {
+    import graft.pdf.testgen.PdfBuilder
+    import graft.pdf.testgen.PdfBuilder.Line
+    val left = (0 until 6).map(i => Line(72, 700 - 14 * i, 10, "F1", s"leftcol$i"))
+    val right = (0 until 6).map(i => Line(400, 700 - 14 * i, 10, "F1", s"rightcol$i"))
+    val pdf = PdfBuilder.singlePage(left.zip(right).flatMap { case (l, r) => Seq(r, l) })
+    val md = PdfExtractor.extract(pdf,
+      ConversionOptions(markdownMode = ReadingOrderMode.ColumnAware)).markdown
+    assert(md.indexOf("leftcol5") < md.indexOf("rightcol0"), md)
+  }
+
   test("single dense block falls through to plain spatial sort") {
     val spans = (0 until 10).map(i => span(s"l$i", 72, 700 - 14f * i, seq = i)).toVector
     val order = XYCut.sortSpans(spans, mediaBox).map(_.text)
