@@ -88,6 +88,11 @@ object SparkEntry {
         .filter(col("rn") <= 3)
         .select(col("user_id"), col("event_id"), col("rn").cast("long").as("rn"))
     }),
+    "q6_distinct_agg" -> ((s, dir) =>
+      t(s, dir, "lineitem").agg(
+        countDistinct(col("l_partkey")).as("n_parts"),
+        countDistinct(col("l_suppkey")).as("n_supps"),
+        count(lit(1)).as("n_rows"))),
     "q5_except" -> ((s, dir) =>
       t(s, dir, "part").select(col("p_partkey"))
         .except(t(s, dir, "lineitem").filter(col("l_quantity") > 45)
@@ -160,6 +165,10 @@ object SparkEntry {
         | FROM events) WHERE rn <= 3""".stripMargin,
     "q5_except" ->
       "SELECT p_partkey FROM part EXCEPT SELECT l_partkey AS p_partkey FROM lineitem WHERE l_quantity > 45",
+    "q6_distinct_agg" ->
+      """SELECT count(DISTINCT l_partkey) AS n_parts,
+        | count(DISTINCT l_suppkey) AS n_supps, count(*) AS n_rows
+        |FROM lineitem""".stripMargin,
     "dedup_exact" ->
       "SELECT min(doc_id) AS doc_id, count(*) AS n_copies FROM documents GROUP BY text",
     "dedup_window" ->
