@@ -223,6 +223,25 @@ object SparkEntry {
         | CAST(length(text) AS BIGINT) AS n_chars,
         | CAST(length(regexp_replace(text, '[a-zA-Z0-9\s]', '', 'g')) AS BIGINT) AS n_punct
         |FROM base""".stripMargin,
+    "text_quality_score" ->
+      """WITH base AS (
+        | SELECT doc_id, text,
+        |  list_filter(string_split_regex(lower(text), '\s+'), x -> len(x) > 0) AS toks
+        | FROM documents),
+        |sig AS (
+        | SELECT doc_id,
+        |  CAST(len(toks) AS DOUBLE) AS n_tokens,
+        |  CAST(len(list_filter(toks, t -> list_contains(
+        |    ['the','a','an','of','to','in','and','or','is','are','was','for','on','with','as','by','at','it','this','that'], t))) AS DOUBLE) AS n_stop,
+        |  CAST(length(text) AS DOUBLE) AS n_chars,
+        |  CAST(length(regexp_replace(text, '[a-zA-Z0-9\s]', '', 'g')) AS DOUBLE) AS n_punct
+        | FROM base)
+        |SELECT doc_id, round(
+        |  greatest(0.0, least(1.0,
+        |    0.4 * least(1.0, n_tokens / 100.0) +
+        |    0.3 * least(1.0, n_stop * 8.0 / greatest(n_tokens, 1.0)) +
+        |    0.3 * (1.0 - least(1.0, n_punct * 4.0 / greatest(n_chars, 1.0))))), 4) AS quality
+        |FROM sig""".stripMargin,
     "multimodal_meta" ->
       """SELECT doc_id,
         | CAST(octet_length(encode(substring(text, 1, 8))) AS BIGINT) AS n_bytes,

@@ -51,6 +51,18 @@ class FuzzSpec extends AnyFunSuite {
     runOne("https://splice/0", spliced)
   }
 
+  test("html fuzz: mutated html never escapes") {
+    val rnd = new java.util.Random(77)
+    (0 until 100).foreach { i =>
+      val (bytes, _) = PagesGen.payload(500L + (i % 10), 42L) // html ids vary
+      val mutated = bytes.clone()
+      (0 until 1 + rnd.nextInt(6)).foreach { _ =>
+        mutated(rnd.nextInt(mutated.length)) = rnd.nextInt(256).toByte
+      }
+      runOne(s"https://htmlfuzz/$i", mutated)
+    }
+  }
+
   test("pathological inputs: all zeros, all 0xFF, random noise with %PDF header") {
     runOne("https://zero", new Array[Byte](10000))
     runOne("https://ff", Array.fill[Byte](10000)(0xff.toByte))
