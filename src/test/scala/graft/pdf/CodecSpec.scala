@@ -161,6 +161,20 @@ class CodecSpec extends AnyFunSuite {
     assert(out.sameElements(Array[Byte](10, 15, 20, 21, 22, 23)))
   }
 
+  test("decodeStream dispatches by /Filter dict incl. short aliases") {
+    import graft.pdf.cos.PdfObj
+    import graft.pdf.cos.PdfObj._
+    val data = "pipeline payload".getBytes
+    // [/AHx /Fl]: outermost listed first — data was deflated then hexed
+    val enc = (PdfBuilder.deflate(data).map(b => f"${b & 0xff}%02X").mkString + ">").getBytes
+    val dict = Dict(Map("Filter" -> Arr(Vector(Name("AHx"), Name("Fl")))))
+    assert(Codecs.decodeStream(dict, enc, identity[PdfObj]).sameElements(data))
+    // single name form + RunLength
+    val rle = Array[Byte](2, 'a', 'b', 'c', 0x81.toByte, 'z', 0x80.toByte)
+    val d2 = Dict(Map("Filter" -> Name("RunLengthDecode")))
+    assert(new String(Codecs.decodeStream(d2, rle, identity[PdfObj])) == "abc" + "z" * 128)
+  }
+
   test("decompression bomb guard trips on high-ratio input") {
     val bomb = PdfBuilder.deflate(new Array[Byte](50 * 1024 * 1024)) // 50MB zeros
     intercept[DecodeException](Codecs.flateDecode(bomb))
