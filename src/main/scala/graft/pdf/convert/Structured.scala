@@ -27,20 +27,8 @@ object Structured {
     * consecutive body lines with small leading merge into paragraphs. */
   def elements(spans: Vector[TextSpan], page: Int): Vector[DocumentElement] = {
     if (spans.isEmpty) return Vector.empty
-    // group to lines
-    val lines = scala.collection.mutable.ArrayBuffer.empty[Vector[TextSpan]]
-    var cur = Vector.newBuilder[TextSpan]
-    var curY = spans.head.bbox.y0
-    spans.foreach { s =>
-      if (math.abs(s.bbox.y0 - curY) < 2f) cur += s
-      else {
-        lines += cur.result().sortBy(_.bbox.x0)
-        cur = Vector.newBuilder[TextSpan]
-        cur += s
-        curY = s.bbox.y0
-      }
-    }
-    lines += cur.result().sortBy(_.bbox.x0)
+    // Y-proximity line groups, order-independent
+    val lines = graft.pdf.extract.ReadingOrder.groupLines(spans)
 
     val out = Vector.newBuilder[DocumentElement]
     val para = new StringBuilder

@@ -120,6 +120,28 @@ object ReadingOrder {
     out.toVector
   }
 
+  /** Group spans into visual lines by Y proximity, independent of the
+    * input order (column-aware sorts emit column-by-column): sort by
+    * -Y, cluster at `tol`, order each line left→right. */
+  def groupLines(spans: Vector[TextSpan], tol: Float = 2f): Vector[Vector[TextSpan]] = {
+    if (spans.isEmpty) return Vector.empty
+    val byY = spans.sortBy(s => (-s.bbox.y0, s.bbox.x0, s.sequence))
+    val out = Vector.newBuilder[Vector[TextSpan]]
+    var cur = Vector.newBuilder[TextSpan]
+    var curY = byY.head.bbox.y0
+    byY.foreach { s =>
+      if (math.abs(s.bbox.y0 - curY) < tol) cur += s
+      else {
+        out += cur.result().sortBy(_.bbox.x0)
+        cur = Vector.newBuilder[TextSpan]
+        cur += s
+        curY = s.bbox.y0
+      }
+    }
+    out += cur.result().sortBy(_.bbox.x0)
+    out.result()
+  }
+
   /** lower→UPPER or digit↔letter boundary ⇒ separate words
     * (reference: text.rs:2643-2666). */
   private def wordBoundaryHeuristic(a: String, b: String): Boolean = {
