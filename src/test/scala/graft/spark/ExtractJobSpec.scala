@@ -113,6 +113,27 @@ class ExtractJobSpec extends AnyFunSuite with BeforeAndAfterAll {
     pages.unpersist()
   }
 
+  test("malformed payloads become error rows with messages, never failures") {
+    val s = spark
+    import s.implicits._
+    val rows = Seq(
+      PageRow("https://bad/nohdr", new java.sql.Timestamp(0), "%PDF-1.4 then nothing".getBytes, "", "en"),
+      PageRow("https://bad/garbage", new java.sql.Timestamp(0),
+        { val a = new Array[Byte](5000); new java.util.Random(3).nextBytes(a)
+          System.arraycopy("%PDF-1.7".getBytes, 0, a, 0, 8); a }, "", "en"),
+      PageRow("https://good/html", new java.sql.Timestamp(0),
+        "<html><body><article><p>Long enough paragraph for the density classifier to keep happily.</p></article></body></html>".getBytes, "", "en"))
+    val out = ExtractJob.extract(s.createDataset(rows).toDF(),
+      ExtractJob.Config(salt = false)).collect().map(d => d.url -> d).toMap
+    assert(out("https://good/html").status == "ok")
+    // the two broken PDFs either recover to ok (reconstruction) or
+    // report error with a message — both acceptable, crashing is not
+    Seq("https://bad/nohdr", "https://bad/garbage").foreach { u =>
+      val d = out(u)
+      assert(d.status == "ok" || (d.status == "error" && d.error_msg.nonEmpty), s"$u -> $d")
+    }
+  }
+
   test("SparkEntry.entry: flagship query returns rows (driver smoke contract)") {
     val df = graft.SparkEntry.entry(spark)
     assert(df.count() > 0)
