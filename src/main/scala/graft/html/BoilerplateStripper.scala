@@ -48,6 +48,21 @@ object BoilerplateStripper {
     classify(blocks).map(_.text).mkString("\n\n")
   }
 
+  /** <title> text (entity-decoded, whitespace-normalized); empty if
+    * absent — page-level metadata for curation pipelines. */
+  def title(html: String): String = {
+    val lower = html.toLowerCase
+    val open = lower.indexOf("<title")
+    if (open < 0) return ""
+    val gt = html.indexOf('>', open)
+    if (gt < 0) return ""
+    val close = lower.indexOf("</title", gt)
+    if (close < 0) return ""
+    normalizeWs(decodeEntities(html.substring(gt + 1, close)))
+  }
+
+  def title(bytes: Array[Byte]): String = title(decodeCharset(bytes))
+
   /** Charset sniff: meta charset=… within the first 2 KB, else UTF-8. */
   def decodeCharset(bytes: Array[Byte]): String = {
     val head = new String(bytes, 0, math.min(bytes.length, 2048), "ISO-8859-1").toLowerCase
