@@ -32,11 +32,46 @@ object Rc4 {
   }
 }
 
+/** SHA-2 "hardened hash" for R6 key derivation (ISO 32000-2
+  * Algorithm 2.B): 64+ rounds of AES-128-CBC over password‖K‖udata
+  * ×64 with SHA-256/384/512 selected by the cipher output. */
+object R6Hash {
+  def apply(password: Array[Byte], salt: Array[Byte],
+            udata: Array[Byte] = Array.emptyByteArray): Array[Byte] = {
+    var k = MessageDigest.getInstance("SHA-256")
+      .digest(password ++ salt ++ udata)
+    var round = 0
+    var done = false
+    var lastE: Array[Byte] = Array.emptyByteArray
+    while (!done) {
+      val block = password ++ k ++ udata
+      val k1 = new Array[Byte](block.length * 64)
+      var i = 0
+      while (i < 64) { System.arraycopy(block, 0, k1, i * block.length, block.length); i += 1 }
+      val c = Cipher.getInstance("AES/CBC/NoPadding")
+      c.init(Cipher.ENCRYPT_MODE,
+        new SecretKeySpec(java.util.Arrays.copyOf(k, 16), "AES"),
+        new IvParameterSpec(java.util.Arrays.copyOfRange(k, 16, 32)))
+      lastE = c.doFinal(k1)
+      var sum = 0
+      i = 0
+      while (i < 16) { sum += lastE(i) & 0xff; i += 1 }
+      val alg = (sum % 3) match {
+        case 0 => "SHA-256"; case 1 => "SHA-384"; case _ => "SHA-512"
+      }
+      k = MessageDigest.getInstance(alg).digest(lastE)
+      round += 1
+      if (round >= 64 && (lastE(lastE.length - 1) & 0xff) <= round - 32) done = true
+    }
+    java.util.Arrays.copyOf(k, 32)
+  }
+}
+
 /** Standard security handler, empty-user-password scope (reference:
   * src/encryption/handler.rs:38-171 — it too auto-authenticates the
-  * empty password, document.rs:276-288). Supports V1/V2 (RC4) and
-  * V4 with /CFM AESV2 (AES-128-CBC). Key derivation per ISO 32000-1
-  * Algorithm 2; per-object keys per Algorithm 1.
+  * empty password, document.rs:276-288). Supports V1/V2 (RC4), V4
+  * with /CFM AESV2 (AES-128-CBC), and V5/R6 with /CFM AESV3
+  * (AES-256-CBC, SHA-2 hardened key derivation via /U //UE).
   */
 final class StdSecurityHandler(encDict: Dict, fileId: Array[Byte]) {
 
@@ -51,21 +86,41 @@ final class StdSecurityHandler(encDict: Dict, fileId: Array[Byte]) {
   private val lengthBits: Int = encDict.long("Length").getOrElse(40L).toInt
   private val keyLen: Int = if (v == 1) 5 else math.max(5, math.min(16, lengthBits / 8))
 
-  /** crypt-filter method: "V2" = RC4, "AESV2" = AES-128-CBC. */
+  /** crypt-filter method: "V2" = RC4, "AESV2"/"AESV3" = AES-CBC. */
   val cfm: String =
     if (v < 4) "V2"
     else {
       val cf = encDict.get("CF").flatMap(_.asDict).getOrElse(Dict.empty)
       val stmF = encDict.name("StmF").getOrElse("StdCF")
-      cf.get(stmF).flatMap(_.asDict).flatMap(_.name("CFM")).getOrElse("V2")
+      cf.get(stmF).flatMap(_.asDict).flatMap(_.name("CFM"))
+        .getOrElse(if (v == 5) "AESV3" else "V2")
     }
 
-  if (v > 4) throw new UnsupportedOperationException(s"encryption V=$v not supported (v1 scope)")
-  if (cfm != "V2" && cfm != "AESV2")
-    throw new UnsupportedOperationException(s"crypt filter $cfm not supported (v1 scope)")
+  if (v > 5) throw new UnsupportedOperationException(s"encryption V=$v not supported")
+  if (cfm != "V2" && cfm != "AESV2" && cfm != "AESV3")
+    throw new UnsupportedOperationException(s"crypt filter $cfm not supported")
 
-  /** File key from the EMPTY user password (Algorithm 2). */
-  val fileKey: Array[Byte] = {
+  /** File key from the EMPTY user password. V≤4: Algorithm 2 (MD5/RC4
+    * lineage). V5/R6: /U = hash(pw‖validationSalt) ‖ vs ‖ ks; file key
+    * decrypted from /UE with key hash(pw‖keySalt) (Algorithm 2.A). */
+  val fileKey: Array[Byte] = if (v == 5) {
+    val u = encDict.get("U").flatMap(_.asStr)
+      .getOrElse(throw new UnsupportedOperationException("V5 without /U"))
+    val ue = encDict.get("UE").flatMap(_.asStr)
+      .getOrElse(throw new UnsupportedOperationException("V5 without /UE"))
+    require(u.length >= 48, "V5 /U must be 48 bytes")
+    val validationSalt = java.util.Arrays.copyOfRange(u, 32, 40)
+    val keySalt = java.util.Arrays.copyOfRange(u, 40, 48)
+    // validate the empty user password (lenient: proceed regardless,
+    // like the reference's auto-auth — garbage keys yield error rows)
+    val expected = R6Hash(Array.emptyByteArray, validationSalt)
+    val _ok = java.util.Arrays.equals(expected, java.util.Arrays.copyOf(u, 32))
+    val inter = R6Hash(Array.emptyByteArray, keySalt)
+    val c = Cipher.getInstance("AES/CBC/NoPadding")
+    c.init(Cipher.DECRYPT_MODE, new SecretKeySpec(inter, "AES"),
+      new IvParameterSpec(new Array[Byte](16)))
+    c.doFinal(java.util.Arrays.copyOf(ue, 32))
+  } else {
     val md = MessageDigest.getInstance("MD5")
     md.update(Pad) // empty password → pad alone
     val o = encDict.get("O").flatMap(_.asStr).getOrElse(Array.emptyByteArray)
@@ -93,8 +148,10 @@ final class StdSecurityHandler(encDict: Dict, fileId: Array[Byte]) {
   }
 
   /** Per-object key (Algorithm 1): MD5(fileKey ‖ num₃LE ‖ gen₂LE
-    * [‖ sAlT for AES]), truncated to min(keyLen+5, 16). */
+    * [‖ sAlT for AES]), truncated to min(keyLen+5, 16). V5 uses the
+    * file key directly (no per-object derivation). */
   private def objectKey(num: Int, gen: Int): Array[Byte] = {
+    if (v == 5) return fileKey
     val md = MessageDigest.getInstance("MD5")
     md.update(fileKey)
     md.update(Array[Byte](num.toByte, (num >> 8).toByte, (num >> 16).toByte,
@@ -106,7 +163,7 @@ final class StdSecurityHandler(encDict: Dict, fileId: Array[Byte]) {
   def decrypt(data: Array[Byte], num: Int, gen: Int): Array[Byte] = {
     if (data.isEmpty) return data
     val key = objectKey(num, gen)
-    if (cfm == "AESV2") {
+    if (cfm == "AESV2" || cfm == "AESV3") {
       if (data.length < 16) return Array.emptyByteArray
       val iv = java.util.Arrays.copyOf(data, 16)
       try {
@@ -132,7 +189,7 @@ final class StdSecurityHandler(encDict: Dict, fileId: Array[Byte]) {
   def encrypt(data: Array[Byte], num: Int, gen: Int): Array[Byte] = {
     // test-support: RC4 is symmetric; AES encrypt used by fixtures
     val key = objectKey(num, gen)
-    if (cfm == "AESV2") {
+    if (cfm == "AESV2" || cfm == "AESV3") {
       val iv = new Array[Byte](16)
       // deterministic IV for fixture reproducibility (fine for tests)
       var i = 0

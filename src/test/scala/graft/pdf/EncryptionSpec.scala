@@ -80,7 +80,50 @@ class EncryptionSpec extends AnyFunSuite {
     assert(PdfExtractor.extract(pdf).text == "Secret aes payload")
   }
 
-  test("unsupported encryption (V5) yields error row, not crash") {
+  test("AES-256 (V5/R6 AESV3) with empty user password decrypts") {
+    import javax.crypto.Cipher
+    import javax.crypto.spec.{IvParameterSpec, SecretKeySpec}
+    import graft.pdf.crypto.R6Hash
+    val fileKey = (0 until 32).map(i => (i * 11 + 5).toByte).toArray
+    val vs = (0 until 8).map(i => (i + 1).toByte).toArray
+    val ks = (0 until 8).map(i => (i + 101).toByte).toArray
+    val u = R6Hash(Array.emptyByteArray, vs) ++ vs ++ ks
+    val inter = R6Hash(Array.emptyByteArray, ks)
+    val c = Cipher.getInstance("AES/CBC/NoPadding")
+    c.init(Cipher.ENCRYPT_MODE, new SecretKeySpec(inter, "AES"),
+      new IvParameterSpec(new Array[Byte](16)))
+    val ue = c.doFinal(fileKey)
+    val o = new Array[Byte](48) // owner entries unused for empty-user auth
+    val oe = new Array[Byte](32)
+    val ed = Dict(Map(
+      "Filter" -> Name("Standard"), "V" -> Int64(5), "R" -> Int64(6),
+      "Length" -> Int64(256), "P" -> Int64(-3904L),
+      "U" -> Str(u), "UE" -> Str(ue), "O" -> Str(o), "OE" -> Str(oe),
+      "CF" -> Dict(Map("StdCF" -> Dict(Map("CFM" -> Name("AESV3"), "Length" -> Int64(32))))),
+      "StmF" -> Name("StdCF"), "StrF" -> Name("StdCF")))
+    val h = new StdSecurityHandler(ed, fileId)
+    assert(h.fileKey.sameElements(fileKey), "round-tripped file key")
+
+    // full document fixture
+    val b = new PdfBuilder()
+    val catId = b.reserveId()
+    val pagesId = b.reserveId()
+    val f = b.addObject("<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica /Encoding /WinAnsiEncoding >>")
+    val contentId = b.reserveId()
+    val content = "BT /F1 12 Tf 100 700 Td (Secret r6 payload) Tj ET".getBytes(ISO_8859_1)
+    b.addStreamAt(contentId, "", h.encrypt(content, contentId, 0), flate = false)
+    val pageId = b.addObject(s"<< /Type /Page /Parent $pagesId 0 R /MediaBox [0 0 612 792] " +
+      s"/Resources << /Font << /F1 $f 0 R >> >> /Contents $contentId 0 R >>")
+    b.addObjectAt(pagesId, s"<< /Type /Pages /Kids [$pageId 0 R] /Count 1 >>")
+    b.addObjectAt(catId, s"<< /Type /Catalog /Pages $pagesId 0 R >>")
+    val encId = b.addObject(s"<< /Filter /Standard /V 5 /R 6 /Length 256 /P -3904 " +
+      s"/U <${hex(u)}> /UE <${hex(ue)}> /O <${hex(o)}> /OE <${hex(oe)}> " +
+      s"/CF << /StdCF << /CFM /AESV3 /Length 32 >> >> /StmF /StdCF /StrF /StdCF >>")
+    val pdf = b.build(catId, s"/Encrypt $encId 0 R /ID [<$idHex> <$idHex>] ")
+    assert(PdfExtractor.extract(pdf).text == "Secret r6 payload")
+  }
+
+  test("malformed V5 dict (short /U) yields error row, not crash") {
     val pdf = encryptedPdf(v = 1, r = 2, length = 40, cf = "", text = "x")
     val s = new String(pdf, ISO_8859_1).replace("/V 1 /R 2", "/V 5 /R 6")
     val doc = try {
