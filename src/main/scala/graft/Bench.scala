@@ -5,11 +5,20 @@ import graft.spark.{ExtractJob, PagesGen}
 
 /** Driver-run benchmark: times every SparkEntry query at SPARK_GRAFT_SF_DIR
   * plus a dedicated extraction-throughput probe, and prints ONE JSON line.
+  *
+  * Noise discipline (round-1 lesson: a single cold pass measured 10x
+  * slower than steady state under host-noise bursts + C2 warmup):
+  *  - round-robin ROUNDS passes over ALL queries, per-query MIN —
+  *    round 1 absorbs JIT/classload/parquet-footer cold start, and
+  *    alternating rounds means an ambient noise burst can only inflate
+  *    one round's sample, never the min;
+  *  - extraction probe: one full-size warmup pass, then min of 3.
   */
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val rounds = sys.env.getOrElse("SPARK_GRAFT_BENCH_ROUNDS", "3").toInt
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -29,11 +38,16 @@ object Bench {
     ExtractJob.extract(PagesGen.generate(spark, 64, 1L, 4).toDF(),
       ExtractJob.Config(salt = false)).count()
 
+    val names = SparkEntry.queries.keys.toSeq.sorted
     val results = scala.collection.mutable.LinkedHashMap.empty[String, Double]
-    SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
-      results(name) = time {
+    for (round <- 1 to rounds; name <- names) {
+      val fn = SparkEntry.queries(name)
+      val dt = time {
         try { fn(spark, sfDir).count(); () } catch { case _: Throwable => () }
       }
+      results(name) = math.min(results.getOrElse(name, Double.MaxValue), dt)
+      if (name == names.last)
+        System.err.println(f"[bench] round $round/$rounds done, running total ${results.values.sum}%.1f s")
     }
 
     // extraction throughput probe: N synthetic docs through the full
@@ -46,10 +60,12 @@ object Bench {
     // full-size warmup: C2 needs a complete pass before steady state
     ExtractJob.extract(pages, ExtractJob.Config()).write
       .mode("overwrite").format("noop").save()
-    val tExtract = time {
-      ExtractJob.extract(pages, ExtractJob.Config()).write
-        .mode("overwrite").format("noop").save()
-    }
+    val tExtract = (1 to 3).map { _ =>
+      time {
+        ExtractJob.extract(pages, ExtractJob.Config()).write
+          .mode("overwrite").format("noop").save()
+      }
+    }.min
     pages.unpersist()
     results("extract_throughput") = tExtract
     val docsPerSec = nDocs / tExtract
@@ -60,7 +76,7 @@ object Bench {
     val total = results.values.sum
     println(
       s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir",""" +
-      f""""extract_docs":$nDocs,"extract_docs_per_sec":$docsPerSec%.1f,"extract_mb_per_sec":$mbPerSec%.1f,"cpus":$cpus}""")
+      f""""extract_docs":$nDocs,"extract_docs_per_sec":$docsPerSec%.1f,"extract_mb_per_sec":$mbPerSec%.1f,"cpus":$cpus,"rounds":$rounds}""")
     spark.stop()
   }
 }

@@ -111,7 +111,13 @@ object SparkEntry {
     "dedup_simhash_near" -> ((s, dir) =>
       Dedup.simhashNearDups(t(s, dir, "documents"), maxDist = 8)),
     "dedup_embedding" -> ((s, dir) =>
-      Similarity.nearDupPairs(t(s, dir, "embeddings"), threshold = 0.45)),
+      // scale path: LSH-bucket candidates + exact cosine re-check — no
+      // driver collect, no full-table broadcast (round-1 fix)
+      Similarity.nearDupPairsLsh(t(s, dir, "embeddings"), threshold = 0.45)),
+    "dedup_embedding_exact" -> ((s, dir) =>
+      // distributed exact baseline (broadcast-nested-loop, no driver
+      // collect) — oracle-checked; the LSH row above is the scale shape
+      Similarity.nearDupPairsExact(t(s, dir, "embeddings"), threshold = 0.45)),
 
     // ---------------- similarity search -----------------------------
     "ann_bruteforce" -> ((s, dir) => {
@@ -137,9 +143,13 @@ object SparkEntry {
           encode(substring(col("text"), 1, 8), "utf-8").as("payload")))
         .select(col("doc_id"), col("n_bytes"), col("head_hex"))),
     "multimodal_features" -> ((s, dir) =>
+      // hash-stable scalar outputs only (round 1's raw array<float>
+      // column crashed the driver's hash compare)
       Multimodal.extractFeatures(
         t(s, dir, "documents").select(col("doc_id"),
-          encode(col("text"), "utf-8").as("payload"))).toDF())
+          encode(col("text"), "utf-8").as("payload"))).toDF()
+        .select(col("doc_id"), col("n_bytes"), col("format"),
+          col("feature_hash"), round(col("feature_norm"), 4).as("feature_norm")))
   )
 
   /** DuckDB equivalents (driver hashes result values with columns
@@ -193,6 +203,11 @@ object SparkEntry {
         |JOIN sizes sa ON inter.a_id = sa.doc_id
         |JOIN sizes sb ON inter.b_id = sb.doc_id
         |WHERE CAST(i AS DOUBLE) / CAST(sa.sz + sb.sz - i AS DOUBLE) >= 0.95""".stripMargin,
+    "dedup_embedding_exact" ->
+      """SELECT a.vec_id AS a_id, b.vec_id AS b_id
+        |FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+        |WHERE list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+        |        CAST(b.embedding AS DOUBLE[])) >= 0.45""".stripMargin,
     "ann_bruteforce" ->
       """SELECT query_id, neighbor_id, rn AS rank FROM (
         | SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,

@@ -109,9 +109,13 @@ object Dedup {
     val spark = docs.sparkSession
     import spark.implicits._
     val r = k / bands
-    // sig is small per-doc state (k longs); recomputing it on each use
-    // is cheaper than pinning a cache for the three consumers below
+    // Persist the signature table: it feeds three consumers (banding +
+    // both sides of the est-Jaccard re-join); without the cache the
+    // plan recomputes every signature 4x from the raw text scan. k
+    // longs per doc ≈ 0.5 KB — MEMORY_AND_DISK spills rather than OOMs
+    // at corpus scale, and eviction is safe (recompute is the cost).
     val sig = minhashSignatures(docs, k, shingleWidth)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     locally {
       val banded = sig.as[(Long, Array[Long])].flatMap { case (id, s) =>
         (0 until bands).map { b =>
@@ -130,9 +134,14 @@ object Dedup {
       val pairs = a.join(b, Seq("band", "bh"))
         .filter(col("a_id") < col("b_id"))
         .select(col("a_id"), col("b_id")).distinct()
+      // Plain (shuffle/AQE-chosen) joins on the candidate ids: the
+      // candidate-pair side is the small one, so AQE broadcasts IT.
+      // Broadcasting `sig` instead would ship the full signature table
+      // (0.5 KB x every doc -> hundreds of GB at 10^9 docs) to every
+      // executor — a scale-killer flagged in round 1.
       pairs
-        .join(broadcast(sig.toDF("a_id", "a_sig")), "a_id")
-        .join(broadcast(sig.toDF("b_id", "b_sig")), "b_id")
+        .join(sig.toDF("a_id", "a_sig"), "a_id")
+        .join(sig.toDF("b_id", "b_sig"), "b_id")
         .select(col("a_id"), col("b_id"),
           (size(filter(zip_with(col("a_sig"), col("b_sig"), (x, y) => x === y), v => v))
             .cast("double") / k).as("est_jaccard"))
@@ -170,18 +179,46 @@ object Dedup {
   def jaccardPairs(docs: DataFrame, threshold: Double): DataFrame = {
     val toks = docs.select(col("doc_id"), col("lang"), col("source"),
       explode(array_distinct(tokens(col("text")))).as("tok"))
-    val sizes = toks.groupBy(col("doc_id")).agg(count(lit(1)).as("sz"))
-    val inter = toks.as("x").join(toks.as("y"),
+    // Global doc-frequency per token: the total order for prefix
+    // filtering (rare-first minimizes posting-list length). Vocab-sized
+    // → broadcast.
+    val dfreq = toks.groupBy(col("tok")).agg(count(lit(1)).as("df"))
+    // Per doc: tokens sorted by (df, tok); prefix length p = sz -
+    // ceil(t·sz) + 1 (Bayardo/Chaudhuri prefix-filter theorem: two sets
+    // with Jaccard ≥ t MUST share a token within each other's first p
+    // under any global total order — candidate generation is LOSSLESS).
+    // The 1e-9 slack keeps fp noise in t·sz from rounding ceil UP,
+    // which would shrink p and silently drop threshold-exact pairs.
+    val docToks = toks.join(broadcast(dfreq), "tok")
+      .groupBy(col("doc_id"), col("lang"), col("source"))
+      .agg(sort_array(collect_list(struct(col("df"), col("tok")))).as("tdf"))
+      .select(col("doc_id"), col("lang"), col("source"),
+        transform(col("tdf"), t => t.getField("tok")).as("toks"))
+      .withColumn("sz", size(col("toks")))
+      .withColumn("p",
+        (col("sz") - ceil(lit(threshold) * col("sz") - lit(1e-9)) + 1).cast("int"))
+    val prefix = docToks.select(col("doc_id"), col("lang"), col("source"),
+      explode(slice(col("toks"), lit(1), col("p"))).as("tok"))
+    // Candidates: prefix-token equi-join inside (lang, source) blocks.
+    // Prefix tokens are the doc's rarest, so posting lists stay short
+    // even on hot-vocabulary corpora — this replaced the round-1
+    // all-token join whose postings went quadratic per block.
+    val cand = prefix.as("x").join(prefix.as("y"),
         col("x.lang") === col("y.lang") && col("x.source") === col("y.source") &&
           col("x.tok") === col("y.tok") && col("x.doc_id") < col("y.doc_id"))
-      .groupBy(col("x.doc_id").as("a_id"), col("y.doc_id").as("b_id"))
-      .agg(count(lit(1)).as("inter"))
-    inter
-      .join(broadcast(sizes).as("sa"), col("a_id") === col("sa.doc_id"))
-      .join(broadcast(sizes).as("sb"), col("b_id") === col("sb.doc_id"))
+      .select(col("x.doc_id").as("a_id"), col("y.doc_id").as("b_id"))
+      .distinct()
+    // Exact verify on the (small) candidate set via token-array joins.
+    val arrays = docToks.select(col("doc_id"), col("toks"), col("sz"))
+    cand
+      .join(arrays.select(col("doc_id").as("a_id"), col("toks").as("a_toks"), col("sz").as("a_sz")), "a_id")
+      .join(arrays.select(col("doc_id").as("b_id"), col("toks").as("b_toks"), col("sz").as("b_sz")), "b_id")
+      .select(col("a_id"), col("b_id"),
+        size(array_intersect(col("a_toks"), col("b_toks"))).as("inter"),
+        col("a_sz"), col("b_sz"))
       .select(col("a_id"), col("b_id"),
         (col("inter").cast("double") /
-          (col("sa.sz") + col("sb.sz") - col("inter")).cast("double")).as("jaccard"))
+          (col("a_sz") + col("b_sz") - col("inter")).cast("double")).as("jaccard"))
       .filter(col("jaccard") >= threshold)
   }
 
@@ -201,24 +238,72 @@ object Dedup {
     voted.select(col("doc_id"), sim.as("simhash"))
   }
 
-  /** Near-dup candidates by SimHash hamming distance ≤ maxDist, banded
-    * into 4×16-bit chunks (pigeonhole: ≤3 differing bits ⇒ at least one
-    * identical chunk) — again a bucket join, no cross join. */
-  def simhashNearDups(docs: DataFrame, maxDist: Int = 3): DataFrame = {
+  /** Near-dup candidates by SimHash hamming distance ≤ maxDist.
+    *
+    * The 64-bit hash is banded into maxDist+1 chunks (as even as the
+    * bit budget allows): by pigeonhole, two hashes at distance ≤
+    * maxDist MUST agree on at least one whole chunk, so a bucket
+    * equi-join on (chunk, value) finds every qualifying pair — no
+    * cross join, and no recall hole (round 1 shipped 4×16-bit chunks
+    * with maxDist=8, which silently missed pairs at distance 4-8).
+    *
+    * Buckets larger than `bucketCap` are dropped (same safety valve as
+    * minhashLsh): a degenerate chunk value shared by millions of
+    * template-spam docs would otherwise make the self-join quadratic.
+    * That trades bounded recall on mega-clusters for a hard runtime
+    * bound — the standard LSH production compromise. */
+  def simhashNearDups(docs: DataFrame, maxDist: Int = 3,
+                      bucketCap: Int = 2000): DataFrame = {
+    require(maxDist >= 0 && maxDist < 32, s"maxDist out of range: $maxDist")
+    val nChunks = maxDist + 1
     val sh = simhash(docs)
-    val chunks = (0 until 4).map { i =>
-      struct(lit(i).as("chunk"),
-        shiftright(col("simhash"), i * 16).bitwiseAND(lit(0xffffL)).as("ch"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // Band over DISTINCT simhash VALUES, not docs: identical docs
+    // (template spam — the common mega-cluster case) collapse to ONE
+    // row, so the banded self-join is sized by hash diversity, not
+    // corpus size. Doc pairs are re-expanded afterwards by plain hash
+    // joins, which is pure output materialization.
+    val values = sh.select(col("simhash")).distinct()
+    // partition 64 bits into nChunks contiguous spans, wide spans first
+    val base = 64 / nChunks
+    val extra = 64 % nChunks
+    val bounds = (0 until nChunks).scanLeft(0) { (off, i) =>
+      off + base + (if (i < extra) 1 else 0)
     }
-    val chunked = sh.select(col("doc_id"), col("simhash"),
+    val chunks = (0 until nChunks).map { i =>
+      val off = bounds(i)
+      val width = bounds(i + 1) - off
+      val mask = if (width == 64) -1L else (1L << width) - 1L
+      struct(lit(i).as("chunk"),
+        shiftright(col("simhash"), off).bitwiseAND(lit(mask)).as("ch"))
+    }
+    val chunked = values.select(col("simhash"),
       explode(array(chunks: _*)).as("cc"))
-      .select(col("doc_id"), col("simhash"), col("cc.chunk"), col("cc.ch"))
-    val a = chunked.select(col("chunk"), col("ch"), col("doc_id").as("a_id"), col("simhash").as("a_sh"))
-    val b = chunked.select(col("chunk"), col("ch"), col("doc_id").as("b_id"), col("simhash").as("b_sh"))
-    a.join(b, Seq("chunk", "ch")).filter(col("a_id") < col("b_id"))
-      .select(col("a_id"), col("b_id"),
+      .select(col("simhash"), col("cc.chunk"), col("cc.ch"))
+    // cap counts DISTINCT VALUES per bucket (identical docs are free)
+    val capped = chunked
+      .withColumn("bsz", count(lit(1)).over(Window.partitionBy(col("chunk"), col("ch"))))
+      .filter(col("bsz") <= bucketCap)
+      .drop("bsz")
+    val va = capped.select(col("chunk"), col("ch"), col("simhash").as("a_sh"))
+    val vb = capped.select(col("chunk"), col("ch"), col("simhash").as("b_sh"))
+    // value pairs within hamming budget (a_sh < b_sh each appears once)
+    val vpairs = va.join(vb, Seq("chunk", "ch")).filter(col("a_sh") < col("b_sh"))
+      .select(col("a_sh"), col("b_sh"),
         bit_count(col("a_sh").bitwiseXOR(col("b_sh"))).as("hamming"))
-      .groupBy(col("a_id"), col("b_id")).agg(min(col("hamming")).as("hamming"))
       .filter(col("hamming") <= maxDist)
+      .distinct()
+    // expand value pairs back to doc pairs
+    val cross = sh.select(col("simhash").as("a_sh"), col("doc_id").as("x_id"))
+      .join(vpairs, "a_sh")
+      .join(sh.select(col("simhash").as("b_sh"), col("doc_id").as("y_id")), "b_sh")
+      .select(least(col("x_id"), col("y_id")).as("a_id"),
+        greatest(col("x_id"), col("y_id")).as("b_id"), col("hamming"))
+    // identical-hash doc pairs (hamming 0) from the same-value groups
+    val same = sh.as("x").join(sh.as("y"),
+        col("x.simhash") === col("y.simhash") && col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("a_id"), col("y.doc_id").as("b_id"),
+        lit(0).cast("int").as("hamming"))
+    cross.union(same)
   }
 }

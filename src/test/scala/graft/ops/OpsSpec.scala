@@ -111,6 +111,124 @@ class OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(fp(1L) != fp(3L))
   }
 
+  test("simhashNearDups matches brute-force truth incl. hamming 4-8 (pigeonhole)") {
+    // 40 mutated variants of a base doc → a natural spread of simhash
+    // distances; assert the banded join returns EXACTLY the brute-force
+    // pair set at maxDist=8 (round 1's 4x16 banding missed dist 4-8)
+    val words = base.split(" ")
+    val rnd = new scala.util.Random(7)
+    val variants = (1L to 40L).map { id =>
+      val w = words.clone()
+      val nMut = rnd.nextInt(4) // 0-3 word substitutions
+      (0 until nMut).foreach { _ => w(rnd.nextInt(w.length)) = s"w${rnd.nextInt(12)}" }
+      (id, w.mkString(" "))
+    }
+    val d = docs(variants: _*)
+    val sh = Dedup.simhash(d).collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val truth = (for {
+      a <- sh.keys; b <- sh.keys if a < b
+      if java.lang.Long.bitCount(sh(a) ^ sh(b)) <= 8
+    } yield (a, b)).toSet
+    val dists = truth.toSeq.map { case (a, b) => java.lang.Long.bitCount(sh(a) ^ sh(b)) }
+    assert(dists.exists(d => d >= 4 && d <= 8),
+      s"test corpus must exercise the 4-8 range, got distances $dists")
+    val found = Dedup.simhashNearDups(d, maxDist = 8)
+      .select("a_id", "b_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(found == truth, s"missing: ${truth -- found}; extra: ${found -- truth}")
+  }
+
+  test("jaccardPairs (prefix-filtered) equals brute-force truth at the threshold") {
+    val rnd = new scala.util.Random(11)
+    // 3 clusters of lightly-mutated variants → pairs across the whole
+    // jaccard range, including ≥ threshold within clusters
+    val bases = Seq(
+      base.split(" "),
+      "alpha beta gamma delta epsilon zeta eta theta iota kappa lambda mu nu xi omicron pi".split(" "),
+      "one two three four five six seven eight nine ten eleven twelve thirteen fourteen fifteen sixteen".split(" "))
+    val variants = (1L to 30L).map { id =>
+      val w = bases(((id - 1) / 10).toInt).clone()
+      val nMut = rnd.nextInt(3) // 0-2 word substitutions
+      (0 until nMut).foreach { _ => w(rnd.nextInt(w.length)) = s"mut${rnd.nextInt(40)}" }
+      (id, w.mkString(" "))
+    }
+    val d = docs(variants: _*)
+    val sets = variants.map { case (id, t) => id -> t.split(" ").toSet }.toMap
+    val threshold = 0.7
+    val truth = (for {
+      a <- sets.keys; b <- sets.keys if a < b
+      j = sets(a).intersect(sets(b)).size.toDouble / sets(a).union(sets(b)).size
+      if j >= threshold
+    } yield (a, b)).toSet
+    assert(truth.nonEmpty, "test corpus must contain qualifying pairs")
+    val found = Dedup.jaccardPairs(d, threshold)
+      .select("a_id", "b_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(found == truth, s"missing: ${truth -- found}; extra: ${found -- truth}")
+  }
+
+  test("embedding near-dup: exact BNLJ matches collect-baseline; LSH finds tight dups") {
+    val s = spark
+    import s.implicits._
+    val rnd = new scala.util.Random(3)
+    // 3 tight clusters (intra-cosine ≈ 0.999) + noise vectors
+    def jittered(axis: Int): Array[Float] = {
+      val v = Array.fill(16)(rnd.nextFloat() * 0.02f)
+      v(axis) = 1f
+      v
+    }
+    val emb = ((0 until 9).map(i => (i.toLong, jittered(i / 3 * 5))) ++
+      (20 until 30).map(i => (i.toLong, Array.fill(16)(rnd.nextFloat() * 2f - 1f))))
+      .toDF("vec_id", "embedding")
+    val exact = Similarity.nearDupPairsExact(emb, 0.95)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val baseline = Similarity.nearDupPairs(emb, 0.95)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(exact == baseline, s"exact $exact != baseline $baseline")
+    val planted = (for (c <- 0 until 3; a <- 0 until 3; b <- a + 1 until 3)
+      yield ((c * 3 + a).toLong, (c * 3 + b).toLong)).toSet
+    assert(exact == planted, s"expected the 9 intra-cluster pairs, got $exact")
+    val lsh = Similarity.nearDupPairsLsh(emb, 0.95)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // LSH recall on cosine≥0.95 pairs is ≈1-(1-0.9^6)^24 ≈ 1-5e-6
+    assert(lsh == planted, s"LSH missed tight dups: ${planted -- lsh}; extra: ${lsh -- planted}")
+  }
+
+  test("media header decode: PNG IHDR, JPEG SOF0, GIF screen descriptor") {
+    def be32(v: Int): Array[Byte] =
+      Array((v >> 24).toByte, (v >> 16).toByte, (v >> 8).toByte, v.toByte)
+    val png = Array[Byte](0x89.toByte, 'P', 'N', 'G', 0x0d, 0x0a, 0x1a, 0x0a) ++
+      be32(13) ++ "IHDR".getBytes ++ be32(640) ++ be32(480) ++
+      Array[Byte](8, 6, 0, 0, 0) ++ be32(0)
+    assert(Multimodal.decodeHeader(png) == ("png", 640L, 480L, 8L))
+    val jpeg = Array[Byte](0xff.toByte, 0xd8.toByte) ++
+      // APP0 segment (len 16) then SOF0: len 17, precision 8, h 600, w 800
+      Array[Byte](0xff.toByte, 0xe0.toByte, 0, 16) ++ new Array[Byte](14) ++
+      Array[Byte](0xff.toByte, 0xc0.toByte, 0, 17, 8, 2, 0x58, 3, 0x20) ++
+      new Array[Byte](10)
+    assert(Multimodal.decodeHeader(jpeg) == ("jpeg", 800L, 600L, 8L))
+    val gif = "GIF89a".getBytes ++ Array[Byte](0x40, 0x01, 0xf0.toByte, 0x00) ++
+      new Array[Byte](3) // 320x240 LE
+    assert(Multimodal.decodeHeader(gif) == ("gif", 320L, 240L, 8L))
+    assert(Multimodal.decodeHeader("plain text".getBytes)._1 == "unknown")
+  }
+
+  test("extractFeatures emits scalar, hash-stable columns with real dims") {
+    val s = spark
+    import s.implicits._
+    def be32(v: Int): Array[Byte] =
+      Array((v >> 24).toByte, (v >> 16).toByte, (v >> 8).toByte, v.toByte)
+    val png = Array[Byte](0x89.toByte, 'P', 'N', 'G', 0x0d, 0x0a, 0x1a, 0x0a) ++
+      be32(13) ++ "IHDR".getBytes ++ be32(32) ++ be32(16) ++
+      Array[Byte](8, 2, 0, 0, 0) ++ be32(0)
+    val d = Seq((1L, png), (2L, "some text payload".getBytes)).toDF("doc_id", "payload")
+    val out = Multimodal.extractFeatures(d).collect().map(f => f.doc_id -> f).toMap
+    assert(out(1L).format == "png" && out(1L).width == 32L && out(1L).height == 16L)
+    assert(out(2L).format == "unknown")
+    // determinism: same payload → same hash scalars
+    val again = Multimodal.extractFeatures(d).collect().map(f => f.doc_id -> f).toMap
+    assert(out(1L).feature_hash == again(1L).feature_hash)
+    assert(out(2L).feature_norm == again(2L).feature_norm)
+  }
+
   test("multimodal metadata sniffs pdf magic") {
     val s = spark
     import s.implicits._
