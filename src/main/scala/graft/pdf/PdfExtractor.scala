@@ -30,7 +30,10 @@ object ReadingOrderMode {
 
 final case class ConversionOptions(
     markdownMode: ReadingOrderMode = ReadingOrderMode.TopToBottomLeftToRight,
-    maxPages: Int = PdfExtractor.DefaultMaxPages)
+    maxPages: Int = PdfExtractor.DefaultMaxPages,
+    /** user or owner password for encrypted documents (UTF-8; the
+      * empty password is always tried — reference document.rs:276-288). */
+    password: String = "")
 
 object PdfExtractor {
 
@@ -54,7 +57,7 @@ object PdfExtractor {
     extract(bytes, ConversionOptions(maxPages = maxPages))
 
   def extract(bytes: Array[Byte], opts: ConversionOptions): ExtractResult = {
-    val doc = new PdfDocument(bytes)
+    val doc = new PdfDocument(bytes, opts.password)
     val pages = doc.pages.take(opts.maxPages)
     var nSpans = 0
     val texts = Vector.newBuilder[String]

@@ -67,13 +67,22 @@ object R6Hash {
   }
 }
 
-/** Standard security handler, empty-user-password scope (reference:
-  * src/encryption/handler.rs:38-171 — it too auto-authenticates the
-  * empty password, document.rs:276-288). Supports V1/V2 (RC4), V4
-  * with /CFM AESV2 (AES-128-CBC), and V5/R6 with /CFM AESV3
-  * (AES-256-CBC, SHA-2 hardened key derivation via /U //UE).
+/** Standard security handler with full password authentication
+  * (reference: src/encryption/handler.rs:71-100 authenticate();
+  * algorithms.rs:35-188 — the reference verifies USER passwords for
+  * V≤4 and auto-auths the empty password, document.rs:276-288; this
+  * implementation additionally verifies OWNER passwords, ISO 32000-1
+  * Algorithms 3/7, and both password kinds for V5 via ISO 32000-2
+  * Algorithm 2.A). Supports V1/V2 (RC4), V4 with /CFM AESV2
+  * (AES-128-CBC), and V5 R5/R6 with /CFM AESV3 (AES-256-CBC).
+  *
+  * Auth ladder: user(password) → owner(password) → user("") →
+  * owner(""). On total failure the handler stays constructible with a
+  * lenient empty-password key (`authMode = "none"`) so the caller
+  * decides the failure policy (ExtractJob maps it to an error row).
   */
-final class StdSecurityHandler(encDict: Dict, fileId: Array[Byte]) {
+final class StdSecurityHandler(encDict: Dict, fileId: Array[Byte],
+                               password: Array[Byte] = Array.emptyByteArray) {
 
   /** Standard 32-byte password pad (ISO 32000-1 Table 7.6.3.3-1). */
   private val Pad: Array[Byte] = Array(
@@ -100,38 +109,31 @@ final class StdSecurityHandler(encDict: Dict, fileId: Array[Byte]) {
   if (cfm != "V2" && cfm != "AESV2" && cfm != "AESV3")
     throw new UnsupportedOperationException(s"crypt filter $cfm not supported")
 
-  /** File key from the EMPTY user password. V≤4: Algorithm 2 (MD5/RC4
-    * lineage). V5/R6: /U = hash(pw‖validationSalt) ‖ vs ‖ ks; file key
-    * decrypted from /UE with key hash(pw‖keySalt) (Algorithm 2.A). */
-  val fileKey: Array[Byte] = if (v == 5) {
-    val u = encDict.get("U").flatMap(_.asStr)
-      .getOrElse(throw new UnsupportedOperationException("V5 without /U"))
-    val ue = encDict.get("UE").flatMap(_.asStr)
-      .getOrElse(throw new UnsupportedOperationException("V5 without /UE"))
-    require(u.length >= 48, "V5 /U must be 48 bytes")
-    val validationSalt = java.util.Arrays.copyOfRange(u, 32, 40)
-    val keySalt = java.util.Arrays.copyOfRange(u, 40, 48)
-    // validate the empty user password (lenient: proceed regardless,
-    // like the reference's auto-auth — garbage keys yield error rows)
-    val expected = R6Hash(Array.emptyByteArray, validationSalt)
-    val _ok = java.util.Arrays.equals(expected, java.util.Arrays.copyOf(u, 32))
-    val inter = R6Hash(Array.emptyByteArray, keySalt)
-    val c = Cipher.getInstance("AES/CBC/NoPadding")
-    c.init(Cipher.DECRYPT_MODE, new SecretKeySpec(inter, "AES"),
-      new IvParameterSpec(new Array[Byte](16)))
-    c.doFinal(java.util.Arrays.copyOf(ue, 32))
-  } else {
+  private val oEntry = encDict.get("O").flatMap(_.asStr).getOrElse(Array.emptyByteArray)
+  private val uEntry = encDict.get("U").flatMap(_.asStr).getOrElse(Array.emptyByteArray)
+  private val pFlags = encDict.long("P").getOrElse(-1L).toInt
+  private val encryptMetadata = encDict.get("EncryptMetadata") match {
+    case Some(Bool(b)) => b
+    case _             => true
+  }
+
+  /** Pad/truncate a password to exactly 32 bytes (ISO 32000-1 Alg 2a). */
+  private def pad32(pw: Array[Byte]): Array[Byte] = {
+    val out = new Array[Byte](32)
+    val n = math.min(pw.length, 32)
+    System.arraycopy(pw, 0, out, 0, n)
+    System.arraycopy(Pad, 0, out, n, 32 - n)
+    out
+  }
+
+  /** Algorithm 2: file key from an already-padded 32-byte password. */
+  private def keyFromPadded(padded: Array[Byte]): Array[Byte] = {
     val md = MessageDigest.getInstance("MD5")
-    md.update(Pad) // empty password → pad alone
-    val o = encDict.get("O").flatMap(_.asStr).getOrElse(Array.emptyByteArray)
-    md.update(o, 0, math.min(32, o.length))
-    val p = encDict.long("P").getOrElse(-1L).toInt
-    md.update(Array[Byte](p.toByte, (p >> 8).toByte, (p >> 16).toByte, (p >> 24).toByte))
+    md.update(padded)
+    md.update(oEntry, 0, math.min(32, oEntry.length))
+    md.update(Array[Byte](pFlags.toByte, (pFlags >> 8).toByte,
+      (pFlags >> 16).toByte, (pFlags >> 24).toByte))
     md.update(fileId)
-    val encryptMetadata = encDict.get("EncryptMetadata") match {
-      case Some(Bool(b)) => b
-      case _             => true
-    }
     if (r >= 4 && !encryptMetadata)
       md.update(Array[Byte](-1, -1, -1, -1))
     var digest = md.digest()
@@ -146,6 +148,150 @@ final class StdSecurityHandler(encDict: Dict, fileId: Array[Byte]) {
     }
     java.util.Arrays.copyOf(digest, keyLen)
   }
+
+  /** Algorithm 4 (r2) / 5 (r≥3): expected /U for a candidate key. */
+  private def expectedU(key: Array[Byte]): Array[Byte] = {
+    if (r == 2) Rc4(key, Pad)
+    else {
+      val md = MessageDigest.getInstance("MD5")
+      md.update(Pad)
+      md.update(fileId)
+      var x = md.digest()
+      var i = 0
+      while (i < 20) {
+        x = Rc4(key.map(b => (b ^ i).toByte), x)
+        i += 1
+      }
+      x
+    }
+  }
+
+  /** User-password auth for V≤4 (reference algorithms.rs:106-138):
+    * derive key via Algorithm 2, verify the first 16 (32 for r2) bytes
+    * of /U. */
+  private def authUserV4(pw: Array[Byte]): Option[Array[Byte]] = {
+    val key = keyFromPadded(pad32(pw))
+    val n = if (r == 2) 32 else 16
+    val exp = expectedU(key)
+    if (uEntry.length >= n && exp.length >= n &&
+        java.util.Arrays.equals(java.util.Arrays.copyOf(exp, n),
+          java.util.Arrays.copyOf(uEntry, n))) Some(key)
+    else None
+  }
+
+  /** Owner-password auth for V≤4 (Algorithms 3 step a-d + 7): RC4-key
+    * from the owner password, decrypt /O back to the padded USER
+    * password, then verify that via Algorithm 4/5. (Beyond the
+    * reference, whose owner path is a TODO — handler.rs:92-93.) */
+  private def authOwnerV4(pw: Array[Byte]): Option[Array[Byte]] = {
+    if (oEntry.length < 32) return None
+    var digest = MessageDigest.getInstance("MD5").digest(pad32(pw))
+    if (r >= 3) {
+      var i = 0
+      while (i < 50) { digest = MessageDigest.getInstance("MD5").digest(digest); i += 1 }
+    }
+    val rc4Key = java.util.Arrays.copyOf(digest, keyLen)
+    var data = java.util.Arrays.copyOf(oEntry, 32)
+    if (r == 2) data = Rc4(rc4Key, data)
+    else {
+      var i = 19
+      while (i >= 0) {
+        data = Rc4(rc4Key.map(b => (b ^ i).toByte), data)
+        i -= 1
+      }
+    }
+    // data is now the PADDED user password — feed Algorithm 2 directly
+    val key = keyFromPadded(data)
+    val n = if (r == 2) 32 else 16
+    val exp = expectedU(key)
+    if (uEntry.length >= n &&
+        java.util.Arrays.equals(java.util.Arrays.copyOf(exp, n),
+          java.util.Arrays.copyOf(uEntry, n))) Some(key)
+    else None
+  }
+
+  /** V5 password hash: R5 = plain SHA-256(pw‖salt‖udata); R6 = the
+    * hardened Algorithm 2.B loop. Passwords are capped at 127 bytes of
+    * UTF-8 (ISO 32000-2 7.6.4.3.3). */
+  private def hashV5(pw: Array[Byte], salt: Array[Byte], udata: Array[Byte]): Array[Byte] = {
+    val p = if (pw.length > 127) java.util.Arrays.copyOf(pw, 127) else pw
+    if (r <= 5) MessageDigest.getInstance("SHA-256").digest(p ++ salt ++ udata)
+    else R6Hash(p, salt, udata)
+  }
+
+  private def aesNoIvDecrypt(key: Array[Byte], data: Array[Byte]): Array[Byte] = {
+    val c = Cipher.getInstance("AES/CBC/NoPadding")
+    c.init(Cipher.DECRYPT_MODE, new SecretKeySpec(key, "AES"),
+      new IvParameterSpec(new Array[Byte](16)))
+    c.doFinal(data)
+  }
+
+  /** V5 user auth (ISO 32000-2 Algorithm 2.A / 11): /U =
+    * hash(pw‖validationSalt) ‖ vs ‖ ks; file key = AES-dec(/UE) with
+    * hash(pw‖keySalt). */
+  private def authUserV5(pw: Array[Byte]): Option[Array[Byte]] = {
+    if (uEntry.length < 48) return None
+    val ue = encDict.get("UE").flatMap(_.asStr).getOrElse(return None)
+    if (ue.length < 32) return None
+    val vs = java.util.Arrays.copyOfRange(uEntry, 32, 40)
+    val ks = java.util.Arrays.copyOfRange(uEntry, 40, 48)
+    if (!java.util.Arrays.equals(hashV5(pw, vs, Array.emptyByteArray),
+        java.util.Arrays.copyOf(uEntry, 32))) return None
+    Some(aesNoIvDecrypt(hashV5(pw, ks, Array.emptyByteArray),
+      java.util.Arrays.copyOf(ue, 32)))
+  }
+
+  /** V5 owner auth (Algorithm 2.A / 12): like user auth but salts come
+    * from /O and the full 48-byte /U participates as udata; file key
+    * decrypts from /OE. */
+  private def authOwnerV5(pw: Array[Byte]): Option[Array[Byte]] = {
+    if (oEntry.length < 48 || uEntry.length < 48) return None
+    val oe = encDict.get("OE").flatMap(_.asStr).getOrElse(return None)
+    if (oe.length < 32) return None
+    val u48 = java.util.Arrays.copyOf(uEntry, 48)
+    val vs = java.util.Arrays.copyOfRange(oEntry, 32, 40)
+    val ks = java.util.Arrays.copyOfRange(oEntry, 40, 48)
+    if (!java.util.Arrays.equals(hashV5(pw, vs, u48),
+        java.util.Arrays.copyOf(oEntry, 32))) return None
+    Some(aesNoIvDecrypt(hashV5(pw, ks, u48), java.util.Arrays.copyOf(oe, 32)))
+  }
+
+  /** Auth ladder result: (key, mode). Lenient fallback derives the
+    * empty-user key without validation — like the reference's
+    * auto-auth, garbage keys surface as error rows downstream. */
+  private val authResult: (Array[Byte], String) = {
+    val empty = Array.emptyByteArray
+    val ladder: Seq[(Array[Byte], String)] =
+      Seq((password, "user"), (password, "owner"), (empty, "user"), (empty, "owner"))
+    val hit = ladder.view.flatMap { case (pw, mode) =>
+      val k = (v, mode) match {
+        case (5, "user")  => authUserV5(pw)
+        case (5, "owner") => authOwnerV5(pw)
+        case (_, "user")  => authUserV4(pw)
+        case (_, "owner") => authOwnerV4(pw)
+      }
+      k.map(_ -> mode)
+    }.headOption
+    hit.getOrElse {
+      // Lenient: derive a key from the SUPPLIED password without
+      // verification (dicts lacking /U can't verify anything; fixture
+      // builders rely on this to mint keys before /U exists).
+      if (v == 5) {
+        val ue = encDict.get("UE").flatMap(_.asStr)
+          .getOrElse(throw new UnsupportedOperationException("V5 without /UE"))
+        require(uEntry.length >= 48, "V5 /U must be 48 bytes")
+        val ks = java.util.Arrays.copyOfRange(uEntry, 40, 48)
+        (aesNoIvDecrypt(hashV5(password, ks, Array.emptyByteArray),
+          java.util.Arrays.copyOf(ue, 32)), "none")
+      } else (keyFromPadded(pad32(password)), "none")
+    }
+  }
+
+  val fileKey: Array[Byte] = authResult._1
+
+  /** "user" | "owner" | "none" (none = nothing verified; lenient key). */
+  val authMode: String = authResult._2
+  def authenticated: Boolean = authMode != "none"
 
   /** Per-object key (Algorithm 1): MD5(fileKey ‖ num₃LE ‖ gen₂LE
     * [‖ sAlT for AES]), truncated to min(keyLen+5, 16). V5 uses the
@@ -200,37 +346,48 @@ final class StdSecurityHandler(encDict: Dict, fileId: Array[Byte]) {
     } else Rc4(key, data)
   }
 
-  /** /U entry for the empty user password (Algorithms 4/5) — lets
+  /** /U entry for the CURRENT file key (Algorithms 4/5) — lets
     * fixtures produce structurally conformant files. */
   def computeU(): Array[Byte] = {
-    if (r == 2) Rc4(fileKey, Pad)
+    val x = expectedU(fileKey)
+    if (r == 2) x else x ++ new Array[Byte](16) // arbitrary 16-byte pad
+  }
+
+  /** Fixture support: /O for a given owner/user password pair
+    * (Algorithm 3 complete), so specs can build files that only open
+    * with the right password. */
+  def computeO(ownerPw: Array[Byte], userPw: Array[Byte]): Array[Byte] = {
+    var digest = MessageDigest.getInstance("MD5").digest(pad32(ownerPw))
+    if (r >= 3) {
+      var i = 0
+      while (i < 50) { digest = MessageDigest.getInstance("MD5").digest(digest); i += 1 }
+    }
+    val rc4Key = java.util.Arrays.copyOf(digest, keyLen)
+    var data = pad32(userPw)
+    if (r == 2) data = Rc4(rc4Key, data)
     else {
-      val md = MessageDigest.getInstance("MD5")
-      md.update(Pad)
-      md.update(fileId)
-      var x = Rc4(fileKey, md.digest())
-      var i = 1
+      var i = 0
       while (i <= 19) {
-        val k = fileKey.map(b => (b ^ i).toByte)
-        x = Rc4(k, x)
+        data = Rc4(rc4Key.map(b => (b ^ i).toByte), data)
         i += 1
       }
-      x ++ new Array[Byte](16) // arbitrary 16-byte pad
     }
+    data
   }
 }
 
 object StdSecurityHandler {
   /** Build from a trailer's /Encrypt (resolved) + /ID. Returns None for
     * non-Standard or unsupported configurations. */
-  def fromTrailer(encDict: Dict, idObj: PdfObj): Option[StdSecurityHandler] = {
+  def fromTrailer(encDict: Dict, idObj: PdfObj,
+                  password: Array[Byte] = Array.emptyByteArray): Option[StdSecurityHandler] = {
     if (!encDict.name("Filter").forall(_ == "Standard")) return None
     val fileId: Array[Byte] = idObj match {
       case Arr(items) if items.nonEmpty =>
         items.head.asStr.getOrElse(Array.emptyByteArray)
       case _ => Array.emptyByteArray
     }
-    try Some(new StdSecurityHandler(encDict, fileId))
+    try Some(new StdSecurityHandler(encDict, fileId, password))
     catch { case _: Throwable => None }
   }
 }

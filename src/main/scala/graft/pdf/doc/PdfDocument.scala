@@ -28,7 +28,11 @@ final case class Page(
   * over a byte array, not a file — on Spark the payload is already a
   * binary column in memory.
   */
-final class PdfDocument(val data: Array[Byte]) {
+final class PdfDocument(val data: Array[Byte],
+                        password: Array[Byte] = Array.emptyByteArray) {
+
+  def this(data: Array[Byte], password: String) =
+    this(data, password.getBytes(java.nio.charset.StandardCharsets.UTF_8))
 
   val version: String = parseHeader()
   val xref = new XRefTable
@@ -61,9 +65,17 @@ final class PdfDocument(val data: Array[Byte]) {
       encryptRefId = e match { case Ref(id, _) => id; case _ => -1 }
       val encDict = resolveDict(e)
       encryption = graft.pdf.crypto.StdSecurityHandler
-        .fromTrailer(encDict, resolve(trailer.get("ID").getOrElse(Null)))
+        .fromTrailer(encDict, resolve(trailer.get("ID").getOrElse(Null)), password)
       if (encryption.isEmpty)
         throw new PdfLoadException("unsupported encryption configuration")
+      // A well-formed /U means verification is meaningful: refuse to
+      // emit garbage when neither the supplied nor the empty password
+      // authenticates (reference authenticate() returns false there,
+      // handler.rs:95-99). Dicts WITHOUT /U keep the lenient path.
+      encryption.foreach { h =>
+        if (!h.authenticated && encDict.get("U").flatMap(_.asStr).exists(_.length >= 16))
+          throw new PdfLoadException("encrypted: password required")
+      }
     }
   }
 

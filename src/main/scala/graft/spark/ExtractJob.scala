@@ -22,7 +22,9 @@ object ExtractJob {
       /** enable the salt-based skew routing (north rule). */
       salt: Boolean = true,
       heavySaltBuckets: Int = 64,
-      maxPages: Int = PdfExtractor.DefaultMaxPages)
+      maxPages: Int = PdfExtractor.DefaultMaxPages,
+      /** password tried for encrypted PDFs (empty always tried too). */
+      password: String = "")
 
   /** Core transform: (url, html) → ExtractedDoc. Only `url` and `html`
     * survive the scan — Catalyst prunes the rest (verify: ReadSchema in
@@ -71,7 +73,8 @@ object ExtractJob {
       ExtractedDoc(u, "", "", 0, 0, ms, "skipped_oversize", "", nBytes, pid)
     else if (PdfExtractor.isPdf(html)) {
       try {
-        val r = PdfExtractor.extract(html, cfg.maxPages)
+        val r = PdfExtractor.extract(html,
+          graft.pdf.ConversionOptions(maxPages = cfg.maxPages, password = cfg.password))
         ExtractedDoc(u, r.text, r.markdown, r.nPages, r.nSpans, ms, "ok", "", nBytes, pid)
       } catch {
         case e: Throwable =>
