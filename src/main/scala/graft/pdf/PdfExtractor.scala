@@ -1,6 +1,6 @@
 package graft.pdf
 
-import graft.pdf.convert.{Markdown, TextAssembler}
+import graft.pdf.convert.{Html, Markdown, TextAssembler}
 import graft.pdf.doc.PdfDocument
 import graft.pdf.extract.TextExtractor
 
@@ -13,6 +13,7 @@ import graft.pdf.extract.TextExtractor
 final case class ExtractResult(
     text: String,
     markdown: String,
+    html: String,
     nPages: Int,
     nSpans: Int)
 
@@ -33,7 +34,10 @@ final case class ConversionOptions(
     maxPages: Int = PdfExtractor.DefaultMaxPages,
     /** user or owner password for encrypted documents (UTF-8; the
       * empty password is always tried — reference document.rs:276-288). */
-    password: String = "")
+    password: String = "",
+    /** HTML export mode: absolute-positioned divs instead of semantic
+      * tags (reference html.rs preserve_layout option). */
+    preserveLayout: Boolean = false)
 
 object PdfExtractor {
 
@@ -62,6 +66,7 @@ object PdfExtractor {
     var nSpans = 0
     val texts = Vector.newBuilder[String]
     val mds = Vector.newBuilder[String]
+    val htmls = Vector.newBuilder[String]
     pages.foreach { page =>
       val raw0 =
         try new TextExtractor(doc).extractRaw(page)
@@ -95,11 +100,13 @@ object PdfExtractor {
         case ReadingOrderMode.StructureTreeFirst => forText
       }
       mds += Markdown.convertPage(forMd)
+      htmls += Html.convertPage(forMd, preserveLayout = opts.preserveLayout)
     }
     // page joins (reference: text "\n\n"; markdown "\n---\n\n",
     // document.rs:2317-2333)
     val text = texts.result().filter(_.nonEmpty).mkString("\n\n")
     val md = mds.result().filter(_.nonEmpty).mkString("\n\n---\n\n")
-    ExtractResult(text, md, pages.size, nSpans)
+    val html = htmls.result().filter(_.nonEmpty).mkString("\n")
+    ExtractResult(text, md, html, pages.size, nSpans)
   }
 }

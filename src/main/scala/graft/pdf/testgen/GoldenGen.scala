@@ -25,6 +25,7 @@ object GoldenGen {
         val r = PdfExtractor.extract(bytes)
         Files.write(dir.resolve(s"doc$i.txt"), r.text.getBytes(UTF_8))
         Files.write(dir.resolve(s"doc$i.md"), r.markdown.getBytes(UTF_8))
+        Files.write(dir.resolve(s"doc$i.html"), r.html.getBytes(UTF_8))
       } else {
         Files.write(dir.resolve(s"doc$i.txt"),
           BoilerplateStripper.strip(bytes).getBytes(UTF_8))

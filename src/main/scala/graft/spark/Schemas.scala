@@ -17,6 +17,7 @@ final case class ExtractedDoc(
     url: String,
     text: String,
     markdown: String,
+    html: String,
     n_pages: Int,
     n_spans: Int,
     duration_ms: Double,

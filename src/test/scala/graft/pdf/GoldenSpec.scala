@@ -32,6 +32,9 @@ class GoldenSpec extends AnyFunSuite {
         val goldenMd = Files.readAllBytes(dir.resolve(s"doc$i.md"))
         assert(java.util.Arrays.equals(r.markdown.getBytes(UTF_8), goldenMd),
           s"markdown drifted for pdf doc$i")
+        val goldenHtml = Files.readAllBytes(dir.resolve(s"doc$i.html"))
+        assert(java.util.Arrays.equals(r.html.getBytes(UTF_8), goldenHtml),
+          s"html drifted for pdf doc$i")
       } else {
         val txt = BoilerplateStripper.strip(bytes)
         val goldenTxt = Files.readAllBytes(dir.resolve(s"doc$i.txt"))
