@@ -94,9 +94,10 @@ object PdfExtractor {
       val forMd = opts.markdownMode match {
         case ReadingOrderMode.TopToBottomLeftToRight => spatial
         case ReadingOrderMode.ColumnAware =>
+          // per-page adaptive σ/region thresholds (document_analyzer.rs)
           graft.pdf.extract.ReadingOrder.mergeAdjacent(
             graft.pdf.extract.ReadingOrder.dedup(
-              graft.pdf.layout.XYCut.sortSpans(raw, mediaBox)))
+              graft.pdf.layout.XYCut.sortSpansAdaptive(raw, mediaBox)))
         case ReadingOrderMode.StructureTreeFirst => forText
       }
       mds += Markdown.convertPage(forMd)

@@ -40,7 +40,10 @@ final case class GraphicsState(
     fontSize: Float = 0f,       // Tf size
     renderMode: Int = 0,        // Tr
     rise: Float = 0f,           // Ts
-    fillColor: (Float, Float, Float) = (0f, 0f, 0f))
+    fillColor: (Float, Float, Float) = (0f, 0f, 0f),
+    strokeColor: (Float, Float, Float) = (0f, 0f, 0f),
+    fillColorSpace: String = "DeviceRGB",
+    strokeColorSpace: String = "DeviceRGB")
 
 /** q/Q stack (reference: src/content/graphics_state.rs:325-426).
   * Q on an empty stack is a no-op (lenient, like the reference).

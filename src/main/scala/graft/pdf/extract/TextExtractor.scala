@@ -44,6 +44,7 @@ final class TextExtractor(doc: PdfDocument) {
   private var bufFontSize = 0f
   private var bufBold = false
   private var bufMcid = -1
+  private var bufColor = (0f, 0f, 0f)
 
   def extract(page: Page): Vector[TextSpan] = {
     val raw = extractRaw(page)
@@ -135,10 +136,32 @@ final class TextExtractor(doc: PdfDocument) {
       case "g" if o.nonEmpty =>
         val v = num(o(0)); gs.state = gs.state.copy(fillColor = (v, v, v))
       case "k" if o.size >= 4 =>
-        // CMYK → RGB (reference: text.rs:2603-2608)
-        val c = num(o(0)); val m = num(o(1)); val y = num(o(2)); val kk = num(o(3))
         gs.state = gs.state.copy(fillColor =
-          ((1 - c) * (1 - kk), (1 - m) * (1 - kk), (1 - y) * (1 - kk)))
+          cmykToRgb(num(o(0)), num(o(1)), num(o(2)), num(o(3))))
+      // stroke-color family (reference: text.rs:1399-1421)
+      case "RG" if o.size >= 3 =>
+        gs.state = gs.state.copy(strokeColor = (num(o(0)), num(o(1)), num(o(2))))
+      case "G" if o.nonEmpty =>
+        val v = num(o(0)); gs.state = gs.state.copy(strokeColor = (v, v, v))
+      case "K" if o.size >= 4 =>
+        gs.state = gs.state.copy(strokeColor =
+          cmykToRgb(num(o(0)), num(o(1)), num(o(2)), num(o(3))))
+      // color-space selection resets the color (text.rs:1423-1441)
+      case "cs" if o.nonEmpty =>
+        gs.state = gs.state.copy(
+          fillColorSpace = colorSpaceFamily(o(0), resources),
+          fillColor = (0f, 0f, 0f))
+      case "CS" if o.nonEmpty =>
+        gs.state = gs.state.copy(
+          strokeColorSpace = colorSpaceFamily(o(0), resources),
+          strokeColor = (0f, 0f, 0f))
+      // component color in the current space (text.rs:1443-1604)
+      case "sc" | "scn" =>
+        gs.state = gs.state.copy(fillColor =
+          componentColor(gs.state.fillColorSpace, o, gs.state.fillColor))
+      case "SC" | "SCN" =>
+        gs.state = gs.state.copy(strokeColor =
+          componentColor(gs.state.strokeColorSpace, o, gs.state.strokeColor))
       case "BDC" if o.size >= 2 =>
         flush()
         o(1) match {
@@ -272,6 +295,66 @@ final class TextExtractor(doc: PdfDocument) {
     bufFontSize = st.fontSize * trm.scaleY
     bufBold = curFont.isBold
     bufMcid = curMcid
+    bufColor = st.fillColor
+  }
+
+  /** CMYK → RGB: R = 1 − min(1, C·(1−K) + K) (reference: text.rs:2603-2608). */
+  @inline private def cmykToRgb(c: Float, m: Float, y: Float, k: Float): (Float, Float, Float) =
+    (1f - math.min(1f, c * (1f - k) + k),
+     1f - math.min(1f, m * (1f - k) + k),
+     1f - math.min(1f, y * (1f - k) + k))
+
+  private val KnownFamilies = Set("DeviceGray", "DeviceRGB", "DeviceCMYK",
+    "CalGray", "CalRGB", "Lab", "ICCBased", "Separation", "DeviceN",
+    "Indexed", "Pattern")
+
+  /** cs/CS operand → color-space family: device names pass through;
+    * resource keys resolve via /ColorSpace to the array head name. */
+  private def colorSpaceFamily(operand: PdfObj, resources: Dict): String =
+    operand.asName match {
+      case Some(n) if KnownFamilies.contains(n) => n
+      case Some(n) =>
+        doc.dictGet(resources, "ColorSpace") match {
+          case csDict: Dict =>
+            csDict.get(n).map(doc.resolve) match {
+              case Some(Arr(items)) if items.nonEmpty =>
+                items.head.asName.getOrElse(n)
+              case Some(other) => other.asName.getOrElse(n)
+              case None        => n
+            }
+          case _ => n
+        }
+      case None => "DeviceRGB"
+    }
+
+  /** sc/scn components → RGB in the active space (reference:
+    * text.rs:1443-1604 — Lab/Separation/DeviceN use the same
+    * simplified conversions). Non-numeric operands (pattern names)
+    * are ignored; unknown spaces keep the current color. */
+  private def componentColor(family: String, o: scala.collection.IndexedSeq[PdfObj],
+                             cur: (Float, Float, Float)): (Float, Float, Float) = {
+    val comps = o.flatMap(_.asDouble).map(_.toFloat)
+    family match {
+      case "DeviceGray" | "CalGray" if comps.length >= 1 =>
+        val v = comps(0); (v, v, v)
+      case "DeviceRGB" | "CalRGB" if comps.length >= 3 =>
+        (comps(0), comps(1), comps(2))
+      case "Lab" if comps.length >= 3 =>
+        val l = comps(0) / 100f; (l, l, l)
+      case "DeviceCMYK" if comps.length >= 4 =>
+        cmykToRgb(comps(0), comps(1), comps(2), comps(3))
+      case "ICCBased" =>
+        if (comps.length >= 4) cmykToRgb(comps(0), comps(1), comps(2), comps(3))
+        else if (comps.length == 3) (comps(0), comps(1), comps(2))
+        else if (comps.length == 1) { val v = comps(0); (v, v, v) }
+        else cur
+      case "Separation" if comps.length >= 1 =>
+        val g = 1f - comps(0); (g, g, g) // tint 0 = white, 1 = full ink
+      case "DeviceN" if comps.nonEmpty =>
+        if (comps.length >= 4) cmykToRgb(comps(0), comps(1), comps(2), comps(3))
+        else { val g = 1f - comps(0); (g, g, g) }
+      case _ => cur
+    }
   }
 
   /** Emit the buffered run as one TextSpan (reference: TjBuffer flush). */
@@ -287,7 +370,7 @@ final class TextExtractor(doc: PdfDocument) {
         val x0 = math.min(bufStartX, endX)
         val x1 = math.max(bufStartX, endX)
         spans += TextSpan(text, Rect(x0, bufStartY, x1, bufStartY + size),
-          bufFontName, size, bufBold, bufMcid, seq)
+          bufFontName, size, bufBold, bufMcid, seq, bufColor)
         seq += 1
       }
     }

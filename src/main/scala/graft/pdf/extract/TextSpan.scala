@@ -21,4 +21,7 @@ final case class TextSpan(
     fontSize: Float, // effective (Tm/cm-scaled) size
     isBold: Boolean,
     mcid: Int,       // -1 = none
-    sequence: Int)
+    sequence: Int,
+    /** fill color (RGB 0-1) active at span start — reference stamps it
+      * on every TextChar (src/extractors/text.rs:2522-2558). */
+    color: (Float, Float, Float) = (0f, 0f, 0f))

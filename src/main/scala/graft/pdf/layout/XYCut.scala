@@ -11,27 +11,39 @@ import graft.pdf.extract.{Rect, TextSpan}
   */
 object XYCut {
 
-  private val MaxDepth = 10
-  private val MinRegionPt = 50f
-  private val Sigma = 2.0
   private val Bins = 64
 
-  /** Spans in XY-Cut reading order. */
-  def sortSpans(spans: Vector[TextSpan], mediaBox: Array[Double]): Vector[TextSpan] = {
+  /** Spans in XY-Cut reading order with fixed default parameters. */
+  def sortSpans(spans: Vector[TextSpan], mediaBox: Array[Double]): Vector[TextSpan] =
+    sortSpans(spans, mediaBox, AdaptiveLayoutParams.Default)
+
+  /** Spans in XY-Cut reading order, σ/region thresholds supplied by the
+    * per-document analyzer (reference: document_analyzer.rs:360-414). */
+  def sortSpans(spans: Vector[TextSpan], mediaBox: Array[Double],
+                params: AdaptiveLayoutParams): Vector[TextSpan] = {
     if (spans.size <= 1) return spans
     val page = Rect(mediaBox(0).toFloat, mediaBox(1).toFloat,
       mediaBox(2).toFloat, mediaBox(3).toFloat)
-    segment(spans, page, 0)
+    segment(spans, page, 0, params)
   }
 
-  private def segment(spans: Vector[TextSpan], region: Rect, depth: Int): Vector[TextSpan] = {
-    if (spans.size <= 1 || depth >= MaxDepth ||
-        region.width < MinRegionPt || region.height < MinRegionPt)
+  /** Adaptive variant: analyze the page's typography first. */
+  def sortSpansAdaptive(spans: Vector[TextSpan], mediaBox: Array[Double]): Vector[TextSpan] = {
+    if (spans.size <= 1) return spans
+    val page = Rect(mediaBox(0).toFloat, mediaBox(1).toFloat,
+      mediaBox(2).toFloat, mediaBox(3).toFloat)
+    sortSpans(spans, mediaBox, AdaptiveLayoutParams.analyze(spans, page))
+  }
+
+  private def segment(spans: Vector[TextSpan], region: Rect, depth: Int,
+                      params: AdaptiveLayoutParams): Vector[TextSpan] = {
+    if (spans.size <= 1 || depth >= params.maxDepth ||
+        region.width < params.minRegionSize || region.height < params.minRegionSize)
       return leafSort(spans)
 
     // candidate cuts on both axes; pick the deeper/wider valley
-    val xCut = bestValley(spans, region, horizontal = false)
-    val yCut = bestValley(spans, region, horizontal = true)
+    val xCut = bestValley(spans, region, horizontal = false, params.gaussianSigma)
+    val yCut = bestValley(spans, region, horizontal = true, params.gaussianSigma)
     (xCut, yCut) match {
       case (None, None) => leafSort(spans)
       case _ =>
@@ -45,14 +57,14 @@ object XYCut {
           // top region first (PDF Y grows upward)
           val (top, bottom) = spans.partition(_.bbox.y0 >= cut)
           if (top.isEmpty || bottom.isEmpty) leafSort(spans)
-          else segment(top, Rect(region.x0, cut, region.x1, region.y1), depth + 1) ++
-            segment(bottom, Rect(region.x0, region.y0, region.x1, cut), depth + 1)
+          else segment(top, Rect(region.x0, cut, region.x1, region.y1), depth + 1, params) ++
+            segment(bottom, Rect(region.x0, region.y0, region.x1, cut), depth + 1, params)
         } else {
           val cut = xCut.get._1
           val (left, right) = spans.partition(_.bbox.centerX < cut)
           if (left.isEmpty || right.isEmpty) leafSort(spans)
-          else segment(left, Rect(region.x0, region.y0, cut, region.y1), depth + 1) ++
-            segment(right, Rect(cut, region.y0, region.x1, region.y1), depth + 1)
+          else segment(left, Rect(region.x0, region.y0, cut, region.y1), depth + 1, params) ++
+            segment(right, Rect(cut, region.y0, region.x1, region.y1), depth + 1, params)
         }
     }
   }
@@ -63,7 +75,7 @@ object XYCut {
   /** Best empty valley along one axis: (cut position, valley width in
     * axis units); None if no qualifying gap. */
   private def bestValley(spans: Vector[TextSpan], region: Rect,
-                         horizontal: Boolean): Option[(Float, Float)] = {
+                         horizontal: Boolean, sigma: Double): Option[(Float, Float)] = {
     val lo = if (horizontal) region.y0 else region.x0
     val hi = if (horizontal) region.y1 else region.x1
     val extent = hi - lo
@@ -77,7 +89,7 @@ object XYCut {
       var k = b0
       while (k <= b1) { hist(k) += 1; k += 1 }
     }
-    val smoothed = gaussianSmooth(hist, Sigma)
+    val smoothed = gaussianSmooth(hist, sigma)
     // content extent: trim empty margins
     val thresh = 0.1 * smoothed.max
     val first = smoothed.indexWhere(_ > thresh)

@@ -53,6 +53,45 @@ class XYCutSpec extends AnyFunSuite {
     assert(md.indexOf("leftcol5") < md.indexOf("rightcol0"), md)
   }
 
+  test("adaptive params: dense short-line grids get sharp sigma, sparse pages heavy") {
+    import graft.pdf.layout.{AdaptiveLayoutParams, DocumentProperties}
+    val page = Rect(0, 0, 612, 792)
+    // dense: 20 rows x 3 narrow columns of 4-char words → ~12 chars/line
+    val dense = (for (r <- 0 until 20; c <- 0 until 3)
+      yield span("word", 60 + c * 178f, 700 - 15f * r, w = 130f)).toVector
+    val dp = DocumentProperties.analyze(dense, page)
+    assert(dp.avgCharsPerLine < 30f, dp.toString)
+    assert(dp.columnCount == 3, dp.toString)
+    assert(AdaptiveLayoutParams.fromProperties(dp).gaussianSigma == 0.5)
+    // sparse: 5 long single-column lines → heavy smoothing
+    val sparse = (0 until 5).map(i =>
+      span("x" * 80, 72, 700 - 20f * i, w = 468f)).toVector
+    val sp = DocumentProperties.analyze(sparse, page)
+    assert(sp.avgCharsPerLine >= 60f, sp.toString)
+    assert(AdaptiveLayoutParams.fromProperties(sp).gaussianSigma == 2.5)
+  }
+
+  test("adaptive sigma segments a dense narrow-gap grid that fixed sigma=2 misses") {
+    // 3 columns (130pt wide) with ~29pt gaps: σ=2 smears the 3-bin
+    // valleys above the cut threshold → row-major interleave; the
+    // analyzer sees ~12 chars/line → σ=0.5 → clean column-major order
+    // (reference behavior: document_analyzer.rs gaussian_sigma fix #2)
+    val grid = (for (r <- 0 until 20; c <- 0 until 3)
+      yield span(s"c${c}r$r", 60 + c * 178f, 700 - 15f * r, w = 130f, seq = r * 3 + c)).toVector
+    val fixed = XYCut.sortSpans(grid, mediaBox).map(_.text)
+    val adaptive = XYCut.sortSpansAdaptive(grid, mediaBox).map(_.text)
+    val idxA = adaptive.zipWithIndex.toMap
+    // adaptive: every column-0 span precedes every column-1 span, etc.
+    assert((0 until 20).map(r => idxA(s"c0r$r")).max <
+           (0 until 20).map(r => idxA(s"c1r$r")).min, adaptive.toString)
+    assert((0 until 20).map(r => idxA(s"c1r$r")).max <
+           (0 until 20).map(r => idxA(s"c2r$r")).min, adaptive.toString)
+    // fixed σ=2 fails to find the narrow valleys → row-major interleave
+    val idxF = fixed.zipWithIndex.toMap
+    assert(idxF("c1r0") < idxF("c0r19"),
+      s"fixed-sigma unexpectedly segmented the grid: $fixed")
+  }
+
   test("single dense block falls through to plain spatial sort") {
     val spans = (0 until 10).map(i => span(s"l$i", 72, 700 - 14f * i, seq = i)).toVector
     val order = XYCut.sortSpans(spans, mediaBox).map(_.text)
