@@ -51,7 +51,7 @@ object Multimodal {
 
   /** Parsed container header: (format, width, height, bitsPerComponent).
     * Unknown/truncated payloads → ("unknown", 0, 0, 0). */
-  private[ops] def decodeHeader(b: Array[Byte]): (String, Long, Long, Long) = {
+  private[graft] def decodeHeader(b: Array[Byte]): (String, Long, Long, Long) = {
     @inline def u8(i: Int): Int = b(i) & 0xff
     @inline def be32(i: Int): Long =
       ((u8(i).toLong << 24) | (u8(i + 1) << 16) | (u8(i + 2) << 8) | u8(i + 3)) & 0xffffffffL

@@ -1,0 +1,289 @@
+package graft.pdf.extract
+
+import java.util.zip.{CRC32, Deflater}
+import scala.collection.mutable
+import graft.pdf.cos.PdfObj
+import graft.pdf.cos.PdfObj._
+import graft.pdf.doc.{Page, PdfDocument}
+
+/** Image XObject pixel extraction + save encoding (reference:
+  * src/extractors/images.rs:430-525 extract_image_from_xobject,
+  * 156-204 save_as_png/save_as_jpeg, document.rs:2560-2773).
+  *
+  * DCTDecode images pass through as ready-to-save JPEG bytes (the
+  * filter pipeline already leaves DCT payloads intact); everything
+  * else decodes to raw samples which normalize to 8-bit Gray/RGB
+  * (CMYK converted, /Indexed palettes resolved, 1/2/4/16-bit depths
+  * expanded) and encode to PNG with the JDK Deflater — no external
+  * codec library needed.
+  */
+final case class PdfImage(
+    name: String,
+    width: Int,
+    height: Int,
+    bitsPerComponent: Int,
+    colorSpace: String, // DeviceGray | DeviceRGB | DeviceCMYK | Indexed | unknown
+    isJpeg: Boolean,
+    /** jpeg bytes (pass-through) or decoded raw samples. */
+    data: Array[Byte],
+    /** Indexed palette as base-space component bytes. */
+    palette: Option[Array[Byte]] = None,
+    paletteBase: String = "")
+
+object Images {
+
+  /** All image XObjects on a page with their decoded payloads. */
+  def extract(doc: PdfDocument, page: Page): Vector[PdfImage] = {
+    doc.dictGet(page.resources, "XObject") match {
+      case xd: Dict =>
+        xd.entries.keys.toVector.sorted.flatMap { name =>
+          doc.resolve(xd.get(name).getOrElse(Null)) match {
+            case s @ Stream(d, _) if d.name("Subtype").contains("Image") =>
+              try Some(fromStream(doc, name, s))
+              catch { case _: Throwable => None }
+            case _ => None
+          }
+        }
+      case _ => Vector.empty
+    }
+  }
+
+  private def fromStream(doc: PdfDocument, name: String, s: Stream): PdfImage = {
+    val d = s.dict
+    val w = doc.dictGet(d, "Width").asLong.getOrElse(0L).toInt
+    val h = doc.dictGet(d, "Height").asLong.getOrElse(0L).toInt
+    val bpc = doc.dictGet(d, "BitsPerComponent").asLong.getOrElse(8L).toInt
+    val isJpeg = (doc.dictGet(d, "Filter") match {
+      case Name(n)  => Seq(n)
+      case Arr(xs)  => xs.flatMap(_.asName)
+      case _        => Seq.empty
+    }).contains("DCTDecode")
+    val (cs, palette, paletteBase) = colorSpace(doc, doc.dictGet(d, "ColorSpace"))
+    // decodeStream leaves DCT payloads intact → jpeg bytes verbatim
+    val data = doc.streamData(s)
+    PdfImage(name, w, h, bpc, cs, isJpeg, data, palette, paletteBase)
+  }
+
+  /** (family, palette, paletteBase) — /Indexed palettes resolved to
+    * raw base-component bytes (images.rs parse_color_space analog). */
+  private def colorSpace(doc: PdfDocument, o: PdfObj): (String, Option[Array[Byte]], String) =
+    o match {
+      case Name(n) => (n, None, "")
+      case Arr(items) if items.nonEmpty =>
+        items.head.asName match {
+          case Some("ICCBased") if items.size >= 2 =>
+            val n = doc.resolve(items(1)) match {
+              case Stream(sd, _) => doc.dictGet(sd, "N").asLong.getOrElse(3L).toInt
+              case _             => 3
+            }
+            (if (n == 1) "DeviceGray" else if (n == 4) "DeviceCMYK" else "DeviceRGB", None, "")
+          case Some("Indexed") if items.size >= 4 =>
+            val (base, _, _) = colorSpace(doc, doc.resolve(items(1)))
+            val lookup = doc.resolve(items(3)) match {
+              case Str(b)         => b
+              case st @ Stream(_, _) => doc.streamData(st)
+              case _              => Array.emptyByteArray
+            }
+            ("Indexed", Some(lookup), base)
+          case Some(n) => (n, None, "")
+          case None    => ("unknown", None, "")
+        }
+      case _ => ("unknown", None, "")
+    }
+
+  /** Number of components per sample for the stored data. */
+  private def nComponents(cs: String): Int = cs match {
+    case "DeviceRGB" | "CalRGB" | "Lab" => 3
+    case "DeviceCMYK"                   => 4
+    case _                              => 1 // gray / indexed / unknown
+  }
+
+  /** Normalize raw samples to 8-bit channel-interleaved pixels:
+    * (pixels, channels) where channels is 1 (gray) or 3 (rgb).
+    * None for JPEG pass-through (no entropy decoder here — save those
+    * with `toJpeg`, exactly the reference's pass-through behavior). */
+  def toPixels(img: PdfImage): Option[(Array[Byte], Int)] = {
+    if (img.isJpeg || img.width <= 0 || img.height <= 0) return None
+    val ncomp = nComponents(img.colorSpace)
+    val eight = expandTo8(img.data, img.width, img.height, ncomp, img.bitsPerComponent)
+    img.colorSpace match {
+      case "DeviceRGB" | "CalRGB" => Some((eight, 3))
+      case "DeviceCMYK" =>
+        val n = img.width * img.height
+        val rgb = new Array[Byte](n * 3)
+        var i = 0
+        while (i < n) {
+          val c = (eight(i * 4) & 0xff) / 255f
+          val m = (eight(i * 4 + 1) & 0xff) / 255f
+          val y = (eight(i * 4 + 2) & 0xff) / 255f
+          val k = (eight(i * 4 + 3) & 0xff) / 255f
+          rgb(i * 3) = ((1 - math.min(1f, c * (1 - k) + k)) * 255f).round.toByte
+          rgb(i * 3 + 1) = ((1 - math.min(1f, m * (1 - k) + k)) * 255f).round.toByte
+          rgb(i * 3 + 2) = ((1 - math.min(1f, y * (1 - k) + k)) * 255f).round.toByte
+          i += 1
+        }
+        Some((rgb, 3))
+      case "Indexed" =>
+        val pal = img.palette.getOrElse(Array.emptyByteArray)
+        val baseN = nComponents(img.paletteBase)
+        val n = img.width * img.height
+        // expand indices (1 comp) through the palette to base comps
+        val basePx = new Array[Byte](n * baseN)
+        var i = 0
+        while (i < n) {
+          // indices are NOT scaled — re-read raw index from eight and
+          // undo the gray scaling expandTo8 applied for bpc < 8
+          val maxV = (1 << img.bitsPerComponent) - 1
+          val idx0 = ((eight(i) & 0xff) * maxV + 127) / 255
+          val off = idx0 * baseN
+          var c = 0
+          while (c < baseN) {
+            basePx(i * baseN + c) =
+              if (off + c < pal.length) pal(off + c) else 0
+            c += 1
+          }
+          i += 1
+        }
+        val tmp = img.copy(colorSpace = img.paletteBase, isJpeg = false,
+          data = basePx, bitsPerComponent = 8, palette = None)
+        toPixels(tmp)
+      case _ => Some((eight, 1)) // gray / unknown-as-gray
+    }
+  }
+
+  /** Expand bpc-1/2/4/8/16 row-padded samples to one byte per sample,
+    * scaled to 0-255. */
+  private[extract] def expandTo8(data: Array[Byte], width: Int, height: Int,
+                                 ncomp: Int, bpc: Int): Array[Byte] = {
+    val total = width * height * ncomp
+    val out = new Array[Byte](total)
+    bpc match {
+      case 8 =>
+        System.arraycopy(data, 0, out, 0, math.min(data.length, total))
+      case 16 =>
+        var i = 0
+        while (i < total && i * 2 < data.length) { out(i) = data(i * 2); i += 1 }
+      case 1 | 2 | 4 =>
+        val samplesPerRow = width * ncomp
+        val rowBytes = (samplesPerRow * bpc + 7) / 8
+        val maxV = (1 << bpc) - 1
+        var row = 0
+        while (row < height) {
+          var sIdx = 0
+          while (sIdx < samplesPerRow) {
+            val bitPos = sIdx * bpc
+            val byteIdx = row * rowBytes + bitPos / 8
+            val v =
+              if (byteIdx < data.length)
+                (data(byteIdx) >> (8 - bpc - bitPos % 8)) & maxV
+              else 0
+            out(row * samplesPerRow + sIdx) = (v * 255 / maxV).toByte
+            sIdx += 1
+          }
+          row += 1
+        }
+      case _ => // unsupported depth: leave zeros
+    }
+    out
+  }
+
+  /** Encode to PNG (8-bit Gray or RGB). None for JPEG pass-through. */
+  def toPng(img: PdfImage): Option[Array[Byte]] =
+    toPixels(img).map { case (px, channels) =>
+      encodePng(px, img.width, img.height, channels)
+    }
+
+  /** JPEG bytes when the image is DCT pass-through (reference
+    * save_as_jpeg writes them verbatim). */
+  def toJpeg(img: PdfImage): Option[Array[Byte]] =
+    if (img.isJpeg) Some(img.data) else None
+
+  /** Minimal conformant PNG writer: IHDR + one IDAT (filter 0 rows,
+    * Deflater) + IEND. */
+  private[extract] def encodePng(pixels: Array[Byte], width: Int,
+                                 height: Int, channels: Int): Array[Byte] = {
+    require(channels == 1 || channels == 3, s"channels=$channels")
+    val colorType = if (channels == 1) 0 else 2
+    val rowLen = width * channels
+    // prepend filter byte 0 per scanline
+    val rawData = new Array[Byte](height * (rowLen + 1))
+    var row = 0
+    while (row < height) {
+      rawData(row * (rowLen + 1)) = 0
+      val src = row * rowLen
+      val n = math.max(0, math.min(rowLen, pixels.length - src))
+      if (n > 0) System.arraycopy(pixels, src, rawData, row * (rowLen + 1) + 1, n)
+      row += 1
+    }
+    val deflater = new Deflater(Deflater.DEFAULT_COMPRESSION)
+    deflater.setInput(rawData)
+    deflater.finish()
+    val zBuf = new java.io.ByteArrayOutputStream()
+    val tmp = new Array[Byte](16384)
+    while (!deflater.finished()) {
+      val n = deflater.deflate(tmp)
+      zBuf.write(tmp, 0, n)
+    }
+    deflater.end()
+    val out = new java.io.ByteArrayOutputStream()
+    out.write(Array[Byte](0x89.toByte, 'P', 'N', 'G', 0x0d, 0x0a, 0x1a, 0x0a))
+    def be32(v: Int): Array[Byte] =
+      Array((v >>> 24).toByte, (v >>> 16).toByte, (v >>> 8).toByte, v.toByte)
+    def chunk(tag: String, body: Array[Byte]): Unit = {
+      out.write(be32(body.length))
+      val tb = tag.getBytes("US-ASCII")
+      out.write(tb)
+      out.write(body)
+      val crc = new CRC32
+      crc.update(tb)
+      crc.update(body)
+      out.write(be32(crc.getValue.toInt))
+    }
+    chunk("IHDR", be32(width) ++ be32(height) ++
+      Array[Byte](8, colorType.toByte, 0, 0, 0))
+    chunk("IDAT", zBuf.toByteArray)
+    chunk("IEND", Array.emptyByteArray)
+    out.toByteArray
+  }
+
+  /** Decode our own PNG output back to (pixels, w, h, channels) — test
+    * support for round-trip verification (filter 0 rows only). */
+  private[graft] def decodePngForTest(png: Array[Byte]): (Array[Byte], Int, Int, Int) = {
+    def be32(i: Int): Int =
+      ((png(i) & 0xff) << 24) | ((png(i + 1) & 0xff) << 16) |
+        ((png(i + 2) & 0xff) << 8) | (png(i + 3) & 0xff)
+    val w = be32(16)
+    val h = be32(20)
+    val channels = if (png(25) == 0) 1 else 3
+    // collect IDAT bodies
+    val idat = new java.io.ByteArrayOutputStream()
+    var pos = 8
+    var done = false
+    while (!done && pos + 8 <= png.length) {
+      val len = be32(pos)
+      val tag = new String(png, pos + 4, 4, "US-ASCII")
+      if (tag == "IDAT") idat.write(png, pos + 8, len)
+      if (tag == "IEND") done = true
+      pos += 12 + len
+    }
+    val inflater = new java.util.zip.Inflater()
+    inflater.setInput(idat.toByteArray)
+    val raw = new Array[Byte](h * (w * channels + 1))
+    var off = 0
+    while (!inflater.finished() && off < raw.length) {
+      off += inflater.inflate(raw, off, raw.length - off)
+    }
+    inflater.end()
+    val px = new Array[Byte](h * w * channels)
+    val rowLen = w * channels
+    val filters = mutable.ArrayBuffer.empty[Int]
+    var row = 0
+    while (row < h) {
+      filters += raw(row * (rowLen + 1)) & 0xff
+      System.arraycopy(raw, row * (rowLen + 1) + 1, px, row * rowLen, rowLen)
+      row += 1
+    }
+    require(filters.forall(_ == 0), s"unexpected PNG filters $filters")
+    (px, w, h, channels)
+  }
+}

@@ -142,6 +142,52 @@ object ReadingOrder {
     out.result()
   }
 
+  /** Graph-based reading order via precedence DAG + Kahn toposort
+    * (reference: src/layout/reading_order.rs:105-199
+    * graph_based_reading_order). Precedence rules: same line (|Δtop| <
+    * 5) ⇒ left before right; otherwise higher top first (PDF Y grows
+    * upward). O(n²) edges per page — n is small per page; the
+    * alternative to tree pre-order for layouts that don't nest. */
+  def graphOrder(spans: Vector[TextSpan]): Vector[TextSpan] = {
+    val n = spans.length
+    if (n <= 1) return spans
+    def precedes(a: TextSpan, b: TextSpan): Boolean = {
+      val yTol = 5f
+      if (math.abs(a.bbox.y1 - b.bbox.y1) < yTol) a.bbox.x0 < b.bbox.x0
+      else a.bbox.y1 > b.bbox.y1
+    }
+    val edges = Array.fill(n)(List.empty[Int])
+    val inDeg = new Array[Int](n)
+    var i = 0
+    while (i < n) {
+      var j = 0
+      while (j < n) {
+        if (i != j && precedes(spans(i), spans(j))) {
+          edges(i) = j :: edges(i)
+          inDeg(j) += 1
+        }
+        j += 1
+      }
+      i += 1
+    }
+    val queue = scala.collection.mutable.Queue.empty[Int]
+    (0 until n).foreach(k => if (inDeg(k) == 0) queue.enqueue(k))
+    val order = Vector.newBuilder[Int]
+    var taken = 0
+    while (queue.nonEmpty) {
+      val v = queue.dequeue()
+      order += v
+      taken += 1
+      edges(v).reverse.foreach { w =>
+        inDeg(w) -= 1
+        if (inDeg(w) == 0) queue.enqueue(w)
+      }
+    }
+    // cycle (possible: precedes isn't transitive across the y-tolerance
+    // boundary) ⇒ fall back to input order, like the reference
+    if (taken != n) spans else order.result().map(spans)
+  }
+
   /** lower→UPPER or digit↔letter boundary ⇒ separate words
     * (reference: text.rs:2643-2666). */
   private def wordBoundaryHeuristic(a: String, b: String): Boolean = {

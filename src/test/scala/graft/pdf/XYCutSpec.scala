@@ -92,6 +92,21 @@ class XYCutSpec extends AnyFunSuite {
       s"fixed-sigma unexpectedly segmented the grid: $fixed")
   }
 
+  test("graph-based reading order (Kahn toposort) handles lines and columns") {
+    import graft.pdf.extract.ReadingOrder
+    // same line: left before right despite input order
+    val line = Vector(span("b", 300, 700), span("a", 72, 700))
+    assert(ReadingOrder.graphOrder(line).map(_.text) == Vector("a", "b"))
+    // different lines: top before bottom
+    val mixed = Vector(span("low", 72, 100), span("high", 72, 700),
+      span("mid-right", 300, 400), span("mid-left", 72, 400))
+    assert(ReadingOrder.graphOrder(mixed).map(_.text) ==
+      Vector("high", "mid-left", "mid-right", "low"))
+    // single span / empty are identity
+    assert(ReadingOrder.graphOrder(Vector(span("x", 0, 0))).map(_.text) == Vector("x"))
+    assert(ReadingOrder.graphOrder(Vector.empty).isEmpty)
+  }
+
   test("single dense block falls through to plain spatial sort") {
     val spans = (0 until 10).map(i => span(s"l$i", 72, 700 - 14f * i, seq = i)).toVector
     val order = XYCut.sortSpans(spans, mediaBox).map(_.text)
