@@ -38,20 +38,10 @@ object Bench {
     ExtractJob.extract(PagesGen.generate(spark, 64, 1L, 4).toDF(),
       ExtractJob.Config(salt = false)).count()
 
-    val names = SparkEntry.queries.keys.toSeq.sorted
-    val results = scala.collection.mutable.LinkedHashMap.empty[String, Double]
-    for (round <- 1 to rounds; name <- names) {
-      val fn = SparkEntry.queries(name)
-      val dt = time {
-        try { fn(spark, sfDir).count(); () } catch { case _: Throwable => () }
-      }
-      results(name) = math.min(results.getOrElse(name, Double.MaxValue), dt)
-      if (name == names.last)
-        System.err.println(f"[bench] round $round/$rounds done, running total ${results.values.sum}%.1f s")
-    }
-
-    // extraction throughput probe: N synthetic docs through the full
-    // pipeline (PDF parse + HTML strip), salted
+    // extraction-probe corpus: generated + cached up front so the
+    // probe passes interleave with the query rounds below (a sustained
+    // host-noise burst then inflates at most ONE pass, not all of them
+    // — back-to-back passes measured 25k vs 44k docs/s run-to-run)
     val nDocs = sys.env.getOrElse("SPARK_GRAFT_BENCH_DOCS", "20000").toLong
     val pages = PagesGen.generate(spark, nDocs, seed = 42L,
       parallelism = cpus.toInt * 2).toDF().cache()
@@ -60,12 +50,26 @@ object Bench {
     // full-size warmup: C2 needs a complete pass before steady state
     ExtractJob.extract(pages, ExtractJob.Config()).write
       .mode("overwrite").format("noop").save()
-    val tExtract = (1 to 3).map { _ =>
-      time {
+
+    val names = SparkEntry.queries.keys.toSeq.sorted
+    val results = scala.collection.mutable.LinkedHashMap.empty[String, Double]
+    var tExtract = Double.MaxValue
+    for (round <- 1 to rounds) {
+      for (name <- names) {
+        val fn = SparkEntry.queries(name)
+        val dt = time {
+          try { fn(spark, sfDir).count(); () } catch { case _: Throwable => () }
+        }
+        results(name) = math.min(results.getOrElse(name, Double.MaxValue), dt)
+      }
+      // one probe pass per round, minutes apart from the previous one
+      tExtract = math.min(tExtract, time {
         ExtractJob.extract(pages, ExtractJob.Config()).write
           .mode("overwrite").format("noop").save()
-      }
-    }.min
+      })
+      System.err.println(f"[bench] round $round/$rounds done, " +
+        f"running total ${results.values.sum}%.1f s, probe best ${nDocs / tExtract}%.0f docs/s")
+    }
     pages.unpersist()
     results("extract_throughput") = tExtract
     val docsPerSec = nDocs / tExtract
