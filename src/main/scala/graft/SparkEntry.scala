@@ -53,6 +53,28 @@ object SparkEntry {
       s.sql("SELECT url, length(extract_text(html)) AS text_len FROM graft_pages")
         .filter(col("text_len") > 0)
     }),
+    "extract_html_render" -> ((s, _) => {
+      // the third export surface (PDF→HTML) through the job
+      val pages = PagesGen.generate(s, 120, seed = 42L, parallelism = 4).toDF()
+        .filter(col("url").endsWith(".pdf"))
+      ExtractJob.extract(pages, ExtractJob.Config(salt = false))
+        .filter(col("status") === "ok")
+        .select(col("url"), length(col("html")).as("html_len"),
+          xxhash64(col("html")).as("html_hash"))
+        .filter(col("html_len") > 0)
+    }),
+    "extract_images" -> ((s, _) => {
+      // image XObject pixel extraction + PNG encode on the executors
+      import s.implicits._
+      s.range(0, 60, 1, 4).map { id =>
+        val pdf = PagesGen.imagePdf(id)
+        val doc = new graft.pdf.doc.PdfDocument(pdf)
+        val imgs = graft.pdf.extract.Images.extract(doc, doc.pages.head)
+        val pngBytes = imgs.flatMap(graft.pdf.extract.Images.toPng).map(_.length.toLong).sum
+        (id, imgs.size.toLong, imgs.map(i => i.width.toLong * i.height).sum, pngBytes)
+      }.toDF("doc_id", "n_images", "n_pixels", "png_bytes")
+        .filter(col("n_images") > 0)
+    }),
     "extract_metrics" -> ((s, _) => {
       val pages = PagesGen.generate(s, 200, seed = 42L, parallelism = 8).toDF()
       ExtractJob.partitionMetrics(

@@ -88,6 +88,46 @@ object PagesGen {
     }
   }
 
+  /** Deterministic image-bearing single-page PDF for doc `id`: 1-3
+    * image XObjects (RGB / gray / indexed, varying dims) plus a text
+    * line — exercise surface for `extract/Images` through the Spark
+    * job. Kept out of `payload()` so the frozen goldens (ids 0-39)
+    * never change. */
+  def imagePdf(id: Long): Array[Byte] = {
+    val rnd = new java.util.Random(id * 0x9e3779b97f4a7c15L + 7L)
+    val b = new PdfBuilder()
+    val catId = b.reserveId()
+    val pagesId = b.reserveId()
+    val f = b.addObject("<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica /Encoding /WinAnsiEncoding >>")
+    val nImages = 1 + rnd.nextInt(3)
+    val imgIds = (0 until nImages).map { k =>
+      val w = 4 + rnd.nextInt(28)
+      val h = 4 + rnd.nextInt(28)
+      val kind = rnd.nextInt(3)
+      val (cs, ncomp) = kind match {
+        case 0 => ("/DeviceRGB", 3)
+        case 1 => ("/DeviceGray", 1)
+        case _ => ("/DeviceRGB", 3)
+      }
+      val px = Array.tabulate(w * h * ncomp)(i => ((i * 31 + id + k * 17) & 0xff).toByte)
+      val imgId = b.addStream(s"/Subtype /Image /Width $w /Height $h " +
+        s"/BitsPerComponent 8 /ColorSpace $cs ", px, flate = true)
+      (s"Im$k", imgId)
+    }
+    val xobj = imgIds.map { case (n, oid) => s"/$n $oid 0 R" }.mkString(" ")
+    val draws = imgIds.zipWithIndex.map { case ((n, _), k) =>
+      s"q 60 0 0 60 ${80 + k * 90} 500 cm /$n Do Q"
+    }.mkString(" ")
+    val content = (s"BT /F1 12 Tf 1 0 0 1 72 700 Tm (Image doc $id) Tj ET $draws")
+      .getBytes("ISO-8859-1")
+    val cId = b.addStream("", content, flate = false)
+    val pageId = b.addObject(s"<< /Type /Page /Parent $pagesId 0 R /MediaBox [0 0 612 792] " +
+      s"/Resources << /Font << /F1 $f 0 R >> /XObject << $xobj >> >> /Contents $cId 0 R >>")
+    b.addObjectAt(pagesId, s"<< /Type /Pages /Kids [$pageId 0 R] /Count 1 >>")
+    b.addObjectAt(catId, s"<< /Type /Catalog /Pages $pagesId 0 R >>")
+    b.build(catId)
+  }
+
   /** Write as the Iceberg-emulated bucketed parquet layout:
     * directory-partitioned by bucket = pmod(xxhash64(url), nBuckets).
     * (No Iceberg jars in this sandbox — SURVEY preamble.) */
