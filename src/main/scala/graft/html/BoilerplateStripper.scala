@@ -30,7 +30,8 @@ object BoilerplateStripper {
     "de", "en", "que", "un", "los")
 
   private final case class Block(
-      text: String, tag: String, linkedChars: Int, inBoiler: Boolean) {
+      text: String, tag: String, linkedChars: Int, inBoiler: Boolean,
+      tableId: Int = 0, rowId: Int = 0) {
     def len: Int = text.length
     def linkDensity: Double = if (len == 0) 1.0 else linkedChars.toDouble / len
     def isHeading: Boolean = tag.length == 2 && tag.charAt(0) == 'h' && tag.charAt(1).isDigit
@@ -89,12 +90,15 @@ object BoilerplateStripper {
     var aDepth = 0
     var boilerDepth = 0
     var skipTag: String = null
+    var tableId = 0
+    var rowId = 0
     var i = 0
     val n = html.length
 
     def flush(): Unit = {
       val t = normalizeWs(text.toString)
-      if (t.nonEmpty) blocks += Block(t, curTag, math.min(linked, t.length), boilerDepth > 0)
+      if (t.nonEmpty) blocks += Block(t, curTag, math.min(linked, t.length),
+        boilerDepth > 0, tableId, rowId)
       text.setLength(0)
       linked = 0
     }
@@ -128,6 +132,8 @@ object BoilerplateStripper {
                 if (closing) boilerDepth = math.max(0, boilerDepth - 1)
                 else if (!inner.endsWith("/")) boilerDepth += 1
               }
+              if (rawName == "table" && !closing) tableId += 1
+              if (rawName == "tr") rowId += 1
               if (!closing) curTag = rawName
             }
             i = end + 1
@@ -168,6 +174,81 @@ object BoilerplateStripper {
       } else v
     }
     blocks.zip(keep).collect { case (b, true) => b }
+  }
+
+  /** Structured markdown render: #-headings, - bullets for <li>,
+    * | pipe | rows | for table cells, plain paragraphs. Same
+    * boilerplate classification as `strip` for prose; list items and
+    * table cells use relaxed length rules (cells are short by nature —
+    * the TABLE's aggregate text decides if the table is content). */
+  def stripMarkdown(bytes: Array[Byte]): String = stripMarkdown(decodeCharset(bytes))
+
+  def stripMarkdown(html: String): String = {
+    val blocks = segment(html)
+    // aggregate per-table stats for the relaxed cell rule
+    val tableLen = blocks.filter(b => b.tag == "td" || b.tag == "th")
+      .groupBy(_.tableId).view.mapValues(_.map(_.len).sum).toMap
+    val tableLinked = blocks.filter(b => b.tag == "td" || b.tag == "th")
+      .groupBy(_.tableId).view.mapValues(_.map(_.linkedChars).sum).toMap
+    def cellTableGood(b: Block): Boolean = {
+      val tl = tableLen.getOrElse(b.tableId, 0)
+      tl >= 40 && tableLinked.getOrElse(b.tableId, 0).toDouble / math.max(1, tl) < 0.33
+    }
+    val good = blocks.filter { b =>
+      if (b.inBoiler) false
+      else if (b.tag == "li") b.len >= 3 && b.linkDensity < 0.33
+      else if (b.tag == "td" || b.tag == "th") cellTableGood(b)
+      else if (b.linkDensity > 0.33) false
+      else if (b.isHeading) b.len >= 3
+      else if (b.len < 15) false
+      else if (b.len < 60) b.linkDensity < 0.1 && b.stopwordDensity > 0.05
+      else true
+    }
+    val out = new java.lang.StringBuilder
+    var i = 0
+    def sep(): Unit = if (out.length > 0) out.append("\n\n")
+    while (i < good.length) {
+      val b = good(i)
+      b.tag match {
+        case t if b.isHeading =>
+          sep()
+          out.append("#" * (t.charAt(1) - '0')).append(' ').append(b.text)
+          i += 1
+        case "li" =>
+          sep()
+          while (i < good.length && good(i).tag == "li") {
+            out.append("- ").append(good(i).text)
+            i += 1
+            if (i < good.length && good(i).tag == "li") out.append('\n')
+          }
+        case "td" | "th" =>
+          sep()
+          val header = b.tag == "th"
+          var firstRow = true
+          while (i < good.length && (good(i).tag == "td" || good(i).tag == "th")) {
+            val rid = good(i).rowId
+            val tid = good(i).tableId
+            val cells = Vector.newBuilder[String]
+            while (i < good.length && (good(i).tag == "td" || good(i).tag == "th") &&
+                   good(i).rowId == rid && good(i).tableId == tid) {
+              cells += good(i).text
+              i += 1
+            }
+            val row = cells.result()
+            if (!firstRow) out.append('\n')
+            out.append("| ").append(row.mkString(" | ")).append(" |")
+            if (firstRow && header) {
+              out.append('\n').append("|").append(" --- |" * row.length)
+            }
+            firstRow = false
+          }
+        case _ =>
+          sep()
+          out.append(b.text)
+          i += 1
+      }
+    }
+    out.toString
   }
 
   private def normalizeWs(s: String): String = {

@@ -14,6 +14,7 @@ final case class ExtractResult(
     text: String,
     markdown: String,
     html: String,
+    title: String,
     nPages: Int,
     nSpans: Int)
 
@@ -108,6 +109,7 @@ object PdfExtractor {
     val text = texts.result().filter(_.nonEmpty).mkString("\n\n")
     val md = mds.result().filter(_.nonEmpty).mkString("\n\n---\n\n")
     val html = htmls.result().filter(_.nonEmpty).mkString("\n")
-    ExtractResult(text, md, html, pages.size, nSpans)
+    val title = graft.pdf.doc.DocExtras.docTitle(doc)
+    ExtractResult(text, md, html, title, pages.size, nSpans)
   }
 }

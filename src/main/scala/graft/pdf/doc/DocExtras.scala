@@ -91,6 +91,15 @@ object DocExtras {
     }
   }
 
+  /** Document /Info /Title (decoded); empty when absent. */
+  def docTitle(doc: PdfDocument): String = {
+    val info = doc.resolveDict(doc.trailer.get("Info").getOrElse(Null))
+    info.get("Title").map(doc.resolve) match {
+      case Some(Str(b)) => decodeDocString(b)
+      case _            => ""
+    }
+  }
+
   final case class ImageInfo(name: String, width: Int, height: Int,
                              filter: String, nBytes: Int)
 

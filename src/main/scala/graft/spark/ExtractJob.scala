@@ -68,27 +68,29 @@ object ExtractJob {
     val t0 = System.nanoTime()
     def ms: Double = (System.nanoTime() - t0) / 1e6
     if (html == null || html.isEmpty)
-      ExtractedDoc(u, "", "", "", 0, 0, ms, "error", "empty payload", nBytes, pid)
+      ExtractedDoc(u, "", "", "", "", 0, 0, ms, "error", "empty payload", nBytes, pid)
     else if (nBytes > cfg.oversizeCapBytes)
-      ExtractedDoc(u, "", "", "", 0, 0, ms, "skipped_oversize", "", nBytes, pid)
+      ExtractedDoc(u, "", "", "", "", 0, 0, ms, "skipped_oversize", "", nBytes, pid)
     else if (PdfExtractor.isPdf(html)) {
       try {
         val r = PdfExtractor.extract(html,
           graft.pdf.ConversionOptions(maxPages = cfg.maxPages, password = cfg.password))
-        ExtractedDoc(u, r.text, r.markdown, r.html, r.nPages, r.nSpans, ms, "ok", "", nBytes, pid)
+        ExtractedDoc(u, r.text, r.markdown, r.html, r.title, r.nPages, r.nSpans, ms, "ok", "", nBytes, pid)
       } catch {
         case e: Throwable =>
-          ExtractedDoc(u, "", "", "", 0, 0, ms, "error",
+          ExtractedDoc(u, "", "", "", "", 0, 0, ms, "error",
             Option(e.getMessage).getOrElse(e.getClass.getSimpleName).take(200), nBytes, pid)
       }
     } else {
       try {
         val text = BoilerplateStripper.strip(html)
+        val md = BoilerplateStripper.stripMarkdown(html)
+        val title = BoilerplateStripper.title(BoilerplateStripper.decodeCharset(html))
         val nBlocks = if (text.isEmpty) 0 else text.split("\n\n").length
-        ExtractedDoc(u, text, "", "", 1, nBlocks, ms, "ok", "", nBytes, pid)
+        ExtractedDoc(u, text, md, "", title, 1, nBlocks, ms, "ok", "", nBytes, pid)
       } catch {
         case e: Throwable =>
-          ExtractedDoc(u, "", "", "", 0, 0, ms, "error",
+          ExtractedDoc(u, "", "", "", "", 0, 0, ms, "error",
             Option(e.getMessage).getOrElse(e.getClass.getSimpleName).take(200), nBytes, pid)
       }
     }

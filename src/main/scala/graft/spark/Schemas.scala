@@ -18,6 +18,7 @@ final case class ExtractedDoc(
     text: String,
     markdown: String,
     html: String,
+    title: String,
     n_pages: Int,
     n_spans: Int,
     duration_ms: Double,

@@ -53,4 +53,31 @@ class StripperSpec extends AnyFunSuite {
     assert(BoilerplateStripper.title(html) == "The & Title")
     assert(BoilerplateStripper.title("<html><body>no title</body></html>") == "")
   }
+
+  test("stripMarkdown renders headings, bullets and tables; drops nav") {
+    val html = "<html><body><nav><a href='/'>Home</a> <a href='/x'>X</a></nav>" +
+      "<article><h2>Results of the study</h2>" +
+      s"<p>$goodPara</p>" +
+      "<ul><li>first item of the list</li><li>second item of the list</li></ul>" +
+      "<table><tr><th>name</th><th>value of the metric</th></tr>" +
+      "<tr><td>alpha</td><td>comparison across the corpus</td></tr></table>" +
+      "</article><footer><a href='/terms'>Terms</a></footer></body></html>"
+    val md = BoilerplateStripper.stripMarkdown(html)
+    assert(md.contains("## Results of the study"), md)
+    assert(md.contains("- first item of the list\n- second item of the list"), md)
+    assert(md.contains("| name | value of the metric |"), md)
+    assert(md.contains("| --- | --- |"), md)
+    assert(md.contains("| alpha | comparison across the corpus |"), md)
+    assert(!md.contains("Home"), md)
+    assert(!md.contains("Terms"), md)
+  }
+
+  test("stripMarkdown drops link-farm tables but keeps content prose") {
+    val html = "<html><body>" +
+      "<table><tr><td><a href='/1'>l1</a></td><td><a href='/2'>l2</a></td></tr></table>" +
+      s"<p>$goodPara</p></body></html>"
+    val md = BoilerplateStripper.stripMarkdown(html)
+    assert(!md.contains("l1"), md)
+    assert(md.contains("main content"), md)
+  }
 }
