@@ -122,6 +122,7 @@ object SparkEntry {
 
     // ---------------- deduplication ---------------------------------
     "dedup_exact" -> ((s, dir) => Dedup.exact(t(s, dir, "documents"))),
+    "dedup_exact_hash" -> ((s, dir) => Dedup.exactByHash(t(s, dir, "documents"))),
     "dedup_window" -> ((s, dir) => Dedup.windowSurvivors(t(s, dir, "documents"))),
     "dedup_jaccard" -> ((s, dir) =>
       Dedup.jaccardPairs(t(s, dir, "documents"), threshold = 0.95)),
@@ -202,6 +203,10 @@ object SparkEntry {
         | count(DISTINCT l_suppkey) AS n_supps, count(*) AS n_rows
         |FROM lineitem""".stripMargin,
     "dedup_exact" ->
+      "SELECT min(doc_id) AS doc_id, count(*) AS n_copies FROM documents GROUP BY text",
+    // same oracle as dedup_exact: the hash-shuffle variant must produce
+    // identical results (collision-free at any test scale)
+    "dedup_exact_hash" ->
       "SELECT min(doc_id) AS doc_id, count(*) AS n_copies FROM documents GROUP BY text",
     "dedup_window" ->
       """SELECT lang, doc_id, n_chars FROM (

@@ -21,6 +21,20 @@ object Dedup {
       .agg(min(col("doc_id")).as("doc_id"), count(lit(1)).as("n_copies"))
       .select(col("doc_id"), col("n_copies"))
 
+  /** Exact dedup, scale shape: group on (xxhash64(text), length) so the
+    * shuffle carries 16 bytes per row instead of the full document text
+    * — at 10^12 docs that is the difference between shuffling ~100 TB
+    * and ~16 TB. Output is identical to `exact` barring a 128-bit-ish
+    * (hash, length) collision (probability ~n²/2^64; the paranoid
+    * variant re-joins survivors on text to verify — omitted here, the
+    * oracle compare IS that check at test scale). */
+  def exactByHash(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"), xxhash64(col("text")).as("h"),
+        length(col("text")).as("len"))
+      .groupBy(col("h"), col("len"))
+      .agg(min(col("doc_id")).as("doc_id"), count(lit(1)).as("n_copies"))
+      .select(col("doc_id"), col("n_copies"))
+
   /** Window-style dedup: per-group survivor via row_number — the shape
     * used for per-host / per-snapshot keep-latest policies. */
   def windowSurvivors(docs: DataFrame): DataFrame = {
