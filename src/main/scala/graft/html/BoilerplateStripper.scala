@@ -44,9 +44,18 @@ object BoilerplateStripper {
 
   def strip(bytes: Array[Byte]): String = strip(decodeCharset(bytes))
 
-  def strip(html: String): String = {
+  def strip(html: String): String =
+    classify(segment(html)).map(_.text).mkString("\n\n")
+
+  /** One-pass combined extraction: (text, markdown, title) with a
+    * single charset decode + a single tokenize/segment (the per-doc
+    * hot path — profiling showed strip+stripMarkdown+title re-running
+    * all three when called separately). */
+  def extractAll(bytes: Array[Byte]): (String, String, String) = {
+    val html = decodeCharset(bytes)
     val blocks = segment(html)
-    classify(blocks).map(_.text).mkString("\n\n")
+    val text = classify(blocks).map(_.text).mkString("\n\n")
+    (text, renderMarkdown(blocks), title(html))
   }
 
   /** <title> text (entity-decoded, whitespace-normalized); empty if
@@ -183,8 +192,9 @@ object BoilerplateStripper {
     * the TABLE's aggregate text decides if the table is content). */
   def stripMarkdown(bytes: Array[Byte]): String = stripMarkdown(decodeCharset(bytes))
 
-  def stripMarkdown(html: String): String = {
-    val blocks = segment(html)
+  def stripMarkdown(html: String): String = renderMarkdown(segment(html))
+
+  private def renderMarkdown(blocks: Vector[Block]): String = {
     // aggregate per-table stats for the relaxed cell rule
     val tableLen = blocks.filter(b => b.tag == "td" || b.tag == "th")
       .groupBy(_.tableId).view.mapValues(_.map(_.len).sum).toMap

@@ -83,9 +83,7 @@ object ExtractJob {
       }
     } else {
       try {
-        val text = BoilerplateStripper.strip(html)
-        val md = BoilerplateStripper.stripMarkdown(html)
-        val title = BoilerplateStripper.title(BoilerplateStripper.decodeCharset(html))
+        val (text, md, title) = BoilerplateStripper.extractAll(html)
         val nBlocks = if (text.isEmpty) 0 else text.split("\n\n").length
         ExtractedDoc(u, text, md, "", title, 1, nBlocks, ms, "ok", "", nBytes, pid)
       } catch {
