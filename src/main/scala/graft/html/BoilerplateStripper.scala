@@ -73,18 +73,34 @@ object BoilerplateStripper {
 
   def title(bytes: Array[Byte]): String = title(decodeCharset(bytes))
 
-  /** Charset sniff: meta charset=… within the first 2 KB, else UTF-8. */
+  /** Charset sniff: meta charset=… within the first 2 KB, else UTF-8.
+    * Scans raw bytes case-insensitively — no intermediate 2 KB String
+    * (this ran per doc on the hot path: ~11% of JFR samples). */
   def decodeCharset(bytes: Array[Byte]): String = {
-    val head = new String(bytes, 0, math.min(bytes.length, 2048), "ISO-8859-1").toLowerCase
-    val cs = {
-      val i = head.indexOf("charset=")
-      if (i >= 0) {
-        val s = head.substring(i + 8).dropWhile(c => c == '"' || c == '\'' || c == ' ')
-        val name = s.takeWhile(c => c.isLetterOrDigit || c == '-' || c == '_')
+    val limit = math.min(bytes.length, 2048)
+    val pat = "charset="
+    var i = 0
+    var found = -1
+    while (found < 0 && i + pat.length <= limit) {
+      var k = 0
+      while (k < pat.length &&
+             java.lang.Character.toLowerCase((bytes(i + k) & 0xff).toChar) == pat.charAt(k)) k += 1
+      if (k == pat.length) found = i + pat.length else i += 1
+    }
+    val cs =
+      if (found < 0) "UTF-8"
+      else {
+        var j = found
+        while (j < limit && (bytes(j) == '"' || bytes(j) == '\'' || bytes(j) == ' ')) j += 1
+        val start = j
+        while (j < limit && {
+          val c = (bytes(j) & 0xff).toChar
+          c.isLetterOrDigit || c == '-' || c == '_'
+        }) j += 1
+        val name = new String(bytes, start, j - start, "ISO-8859-1")
         try { java.nio.charset.Charset.forName(name); name }
         catch { case _: Throwable => "UTF-8" }
-      } else "UTF-8"
-    }
+      }
     new String(bytes, cs)
   }
 
@@ -94,6 +110,7 @@ object BoilerplateStripper {
   private def segment(html: String): Vector[Block] = {
     val blocks = Vector.newBuilder[Block]
     val text = new java.lang.StringBuilder
+    var prevWs = true // collapse whitespace as we append (leading skipped)
     var linked = 0
     var curTag = "p"
     var aDepth = 0
@@ -105,11 +122,28 @@ object BoilerplateStripper {
     val n = html.length
 
     def flush(): Unit = {
-      val t = normalizeWs(text.toString)
-      if (t.nonEmpty) blocks += Block(t, curTag, math.min(linked, t.length),
-        boilerDepth > 0, tableId, rowId)
+      // text is already whitespace-collapsed; just drop a trailing space
+      if (text.length > 0 && text.charAt(text.length - 1) == ' ')
+        text.setLength(text.length - 1)
+      if (text.length > 0) {
+        val t = text.toString
+        blocks += Block(t, curTag, math.min(linked, t.length),
+          boilerDepth > 0, tableId, rowId)
+      }
       text.setLength(0)
+      prevWs = true
       linked = 0
+    }
+
+    def appendCollapsed(decoded: String): Unit = {
+      var k = 0
+      while (k < decoded.length) {
+        val ch = decoded.charAt(k)
+        if (Character.isWhitespace(ch)) {
+          if (!prevWs) { text.append(' '); prevWs = true }
+        } else { text.append(ch); prevWs = false }
+        k += 1
+      }
     }
 
     while (i < n) {
@@ -153,7 +187,7 @@ object BoilerplateStripper {
           val start = i
           while (i < n && html.charAt(i) != '<') i += 1
           val decoded = decodeEntities(html.substring(start, i))
-          text.append(decoded)
+          appendCollapsed(decoded)
           if (aDepth > 0) linked += decoded.count(!_.isWhitespace)
         } else i += 1
       }
