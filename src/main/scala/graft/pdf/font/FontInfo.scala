@@ -33,7 +33,7 @@ final case class FontInfo(
   def codeBytes: Int =
     if (isType0) toUnicode.map(c => math.max(c.codeBytes, 2)).getOrElse(2) else 1
 
-  private def symbolic: Option[Array[Char]] = {
+  private lazy val symbolic: Option[Array[Char]] = {
     val bf = baseFont.toLowerCase
     if (bf.contains("symbol")) Some(Encodings.symbol)
     else if (bf.contains("zapf") || bf.contains("dingbat")) Some(Encodings.zapfDingbats)
@@ -49,14 +49,21 @@ final case class FontInfo(
       .orElse(fallback(code))
   }
 
-  /** Precomputed 256-entry decode table for simple fonts — the cascade
-    * allocates Option/closure chains and runs per GLYPH otherwise
-    * (profiled as the extraction hot spot). null = unmappable. */
-  private lazy val simpleTable: Array[String] = {
-    val t = new Array[String](256)
-    var c = 0
-    while (c < 256) { t(c) = decodeUncached(c).orNull; c += 1 }
-    t
+  /** Per-entry-lazy 256-slot decode table for simple fonts — the
+    * cascade allocates Option/closure chains and runs per GLYPH
+    * otherwise (profiled as the extraction hot spot). Entries compute
+    * on first use: fonts live per document, and a typical document
+    * touches ~60-90 codes, so eagerly filling all 256 cost more than
+    * the lookups it saved (5.4% of JFR samples were table builds). */
+  private val simpleTable: Array[String] = new Array[String](256)
+  private val simpleComputed: Array[Boolean] = new Array[Boolean](256)
+
+  @inline private def simpleLookup(code: Int): String = {
+    if (!simpleComputed(code)) {
+      simpleTable(code) = decodeUncached(code).orNull
+      simpleComputed(code) = true
+    }
+    simpleTable(code)
   }
 
   /** Lazy per-font cache for Type0 code points (2-byte space). */
@@ -67,7 +74,7 @@ final case class FontInfo(
 
   /** Allocation-free variant for the VM hot loop. */
   def decodeOrNull(code: Int): String = {
-    if (!isType0 && code >= 0 && code < 256) simpleTable(code)
+    if (!isType0 && code >= 0 && code < 256) simpleLookup(code)
     else {
       val k = Integer.valueOf(code)
       val hit = type0Cache.get(k)
