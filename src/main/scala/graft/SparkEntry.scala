@@ -75,6 +75,21 @@ object SparkEntry {
       }.toDF("doc_id", "n_images", "n_pixels", "png_bytes")
         .filter(col("n_images") > 0)
     }),
+    "extract_stream" -> ((s, _) => {
+      // Structured Streaming surface: AvailableNow micro-batch over a
+      // staged corpus, read back from the parquet sink (exactly-once
+      // via the streaming checkpoint)
+      val base = java.nio.file.Files.createTempDirectory("graft_stream_q").toString
+      PagesGen.writeBucketed(PagesGen.generate(s, 80, seed = 42L, parallelism = 4),
+        s"$base/pages", nBuckets = 4)
+      val q = graft.spark.ExtractStreamJob.start(s, s"$base/pages",
+        s"$base/out", s"$base/ckpt")
+      q.awaitTermination()
+      s.read.parquet(s"$base/out")
+        .filter(col("status") === "ok")
+        .select(col("url"), col("n_pages"), col("n_spans"),
+          xxhash64(col("text")).as("text_hash"))
+    }),
     "extract_metrics" -> ((s, _) => {
       val pages = PagesGen.generate(s, 200, seed = 42L, parallelism = 8).toDF()
       ExtractJob.partitionMetrics(
