@@ -84,6 +84,49 @@ class ExtractJobSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(out(0).status == "skipped_oversize")
   }
 
+  test("Config.password flows to the extractor: locked PDF ok with password, error row without") {
+    val s = spark
+    import s.implicits._
+    import java.nio.charset.StandardCharsets.ISO_8859_1
+    import graft.pdf.cos.PdfObj
+    import graft.pdf.cos.PdfObj._
+    import graft.pdf.crypto.StdSecurityHandler
+    import graft.pdf.testgen.PdfBuilder
+    // user-password-protected fixture (same construction as EncryptionSpec)
+    val fileId = (0 until 16).map(i => (i * 17 + 3).toByte).toArray
+    val idHex = fileId.map(b => f"${b & 0xff}%02X").mkString
+    def hx(b: Array[Byte]) = b.map(x => f"${x & 0xff}%02X").mkString
+    val edNoO = Dict(Map("Filter" -> Name("Standard"), "V" -> Int64(2), "R" -> Int64(3),
+      "Length" -> Int64(128), "P" -> Int64(-3904L),
+      "O" -> Str((0 until 32).map(i => (i * 7 + 1).toByte).toArray)))
+    val oBytes = new StdSecurityHandler(edNoO, fileId).computeO(
+      "own".getBytes(ISO_8859_1), "sesame".getBytes(ISO_8859_1))
+    val ed = Dict(edNoO.entries ++ Map[String, PdfObj]("O" -> Str(oBytes)))
+    val h = new StdSecurityHandler(ed, fileId, "sesame".getBytes(ISO_8859_1))
+    val b = new PdfBuilder()
+    val catId = b.reserveId(); val pagesId = b.reserveId()
+    val f = b.addObject("<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica /Encoding /WinAnsiEncoding >>")
+    val contentId = b.reserveId()
+    val content = "BT /F1 12 Tf 100 700 Td (job level secret) Tj ET".getBytes(ISO_8859_1)
+    b.addStreamAt(contentId, "", h.encrypt(content, contentId, 0), flate = false)
+    val pageId = b.addObject(s"<< /Type /Page /Parent $pagesId 0 R /MediaBox [0 0 612 792] " +
+      s"/Resources << /Font << /F1 $f 0 R >> >> /Contents $contentId 0 R >>")
+    b.addObjectAt(pagesId, s"<< /Type /Pages /Kids [$pageId 0 R] /Count 1 >>")
+    b.addObjectAt(catId, s"<< /Type /Catalog /Pages $pagesId 0 R >>")
+    val uHex = hx(h.computeU().take(32).padTo(32, 0.toByte))
+    val encId = b.addObject(s"<< /Filter /Standard /V 2 /R 3 /Length 128 " +
+      s"/P -3904 /O <${hx(oBytes)}> /U <$uHex> >>")
+    val pdf = b.build(catId, s"/Encrypt $encId 0 R /ID [<$idHex> <$idHex>] ")
+
+    val pages = s.createDataset(Seq(PageRow("https://h.example/locked.pdf",
+      new java.sql.Timestamp(0), pdf, "", "en"))).toDF()
+    val ok = ExtractJob.extract(pages,
+      ExtractJob.Config(salt = false, password = "sesame")).collect()
+    assert(ok.length == 1 && ok(0).status == "ok" && ok(0).text == "job level secret", ok.mkString)
+    val err = ExtractJob.extract(pages, ExtractJob.Config(salt = false)).collect()
+    assert(err(0).status == "error" && err(0).error_msg.contains("password"), err.mkString)
+  }
+
   test("checkpoint resume: second run processes nothing; kill-resume completes the set") {
     val dir = Files.createTempDirectory("graft-ckpt").toString
     val outDir = s"$dir/extracted"
