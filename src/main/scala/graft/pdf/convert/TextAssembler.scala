@@ -37,7 +37,7 @@ object TextAssembler {
       }
       prev = s
     }
-    Whitespace.cleanPlainText(sb.toString)
+    Whitespace.cleanPlainText(sb) // CharSequence: no intermediate copy
   }
 
   @inline private def endsWithSpace(sb: java.lang.StringBuilder): Boolean =

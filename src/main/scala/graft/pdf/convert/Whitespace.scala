@@ -18,12 +18,12 @@ package graft.pdf.convert
 object Whitespace {
 
   /** Plain-text cleanup (reference: whitespace.rs:284-345). */
-  def cleanPlainText(s: String): String = clean(s, markdown = false)
+  def cleanPlainText(s: CharSequence): String = clean(s, markdown = false)
 
   /** Markdown cleanup (reference: whitespace.rs:91-114, 247-255). */
-  def cleanMarkdown(s: String): String = clean(s, markdown = true)
+  def cleanMarkdown(s: CharSequence): String = clean(s, markdown = true)
 
-  private def clean(s: String, markdown: Boolean): String = {
+  private def clean(s: CharSequence, markdown: Boolean): String = {
     val n = s.length
     val sb = new java.lang.StringBuilder(n)
     var i = 0
