@@ -173,6 +173,12 @@ object SparkEntry {
     "text_quality_score" -> ((s, dir) => TextAnalysis.qualityScore(t(s, dir, "documents"))),
     "text_langid" -> ((s, dir) => TextAnalysis.langId(t(s, dir, "documents"))),
     "text_fingerprint" -> ((s, dir) => TextAnalysis.fingerprint(t(s, dir, "documents"))),
+    "text_repetition" -> ((s, dir) => TextAnalysis.repetitionSignals(t(s, dir, "documents"))),
+    "text_decontaminate" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      TextAnalysis.contamination(
+        docs.filter(col("doc_id") >= 20), docs.filter(col("doc_id") < 20), w = 5)
+    }),
 
     // ---------------- multimodal plumbing ---------------------------
     "multimodal_meta" -> ((s, dir) =>
@@ -299,6 +305,40 @@ object SparkEntry {
         |    0.3 * least(1.0, n_stop * 8.0 / greatest(n_tokens, 1.0)) +
         |    0.3 * (1.0 - least(1.0, n_punct * 4.0 / greatest(n_chars, 1.0))))), 4) AS quality
         |FROM sig""".stripMargin,
+    "text_repetition" ->
+      """WITH base AS (
+        | SELECT doc_id, list_filter(string_split_regex(lower(text), '\s+'), x -> len(x) > 0) AS toks
+        | FROM documents),
+        |bg AS (
+        | SELECT doc_id,
+        |  unnest(list_transform(generate_series(1, len(toks) - 1),
+        |    i -> list_extract(toks, i) || ' ' || list_extract(toks, i + 1))) AS g
+        | FROM base),
+        |bgf AS (SELECT doc_id, g, count(*) AS c FROM bg GROUP BY 1, 2),
+        |top AS (SELECT doc_id, max(c) AS top_c FROM bgf GROUP BY 1)
+        |SELECT b.doc_id,
+        | CAST(len(toks) AS BIGINT) AS n_tokens,
+        | CAST(len(list_distinct(toks)) AS BIGINT) AS n_distinct,
+        | CASE WHEN len(toks) = 0 THEN 0.0
+        |  ELSE CAST(len(toks) - len(list_distinct(toks)) AS DOUBLE) / len(toks) END AS dup_token_frac,
+        | CAST(coalesce(top.top_c, 0) AS BIGINT) AS top_bigram_count,
+        | CASE WHEN len(toks) <= 1 THEN 0.0
+        |  ELSE CAST(coalesce(top.top_c, 0) AS DOUBLE) / (len(toks) - 1) END AS top_bigram_frac
+        |FROM base b LEFT JOIN top ON b.doc_id = top.doc_id""".stripMargin,
+    "text_decontaminate" ->
+      """WITH toks AS (
+        | SELECT doc_id, list_filter(string_split_regex(lower(text), '\s+'), x -> len(x) > 0) AS t
+        | FROM documents),
+        |grams AS (
+        | SELECT doc_id,
+        |  unnest(list_distinct(list_transform(generate_series(1, len(t) - 4),
+        |    i -> array_to_string(t[i:i+4], ' ')))) AS g
+        | FROM toks),
+        |bench AS (SELECT DISTINCT g FROM grams WHERE doc_id < 20)
+        |SELECT grams.doc_id, count(DISTINCT grams.g) AS n_contaminated_grams
+        |FROM grams JOIN bench USING (g)
+        |WHERE grams.doc_id >= 20
+        |GROUP BY grams.doc_id""".stripMargin,
     "multimodal_meta" ->
       """SELECT doc_id,
         | CAST(octet_length(encode(substring(text, 1, 8))) AS BIGINT) AS n_bytes,

@@ -94,6 +94,57 @@ object TextAnalysis {
       scoreFn(col("text")).as("lang_pred"))
   }
 
+  /** Repetition quality signals (Gopher-style, Rae et al. 2021):
+    * duplicate-token fraction and most-frequent-bigram fraction flag
+    * template spam / keyword-stuffed pages. Typed per-row kernel (one
+    * hash map pass per doc — the documented mapPartitions case);
+    * ratios are integer-derived doubles, so DuckDB reproduces them
+    * bit-exactly. */
+  def repetitionSignals(docs: DataFrame): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.select(col("doc_id").cast("long"), lower(col("text")))
+      .as[(Long, String)]
+      .mapPartitions { it =>
+        it.map { case (id, text) =>
+          val toks = text.split("\\s+").filter(_.nonEmpty)
+          val n = toks.length
+          val distinct = new java.util.HashSet[String]()
+          toks.foreach(distinct.add)
+          val bigramCounts = new java.util.HashMap[String, Int]()
+          var top = 0
+          var i = 0
+          while (i + 1 < n) {
+            val bg = toks(i) + " " + toks(i + 1)
+            val c = bigramCounts.merge(bg, 1, (a, b) => a + b)
+            if (c > top) top = c
+            i += 1
+          }
+          val dupFrac =
+            if (n == 0) 0.0 else (n - distinct.size).toDouble / n
+          val topFrac =
+            if (n <= 1) 0.0 else top.toDouble / (n - 1)
+          (id, n.toLong, distinct.size.toLong, dupFrac, top.toLong, topFrac)
+        }
+      }.toDF("doc_id", "n_tokens", "n_distinct", "dup_token_frac",
+        "top_bigram_count", "top_bigram_frac")
+  }
+
+  /** Benchmark decontamination: corpus docs sharing any w-gram with the
+    * benchmark set get flagged with their contaminated-gram count — the
+    * asymmetric semi-join every eval-aware training pipeline runs. The
+    * benchmark side is distinct-gram-only and small by construction, so
+    * the optimizer broadcasts it; the corpus side streams. */
+  def contamination(corpus: DataFrame, benchmark: DataFrame, w: Int = 5): DataFrame = {
+    def grams(df: DataFrame): DataFrame =
+      df.select(col("doc_id"), explode(Dedup.shingles(col("text"), w)).as("g"))
+    val bench = grams(benchmark).select(col("g")).distinct()
+    grams(corpus)
+      .join(bench, "g")
+      .groupBy(col("doc_id"))
+      .agg(countDistinct(col("g")).as("n_contaminated_grams"))
+  }
+
   private def countOcc(haystack: String, needle: String): Int = {
     var count = 0
     var i = haystack.indexOf(needle)

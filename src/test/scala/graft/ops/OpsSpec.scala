@@ -229,6 +229,33 @@ class OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(out(2L).feature_norm == again(2L).feature_norm)
   }
 
+  test("repetition signals flag duplicated tokens and stuffed bigrams") {
+    val d = docs(
+      1L -> "buy now buy now buy now buy now buy now", // stuffed: one bigram dominates
+      2L -> "alpha beta gamma delta epsilon zeta eta theta") // all distinct
+    val out = TextAnalysis.repetitionSignals(d).collect()
+      .map(r => r.getLong(0) -> r).toMap
+    val spam = out(1L)
+    assert(spam.getLong(1) == 10L && spam.getLong(2) == 2L) // 10 tokens, 2 distinct
+    assert(spam.getDouble(3) == 0.8) // dup fraction
+    assert(spam.getLong(4) == 5L, spam.toString) // "buy now" occurs 5 times of 9 bigrams
+    val clean = out(2L)
+    assert(clean.getDouble(3) == 0.0 && clean.getLong(4) == 1L)
+  }
+
+  test("contamination flags corpus docs sharing 5-grams with the benchmark") {
+    val bench = docs(1L -> base)
+    val corpus = docs(
+      10L -> base, // full overlap
+      11L -> ("prefix words here " + base.split(" ").take(6).mkString(" ") + " unrelated tail content"),
+      12L -> "completely different material with zero shared five gram windows in it at all")
+    val out = TextAnalysis.contamination(corpus, bench, w = 5).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(out.contains(10L) && out(10L) >= 10L, out.toString) // many shared grams
+    assert(out.contains(11L) && out(11L) >= 1L, out.toString)  // the planted 6-token run → 2 shared 5-grams
+    assert(!out.contains(12L), out.toString)
+  }
+
   test("multimodal metadata sniffs pdf magic") {
     val s = spark
     import s.implicits._
