@@ -174,6 +174,7 @@ object SparkEntry {
     "text_langid" -> ((s, dir) => TextAnalysis.langId(t(s, dir, "documents"))),
     "text_fingerprint" -> ((s, dir) => TextAnalysis.fingerprint(t(s, dir, "documents"))),
     "text_repetition" -> ((s, dir) => TextAnalysis.repetitionSignals(t(s, dir, "documents"))),
+    "text_pii_scrub" -> ((s, dir) => TextAnalysis.piiScrub(t(s, dir, "documents"))),
     "text_decontaminate" -> ((s, dir) => {
       val docs = t(s, dir, "documents")
       TextAnalysis.contamination(
@@ -325,6 +326,14 @@ object SparkEntry {
         | CASE WHEN len(toks) <= 1 THEN 0.0
         |  ELSE CAST(coalesce(top.top_c, 0) AS DOUBLE) / (len(toks) - 1) END AS top_bigram_frac
         |FROM base b LEFT JOIN top ON b.doc_id = top.doc_id""".stripMargin,
+    "text_pii_scrub" ->
+      """SELECT doc_id,
+        | CAST(len(regexp_extract_all(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS BIGINT) AS n_emails,
+        | CAST(len(regexp_extract_all(text, '\b(\d{1,3}\.){3}\d{1,3}\b')) AS BIGINT) AS n_ips,
+        | CAST(length(regexp_replace(regexp_replace(text,
+        |   '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '[EMAIL]', 'g'),
+        |   '\b(\d{1,3}\.){3}\d{1,3}\b', '[IP]', 'g')) AS BIGINT) AS redacted_len
+        |FROM documents""".stripMargin,
     "text_decontaminate" ->
       """WITH toks AS (
         | SELECT doc_id, list_filter(string_split_regex(lower(text), '\s+'), x -> len(x) > 0) AS t

@@ -145,6 +145,25 @@ object TextAnalysis {
       .agg(countDistinct(col("g")).as("n_contaminated_grams"))
   }
 
+  /** PII patterns shared by scrub + oracle (RE2-compatible subset so
+    * Spark's Java regex and DuckDB's RE2 agree byte-for-byte). */
+  val EmailPattern = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  val Ipv4Pattern = "\\b(\\d{1,3}\\.){3}\\d{1,3}\\b"
+
+  /** PII scrub: count + redact emails and IPv4 literals — the standard
+    * pre-training privacy pass. Pure codegen'd column expressions
+    * (regexp_count / regexp_replace), no UDF. */
+  def piiScrub(docs: DataFrame): DataFrame = {
+    val redacted = regexp_replace(
+      regexp_replace(col("text"), EmailPattern, "[EMAIL]"),
+      Ipv4Pattern, "[IP]")
+    docs.select(
+      col("doc_id"),
+      regexp_count(col("text"), lit(EmailPattern)).cast("long").as("n_emails"),
+      regexp_count(col("text"), lit(Ipv4Pattern)).cast("long").as("n_ips"),
+      length(redacted).cast("long").as("redacted_len"))
+  }
+
   private def countOcc(haystack: String, needle: String): Int = {
     var count = 0
     var i = haystack.indexOf(needle)

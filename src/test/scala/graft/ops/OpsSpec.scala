@@ -256,6 +256,18 @@ class OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(!out.contains(12L), out.toString)
   }
 
+  test("pii scrub counts and redacts emails + IPv4 literals") {
+    val d = docs(
+      1L -> "contact bob@example.com or admin@corp.io from 192.168.1.1 today",
+      2L -> "no personal identifiers in this document at all")
+    val out = TextAnalysis.piiScrub(d).collect().map(r => r.getLong(0) -> r).toMap
+    assert(out(1L).getLong(1) == 2L, out(1L).toString) // emails
+    assert(out(1L).getLong(2) == 1L, out(1L).toString) // ips
+    // redacted: "contact [EMAIL] or [EMAIL] from [IP] today"
+    assert(out(1L).getLong(3) == "contact [EMAIL] or [EMAIL] from [IP] today".length.toLong)
+    assert(out(2L).getLong(1) == 0L && out(2L).getLong(2) == 0L)
+  }
+
   test("multimodal metadata sniffs pdf magic") {
     val s = spark
     import s.implicits._
