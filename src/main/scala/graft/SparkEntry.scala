@@ -175,6 +175,7 @@ object SparkEntry {
     "text_fingerprint" -> ((s, dir) => TextAnalysis.fingerprint(t(s, dir, "documents"))),
     "text_repetition" -> ((s, dir) => TextAnalysis.repetitionSignals(t(s, dir, "documents"))),
     "text_pii_scrub" -> ((s, dir) => TextAnalysis.piiScrub(t(s, dir, "documents"))),
+    "text_rare_trigrams" -> ((s, dir) => TextAnalysis.rareTrigramSignals(t(s, dir, "documents"))),
     "text_decontaminate" -> ((s, dir) => {
       val docs = t(s, dir, "documents")
       TextAnalysis.contamination(
@@ -334,6 +335,19 @@ object SparkEntry {
         |   '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '[EMAIL]', 'g'),
         |   '\b(\d{1,3}\.){3}\d{1,3}\b', '[IP]', 'g')) AS BIGINT) AS redacted_len
         |FROM documents""".stripMargin,
+    "text_rare_trigrams" ->
+      """WITH tri AS (
+        | SELECT doc_id,
+        |  unnest(list_transform(generate_series(1, length(lower(text)) - 2),
+        |    i -> substr(lower(text), i, 3))) AS t
+        | FROM documents),
+        |g AS (SELECT t, count(*) AS c FROM tri GROUP BY t),
+        |s AS (SELECT sum(c) AS total, count(*) AS nd FROM g),
+        |rare AS (SELECT g.t FROM g, s WHERE g.c * 4 * s.nd < s.total)
+        |SELECT tri.doc_id, count(*) AS n_trigrams,
+        | CAST(sum(CASE WHEN rare.t IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_rare
+        |FROM tri LEFT JOIN rare ON tri.t = rare.t
+        |GROUP BY tri.doc_id""".stripMargin,
     "text_decontaminate" ->
       """WITH toks AS (
         | SELECT doc_id, list_filter(string_split_regex(lower(text), '\s+'), x -> len(x) > 0) AS t

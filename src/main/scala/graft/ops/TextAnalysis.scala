@@ -145,6 +145,30 @@ object TextAnalysis {
       .agg(countDistinct(col("g")).as("n_contaminated_grams"))
   }
 
+  /** Corpus-statistics quality signal (CCNet-style fit-then-score,
+    * Wenzek et al. 2019): pass 1 aggregates a global character-trigram
+    * frequency table; pass 2 scores each document by how many of its
+    * trigrams are globally rare (frequency below a quarter of the mean
+    * — the comparison is integer cross-multiplied, c·4·nDistinct <
+    * total, so both engines decide it exactly). The global table is
+    * vocabulary-sized → broadcast back; the only wide op over the big
+    * flow is one count shuffle + one per-doc aggregation. */
+  def rareTrigramSignals(docs: DataFrame): DataFrame = {
+    val t = lower(col("text"))
+    val tris = docs.select(col("doc_id"),
+      explode(transform(sequence(lit(1), length(t) - 2),
+        i => t.substr(i, lit(3)))).as("tri"))
+    val global = tris.groupBy(col("tri")).agg(count(lit(1)).as("c"))
+    val stats = global.agg(sum(col("c")).as("total"), count(lit(1)).as("n_distinct"))
+    val rare = global.crossJoin(broadcast(stats))
+      .filter(col("c") * 4 * col("n_distinct") < col("total"))
+      .select(col("tri"), lit(1).as("is_rare"))
+    tris.join(broadcast(rare), Seq("tri"), "left")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_trigrams"),
+        sum(coalesce(col("is_rare"), lit(0))).cast("long").as("n_rare"))
+  }
+
   /** PII patterns shared by scrub + oracle (RE2-compatible subset so
     * Spark's Java regex and DuckDB's RE2 agree byte-for-byte). */
   val EmailPattern = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"

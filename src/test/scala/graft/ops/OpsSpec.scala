@@ -268,6 +268,19 @@ class OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(out(2L).getLong(1) == 0L && out(2L).getLong(2) == 0L)
   }
 
+  test("rare-trigram scoring: outlier doc accumulates rare grams, common docs few") {
+    // 9 near-identical docs + 1 outlier with unique characters: the
+    // outlier's trigrams are globally rare (freq far below mean)
+    val common = (1L to 9L).map(i => i -> base)
+    val outlier = 10L -> "zzqx jjvw qqpy xxkz wwvv kkjj ppqq yyzz zxqj vxwk"
+    val d = docs(common :+ outlier: _*)
+    val out = TextAnalysis.rareTrigramSignals(d).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toList
+    val byId = out.map(x => x._1 -> x).toMap
+    assert(byId(10L)._3 > byId(10L)._2 / 2, byId(10L).toString) // mostly rare
+    assert(byId(1L)._3 < byId(1L)._2 / 4, byId(1L).toString)    // mostly common
+  }
+
   test("multimodal metadata sniffs pdf magic") {
     val s = spark
     import s.implicits._
