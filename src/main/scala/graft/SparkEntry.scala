@@ -90,6 +90,17 @@ object SparkEntry {
         .select(col("url"), col("n_pages"), col("n_spans"),
           xxhash64(col("text")).as("text_hash"))
     }),
+    "extract_links" -> ((s, _) => {
+      // link-annotation extraction (URI actions + GoTo dests) — the
+      // web-graph surface over crawled PDFs
+      import s.implicits._
+      s.range(0, 80, 1, 4).flatMap { id =>
+        val doc = new graft.pdf.doc.PdfDocument(PagesGen.linkPdf(id))
+        graft.pdf.doc.DocExtras.annotations(doc, doc.pages.head).map { a =>
+          (id, a.subtype, a.actionType, a.uri, a.dest)
+        }
+      }.toDF("doc_id", "subtype", "action_type", "uri", "dest")
+    }),
     "extract_metrics" -> ((s, _) => {
       val pages = PagesGen.generate(s, 200, seed = 42L, parallelism = 8).toDF()
       ExtractJob.partitionMetrics(

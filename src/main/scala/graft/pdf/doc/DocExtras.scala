@@ -44,7 +44,9 @@ object DocExtras {
     }
   }
 
-  final case class OutlineItem(title: String, level: Int)
+  final case class OutlineItem(title: String, level: Int,
+      /** /Dest or GoTo /A target (same encoding as Annot.dest). */
+      dest: String = "")
 
   /** Bookmark tree, pre-order with levels (reference: src/outline.rs). */
   def outline(doc: PdfDocument): Vector[OutlineItem] = {
@@ -62,8 +64,16 @@ object DocExtras {
         val d = doc.resolveDict(cur)
         if (d.entries.isEmpty) return
         d.get("Title").map(doc.resolve) match {
-          case Some(Str(b)) => out += OutlineItem(decodeDocString(b), level)
-          case _            => ()
+          case Some(Str(b)) =>
+            val dest = d.get("Dest").map(o => destString(doc, o)).orElse {
+              doc.dictGet(d, "A") match {
+                case ad: Dict if ad.name("S").contains("GoTo") =>
+                  ad.get("D").map(o => destString(doc, o))
+                case _ => None
+              }
+            }.getOrElse("")
+            out += OutlineItem(decodeDocString(b), level, dest)
+          case _ => ()
         }
         d.get("First").foreach(f => if (level < 32) walk(f, level + 1))
         d.get("Next") match {
@@ -77,17 +87,66 @@ object DocExtras {
     out.result()
   }
 
-  final case class Annot(subtype: String, contents: String)
+  final case class Annot(
+      subtype: String,
+      contents: String,
+      /** /A URI action target — the web-graph link surface
+        * (reference: annotations.rs:311-323 LinkAction::Uri). */
+      uri: String = "",
+      /** /Dest or GoTo /A destination: "named:<name>" or
+        * "page:<obj-or-index> <FitType>" (annotations.rs:239-289). */
+      dest: String = "",
+      /** /A action /S type when not URI/GoTo (Launch, Named, …). */
+      actionType: String = "")
 
-  /** Page annotations with text contents (reference: src/annotations.rs). */
+  /** Destination encoding shared by annotations + outlines
+    * (reference: annotations.rs:239-289 parse_destination):
+    * "named:<name>" or "page:<obj-or-index> <FitType>". */
+  private def destString(doc: PdfDocument, o: PdfObj): String = doc.resolve(o) match {
+    case Str(b)  => "named:" + decodeDocString(b)
+    case Name(n) => "named:" + n
+    case Arr(items) if items.nonEmpty =>
+      val pg = items.head match {
+        case Ref(id, _) => id.toString
+        case Int64(v)   => v.toString
+        case _          => "0"
+      }
+      val fit = items.lift(1).flatMap(_.asName).getOrElse("Fit")
+      s"page:$pg $fit"
+    case _ => ""
+  }
+
+  /** Page annotations with contents, link URIs and destinations
+    * (reference: src/annotations.rs:150-360 parse_annotation /
+    * parse_destination / parse_action). */
   def annotations(doc: PdfDocument, page: Page): Vector[Annot] = {
     doc.dictGet(page.dict, "Annots").asArr.getOrElse(Vector.empty).flatMap { a =>
       val d = doc.resolveDict(a)
       if (d.entries.isEmpty) None
-      else Some(Annot(
-        d.name("Subtype").getOrElse(""),
-        d.get("Contents").map(doc.resolve).flatMap(_.asStr)
-          .map(decodeDocString).getOrElse("")))
+      else {
+        var uri = ""
+        var dest = d.get("Dest").map(o => destString(doc, o)).getOrElse("")
+        var actionType = ""
+        doc.dictGet(d, "A") match {
+          case ad: Dict =>
+            actionType = ad.name("S").getOrElse("")
+            actionType match {
+              case "URI" =>
+                uri = ad.get("URI").map(doc.resolve).flatMap(_.asStr)
+                  .map(b => new String(b, java.nio.charset.StandardCharsets.ISO_8859_1))
+                  .getOrElse("")
+              case "GoTo" =>
+                if (dest.isEmpty) dest = ad.get("D").map(o => destString(doc, o)).getOrElse("")
+              case _ => ()
+            }
+          case _ => ()
+        }
+        Some(Annot(
+          d.name("Subtype").getOrElse(""),
+          d.get("Contents").map(doc.resolve).flatMap(_.asStr)
+            .map(decodeDocString).getOrElse(""),
+          uri, dest, actionType))
+      }
     }
   }
 

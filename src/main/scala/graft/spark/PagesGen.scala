@@ -128,6 +128,32 @@ object PagesGen {
     b.build(catId)
   }
 
+  /** Deterministic PDF with link annotations (URI actions + internal
+    * GoTo destinations) — exercise surface for link extraction through
+    * the job. Separate from `payload()` so goldens never change. */
+  def linkPdf(id: Long): Array[Byte] = {
+    val b = new PdfBuilder()
+    val catId = b.reserveId()
+    val pagesId = b.reserveId()
+    val f = b.addObject("<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica /Encoding /WinAnsiEncoding >>")
+    val cId = b.addStream("",
+      s"BT /F1 12 Tf 1 0 0 1 72 700 Tm (Linked doc $id) Tj ET".getBytes("ISO-8859-1"),
+      flate = false)
+    val pageId = b.reserveId()
+    val nLinks = 1 + (id % 3).toInt
+    val annotIds = (0 until nLinks).map { k =>
+      b.addObject(s"<< /Type /Annot /Subtype /Link /Rect [0 ${k * 30} 100 ${k * 30 + 20}] " +
+        s"/A << /S /URI /URI (https://target${(id * 7 + k) % 100}.example/p$k) >> >>")
+    } :+ b.addObject(s"<< /Type /Annot /Subtype /Link /Rect [0 200 100 220] " +
+      s"/A << /S /GoTo /D [$pageId 0 R /Fit] >> >>")
+    b.addObjectAt(pageId, s"<< /Type /Page /Parent $pagesId 0 R /MediaBox [0 0 612 792] " +
+      s"/Resources << /Font << /F1 $f 0 R >> >> /Contents $cId 0 R " +
+      s"/Annots [${annotIds.map(i => s"$i 0 R").mkString(" ")}] >>")
+    b.addObjectAt(pagesId, s"<< /Type /Pages /Kids [$pageId 0 R] /Count 1 >>")
+    b.addObjectAt(catId, s"<< /Type /Catalog /Pages $pagesId 0 R >>")
+    b.build(catId)
+  }
+
   /** Write as the Iceberg-emulated bucketed parquet layout:
     * directory-partitioned by bucket = pmod(xxhash64(url), nBuckets).
     * (No Iceberg jars in this sandbox — SURVEY preamble.) */

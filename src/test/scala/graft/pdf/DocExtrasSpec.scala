@@ -64,6 +64,32 @@ class DocExtrasSpec extends AnyFunSuite {
     assert(a == Vector(DocExtras.Annot("Text", "A note")))
   }
 
+  test("link annotations: URI action, GoTo destination, named /Dest") {
+    val b = new PdfBuilder()
+    val catId = b.reserveId()
+    val pagesId = b.reserveId()
+    val f = b.addObject("<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica /Encoding /WinAnsiEncoding >>")
+    val cId = b.addStream("", "BT /F1 12 Tf 100 700 Td (links) Tj ET".getBytes(ISO_8859_1), flate = false)
+    val uriA = b.addObject("<< /Type /Annot /Subtype /Link /Rect [0 0 100 20] " +
+      "/A << /S /URI /URI (https://example.com/page) >> >>")
+    val pageId = b.reserveId()
+    val gotoA = b.addObject(s"<< /Type /Annot /Subtype /Link /Rect [0 30 100 50] " +
+      s"/A << /S /GoTo /D [$pageId 0 R /XYZ 0 792 0] >> >>")
+    val namedA = b.addObject("<< /Type /Annot /Subtype /Link /Rect [0 60 100 80] " +
+      "/Dest /Section2 >>")
+    b.addObjectAt(pageId, s"<< /Type /Page /Parent $pagesId 0 R /MediaBox [0 0 612 792] " +
+      s"/Resources << /Font << /F1 $f 0 R >> >> /Contents $cId 0 R " +
+      s"/Annots [$uriA 0 R $gotoA 0 R $namedA 0 R] >>")
+    b.addObjectAt(pagesId, s"<< /Type /Pages /Kids [$pageId 0 R] /Count 1 >>")
+    b.addObjectAt(catId, s"<< /Type /Catalog /Pages $pagesId 0 R >>")
+    val doc = new PdfDocument(b.build(catId))
+    val a = DocExtras.annotations(doc, doc.pages.head)
+    assert(a.length == 3, a.toString)
+    assert(a(0).uri == "https://example.com/page" && a(0).actionType == "URI", a(0).toString)
+    assert(a(1).dest == s"page:$pageId XYZ" && a(1).actionType == "GoTo", a(1).toString)
+    assert(a(2).dest == "named:Section2", a(2).toString)
+  }
+
   test("image XObject inventory (metadata only)") {
     val b = new PdfBuilder()
     val catId = b.reserveId()
