@@ -21,6 +21,10 @@ object Verify {
       catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
       }
+      // LSH operators persist() intermediates (signature tables) and the
+      // session is long-lived here: callers own cleanup, and this caller
+      // is done with the query's lineage once the parquet is written.
+      spark.catalog.clearCache()
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the

@@ -116,7 +116,14 @@ object Dedup {
     * (small) signature table back in for the estimated-Jaccard filter.
     * bands×rowsPerBand = k; P(candidate) ≈ 1-(1-j^r)^b. Buckets larger
     * than `bucketCap` are dropped (standard LSH safety valve — a
-    * degenerate mega-bucket pairs everything with everything). */
+    * degenerate mega-bucket pairs everything with everything).
+    *
+    * NOTE: the returned plan references a persist()ed signature table
+    * (MEMORY_AND_DISK). The cache must outlive the caller's actions on
+    * the result, so cleanup is caller-owned: unpersist via
+    * `spark.catalog.clearCache()` (or track the table) once the result
+    * is materialized — long-lived sessions otherwise accumulate cached
+    * blocks until eviction. Same contract for `simhashNearDups`. */
   def minhashLsh(docs: DataFrame, k: Int = 64, bands: Int = 16,
                  threshold: Double = 0.5, shingleWidth: Int = 3,
                  bucketCap: Int = 1000): DataFrame = {

@@ -58,7 +58,9 @@ object Multimodal {
     @inline def be16(i: Int): Int = (u8(i) << 8) | u8(i + 1)
     @inline def le16(i: Int): Int = u8(i) | (u8(i + 1) << 8)
 
-    if (b.length >= 24 && u8(0) == 0x89 && b(1) == 'P' && b(2) == 'N' && b(3) == 'G') {
+    // >= 25: the branch reads u8(24) (IHDR bit depth) — a truncated
+    // 24-byte payload must fall through to "unknown", not throw.
+    if (b.length >= 25 && u8(0) == 0x89 && b(1) == 'P' && b(2) == 'N' && b(3) == 'G') {
       // PNG: 8-byte signature, then the IHDR chunk is mandatory first:
       // 4-byte length, "IHDR", width(4) height(4) bitdepth(1) colortype(1)
       ("png", be32(16), be32(20), u8(24).toLong)
@@ -133,7 +135,11 @@ object Multimodal {
         // per-batch init happens here (model load / codec context)
         batch.map { case (id, payload) =>
           val bytes = if (payload == null) Array.emptyByteArray else payload
-          val (fmt, w, hgt, bits) = decodeHeader(bytes)
+          // one malformed payload must degrade to "unknown", not fail
+          // the whole Spark task
+          val (fmt, w, hgt, bits) =
+            try decodeHeader(bytes)
+            catch { case _: RuntimeException => ("unknown", 0L, 0L, 0L) }
           val (fh, norm) = contentSignature(bytes, dim)
           MediaFeature(id, bytes.length.toLong, fmt, w, hgt, bits, fh, norm)
         }

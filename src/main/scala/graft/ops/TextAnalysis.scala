@@ -155,9 +155,14 @@ object TextAnalysis {
     * flow is one count shuffle + one per-doc aggregation. */
   def rareTrigramSignals(docs: DataFrame): DataFrame = {
     val t = lower(col("text"))
+    // guard length < 3: sequence(1, length-2) steps DOWN for short docs
+    // (sequence(1, 0) = [1, 0]), emitting phantom trigrams that pollute
+    // the global table; DuckDB's generate_series is empty there, so
+    // both engines must agree on "no trigrams" for short/empty docs.
     val tris = docs.select(col("doc_id"),
-      explode(transform(sequence(lit(1), length(t) - 2),
-        i => t.substr(i, lit(3)))).as("tri"))
+      explode(when(length(t) >= 3,
+        transform(sequence(lit(1), length(t) - 2), i => t.substr(i, lit(3))))
+        .otherwise(typedLit(Seq.empty[String]))).as("tri"))
     val global = tris.groupBy(col("tri")).agg(count(lit(1)).as("c"))
     val stats = global.agg(sum(col("c")).as("total"), count(lit(1)).as("n_distinct"))
     val rare = global.crossJoin(broadcast(stats))

@@ -48,10 +48,26 @@ object Html {
       else urlRe.matcher(s).replaceAll(m =>
         "<a href=\"" + m.group() + "\">" + m.group() + "</a>")
     if (withUrls.indexOf('@') < 0) withUrls
-    else emailRe.matcher(withUrls).replaceAll { m =>
-      // don't linkify inside an <a href="..."> we just inserted
-      val g = m.group()
-      "<a href=\"mailto:" + g + "\">" + g + "</a>"
+    else {
+      // Skip email matches inside anchors the URL pass just inserted —
+      // a URL with userinfo (http://user@host.com) would otherwise get
+      // a nested mailto anchor inside its own href. The raw text was
+      // escaped ('<' → &lt;), so every "<a " here is ours.
+      val m = emailRe.matcher(withUrls)
+      val sb = new java.lang.StringBuilder
+      while (m.find()) {
+        val open = withUrls.lastIndexOf("<a ", m.start)
+        val inAnchor = open >= 0 && {
+          val close = withUrls.indexOf("</a>", open)
+          close < 0 || m.start < close
+        }
+        val g = m.group()
+        val repl = if (inAnchor) g
+          else "<a href=\"mailto:" + g + "\">" + g + "</a>"
+        m.appendReplacement(sb, java.util.regex.Matcher.quoteReplacement(repl))
+      }
+      m.appendTail(sb)
+      sb.toString
     }
   }
 

@@ -56,14 +56,19 @@ final case class FontInfo(
     * touches ~60-90 codes, so eagerly filling all 256 cost more than
     * the lookups it saved (5.4% of JFR samples were table builds). */
   private val simpleTable: Array[String] = new Array[String](256)
-  private val simpleComputed: Array[Boolean] = new Array[Boolean](256)
+  /** identity sentinel for "computed: unmappable" — one array means one
+    * write per entry, so even a cross-thread reader can only ever see
+    * null (recompute, idempotent) or the final value; no stale
+    * computed-but-null state is representable. */
+  private[this] final val NotMapped: String = new String
 
   @inline private def simpleLookup(code: Int): String = {
-    if (!simpleComputed(code)) {
-      simpleTable(code) = decodeUncached(code).orNull
-      simpleComputed(code) = true
+    var v = simpleTable(code)
+    if (v == null) {
+      v = decodeUncached(code).getOrElse(NotMapped)
+      simpleTable(code) = v
     }
-    simpleTable(code)
+    if (v.asInstanceOf[AnyRef] eq NotMapped) null else v
   }
 
   /** Lazy per-font cache for Type0 code points (2-byte space). */

@@ -211,6 +211,32 @@ class OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(Multimodal.decodeHeader("plain text".getBytes)._1 == "unknown")
   }
 
+  test("media header decode: truncated headers degrade to unknown, never throw") {
+    val pngSig = Array[Byte](0x89.toByte, 'P', 'N', 'G', 0x0d, 0x0a, 0x1a, 0x0a)
+    // exactly 24 bytes: signature + length + "IHDR" + width + height,
+    // but NO bit-depth byte at offset 24 (the ADVICE repro)
+    val truncated24 = pngSig ++ Array[Byte](0, 0, 0, 13) ++ "IHDR".getBytes ++
+      Array.fill[Byte](8)(1)
+    assert(truncated24.length == 24)
+    assert(Multimodal.decodeHeader(truncated24)._1 == "unknown")
+    // every prefix of a valid header must degrade, not throw
+    def be32(v: Int): Array[Byte] =
+      Array((v >> 24).toByte, (v >> 16).toByte, (v >> 8).toByte, v.toByte)
+    val png = pngSig ++ be32(13) ++ "IHDR".getBytes ++ be32(640) ++ be32(480) ++
+      Array[Byte](8, 6, 0, 0, 0) ++ be32(0)
+    val jpeg = Array[Byte](0xff.toByte, 0xd8.toByte, 0xff.toByte, 0xc0.toByte,
+      0, 17, 8, 2, 0x58, 3, 0x20)
+    for (full <- Seq(png, jpeg); n <- 0 until full.length)
+      Multimodal.decodeHeader(full.take(n)) // must not throw
+    // and through the Spark job path: one malformed payload must not
+    // fail the task
+    val s = spark
+    import s.implicits._
+    val d = Seq((1L, truncated24), (2L, png)).toDF("doc_id", "payload")
+    val out = Multimodal.extractFeatures(d).collect().map(f => f.doc_id -> f.format).toMap
+    assert(out == Map(1L -> "unknown", 2L -> "png"))
+  }
+
   test("extractFeatures emits scalar, hash-stable columns with real dims") {
     val s = spark
     import s.implicits._
@@ -279,6 +305,17 @@ class OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     val byId = out.map(x => x._1 -> x).toMap
     assert(byId(10L)._3 > byId(10L)._2 / 2, byId(10L).toString) // mostly rare
     assert(byId(1L)._3 < byId(1L)._2 / 4, byId(1L).toString)    // mostly common
+  }
+
+  test("rare-trigram scoring: docs shorter than 3 chars emit zero trigrams") {
+    // sequence(1, length-2) steps DOWN for length < 3 — the guard must
+    // keep phantom trigrams out of the global table (ADVICE repro:
+    // "" produced n_trigrams=4, "ab" produced 2)
+    val d = docs(1L -> "", 2L -> "ab", 3L -> "x", 4L -> base)
+    val out = TextAnalysis.rareTrigramSignals(d).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(!out.contains(1L) && !out.contains(2L) && !out.contains(3L), out.toString)
+    assert(out(4L) == (base.length - 2).toLong, out.toString)
   }
 
   test("multimodal metadata sniffs pdf magic") {

@@ -26,6 +26,17 @@ class HtmlSpec extends AnyFunSuite {
     assert(out.contains("<a href=\"mailto:bob@example.com\">bob@example.com</a>"))
   }
 
+  test("linkify skips emails inside a just-inserted URL anchor (userinfo URLs)") {
+    val out = Html.linkify("see http://user@host.com for details, or mail joe@other.org")
+    // the userinfo URL must stay ONE anchor — no nested mailto inside
+    // its href or link text
+    assert(out.contains("<a href=\"http://user@host.com\">http://user@host.com</a>"), out)
+    assert(!out.contains("href=\"<a"), out)
+    assert(!out.contains("mailto:user@host.com"), out)
+    // emails outside anchors still linkify
+    assert(out.contains("<a href=\"mailto:joe@other.org\">joe@other.org</a>"), out)
+  }
+
   test("semantic mode emits h1/h2/h3/p/small by font rules") {
     val spans = Vector(
       span("Title", 100, 700, 24f, bold = true),
