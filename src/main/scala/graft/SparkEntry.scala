@@ -373,6 +373,9 @@ object SparkEntry {
         |FROM grams JOIN bench USING (g)
         |WHERE grams.doc_id >= 20
         |GROUP BY grams.doc_id""".stripMargin,
+    // langId is pure column expressions; the oracle is generated from
+    // the same marker table + fold order (single source of truth)
+    "text_langid" -> graft.ops.TextAnalysis.langIdOracleSql(),
     "multimodal_meta" ->
       """SELECT doc_id,
         | CAST(octet_length(encode(substring(text, 1, 8))) AS BIGINT) AS n_bytes,

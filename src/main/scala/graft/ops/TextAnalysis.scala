@@ -63,7 +63,7 @@ object TextAnalysis {
   // Language ID: character n-gram profiles (public heuristic — a tiny
   // profile table per language, cosine over trigram frequencies).
   // ------------------------------------------------------------------
-  private val langMarkers: Map[String, Seq[String]] = Map(
+  private[graft] val langMarkers: Map[String, Seq[String]] = Map(
     "en" -> Seq(" the ", " and ", " of ", " is ", " that ", " with ", "ing "),
     "de" -> Seq(" der ", " die ", " das ", " und ", " ist ", " mit ", "sch", " ein "),
     "fr" -> Seq(" le ", " la ", " les ", " et ", " est ", " une ", " dans ", " que "),
@@ -72,26 +72,82 @@ object TextAnalysis {
     "pt" -> Seq(" o ", " a ", " de ", " e ", " que ", " com ", "ção"),
     "nl" -> Seq(" de ", " het ", " een ", " en ", " van ", " dat ", "ij"))
 
-  /** Marker-hit language ID. CJK short-circuits on script detection.
-    * Implemented as one deterministic closure per row (no shuffle). */
+  /** Fold order for the marker argmax: alphabetical, and a STRICT
+    * greater-than replace — ties go to the alphabetically-first
+    * language. The DuckDB oracle (`langIdOracleSql`) mirrors this
+    * exactly, so both engines are deterministic and identical. */
+  private[graft] val langOrder: Seq[String] = langMarkers.keys.toSeq.sorted
+
+  /** Explicit codepoint ranges (NOT \p{script} classes, whose tables
+    * differ between Java regex and RE2): Han, kana (hiragana+katakana),
+    * hangul. */
+  private[graft] val HanRange = "[\\x{4e00}-\\x{9fff}]"
+  private[graft] val KanaRange = "[\\x{3040}-\\x{30ff}]"
+  private[graft] val HangulRange = "[\\x{ac00}-\\x{d7af}]"
+
+  /** Marker-count language ID, pure column expressions (no UDF — the
+    * round-2 closure was the last one standing). Scripts short-circuit
+    * first: kana → ja (round 2 conflated ja into zh by counting kana
+    * with Han), Han → zh, hangul → ko; otherwise argmax of per-language
+    * literal-marker counts (non-overlapping, via replace-length — the
+    * same primitive DuckDB has, so the oracle is exact). */
   def langId(docs: DataFrame): DataFrame = {
-    val scoreFn = udf { (text: String) =>
-      if (text == null || text.isEmpty) "und"
-      else {
-        val cjk = text.codePoints().limit(2000).filter(cp =>
-          (cp >= 0x4e00 && cp <= 0x9fff) || (cp >= 0x3040 && cp <= 0x30ff)).count()
-        if (cjk > 10) "zh"
-        else {
-          val t = " " + text.toLowerCase.take(4000) + " "
-          val best = langMarkers.toSeq.map { case (lang, markers) =>
-            lang -> markers.map(m => countOcc(t, m)).sum
-          }.sortBy { case (lang, n) => (-n, lang) }.head
-          if (best._2 == 0) "und" else best._1
-        }
-      }
+    val t = concat(lit(" "), lower(substring(col("text"), 1, 4000)), lit(" "))
+    def occ(m: String): Column =
+      ((length(t) - length(replace(t, lit(m), lit("")))) / m.length).cast("int")
+    // two-step select: scores become named columns so the argmax below
+    // references each once instead of inlining the marker chains
+    val scored = docs.select(
+      Seq(col("doc_id"), col("lang"), col("text"),
+        regexp_count(col("text"), lit(HanRange)).as("__han"),
+        regexp_count(col("text"), lit(KanaRange)).as("__kana"),
+        regexp_count(col("text"), lit(HangulRange)).as("__hangul")) ++
+      langOrder.map(l => langMarkers(l).map(occ).reduce(_ + _).as(s"__s_$l")): _*)
+    val m = greatest(langOrder.map(l => col(s"__s_$l")): _*)
+    // earliest lang (alphabetical order) achieving the max
+    val argmax = langOrder.foldRight(lit("und")) { (l, els) =>
+      when(col(s"__s_$l") === m, lit(l)).otherwise(els)
     }
-    docs.select(col("doc_id"), col("lang").as("lang_true"),
-      scoreFn(col("text")).as("lang_pred"))
+    val pred =
+      when(col("text").isNull || length(col("text")) === 0, "und")
+        .when(col("__han") + col("__kana") > 10,
+          when(col("__kana") > 2, "ja").otherwise("zh"))
+        .when(col("__hangul") > 10, "ko")
+        .otherwise(when(m > 0, argmax).otherwise(lit("und")))
+    scored.select(col("doc_id"), col("lang").as("lang_true"), pred.as("lang_pred"))
+  }
+
+  /** DuckDB oracle for `langId`, generated from the SAME marker table
+    * and fold order so the two can never drift. Integer marker counts,
+    * literal replace, explicit codepoint ranges — engine-exact. */
+  def langIdOracleSql(table: String = "documents"): String = {
+    def occSql(m: String): String = {
+      val lit = "'" + m.replace("'", "''") + "'"
+      s"CAST((length(t) - length(replace(t, $lit, ''))) / ${m.length} AS INT)"
+    }
+    val scoreCols = langOrder.map { l =>
+      langMarkers(l).map(occSql).mkString(" + ") + s" AS s_$l"
+    }.mkString(",\n   ")
+    // strict-greater fold, alphabetical order == earliest lang at max
+    val argmax = langOrder.map(l => s"WHEN s_$l = m THEN '$l'").mkString(" ")
+    s"""WITH base AS (
+       | SELECT doc_id, lang, text, ' ' || lower(substr(text, 1, 4000)) || ' ' AS t
+       | FROM $table),
+       |scored AS (
+       | SELECT doc_id, lang, text,
+       |  len(regexp_extract_all(text, '$HanRange')) AS han,
+       |  len(regexp_extract_all(text, '$KanaRange')) AS kana,
+       |  len(regexp_extract_all(text, '$HangulRange')) AS hangul,
+       |  $scoreCols
+       | FROM base),
+       |m AS (SELECT *, greatest(${langOrder.map("s_" + _).mkString(", ")}) AS m FROM scored)
+       |SELECT doc_id, lang AS lang_true,
+       | CASE WHEN text IS NULL OR length(text) = 0 THEN 'und'
+       |      WHEN han + kana > 10 THEN (CASE WHEN kana > 2 THEN 'ja' ELSE 'zh' END)
+       |      WHEN hangul > 10 THEN 'ko'
+       |      WHEN m > 0 THEN (CASE $argmax END)
+       |      ELSE 'und' END AS lang_pred
+       |FROM m""".stripMargin
   }
 
   /** Repetition quality signals (Gopher-style, Rae et al. 2021):
@@ -191,13 +247,6 @@ object TextAnalysis {
       regexp_count(col("text"), lit(EmailPattern)).cast("long").as("n_emails"),
       regexp_count(col("text"), lit(Ipv4Pattern)).cast("long").as("n_ips"),
       length(redacted).cast("long").as("redacted_len"))
-  }
-
-  private def countOcc(haystack: String, needle: String): Int = {
-    var count = 0
-    var i = haystack.indexOf(needle)
-    while (i >= 0) { count += 1; i = haystack.indexOf(needle, i + 1) }
-    count
   }
 
   /** Rolling-hash (Karp-Rabin) document fingerprint: min-sampled hashes

@@ -101,6 +101,37 @@ class OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(out(2L) == "de", out.toString)
   }
 
+  test("langId splits CJK scripts: kana → ja, Han-only → zh, hangul → ko") {
+    val s = spark
+    import s.implicits._
+    val d = Seq(
+      // Japanese: Han + kana mixed (round 2 returned "zh" for this)
+      (1L, "日本語のテキストです。これはひらがなとカタカナを含む文章である。", "ja"),
+      // Chinese: Han only, no kana
+      (2L, "这是一段中文文本内容包含很多汉字但没有假名字符在里面的样例", "zh"),
+      // Korean: hangul
+      (3L, "이것은 한국어 텍스트입니다 한글 문자로만 이루어진 문장입니다", "ko"),
+      (4L, "", "und"))
+      .toDF("doc_id", "text", "lang")
+    val out = TextAnalysis.langId(d).collect()
+      .map(r => r.getLong(0) -> r.getString(2)).toMap
+    assert(out == Map(1L -> "ja", 2L -> "zh", 3L -> "ko", 4L -> "und"), out.toString)
+  }
+
+  test("langId marker argmax is deterministic on ties (alphabetically first)") {
+    val s = spark
+    import s.implicits._
+    // " de " is a marker for pt ("o/a/de") and nl ("de"); craft a text
+    // hitting only the shared ' de ' marker → tie broken to 'nl' < 'pt'
+    val d = Seq((1L, "xxx de yyy", "und")).toDF("doc_id", "text", "lang")
+    val out = TextAnalysis.langId(d).collect().head.getString(2)
+    // fr also has no ' de '; nl's " de " and pt's " de " both score 1 →
+    // alphabetical fold order keeps the earliest max
+    val expected = TextAnalysis.langOrder
+      .find(l => TextAnalysis.langMarkers(l).contains(" de ")).get
+    assert(out == expected, s"got $out expected $expected")
+  }
+
   test("fingerprint is deterministic and text-sensitive") {
     // min-sampled rolling hash: stable for identical text (and robust
     // to small appends BY DESIGN); different content → different value
