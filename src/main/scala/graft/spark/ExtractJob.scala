@@ -96,14 +96,46 @@ object ExtractJob {
 
   // ------------------------------------------------------------------
   // Checkpointed, resumable run (north rule: per-partition lineage +
-  // metrics; restart = left-anti join; idempotent by url).
+  // metrics; restart = left-anti join; RE-RUNS YIELD AN IDENTICAL
+  // OUTPUT TABLE — no reader-side dedup needed).
+  //
+  // Commit protocol (Iceberg-emulation, three ordered steps):
+  //   1. stage   — write this attempt's output parquet under a staging
+  //                prefix OUTSIDE outDir (invisible to readers);
+  //   2. record  — append (url, attempt, lineage) rows to the
+  //                checkpoint table (atomic at job commit);
+  //   3. publish — one filesystem rename staging/<attempt> →
+  //                outDir/run=<attempt>.
+  // Crash analysis: before 2 → staged files are orphans (GC'd on the
+  // next run, urls re-extracted — no duplicates, staging was never
+  // readable); between 2 and 3 → the next run's heal() completes the
+  // rename instead of re-extracting (checkpoint names the attempt), so
+  // neither duplicates nor loss; after 3 → done. Round 2 appended
+  // output BEFORE the checkpoint, so a kill between the writes
+  // re-extracted and re-appended those urls (duplicate window).
   // ------------------------------------------------------------------
   final case class RunReport(attempted: Long, ok: Long, error: Long, skipped: Long)
 
+  private def stagingRoot(outDir: String): String = outDir + ".staging"
+
+  /** Test-only crash injection points for the commit protocol. */
+  private[spark] final case class FailPoints(
+      afterStage: Boolean = false, afterCheckpoint: Boolean = false)
+  private[spark] final class InjectedCrash(at: String)
+    extends RuntimeException(s"injected crash $at")
+
   def runWithCheckpoint(spark: SparkSession, pages: DataFrame, outDir: String,
                         checkpointDir: String, runId: String,
-                        cfg: Config = Config(), nBuckets: Int = 32): RunReport = {
+                        cfg: Config = Config(), nBuckets: Int = 32): RunReport =
+    runWithCheckpoint(spark, pages, outDir, checkpointDir, runId, cfg, nBuckets,
+      FailPoints())
+
+  private[spark] def runWithCheckpoint(spark: SparkSession, pages: DataFrame,
+                                       outDir: String, checkpointDir: String,
+                                       runId: String, cfg: Config, nBuckets: Int,
+                                       fail: FailPoints): RunReport = {
     import spark.implicits._
+    heal(spark, outDir, checkpointDir)
     val doneUrls: DataFrame =
       if (pathExists(spark, checkpointDir))
         spark.read.parquet(checkpointDir).select("url").distinct()
@@ -111,28 +143,81 @@ object ExtractJob {
     // resume: only not-yet-checkpointed urls (left-anti — the one
     // planned join; broadcast-able when the remainder is small)
     val pending = pages.join(doneUrls, Seq("url"), "left_anti")
+    val attempt = runId + "-" + java.util.UUID.randomUUID().toString.take(8)
+    val staged = s"${stagingRoot(outDir)}/$attempt"
     val extracted = extract(pending, cfg).persist()
     try {
       val statuses = extracted.groupBy($"status").count().collect()
         .map(r => r.getString(0) -> r.getLong(1)).toMap
-      // extracted output: Iceberg-emulated bucket layout, idempotent by
-      // url (append; readers dedup by url via checkpoint or window)
+      // 1. stage (bucketed layout, unreadable until published)
       extracted
         .withColumn("bucket", pmod(xxhash64($"url"), lit(nBuckets)))
         .drop("n_bytes", "partition_id")
-        .write.mode("append").partitionBy("bucket").parquet(outDir)
+        .write.mode("overwrite").partitionBy("bucket").parquet(staged)
+      if (fail.afterStage) throw new InjectedCrash("after stage")
+      // 2. record lineage + the attempt that owns each url
       val now = new Timestamp(System.currentTimeMillis())
       extracted.select($"url", $"status", $"duration_ms", $"n_bytes", $"partition_id")
         .withColumn("run_id", lit(runId))
+        .withColumn("attempt", lit(attempt))
         .withColumn("finished_at", lit(now))
-        .select("run_id", "partition_id", "url", "status", "duration_ms", "n_bytes", "finished_at")
+        .select("run_id", "attempt", "partition_id", "url", "status",
+          "duration_ms", "n_bytes", "finished_at")
         .write.mode("append").parquet(checkpointDir)
+      if (fail.afterCheckpoint) throw new InjectedCrash("after checkpoint")
+      // 3. publish (single rename)
+      publish(spark, staged, outDir, attempt)
       RunReport(
         attempted = statuses.values.sum,
         ok = statuses.getOrElse("ok", 0L),
         error = statuses.getOrElse("error", 0L),
         skipped = statuses.getOrElse("skipped_oversize", 0L))
     } finally extracted.unpersist()
+  }
+
+  /** Committed output: plain parquet read of outDir (run=attempt /
+    * bucket=n partition dirs). Staging lives outside outDir, and each
+    * url is checkpoint-owned by exactly one attempt, so this is
+    * duplicate-free WITHOUT any reader-side dedup. */
+  def readOutput(spark: SparkSession, outDir: String): DataFrame =
+    spark.read.option("basePath", outDir).parquet(outDir)
+
+  private def publish(spark: SparkSession, staged: String, outDir: String,
+                      attempt: String): Unit = {
+    val conf = spark.sparkContext.hadoopConfiguration
+    val src = new org.apache.hadoop.fs.Path(staged)
+    val dst = new org.apache.hadoop.fs.Path(s"$outDir/run=$attempt")
+    val fs = src.getFileSystem(conf)
+    fs.mkdirs(dst.getParent)
+    if (!fs.rename(src, dst))
+      throw new java.io.IOException(s"publish rename failed: $src -> $dst")
+  }
+
+  /** Recovery pass, run before each attempt: finish publishes the
+    * checkpoint recorded but a crash interrupted (rename is idempotent
+    * — target present means already published), and GC staged attempts
+    * the checkpoint never recorded (their urls are still pending, so
+    * they will be re-extracted; the stale files were never readable). */
+  private[spark] def heal(spark: SparkSession, outDir: String,
+                          checkpointDir: String): Unit = {
+    val conf = spark.sparkContext.hadoopConfiguration
+    val root = new org.apache.hadoop.fs.Path(stagingRoot(outDir))
+    val fs = root.getFileSystem(conf)
+    val recorded: Set[String] =
+      if (pathExists(spark, checkpointDir))
+        spark.read.parquet(checkpointDir).select("attempt").distinct()
+          .collect().map(_.getString(0)).toSet
+      else Set.empty
+    for (att <- recorded) {
+      val dst = new org.apache.hadoop.fs.Path(s"$outDir/run=$att")
+      val src = new org.apache.hadoop.fs.Path(s"${stagingRoot(outDir)}/$att")
+      if (!fs.exists(dst) && fs.exists(src)) publish(spark, src.toString, outDir, att)
+    }
+    if (fs.exists(root))
+      fs.listStatus(root).foreach { st =>
+        if (!recorded.contains(st.getPath.getName))
+          fs.delete(st.getPath, true)
+      }
   }
 
   /** Per-partition metrics rollup (SURVEY §2.5 aggregations). */

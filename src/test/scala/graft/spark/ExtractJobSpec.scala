@@ -156,6 +156,64 @@ class ExtractJobSpec extends AnyFunSuite with BeforeAndAfterAll {
     pages.unpersist()
   }
 
+  test("commit protocol: kill between checkpoint and publish leaves no duplicates and no loss") {
+    val dir = Files.createTempDirectory("graft-ckpt-crash").toString
+    val outDir = s"$dir/extracted"
+    val ckptDir = s"$dir/checkpoint"
+    val pages = PagesGen.generate(spark, 30, seed = 12, parallelism = 2).toDF().cache()
+
+    // run 1 dies AFTER the checkpoint append, BEFORE the publish rename
+    // (the round-2 duplicate window, now on the other side of the
+    // checkpoint write)
+    intercept[RuntimeException] {
+      ExtractJob.runWithCheckpoint(spark, pages, outDir, ckptDir, "run-1",
+        ExtractJob.Config(salt = false), 32,
+        ExtractJob.FailPoints(afterCheckpoint = true))
+    }
+    // the interrupted attempt is checkpointed but unpublished: readers
+    // see nothing yet, and nothing is duplicated
+    assert(!new java.io.File(outDir).exists() ||
+      spark.read.parquet(outDir).count() == 0)
+
+    // run 2: heal() publishes the staged attempt instead of
+    // re-extracting; nothing is pending
+    val r2 = ExtractJob.runWithCheckpoint(spark, pages, outDir, ckptDir, "run-2",
+      ExtractJob.Config(salt = false))
+    assert(r2.attempted == 0, s"heal should have published, not re-extracted: $r2")
+    val out = ExtractJob.readOutput(spark, outDir)
+    assert(out.count() == 30, "no loss")
+    assert(out.select("url").distinct().count() == 30, "no duplicates without reader-side dedup")
+    pages.unpersist()
+  }
+
+  test("commit protocol: kill between stage and checkpoint re-extracts cleanly (no duplicates)") {
+    val dir = Files.createTempDirectory("graft-ckpt-crash2").toString
+    val outDir = s"$dir/extracted"
+    val ckptDir = s"$dir/checkpoint"
+    val pages = PagesGen.generate(spark, 20, seed = 13, parallelism = 2).toDF().cache()
+
+    intercept[RuntimeException] {
+      ExtractJob.runWithCheckpoint(spark, pages, outDir, ckptDir, "run-1",
+        ExtractJob.Config(salt = false), 32,
+        ExtractJob.FailPoints(afterStage = true))
+    }
+    // staged output exists but was never checkpointed → invisible
+    assert(new java.io.File(s"$outDir.staging").exists())
+    assert(!new java.io.File(outDir).exists() ||
+      spark.read.parquet(outDir).count() == 0)
+
+    // run 2 GCs the orphan staging and re-extracts everything, once
+    val r2 = ExtractJob.runWithCheckpoint(spark, pages, outDir, ckptDir, "run-2",
+      ExtractJob.Config(salt = false))
+    assert(r2.attempted == 20, r2.toString)
+    val out = ExtractJob.readOutput(spark, outDir)
+    assert(out.count() == 20 && out.select("url").distinct().count() == 20)
+    // orphan staging was GC'd
+    val staging = new java.io.File(s"$outDir.staging")
+    assert(!staging.exists() || staging.listFiles().isEmpty, staging.listFiles().mkString(","))
+    pages.unpersist()
+  }
+
   test("malformed payloads become error rows with messages, never failures") {
     val s = spark
     import s.implicits._
