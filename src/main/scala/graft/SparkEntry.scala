@@ -159,14 +159,42 @@ object SparkEntry {
     "dedup_simhash" -> ((s, dir) => Dedup.simhash(t(s, dir, "documents"))),
     "dedup_simhash_near" -> ((s, dir) =>
       Dedup.simhashNearDups(t(s, dir, "documents"), maxDist = 8)),
+    "dedup_survivors" -> ((s, dir) => {
+      // cluster-representative output (the shape a corpus-scale dedup
+      // materializes): min-id connected component over near-dup pairs
+      val docs = t(s, dir, "documents")
+      Dedup.survivors(docs,
+        Dedup.jaccardPairs(docs, threshold = 0.95).select(col("a_id"), col("b_id")))
+    }),
+    "dedup_minhash_cover" -> ((s, dir) => {
+      // containment cross-check, driver-checkable: minhashVerified is
+      // precision-1 by construction (exact Jaccard re-check), so
+      // LSH-verified ∪ ground-truth == ground-truth. A false pair from
+      // the LSH family would surface as an extra row here.
+      val docs = t(s, dir, "documents")
+      Dedup.minhashVerified(docs).select(col("a_id"), col("b_id"))
+        .union(Dedup.jaccardPairs(docs, threshold = 0.7, blockCols = Nil)
+          .select(col("a_id"), col("b_id")))
+        .distinct()
+    }),
     "dedup_embedding" -> ((s, dir) =>
       // scale path: LSH-bucket candidates + exact cosine re-check — no
       // driver collect, no full-table broadcast (round-1 fix)
       Similarity.nearDupPairsLsh(t(s, dir, "embeddings"), threshold = 0.45)),
     "dedup_embedding_exact" -> ((s, dir) =>
-      // distributed exact baseline (broadcast-nested-loop, no driver
-      // collect) — oracle-checked; the LSH row above is the scale shape
+      // distributed exact pairs via the lossless pivot-bucket prune
+      // (no corpus broadcast) — oracle-checked; LSH above is the
+      // sub-quadratic scale shape
       Similarity.nearDupPairsExact(t(s, dir, "embeddings"), threshold = 0.45)),
+    "dedup_embedding_cover" -> ((s, dir) => {
+      // containment cross-check for the LSH row: LSH re-checks exact
+      // cosine per candidate (precision 1), so LSH ∪ exact == exact —
+      // a false LSH pair would show up as an extra row vs the oracle
+      val emb = t(s, dir, "embeddings")
+      Similarity.nearDupPairsLsh(emb, threshold = 0.45)
+        .union(Similarity.nearDupPairsExact(emb, threshold = 0.45))
+        .distinct()
+    }),
 
     // ---------------- similarity search -----------------------------
     "ann_bruteforce" -> ((s, dir) => {
@@ -269,6 +297,57 @@ object SparkEntry {
         |FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
         |WHERE list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
         |        CAST(b.embedding AS DOUBLE[])) >= 0.45""".stripMargin,
+    // containment check: LSH ∪ exact must equal the exact set (LSH is
+    // precision-1 — every candidate is re-checked with exact cosine)
+    "dedup_embedding_cover" ->
+      """SELECT a.vec_id AS a_id, b.vec_id AS b_id
+        |FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+        |WHERE list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+        |        CAST(b.embedding AS DOUBLE[])) >= 0.45""".stripMargin,
+    // containment check: minhash-LSH-then-exact-verify ∪ ground truth
+    // must equal the UNBLOCKED Jaccard≥0.7 pair set
+    "dedup_minhash_cover" ->
+      """WITH toks AS (
+        | SELECT doc_id, unnest(list_distinct(list_filter(
+        |   string_split_regex(lower(text), '\s+'), x -> len(x) > 0))) AS tok
+        | FROM documents),
+        |sizes AS (SELECT doc_id, count(*) AS sz FROM toks GROUP BY doc_id),
+        |inter AS (
+        | SELECT a.doc_id AS a_id, b.doc_id AS b_id, count(*) AS i
+        | FROM toks a JOIN toks b ON a.tok = b.tok AND a.doc_id < b.doc_id
+        | GROUP BY 1, 2)
+        |SELECT a_id, b_id
+        |FROM inter
+        |JOIN sizes sa ON inter.a_id = sa.doc_id
+        |JOIN sizes sb ON inter.b_id = sb.doc_id
+        |WHERE CAST(i AS DOUBLE) / CAST(sa.sz + sb.sz - i AS DOUBLE) >= 0.7""".stripMargin,
+    // min-id connected components over the blocked Jaccard≥0.95 pairs
+    // (DuckDB: recursive reachability, then min per vertex)
+    "dedup_survivors" ->
+      """WITH RECURSIVE toks AS (
+        | SELECT doc_id, lang, source, unnest(list_distinct(list_filter(
+        |   string_split_regex(lower(text), '\s+'), x -> len(x) > 0))) AS tok
+        | FROM documents),
+        |sizes AS (SELECT doc_id, count(*) AS sz FROM toks GROUP BY doc_id),
+        |inter AS (
+        | SELECT a.doc_id AS a_id, b.doc_id AS b_id, count(*) AS i
+        | FROM toks a JOIN toks b ON a.lang = b.lang AND a.source = b.source
+        |   AND a.tok = b.tok AND a.doc_id < b.doc_id
+        | GROUP BY 1, 2),
+        |pairs AS (
+        | SELECT a_id, b_id FROM inter
+        | JOIN sizes sa ON inter.a_id = sa.doc_id
+        | JOIN sizes sb ON inter.b_id = sb.doc_id
+        | WHERE CAST(i AS DOUBLE) / CAST(sa.sz + sb.sz - i AS DOUBLE) >= 0.95),
+        |edges AS (SELECT a_id AS src, b_id AS dst FROM pairs
+        |          UNION SELECT b_id, a_id FROM pairs),
+        |reach(id, r) AS (
+        | SELECT src, src FROM edges
+        | UNION
+        | SELECT e.src, reach.r FROM edges e JOIN reach ON e.dst = reach.id),
+        |comp AS (SELECT id, min(r) AS rep FROM reach GROUP BY id)
+        |SELECT d.doc_id, coalesce(c.rep, d.doc_id) AS rep_id
+        |FROM documents d LEFT JOIN comp c ON d.doc_id = c.id""".stripMargin,
     "ann_bruteforce" ->
       """SELECT query_id, neighbor_id, rn AS rank FROM (
         | SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,

@@ -197,9 +197,14 @@ object Dedup {
     * every doc: measured 350M intermediate rows on 5k docs with a
     * narrow vocabulary). Intersections come from the blocked token
     * equi-join; union by inclusion-exclusion. */
-  def jaccardPairs(docs: DataFrame, threshold: Double): DataFrame = {
-    val toks = docs.select(col("doc_id"), col("lang"), col("source"),
-      explode(array_distinct(tokens(col("text")))).as("tok"))
+  def jaccardPairs(docs: DataFrame, threshold: Double,
+                   blockCols: Seq[String] = Seq("lang", "source")): DataFrame = {
+    // blockCols = Nil computes the unblocked ground truth (prefix
+    // filtering alone bounds the candidate join) — used by the
+    // containment cover queries; production keeps the blocks.
+    val bc = blockCols.map(col)
+    val toks = docs.select(col("doc_id") +: bc :+
+      explode(array_distinct(tokens(col("text")))).as("tok"): _*)
     // Global doc-frequency per token: the total order for prefix
     // filtering (rare-first minimizes posting-list length). Vocab-sized
     // → broadcast.
@@ -211,22 +216,24 @@ object Dedup {
     // The 1e-9 slack keeps fp noise in t·sz from rounding ceil UP,
     // which would shrink p and silently drop threshold-exact pairs.
     val docToks = toks.join(broadcast(dfreq), "tok")
-      .groupBy(col("doc_id"), col("lang"), col("source"))
+      .groupBy(col("doc_id") +: bc: _*)
       .agg(sort_array(collect_list(struct(col("df"), col("tok")))).as("tdf"))
-      .select(col("doc_id"), col("lang"), col("source"),
-        transform(col("tdf"), t => t.getField("tok")).as("toks"))
+      .select(col("doc_id") +: bc :+
+        transform(col("tdf"), t => t.getField("tok")).as("toks"): _*)
       .withColumn("sz", size(col("toks")))
       .withColumn("p",
         (col("sz") - ceil(lit(threshold) * col("sz") - lit(1e-9)) + 1).cast("int"))
-    val prefix = docToks.select(col("doc_id"), col("lang"), col("source"),
-      explode(slice(col("toks"), lit(1), col("p"))).as("tok"))
-    // Candidates: prefix-token equi-join inside (lang, source) blocks.
+    val prefix = docToks.select(col("doc_id") +: bc :+
+      explode(slice(col("toks"), lit(1), col("p"))).as("tok"): _*)
+    // Candidates: prefix-token equi-join inside the blocks.
     // Prefix tokens are the doc's rarest, so posting lists stay short
     // even on hot-vocabulary corpora — this replaced the round-1
     // all-token join whose postings went quadratic per block.
+    val blockEq = blockCols.map(c => col(s"x.$c") === col(s"y.$c"))
+      .reduceOption(_ && _).getOrElse(lit(true))
     val cand = prefix.as("x").join(prefix.as("y"),
-        col("x.lang") === col("y.lang") && col("x.source") === col("y.source") &&
-          col("x.tok") === col("y.tok") && col("x.doc_id") < col("y.doc_id"))
+        blockEq && col("x.tok") === col("y.tok") &&
+          col("x.doc_id") < col("y.doc_id"))
       .select(col("x.doc_id").as("a_id"), col("y.doc_id").as("b_id"))
       .distinct()
     // Exact verify on the (small) candidate set via token-array joins.
@@ -241,6 +248,66 @@ object Dedup {
         (col("inter").cast("double") /
           (col("a_sz") + col("b_sz") - col("inter")).cast("double")).as("jaccard"))
       .filter(col("jaccard") >= threshold)
+  }
+
+  /** Connected components over a near-dup pair set, by iterative
+    * min-label propagation: every vertex repeatedly adopts the minimum
+    * component id among itself and its neighbors until fixpoint. Each
+    * round is one shuffle (join + groupBy-min); rounds = graph
+    * diameter, which for near-dup graphs is small (clusters are
+    * cliquish — LSH emits most intra-cluster edges directly). The
+    * O(log n) refinement for adversarial long-path graphs is the
+    * large-star/small-star alternation (Kiveris et al. 2014), same
+    * join/agg primitives. Each round is CUT OUT of the lineage with an
+    * eager localCheckpoint: the round's plan references the previous
+    * round twice, so without truncation the logical plan (and
+    * Catalyst's per-round analysis cost) doubles every iteration — the
+    * classic iterative-DataFrame trap. On a cluster swap
+    * localCheckpoint for reliable checkpointing if executor loss
+    * mid-algorithm must be survivable; the convergence loop is
+    * identical.
+    *
+    * Returns (id, comp) for every vertex that appears in `pairs`;
+    * comp = min doc id reachable. */
+  def components(pairs: DataFrame, maxIter: Int = 50): DataFrame = {
+    val edges = pairs.select(col("a_id").as("src"), col("b_id").as("dst"))
+      .union(pairs.select(col("b_id").as("src"), col("a_id").as("dst")))
+      .distinct()
+      .localCheckpoint(true)
+    var labels = edges.select(col("src").as("id")).distinct()
+      .withColumn("comp", col("id"))
+      .localCheckpoint(true)
+    var iter = 0
+    var converged = false
+    while (!converged && iter < maxIter) {
+      val neighborMin = edges
+        .join(labels.select(col("id").as("dst"), col("comp").as("dcomp")), "dst")
+        .groupBy(col("src")).agg(min(col("dcomp")).as("ncomp"))
+      val next = labels
+        .join(neighborMin.select(col("src").as("id"), col("ncomp")), Seq("id"), "left")
+        .select(col("id"),
+          least(col("comp"), coalesce(col("ncomp"), col("comp"))).as("comp"),
+          (coalesce(col("ncomp"), col("comp")) < col("comp")).as("changed"))
+        .localCheckpoint(true)
+      val nChanged = next.filter(col("changed")).count()
+      labels = next.select(col("id"), col("comp"))
+      converged = nChanged == 0
+      iter += 1
+    }
+    labels
+  }
+
+  /** Cluster-representative output for the near-dup family — the shape
+    * a 100 TB dedup actually materializes (emitting all pairs is itself
+    * quadratic on mega-clusters). Every document maps to the min doc_id
+    * of its connected component under `pairs`; documents in no pair are
+    * their own representative. Keep-rule downstream: keep rows where
+    * doc_id = rep_id. */
+  def survivors(docs: DataFrame, pairs: DataFrame): DataFrame = {
+    val comp = components(pairs)
+    docs.select(col("doc_id"))
+      .join(comp.select(col("id").as("doc_id"), col("comp")), Seq("doc_id"), "left")
+      .select(col("doc_id"), coalesce(col("comp"), col("doc_id")).as("rep_id"))
   }
 
   /** 64-bit SimHash from seeded token hashes: each token votes ±1 per

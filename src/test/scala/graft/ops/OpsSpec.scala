@@ -88,6 +88,29 @@ class OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(lsh1.length == 1 && Set(1L, 2L).contains(lsh1(0).getLong(1)), lsh1.mkString)
   }
 
+  test("connected components: min-id representative per cluster, singletons self-represent") {
+    val s = spark
+    import s.implicits._
+    // components {1,2,3} via chain 1-2, 2-3 (propagation needs 2 hops),
+    // {5,9}, singleton 7
+    val pairs = Seq((2L, 3L), (1L, 2L), (5L, 9L)).toDF("a_id", "b_id")
+    val docs = Seq(1L, 2L, 3L, 5L, 7L, 9L).toDF("doc_id")
+    val out = Dedup.survivors(docs, pairs).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(out == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 5L -> 5L, 9L -> 5L, 7L -> 7L), out.toString)
+  }
+
+  test("connected components: long path converges (diameter > 2)") {
+    val s = spark
+    import s.implicits._
+    // path 10-11-12-13-14-15: min label must travel 5 hops
+    val pairs = (10L until 15L).map(i => (i + 1, i)).toDF("a_id", "b_id")
+    val docs = (10L to 15L).toDF("doc_id")
+    val out = Dedup.survivors(docs, pairs).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(out.values.toSet == Set(10L), out.toString)
+  }
+
   test("langId identifies obvious English and German") {
     val s = spark
     import s.implicits._
@@ -196,7 +219,7 @@ class OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(found == truth, s"missing: ${truth -- found}; extra: ${found -- truth}")
   }
 
-  test("embedding near-dup: exact BNLJ matches collect-baseline; LSH finds tight dups") {
+  test("embedding near-dup: pivot-bucketed exact matches collect-baseline; LSH finds tight dups") {
     val s = spark
     import s.implicits._
     val rnd = new scala.util.Random(3)
@@ -221,6 +244,31 @@ class OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     // LSH recall on cosine≥0.95 pairs is ≈1-(1-0.9^6)^24 ≈ 1-5e-6
     assert(lsh == planted, s"LSH missed tight dups: ${planted -- lsh}; extra: ${lsh -- planted}")
+  }
+
+  test("exact embedding dedup: pivot prune is lossless at loose and tight thresholds, no corpus broadcast") {
+    val s = spark
+    import s.implicits._
+    // adversarial spread: random unit-ball vectors → pairs at all
+    // cosines, including near each threshold boundary
+    val rnd = new scala.util.Random(17)
+    val emb = (0 until 120).map { i =>
+      (i.toLong, Array.fill(12)(rnd.nextFloat() * 2f - 1f))
+    }.toDF("vec_id", "embedding").cache()
+    for (t <- Seq(0.3, 0.45, 0.7, 0.9)) {
+      val exact = Similarity.nearDupPairsExact(emb, t)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      val baseline = Similarity.nearDupPairs(emb, t)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(exact == baseline,
+        s"t=$t: missing ${baseline -- exact}; extra ${exact -- baseline}")
+    }
+    // the scale contract: no full-table broadcast join anywhere in the plan
+    val plan = Similarity.nearDupPairsExact(emb, 0.45)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("BroadcastNestedLoopJoin"), plan.take(2000))
+    assert(!plan.contains("CartesianProduct"), plan.take(2000))
+    emb.unpersist()
   }
 
   test("media header decode: PNG IHDR, JPEG SOF0, GIF screen descriptor") {
