@@ -43,7 +43,8 @@ object SparkEntry {
       val pages = PagesGen.generate(s, 120, seed = 42L, parallelism = 4).toDF()
         .filter(col("url").endsWith(".html"))
       ExtractJob.extract(pages, ExtractJob.Config(salt = false))
-        .select(col("url"), col("text"))
+        .select(col("url"), length(col("text")).as("text_len"),
+          xxhash64(col("text")).as("text_hash"))
     }),
     "extract_sql_expr" -> ((s, _) => {
       // the Catalyst Expression path: extraction addressable from SQL
@@ -242,8 +243,12 @@ object SparkEntry {
   )
 
   /** DuckDB equivalents (driver hashes result values with columns
-    * sorted by name — names/types match the Spark side exactly). */
-  def oracleSql: Map[String, String] = Map(
+    * sorted by name — names/types match the Spark side exactly). The
+    * extraction-family queries run the engine itself over seeded
+    * synthetic corpora, so their oracles are frozen expected outputs
+    * (`FrozenOracles`, the driver-visible form of the sbt goldens —
+    * regenerated consciously via OracleFreeze, red on any drift). */
+  def oracleSql: Map[String, String] = graft.spark.FrozenOracles.sql ++ Map(
     "q1_agg" ->
       """SELECT l_returnflag, l_linestatus,
         | CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
