@@ -7,7 +7,23 @@ object ProfileRun {
       .config("spark.sql.shuffle.partitions", "16")
       .config("spark.ui.enabled", "false").getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    val pages = PagesGen.generate(spark, 150000, 42L, 64).toDF().cache()
+    import spark.implicits._
+    // default: the mixed corpus; "large" arg: content-VM-dominated
+    // multi-hundred-page docs (the BenchLargeDocs shape)
+    val pages =
+      if (args.headOption.contains("large")) {
+        spark.range(0, 128, 1, 16).map { id =>
+          val rnd = new java.util.Random(id * 0x9e3779b97f4a7c15L + 11L)
+          val pagesSeq = (0 until 400).map { _ =>
+            (0 until 40).map { k =>
+              graft.pdf.testgen.PdfBuilder.Line(72f, 720f - 14f * (k % 48), 11f, "F1",
+                PagesGen.sentence(rnd, 6 + rnd.nextInt(8)))
+            }
+          }
+          (s"https://big.example/doc$id.pdf",
+            graft.pdf.testgen.PdfBuilder.multiPage(pagesSeq, compress = true))
+        }.toDF("url", "html").cache()
+      } else PagesGen.generate(spark, 150000, 42L, 64).toDF().cache()
     pages.count()
     // warmup
     ExtractJob.extract(pages, ExtractJob.Config()).write.mode("overwrite").format("noop").save()

@@ -34,20 +34,21 @@ object Whitespace {
     var started = false    // first visible char seen (leading trim)
     var lineStart = sb.length() // offset of current line in sb
 
-    def endLine(): Unit = {
-      // strip trailing ws (pending is simply dropped)
-      pendingWs = 0; pendingHasTab = false
-      if (markdown && lineHasVisible) {
-        // artifact line? blank it
-        if (isArtifactLine(sb, lineStart, sb.length())) sb.setLength(lineStart)
-      }
-      lineHasVisible = false
-    }
+    // NOTE the line-end handling is manually inlined at its two call
+    // sites: a nested def closing over mutable locals boxes ALL of them
+    // as IntRef/BooleanRef, and this loop is the job's hottest scanner
+    // (every character access paid a heap deref — top leaf frame in
+    // JFR).
 
     while (i < n) {
       val c = s.charAt(i)
       if (c == '\n' || c == '\r') {
-        endLine()
+        // end line: strip trailing ws (pending dropped), blank artifact
+        // lines in markdown mode
+        pendingWs = 0; pendingHasTab = false
+        if (markdown && lineHasVisible &&
+            isArtifactLine(sb, lineStart, sb.length())) sb.setLength(lineStart)
+        lineHasVisible = false
         pendingNl += 1
         if (c == '\r' && i + 1 < n && s.charAt(i + 1) == '\n') i += 1
       } else if (c == ' ' || c == '\t') {
@@ -82,7 +83,11 @@ object Whitespace {
       }
       i += 1
     }
-    endLine()
+    // final end-line (same as above)
+    pendingWs = 0; pendingHasTab = false
+    if (markdown && lineHasVisible &&
+        isArtifactLine(sb, lineStart, sb.length())) sb.setLength(lineStart)
+    lineHasVisible = false
     // drop trailing blank lines (trim) — artifacts may leave a run of
     // newlines at the end of sb
     var end = sb.length()

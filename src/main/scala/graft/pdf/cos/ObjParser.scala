@@ -105,6 +105,20 @@ final class ObjParser(
     * (reference: src/parser.rs:48-167). */
   def parseLiteralString(): Array[Byte] = {
     pos += 1 // '('
+    // Fast path (the overwhelmingly common case for content-stream Tj
+    // strings): no nesting, escapes, or raw CR before the closing ')'
+    // → the payload is a contiguous slice, one copy, no per-byte
+    // builder growth (mkArray was a top-10 JFR leaf frame).
+    var scan = pos
+    while (scan < data.length) {
+      val b = data(scan) & 0xff
+      if (b == ')') {
+        val out = java.util.Arrays.copyOfRange(data, pos, scan)
+        pos = scan + 1
+        return out
+      } else if (b == '(' || b == '\\' || b == 0x0d) scan = Int.MaxValue // slow path
+      else scan += 1
+    }
     val out = new mutable.ArrayBuilder.ofByte
     var depth = 1
     while (depth > 0) {
