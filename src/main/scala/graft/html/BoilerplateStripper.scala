@@ -81,11 +81,16 @@ object BoilerplateStripper {
     val pat = "charset="
     var i = 0
     var found = -1
+    // byte-compare with ASCII case folding (|0x20): the pattern is all
+    // lowercase ASCII + '=' (which has bit 5 set already), so this is
+    // equivalent to the Character.toLowerCase comparison it replaces —
+    // without a char conversion + virtual call per scanned byte
     while (found < 0 && i + pat.length <= limit) {
-      var k = 0
-      while (k < pat.length &&
-             java.lang.Character.toLowerCase((bytes(i + k) & 0xff).toChar) == pat.charAt(k)) k += 1
-      if (k == pat.length) found = i + pat.length else i += 1
+      if ((bytes(i) | 0x20) == 'c') {
+        var k = 1
+        while (k < pat.length && (bytes(i + k) | 0x20) == pat.charAt(k)) k += 1
+        if (k == pat.length) found = i + pat.length else i += 1
+      } else i += 1
     }
     val cs =
       if (found < 0) "UTF-8"

@@ -23,7 +23,11 @@ object Whitespace {
   /** Markdown cleanup (reference: whitespace.rs:91-114, 247-255). */
   def cleanMarkdown(s: CharSequence): String = clean(s, markdown = true)
 
-  private def clean(s: CharSequence, markdown: Boolean): String = {
+  private def clean(cs: CharSequence, markdown: Boolean): String = {
+    // One toString up front: free for String inputs, one bulk copy for
+    // StringBuilder inputs — cheaper than n virtual CharSequence
+    // .charAt calls through the scanner below (JFR-verified).
+    val s = cs.toString
     val n = s.length
     val sb = new java.lang.StringBuilder(n)
     var i = 0

@@ -278,8 +278,17 @@ final class TextExtractor(doc: PdfDocument) {
 
   /** Control chars except \t\n\r are dropped (reference: text.rs:2536-2545). */
   private def appendClean(s: String): Unit = {
+    // fast path: decoded glyph strings are almost always fully clean —
+    // verify once, bulk-append (StringBuilder.append(String) is one
+    // range copy vs per-char appends)
+    val n = s.length
     var i = 0
-    while (i < s.length) {
+    while (i < n && {
+      val c = s.charAt(i); c >= ' ' || c == '\t' || c == '\n' || c == '\r'
+    }) i += 1
+    if (i == n) { buf.append(s); return }
+    buf.append(s, 0, i)
+    while (i < n) {
       val c = s.charAt(i)
       if (c >= ' ' || c == '\t' || c == '\n' || c == '\r') buf.append(c)
       i += 1

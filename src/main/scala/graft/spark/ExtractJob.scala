@@ -84,7 +84,7 @@ object ExtractJob {
     } else {
       try {
         val (text, md, title) = BoilerplateStripper.extractAll(html)
-        val nBlocks = if (text.isEmpty) 0 else text.split("\n\n").length
+        val nBlocks = countBlocks(text)
         ExtractedDoc(u, text, md, "", title, 1, nBlocks, ms, "ok", "", nBytes, pid)
       } catch {
         case e: Throwable =>
@@ -92,6 +92,27 @@ object ExtractJob {
             Option(e.getMessage).getOrElse(e.getClass.getSimpleName).take(200), nBytes, pid)
       }
     }
+  }
+
+  /** Blank-line-separated block count, bit-compatible with the former
+    * `text.split("\n\n").length` (which compiled a regex Pattern PER
+    * DOCUMENT — a top JFR frame — and allocated every segment): count
+    * non-overlapping separators left-to-right and drop trailing empty
+    * segments exactly as Java's split does. */
+  private[spark] def countBlocks(text: String): Int = {
+    var count = 0           // segments seen (incl. empties)
+    var lastNonEmpty = 0    // ordinal of last non-empty segment
+    var start = 0
+    var i = text.indexOf("\n\n")
+    while (i >= 0) {
+      count += 1
+      if (i > start) lastNonEmpty = count
+      start = i + 2
+      i = text.indexOf("\n\n", start)
+    }
+    count += 1
+    if (start < text.length) lastNonEmpty = count
+    lastNonEmpty
   }
 
   // ------------------------------------------------------------------
