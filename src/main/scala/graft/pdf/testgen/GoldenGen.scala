@@ -15,6 +15,9 @@ import graft.spark.PagesGen
 object GoldenGen {
   val NumDocs = 40
   val Seed = 42L
+  /** structured-HTML fixture goldens (lists/tables/blockquotes through
+    * stripMarkdown — PagesGen.structuredHtml, separate id space). */
+  val NumStructDocs = 8
 
   def main(args: Array[String]): Unit = {
     val dir = Paths.get("src/test/resources/golden")
@@ -31,6 +34,12 @@ object GoldenGen {
           BoilerplateStripper.strip(bytes).getBytes(UTF_8))
       }
     }
-    println(s"wrote goldens for $NumDocs docs to $dir")
+    (0 until NumStructDocs).foreach { i =>
+      val bytes = PagesGen.structuredHtml(i.toLong)
+      val (text, md, _) = BoilerplateStripper.extractAll(bytes)
+      Files.write(dir.resolve(s"struct$i.txt"), text.getBytes(UTF_8))
+      Files.write(dir.resolve(s"struct$i.md"), md.getBytes(UTF_8))
+    }
+    println(s"wrote goldens for $NumDocs docs + $NumStructDocs structured to $dir")
   }
 }

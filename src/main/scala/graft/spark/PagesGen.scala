@@ -71,6 +71,47 @@ object PagesGen {
     }
   }
 
+  /** Structured-HTML fixture kind: nested/ordered lists, tables with
+    * headers, blockquotes, inline links — exercises stripMarkdown's
+    * structure rendering end-to-end. SEPARATE generator (the imagePdf
+    * pattern): the frozen ids 0-39 of `payload` are never touched. */
+  def structuredHtml(id: Long): Array[Byte] = {
+    val rnd = new java.util.Random(0x57121c7ed0c5L + id * 0x100000001b3L)
+    val sb = new StringBuilder
+    sb.append("<html><head><title>Structured ").append(id).append("</title></head><body>")
+    sb.append("<nav><a href=\"/\">Home</a> <a href=\"/docs\">Docs</a> <a href=\"/faq\">FAQ</a></nav>")
+    sb.append("<article>")
+    sb.append("<h1>").append(sentence(rnd, 4).dropRight(1)).append("</h1>")
+    sb.append("<p>").append(sentence(rnd, 14 + rnd.nextInt(10))).append("</p>")
+    sb.append("<ul>")
+    (0 until 3 + rnd.nextInt(3)).foreach { _ =>
+      sb.append("<li>").append(sentence(rnd, 5 + rnd.nextInt(6))).append("</li>")
+    }
+    sb.append("</ul>")
+    sb.append("<h2>").append(sentence(rnd, 3).dropRight(1)).append("</h2>")
+    sb.append("<blockquote>").append(sentence(rnd, 10)).append("</blockquote>")
+    sb.append("<ol>")
+    (0 until 2 + rnd.nextInt(3)).foreach { _ =>
+      sb.append("<li>").append(sentence(rnd, 4 + rnd.nextInt(5))).append("</li>")
+    }
+    sb.append("</ol>")
+    sb.append("<table><tr><th>metric</th><th>value</th><th>")
+      .append(sentence(rnd, 2).dropRight(1)).append("</th></tr>")
+    (0 until 2 + rnd.nextInt(3)).foreach { r =>
+      sb.append("<tr><td>row").append(r).append("</td><td>")
+        .append(sentence(rnd, 3)).append("</td><td>")
+        .append(sentence(rnd, 4)).append("</td></tr>")
+    }
+    sb.append("</table>")
+    sb.append("<p>").append(sentence(rnd, 8))
+      .append(" <a href=\"https://example.org/ref\">").append(sentence(rnd, 2).dropRight(1))
+      .append("</a> ").append(sentence(rnd, 9)).append("</p>")
+    sb.append("</article>")
+    sb.append("<footer><a href=\"/terms\">Terms</a> © 2025</footer>")
+    sb.append("</body></html>")
+    sb.toString.getBytes("UTF-8")
+  }
+
   def url(id: Long, kind: String): String =
     s"https://host${id % 1000}.example/doc$id.$kind"
 

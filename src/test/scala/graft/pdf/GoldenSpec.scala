@@ -43,4 +43,26 @@ class GoldenSpec extends AnyFunSuite {
       }
     }
   }
+
+  // structured-HTML fixtures: stripMarkdown's list/table/blockquote
+  // rendering frozen end-to-end (round-2 gap: the doc0-39 html docs
+  // carry no <ul>/<table>, so structure rendering was unit-tested only)
+  (0 until GoldenGen.NumStructDocs).foreach { i =>
+    test(s"struct$i (lists/tables) byte-identical to golden") {
+      val bytes = PagesGen.structuredHtml(i.toLong)
+      val (text, md, title) = BoilerplateStripper.extractAll(bytes)
+      assert(title == s"Structured $i")
+      val goldenTxt = Files.readAllBytes(dir.resolve(s"struct$i.txt"))
+      assert(java.util.Arrays.equals(text.getBytes(UTF_8), goldenTxt),
+        s"text drifted for struct$i")
+      val goldenMd = Files.readAllBytes(dir.resolve(s"struct$i.md"))
+      assert(java.util.Arrays.equals(md.getBytes(UTF_8), goldenMd),
+        s"markdown drifted for struct$i")
+      // the structure actually rendered (guards against a silently
+      // empty fixture making the byte-equality vacuous)
+      val mdStr = new String(goldenMd, UTF_8)
+      assert(mdStr.contains("- ") && mdStr.contains("|"),
+        s"struct$i golden lacks list/table markers:\n$mdStr")
+    }
+  }
 }
