@@ -268,12 +268,43 @@ object Dedup {
     * identical.
     *
     * Returns (id, comp) for every vertex that appears in `pairs`;
-    * comp = min doc id reachable. */
-  def components(pairs: DataFrame, maxIter: Int = 50): DataFrame = {
+    * comp = min doc id reachable.
+    *
+    * Small graphs (≤ `driverSolveMaxEdges`, a few MB) short-circuit to
+    * a driver union-find: near-dup pair sets are usually tiny relative
+    * to the corpus, and one bounded collect replaces 2·diameter Spark
+    * jobs of scheduling latency. The explicit size gate (checked on the
+    * materialized edge count, not guessed) keeps the distributed loop
+    * the path whenever the graph could be large. */
+  def components(pairs: DataFrame, maxIter: Int = 50,
+                 driverSolveMaxEdges: Long = 200000L): DataFrame = {
+    val spark = pairs.sparkSession
+    import spark.implicits._
     val edges = pairs.select(col("a_id").as("src"), col("b_id").as("dst"))
       .union(pairs.select(col("b_id").as("src"), col("a_id").as("dst")))
       .distinct()
       .localCheckpoint(true)
+    if (edges.count() <= driverSolveMaxEdges) {
+      val es = edges.as[(Long, Long)].collect()
+      val parent = new java.util.HashMap[Long, Long]()
+      def find(x: Long): Long = {
+        var r = x
+        while (parent.getOrDefault(r, r) != r) r = parent.get(r)
+        // path compression
+        var c = x
+        while (parent.getOrDefault(c, c) != r) { val n = parent.get(c); parent.put(c, r); c = n }
+        r
+      }
+      es.foreach { case (a, b) =>
+        parent.putIfAbsent(a, a); parent.putIfAbsent(b, b)
+        val ra = find(a); val rb = find(b)
+        // min-id root so comp = min reachable id
+        if (ra < rb) parent.put(rb, ra) else if (rb < ra) parent.put(ra, rb)
+      }
+      val out = new scala.collection.mutable.ArrayBuffer[(Long, Long)](parent.size)
+      parent.keySet.forEach(id => out += ((id, find(id))))
+      return spark.createDataset(out.toSeq).toDF("id", "comp")
+    }
     var labels = edges.select(col("src").as("id")).distinct()
       .withColumn("comp", col("id"))
       .localCheckpoint(true)

@@ -100,15 +100,20 @@ class OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(out == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 5L -> 5L, 9L -> 5L, 7L -> 7L), out.toString)
   }
 
-  test("connected components: long path converges (diameter > 2)") {
+  test("connected components: long path converges (diameter > 2), both solve paths agree") {
     val s = spark
     import s.implicits._
     // path 10-11-12-13-14-15: min label must travel 5 hops
     val pairs = (10L until 15L).map(i => (i + 1, i)).toDF("a_id", "b_id")
-    val docs = (10L to 15L).toDF("doc_id")
-    val out = Dedup.survivors(docs, pairs).collect()
+    // distributed min-label loop (gate forced off)
+    val dist = Dedup.components(pairs, driverSolveMaxEdges = 0L).collect()
       .map(r => r.getLong(0) -> r.getLong(1)).toMap
-    assert(out.values.toSet == Set(10L), out.toString)
+    // gated driver union-find (the small-graph short-circuit)
+    val drv = Dedup.components(pairs).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val expected = (10L to 15L).map(_ -> 10L).toMap
+    assert(dist == expected, s"distributed: $dist")
+    assert(drv == expected, s"driver solve: $drv")
   }
 
   test("langId identifies obvious English and German") {
