@@ -103,9 +103,18 @@ object SparkEntry {
       }.toDF("doc_id", "subtype", "action_type", "uri", "dest")
     }),
     "extract_metrics" -> ((s, _) => {
+      // per-partition lineage/metrics surface, made deterministic (and
+      // therefore freezable): a FIXED url-hash repartition pins
+      // partition ids regardless of session parallelism; timing
+      // columns (avg_ms/max_ms) are excluded from the pinned output.
+      // The salted heavy tier is exercised by extract_throughput and
+      // ExtractJobSpec.
       val pages = PagesGen.generate(s, 200, seed = 42L, parallelism = 8).toDF()
+        .repartition(8, col("url"))
       ExtractJob.partitionMetrics(
-        ExtractJob.extract(pages, ExtractJob.Config(salt = true, heavyThresholdBytes = 64 * 1024)))
+        ExtractJob.extract(pages, ExtractJob.Config(salt = false)))
+        .select(col("partition_id"), col("n_docs"), col("n_pages"),
+          col("n_bytes"), col("n_ok"))
     }),
 
     // ---------------- relational primitives (SURVEY §2.5) -----------
@@ -464,6 +473,64 @@ object SparkEntry {
     // langId is pure column expressions; the oracle is generated from
     // the same marker table + fold order (single source of truth)
     "text_langid" -> graft.ops.TextAnalysis.langIdOracleSql(),
+    // simhash family: Spark's xxhash64 (XXH64 seed 42) replicated in
+    // DuckDB HUGEINT arithmetic (SimhashOracle) — the near oracle is
+    // the full hamming pair join, valid at driver scale where the
+    // pigeonhole banding is complete and no bucket hits the cap
+    "dedup_simhash" -> graft.ops.SimhashOracle.simhashSql,
+    "dedup_simhash_near" -> graft.ops.SimhashOracle.nearDupSql(8),
+    // doc_fingerprint replicated in SQL: the rolling recurrence
+    // h_i = h_{i-1}·B + c_i − B^16·c_{i−16} telescopes to the closed
+    // form h_i = OFF·B^{i+1} + Σ_{m=0..15} c_{i−m}·B^m (mod 2^64), so
+    // each window hash is independently computable. HUGEINT carries
+    // the mod-2^64 arithmetic (every product stays under int128 —
+    // OFF·B^e is kept premultiplied in its own power table);
+    // xor(signed, h >>> 33) is the finalizer; min over windows; docs
+    // shorter than the 16-char window return the raw running hash.
+    // charAt = UTF-16 unit == codepoint for BMP text (the corpus).
+    "text_fingerprint" ->
+      """WITH RECURSIVE
+        |maxlen AS (SELECT coalesce(max(length(text)), 0) + 1 AS L FROM documents),
+        |pw(m, p, q) AS (
+        |  SELECT 0, CAST(1 AS HUGEINT), CAST(14695981039346656037 AS HUGEINT)
+        |  UNION ALL
+        |  SELECT m + 1,
+        |    (p * 1099511628211) % 18446744073709551616,
+        |    (q * 1099511628211) % 18446744073709551616
+        |  FROM pw WHERE m < (SELECT L FROM maxlen)),
+        |pows AS (SELECT list(p ORDER BY m) AS pl, list(q ORDER BY m) AS po FROM pw),
+        |base AS (
+        |  SELECT doc_id, length(text) AS len,
+        |    list_transform(generate_series(1, length(text)),
+        |      i -> CAST(unicode(substr(text, i, 1)) AS HUGEINT)) AS codes
+        |  FROM documents),
+        |wins AS (
+        |  SELECT doc_id, len, codes, unnest(generate_series(16, len)) AS e
+        |  FROM base WHERE len >= 16),
+        |hashes AS (
+        |  SELECT doc_id,
+        |    (po[e + 1] + list_sum(list_transform(generate_series(0, 15),
+        |       m -> codes[e - m] * pl[m + 1]))) % 18446744073709551616 AS hu
+        |  FROM wins, pows),
+        |mixed AS (
+        |  SELECT doc_id,
+        |    xor(CAST(CASE WHEN hu < 9223372036854775808 THEN hu
+        |             ELSE hu - 18446744073709551616 END AS BIGINT),
+        |        CAST(hu // 8589934592 AS BIGINT)) AS mx
+        |  FROM hashes),
+        |longdocs AS (SELECT doc_id, min(mx) AS fingerprint FROM mixed GROUP BY doc_id),
+        |shortdocs AS (
+        |  SELECT doc_id,
+        |    CASE WHEN len = 0 THEN 0 ELSE
+        |      CAST(CASE WHEN hv < 9223372036854775808 THEN hv
+        |           ELSE hv - 18446744073709551616 END AS BIGINT) END AS fingerprint
+        |  FROM (
+        |    SELECT doc_id, len,
+        |      (po[len + 1] + coalesce(list_sum(list_transform(generate_series(1, len),
+        |         j -> codes[j] * pl[len - j + 1])), 0)) % 18446744073709551616 AS hv
+        |    FROM base, pows WHERE len < 16))
+        |SELECT doc_id, fingerprint FROM longdocs
+        |UNION ALL SELECT doc_id, fingerprint FROM shortdocs""".stripMargin,
     "multimodal_meta" ->
       """SELECT doc_id,
         | CAST(octet_length(encode(substring(text, 1, 8))) AS BIGINT) AS n_bytes,
