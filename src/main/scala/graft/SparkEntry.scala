@@ -102,6 +102,22 @@ object SparkEntry {
         }
       }.toDF("doc_id", "subtype", "action_type", "uri", "dest")
     }),
+    "extract_char_mode" -> ((s, _) => {
+      // legacy char-clustering path (reference markdown.rs char mode):
+      // per-glyph extraction → spatial word/line clustering → markdown
+      import s.implicits._
+      s.range(0, 60, 1, 4).map { id =>
+        val (bytes, kind) = PagesGen.payload(id, 42L)
+        val md = if (kind == "pdf")
+          graft.pdf.PdfExtractor.extractCharMarkdown(bytes) else ""
+        (id, kind, md.length.toLong, if (md.isEmpty) 0L else {
+          var h = 0xcbf29ce484222325L
+          var i = 0
+          while (i < md.length) { h = (h ^ md.charAt(i)) * 1099511628211L; i += 1 }
+          h
+        })
+      }.toDF("doc_id", "kind", "md_len", "md_hash")
+    }),
     "extract_metrics" -> ((s, _) => {
       // per-partition lineage/metrics surface, made deterministic (and
       // therefore freezable): a FIXED url-hash repartition pins

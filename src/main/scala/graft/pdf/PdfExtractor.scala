@@ -61,6 +61,23 @@ object PdfExtractor {
   def extract(bytes: Array[Byte], maxPages: Int = DefaultMaxPages): ExtractResult =
     extract(bytes, ConversionOptions(maxPages = maxPages))
 
+  /** Legacy char-mode markdown (reference: markdown.rs:418-520 char
+    * path; deprecated there in favor of spans, provided for parity):
+    * per-glyph extraction → spatial word/line clustering
+    * (`CharMode`) → heading-tagged markdown per page. Unlike the span
+    * path, `'`/`"` show-operator text IS visible here (the documented
+    * differential quirk). */
+  def extractCharMarkdown(bytes: Array[Byte],
+                          opts: ConversionOptions = ConversionOptions()): String = {
+    val doc = new PdfDocument(bytes, opts.password)
+    doc.pages.take(opts.maxPages).map { page =>
+      val chars =
+        try new TextExtractor(doc).extractChars(page)
+        catch { case _: Throwable => Vector.empty }
+      graft.pdf.layout.CharMode.convertPage(chars)
+    }.filter(_.nonEmpty).mkString("\n\n")
+  }
+
   def extract(bytes: Array[Byte], opts: ConversionOptions): ExtractResult = {
     val doc = new PdfDocument(bytes, opts.password)
     val pages = doc.pages.take(opts.maxPages)

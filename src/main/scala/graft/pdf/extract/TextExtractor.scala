@@ -52,6 +52,17 @@ final class TextExtractor(doc: PdfDocument) {
     ReadingOrder.mergeAdjacent(ReadingOrder.dedup(sorted))
   }
 
+  /** Char-mode page extraction (legacy clustering path): every decoded
+    * glyph with device position/advance, in emission order — feed to
+    * `CharMode.convertPage`. */
+  def extractChars(page: Page): Vector[graft.pdf.layout.CharMode.TextChar] = {
+    val out = Vector.newBuilder[graft.pdf.layout.CharMode.TextChar]
+    charSink = (s, x, y, w, fs, bold) =>
+      out += graft.pdf.layout.CharMode.TextChar(s, x, y, w, fs, fs, bold)
+    try { extractRaw(page); () } finally charSink = null
+    out.result()
+  }
+
   /** Raw spans in emission order (for structure-tree reordering). */
   def extractRaw(page: Page): Vector[TextSpan] = {
     val content = doc.pageContent(page)
@@ -250,10 +261,20 @@ final class TextExtractor(doc: PdfDocument) {
     * the text matrix updated ONCE per string (a per-glyph
     * GraphicsState/Matrix allocation here dominated the whole job's
     * profile). */
+  /** Optional char-mode sink (legacy clustering path): receives every
+    * decoded glyph as (text, x, y, width, effFontSize, bold) in device
+    * space — INCLUDING `'`/`"` show-operator text that the span path
+    * deliberately drops (reference parity: the char vec gets it,
+    * text.rs:1333-1360). Null (the default) costs nothing. */
+  var charSink: (String, Float, Float, Float, Float, Boolean) => Unit = null
+
   private def showText(bytes: Array[Byte], emit: Boolean): Unit = {
     if (emit && buf.length() == 0) startBuffer()
     val st = gs.state
     val nBytes = curFont.codeBytes
+    val wantChars = charSink != null
+    // device-space frame for char positions (computed only in char mode)
+    val trm0 = if (wantChars) st.textMatrix.multiply(st.ctm) else null
     var totalTx = 0f
     var i = 0
     while (i < bytes.length) {
@@ -261,16 +282,22 @@ final class TextExtractor(doc: PdfDocument) {
         if (nBytes == 2 && i + 1 < bytes.length) {
           val c = ((bytes(i) & 0xff) << 8) | (bytes(i + 1) & 0xff); i += 2; c
         } else { val c = bytes(i) & 0xff; i += 1; c }
-      if (emit) {
-        val s = curFont.decodeOrNull(code)
-        if (s != null) appendClean(s)
-        // unmappable: dropped (reference skips, no U+FFFD)
-      }
       // PDF 9.4.4 advance: tx = (w0/1000·Tfs + Tc + Tw[space]) · Th
       val w0 = curFont.width(code)
       val isSpaceCode = nBytes == 1 && code == 32
-      totalTx += ((w0 / 1000f) * st.fontSize + st.charSpacing +
+      val adv = ((w0 / 1000f) * st.fontSize + st.charSpacing +
         (if (isSpaceCode) st.wordSpacing else 0f)) * st.horizScaling
+      if (emit || wantChars) {
+        val s = curFont.decodeOrNull(code)
+        if (s != null) {
+          if (emit) appendClean(s)
+          // unmappable: dropped (reference skips, no U+FFFD)
+          if (wantChars)
+            charSink(s, trm0.e + totalTx * trm0.scaleX, trm0.f + st.rise,
+              adv * trm0.scaleX, st.fontSize * trm0.scaleY, curFont.isBold)
+        }
+      }
+      totalTx += adv
     }
     if (totalTx != 0f)
       gs.state = st.copy(textMatrix = Matrix.translation(totalTx, 0f).multiply(st.textMatrix))
