@@ -118,6 +118,27 @@ object SparkEntry {
         })
       }.toDF("doc_id", "kind", "md_len", "md_hash")
     }),
+    "extract_hybrid_mode" -> ((s, _) => {
+      // hybrid smart dispatch (complexity-routed layout analysis)
+      import s.implicits._
+      s.range(0, 60, 1, 4).flatMap { id =>
+        val (bytes, kind) = PagesGen.payload(id, 42L)
+        if (kind != "pdf") None
+        else {
+          val r = graft.pdf.PdfExtractor.extract(bytes,
+            graft.pdf.ConversionOptions(
+              markdownMode = graft.pdf.ReadingOrderMode.Hybrid))
+          Some((id, r.markdown.length.toLong, {
+            var h = 0xcbf29ce484222325L
+            var i = 0
+            while (i < r.markdown.length) {
+              h = (h ^ r.markdown.charAt(i)) * 1099511628211L; i += 1
+            }
+            h
+          }))
+        }
+      }.toDF("doc_id", "md_len", "md_hash")
+    }),
     "extract_metrics" -> ((s, _) => {
       // per-partition lineage/metrics surface, made deterministic (and
       // therefore freezable): a FIXED url-hash repartition pins

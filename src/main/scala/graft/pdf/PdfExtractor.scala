@@ -28,6 +28,10 @@ object ReadingOrderMode {
   case object ColumnAware extends ReadingOrderMode
   /** Tagged-PDF MCID order with spatial fallback. */
   case object StructureTreeFirst extends ReadingOrderMode
+  /** Smart dispatch (reference: hybrid/smart_analyzer.rs): a per-page
+    * five-factor complexity estimate routes complex pages to the
+    * adaptive XY-Cut analyzer, simple pages to the classical sort. */
+  case object Hybrid extends ReadingOrderMode
 }
 
 final case class ConversionOptions(
@@ -117,6 +121,12 @@ object PdfExtractor {
             graft.pdf.extract.ReadingOrder.dedup(
               graft.pdf.layout.XYCut.sortSpansAdaptive(raw, mediaBox)))
         case ReadingOrderMode.StructureTreeFirst => forText
+        case ReadingOrderMode.Hybrid =>
+          // complexity-routed (hybrid/smart_analyzer.rs:117-160):
+          // ≥ Moderate → adaptive XY-Cut; Simple → classical sort
+          graft.pdf.extract.ReadingOrder.mergeAdjacent(
+            graft.pdf.extract.ReadingOrder.dedup(
+              graft.pdf.layout.Hybrid.readingOrder(raw, mediaBox)))
       }
       mds += Markdown.convertPage(forMd)
       htmls += Html.convertPage(forMd, preserveLayout = opts.preserveLayout)
