@@ -112,21 +112,29 @@ object BoilerplateStripper {
   // ------------------------------------------------------------------
   // Tokenize + segment into text blocks
   // ------------------------------------------------------------------
-  private def segment(html: String): Vector[Block] = {
-    val blocks = Vector.newBuilder[Block]
-    val text = new java.lang.StringBuilder
-    var prevWs = true // collapse whitespace as we append (leading skipped)
-    var linked = 0
-    var curTag = "p"
-    var aDepth = 0
-    var boilerDepth = 0
-    var skipTag: String = null
-    var tableId = 0
-    var rowId = 0
-    var i = 0
-    val n = html.length
+  private def segment(html: String): Vector[Block] =
+    new Segmenter(html).run()
 
-    def flush(): Unit = {
+  /** Segmenter state lives in FIELDS, not captured locals: the former
+    * nested flush/appendCollapsed defs closed over seven mutable vars,
+    * which scalac boxes as IntRef/BooleanRef/ObjectRef — so the whole
+    * tokenizer loop paid heap derefs per character (same disease the
+    * whitespace scanner had; JFR-verified). */
+  private final class Segmenter(html: String) {
+    private val blocks = Vector.newBuilder[Block]
+    private val text = new java.lang.StringBuilder
+    private var prevWs = true // collapse whitespace as we append (leading skipped)
+    private var linked = 0
+    private var curTag = "p"
+    private var aDepth = 0
+    private var boilerDepth = 0
+    private var skipTag: String = null
+    private var tableId = 0
+    private var rowId = 0
+    private var i = 0
+    private val n = html.length
+
+    private def flush(): Unit = {
       // text is already whitespace-collapsed; just drop a trailing space
       if (text.length > 0 && text.charAt(text.length - 1) == ' ')
         text.setLength(text.length - 1)
@@ -140,18 +148,32 @@ object BoilerplateStripper {
       linked = 0
     }
 
-    def appendCollapsed(decoded: String): Unit = {
+    private def appendCollapsed(decoded: String): Unit = {
+      val m = decoded.length
       var k = 0
-      while (k < decoded.length) {
+      while (k < m) {
         val ch = decoded.charAt(k)
         if (Character.isWhitespace(ch)) {
           if (!prevWs) { text.append(' '); prevWs = true }
-        } else { text.append(ch); prevWs = false }
-        k += 1
+          k += 1
+        } else {
+          // bulk-append the run of non-whitespace (one range copy)
+          var e = k + 1
+          while (e < m && !Character.isWhitespace(decoded.charAt(e))) e += 1
+          text.append(decoded, k, e)
+          prevWs = false
+          k = e
+        }
       }
     }
 
-    while (i < n) {
+    def run(): Vector[Block] = {
+      loop()
+      flush()
+      blocks.result()
+    }
+
+    private def loop(): Unit = while (i < n) {
       val c = html.charAt(i)
       if (c == '<') {
         if (i + 3 < n && html.charAt(i + 1) == '!' && html.charAt(i + 2) == '-' && html.charAt(i + 3) == '-') {
@@ -193,12 +215,19 @@ object BoilerplateStripper {
           while (i < n && html.charAt(i) != '<') i += 1
           val decoded = decodeEntities(html.substring(start, i))
           appendCollapsed(decoded)
-          if (aDepth > 0) linked += decoded.count(!_.isWhitespace)
+          if (aDepth > 0) {
+            // manual count: .count(closure) boxes a Function1 per char
+            var k = 0
+            var c2 = 0
+            while (k < decoded.length) {
+              if (!Character.isWhitespace(decoded.charAt(k))) c2 += 1
+              k += 1
+            }
+            linked += c2
+          }
         } else i += 1
       }
     }
-    flush()
-    blocks.result()
   }
 
   /** jusText-style classification: context + length + link density +

@@ -81,7 +81,16 @@ object Whitespace {
           lineStart = sb.length()
         }
         pendingWs = 0; pendingHasTab = false
-        sb.append(c)
+        // bulk-append the whole visible run (one range copy instead of
+        // a per-character append — words are ~6 chars, and per-char
+        // StringBuilder.append was a top JFR frame)
+        var j = i + 1
+        while (j < n && {
+          val cj = s.charAt(j)
+          cj != '\n' && cj != '\r' && cj != ' ' && cj != '\t'
+        }) j += 1
+        sb.append(s, i, j)
+        i = j - 1
         lineHasVisible = true
         started = true
       }
