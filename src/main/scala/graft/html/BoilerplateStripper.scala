@@ -133,6 +133,10 @@ object BoilerplateStripper {
     private var rowId = 0
     private var i = 0
     private val n = html.length
+    // primitive array for the per-character scan (String.charAt on
+    // UTF16 strings pays a non-eliminated checkIndex per call);
+    // indexOf/substring still use the String
+    private val ca = html.toCharArray
 
     private def flush(): Unit = {
       // text is already whitespace-collapsed; just drop a trailing space
@@ -174,12 +178,12 @@ object BoilerplateStripper {
     }
 
     private def loop(): Unit = while (i < n) {
-      val c = html.charAt(i)
+      val c = ca(i)
       if (c == '<') {
-        if (i + 3 < n && html.charAt(i + 1) == '!' && html.charAt(i + 2) == '-' && html.charAt(i + 3) == '-') {
+        if (i + 3 < n && ca(i + 1) == '!' && ca(i + 2) == '-' && ca(i + 3) == '-') {
           val end = html.indexOf("-->", i + 4)
           i = if (end < 0) n else end + 3
-        } else if (i + 1 < n && (html.charAt(i + 1) == '!' || html.charAt(i + 1) == '?')) {
+        } else if (i + 1 < n && (ca(i + 1) == '!' || ca(i + 1) == '?')) {
           val end = html.indexOf('>', i + 1)
           i = if (end < 0) n else end + 1
         } else {
@@ -212,7 +216,7 @@ object BoilerplateStripper {
       } else {
         if (skipTag == null) {
           val start = i
-          while (i < n && html.charAt(i) != '<') i += 1
+          while (i < n && ca(i) != '<') i += 1
           val decoded = decodeEntities(html.substring(start, i))
           appendCollapsed(decoded)
           if (aDepth > 0) {
