@@ -516,6 +516,9 @@ object SparkEntry {
     // pigeonhole banding is complete and no bucket hits the cap
     "dedup_simhash" -> graft.ops.SimhashOracle.simhashSql,
     "dedup_simhash_near" -> graft.ops.SimhashOracle.nearDupSql(8),
+    // content-signature features replicated exactly (recursive-CTE FNV
+    // chain + exact dyadic accumulator sums; Multimodal scaladoc)
+    "multimodal_features" -> Multimodal.featuresOracleSql(),
     // doc_fingerprint replicated in SQL: the rolling recurrence
     // h_i = h_{i-1}·B + c_i − B^16·c_{i−16} telescopes to the closed
     // form h_i = OFF·B^{i+1} + Σ_{m=0..15} c_{i−m}·B^m (mod 2^64), so

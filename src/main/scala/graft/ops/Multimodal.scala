@@ -101,12 +101,17 @@ object Multimodal {
     * a real model/codec kernel at deploy — the batching, partitioning
     * and output contract stay identical. */
   private[ops] def contentSignature(bytes: Array[Byte], dim: Int): (Long, Double) = {
-    val acc = new Array[Float](dim)
+    // DOUBLE accumulation on purpose: every increment is a dyadic
+    // rational (k − 32768)/2^16, so all partial sums are EXACT for any
+    // payload under 2^37 bytes bytes — order-independent and therefore
+    // replicable bit-for-bit by the DuckDB oracle's recursive-CTE
+    // formulation (float was exact only below ~4 KB payloads).
+    val acc = new Array[Double](dim)
     var h = 0xcbf29ce484222325L
     var i = 0
     while (i < bytes.length) {
       h = (h ^ (bytes(i) & 0xffL)) * 1099511628211L
-      acc(i % dim) += ((h >>> 40).toInt & 0xffff) / 65536f - 0.5f
+      acc(i % dim) += ((h >>> 40).toInt & 0xffff) / 65536.0 - 0.5
       i += 1
     }
     // quantize components before hashing so the scalar is stable
@@ -114,12 +119,71 @@ object Multimodal {
     var norm = 0.0
     var d = 0
     while (d < dim) {
-      val q = math.round(acc(d) * 1024f).toLong
+      val q = math.round(acc(d) * 1024.0)
       fh = (fh ^ q) * 1099511628211L
-      norm += acc(d).toDouble * acc(d).toDouble
+      norm += acc(d) * acc(d)
       d += 1
     }
     (fh, math.sqrt(norm))
+  }
+
+  /** DuckDB oracle for the `multimodal_features` driver query — the
+    * content signature replicated exactly: the FNV chain runs in a
+    * recursive CTE over byte positions (HUGEINT mod-2^64); the
+    * accumulator sums are EXACT dyadic rationals (see contentSignature)
+    * so a GROUP BY sum reproduces the sequential loop bit-for-bit; the
+    * final component-hash fold is 8 inlined stages. ASCII-payload
+    * caveat (unicode(char) == UTF-8 byte) — true of the corpus, same
+    * caveat as the simhash oracle. */
+  def featuresOracleSql(table: String = "documents"): String = {
+    val M = "18446744073709551616"
+    val H = "4294967296"
+    def xor64(a: String, b: String): String =
+      s"(xor(CAST(($a) // $H AS BIGINT), CAST(($b) // $H AS BIGINT)) * CAST($H AS HUGEINT)" +
+        s" + xor(CAST(($a) % $H AS BIGINT), CAST(($b) % $H AS BIGINT)))"
+    val keepQ = (0 until 8).map(d => s"q$d").mkString(", ")
+    val stages = new scala.collection.mutable.ArrayBuffer[String]
+    stages += s"f0 AS (SELECT doc_id, norm, $keepQ, CAST(14695981039346656037 AS HUGEINT) AS fh FROM accs)"
+    for (d <- 0 until 8) {
+      val qu = s"(CASE WHEN q$d < 0 THEN CAST(q$d AS HUGEINT) + $M ELSE CAST(q$d AS HUGEINT) END)"
+      stages += s"f${d + 1} AS (SELECT doc_id, norm, $keepQ, " +
+        s"((${xor64("fh", qu)}) * 1099511628211) % $M AS fh FROM f$d)"
+    }
+    val qCols = (0 until 8).map(d =>
+      s"CAST(floor(sum(CASE WHEN d = $d THEN a ELSE 0 END) * 1024.0 + 0.5) AS BIGINT) AS q$d")
+      .mkString(",\n    ")
+    s"""WITH RECURSIVE
+       |b AS (SELECT doc_id, text, length(text) AS len FROM $table),
+       |chain(doc_id, i, h) AS (
+       |  SELECT doc_id, 0, CAST(14695981039346656037 AS HUGEINT) FROM b
+       |  UNION ALL
+       |  SELECT c.doc_id, c.i + 1,
+       |    ((${xor64("c.h", "CAST(unicode(substr(b.text, c.i + 1, 1)) AS HUGEINT)")}) * 1099511628211) % $M
+       |  FROM chain c JOIN b ON b.doc_id = c.doc_id
+       |  WHERE c.i < b.len),
+       |incs AS (
+       |  SELECT doc_id, (i - 1) % 8 AS d,
+       |    CAST((h // 1099511627776) % 65536 AS DOUBLE) / 65536.0 - 0.5 AS inc
+       |  FROM chain WHERE i >= 1),
+       |accraw AS (SELECT doc_id, d, sum(inc) AS a FROM incs GROUP BY doc_id, d),
+       |dims AS (SELECT doc_id, dd.d FROM b, (SELECT unnest(generate_series(0, 7)) AS d) dd),
+       |acc AS (
+       |  SELECT dims.doc_id, dims.d, coalesce(accraw.a, 0.0) AS a
+       |  FROM dims LEFT JOIN accraw ON dims.doc_id = accraw.doc_id AND dims.d = accraw.d),
+       |accs AS (
+       |  SELECT doc_id,
+       |    sqrt(sum(a * a)) AS norm,
+       |    $qCols
+       |  FROM acc GROUP BY doc_id),
+       |${stages.mkString(",\n")}
+       |SELECT b.doc_id,
+       |  CAST(octet_length(encode(b.text)) AS BIGINT) AS n_bytes,
+       |  CASE WHEN substr(b.text, 1, 3) = 'GIF' AND length(b.text) >= 11 THEN 'gif'
+       |       WHEN substr(b.text, 1, 4) = '%PDF' AND length(b.text) >= 5 THEN 'pdf'
+       |       ELSE 'unknown' END AS format,
+       |  CAST(CASE WHEN fh < 9223372036854775808 THEN fh ELSE fh - $M END AS BIGINT) AS feature_hash,
+       |  round(norm, 4) AS feature_norm
+       |FROM f8 JOIN b ON f8.doc_id = b.doc_id""".stripMargin
   }
 
   /** Batched decode + featurize: one partition = one batch, kernel
