@@ -257,24 +257,43 @@ object TextAnalysis {
     * vocabulary-sized → broadcast back; the only wide op over the big
     * flow is one count shuffle + one per-doc aggregation. */
   def rareTrigramSignals(docs: DataFrame): DataFrame = {
-    val t = lower(col("text"))
-    // guard length < 3: sequence(1, length-2) steps DOWN for short docs
-    // (sequence(1, 0) = [1, 0]), emitting phantom trigrams that pollute
-    // the global table; DuckDB's generate_series is empty there, so
-    // both engines must agree on "no trigrams" for short/empty docs.
-    val tris = docs.select(col("doc_id"),
-      explode(when(length(t) >= 3,
-        transform(sequence(lit(1), length(t) - 2), i => t.substr(i, lit(3))))
-        .otherwise(typedLit(Seq.empty[String]))).as("tri"))
-    val global = tris.groupBy(col("tri")).agg(count(lit(1)).as("c"))
+    val spark = docs.sparkSession
+    import spark.implicits._
+    // One counting kernel per doc emitting DISTINCT (tri, count) rows:
+    // the column formulation exploded EVERY trigram occurrence twice
+    // (global count + per-doc re-join) — on narrow-vocab corpora the
+    // distinct-per-doc rows are ~5x fewer, and every downstream agg
+    // works on pre-counted integers, same exact results. Docs shorter
+    // than 3 chars emit nothing (= DuckDB's empty generate_series).
+    // localCheckpoint: the table feeds the global pass AND the final
+    // agg; materializing once beats re-tokenizing, and checkpoint
+    // (unlike persist) leaves no cache entry for callers to clean up.
+    val triCounts = docs.select(col("doc_id").cast("long"), lower(col("text")))
+      .as[(Long, String)]
+      .mapPartitions { it =>
+        it.flatMap { case (id, text) =>
+          val m = new java.util.HashMap[String, Int]()
+          var i = 0
+          val n = text.length - 2
+          while (i < n) {
+            m.merge(text.substring(i, i + 3), 1, (a, b) => a + b)
+            i += 1
+          }
+          val out = new scala.collection.mutable.ArrayBuffer[(Long, String, Int)](m.size)
+          m.forEach((tri, c) => out += ((id, tri, c)))
+          out
+        }
+      }.toDF("doc_id", "tri", "c")
+      .localCheckpoint(true)
+    val global = triCounts.groupBy(col("tri")).agg(sum(col("c")).as("c"))
     val stats = global.agg(sum(col("c")).as("total"), count(lit(1)).as("n_distinct"))
     val rare = global.crossJoin(broadcast(stats))
       .filter(col("c") * 4 * col("n_distinct") < col("total"))
-      .select(col("tri"), lit(1).as("is_rare"))
-    tris.join(broadcast(rare), Seq("tri"), "left")
+      .select(col("tri"), lit(true).as("is_rare"))
+    triCounts.join(broadcast(rare), Seq("tri"), "left")
       .groupBy(col("doc_id"))
-      .agg(count(lit(1)).as("n_trigrams"),
-        sum(coalesce(col("is_rare"), lit(0))).cast("long").as("n_rare"))
+      .agg(sum(col("c")).cast("long").as("n_trigrams"),
+        sum(when(col("is_rare"), col("c")).otherwise(0)).cast("long").as("n_rare"))
   }
 
   /** PII patterns shared by scrub + oracle (RE2-compatible subset so
