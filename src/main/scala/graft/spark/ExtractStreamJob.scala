@@ -36,4 +36,84 @@ object ExtractStreamJob {
     (if (continuous) writer.trigger(Trigger.ProcessingTime("10 seconds"))
      else writer.trigger(Trigger.AvailableNow())).start()
   }
+
+  /** Watermarked windowed crawl-quality metrics: per (event-time
+    * window, host) extraction counts/ok-rate/bytes — the monitoring
+    * aggregation a continuous ingestion pipeline runs beside the
+    * extraction sink. The 10-minute watermark bounds window state, so
+    * state size is O(hosts × open windows) regardless of stream length;
+    * append mode emits each window once, when the watermark passes it. */
+  def qualityMetrics(pages: DataFrame,
+                     cfg: ExtractJob.Config = ExtractJob.Config(salt = false),
+                     windowLen: String = "1 hour",
+                     watermark: String = "10 minutes"): DataFrame = {
+    val spark = pages.sparkSession
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val rows = pages
+      .select(col("url"), col("warc_ts"), col("html"))
+      .as[(String, java.sql.Timestamp, Array[Byte])]
+      .mapPartitions { it =>
+        it.map { case (u, ts, html) =>
+          val d = ExtractJob.extractOne(u, html, 0, cfg)
+          val host = {
+            val s = u.indexOf("://")
+            if (s < 0) "" else {
+              val e = u.indexOf('/', s + 3)
+              if (e < 0) u.substring(s + 3) else u.substring(s + 3, e)
+            }
+          }
+          (host, ts, d.status, d.n_bytes, d.n_pages.toLong)
+        }
+      }.toDF("host", "warc_ts", "status", "n_bytes", "n_pages")
+    rows
+      .withWatermark("warc_ts", watermark)
+      .groupBy(window(col("warc_ts"), windowLen), col("host"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("status") === "ok", 1L).otherwise(0L)).as("n_ok"),
+        sum(col("n_bytes")).as("n_bytes"),
+        sum(col("n_pages")).as("n_pages"))
+  }
+
+  /** Stateful streaming URL dedup (flatMapGroupsWithState): the
+    * canonical crawl-ingestion guard — only the FIRST occurrence of
+    * each url ever passes; re-crawls and duplicate WARC entries are
+    * dropped across micro-batches via per-key state. Event-time
+    * timeout + the caller's watermark bound the state table: a key's
+    * seen-flag expires once no duplicate can still arrive. Works
+    * identically on batch DataFrames (state spans the one batch). */
+  def dedupFirstSeen(pages: DataFrame,
+                     stateTimeoutMs: Long = 30L * 24 * 3600 * 1000): DataFrame = {
+    val spark = pages.sparkSession
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    val typed = pages
+      .select(col("url"), col("warc_ts"), col("html"))
+      .withWatermark("warc_ts", "10 minutes")
+      .as[(String, java.sql.Timestamp, Array[Byte])]
+    typed
+      .groupByKey(_._1)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.EventTimeTimeout)(
+        (url: String, rows: Iterator[(String, java.sql.Timestamp, Array[Byte])],
+         state: GroupState[Boolean]) => {
+          if (state.hasTimedOut) { state.remove(); Iterator.empty }
+          else if (state.exists) Iterator.empty // url already emitted
+          else {
+            val first = rows.next()
+            state.update(true)
+            // Expire the seen-flag stateTimeoutMs after the FIRST-SEEN
+            // event time (not after the current watermark — on the first
+            // batch the watermark is 0/epoch, which would expire the key
+            // as soon as a real watermark appears). Spark requires the
+            // timeout to sit above the current watermark.
+            state.setTimeoutTimestamp(
+              math.max(first._2.getTime + stateTimeoutMs,
+                state.getCurrentWatermarkMs() + 1L))
+            Iterator.single(first)
+          }
+        })
+      .toDF("url", "warc_ts", "html")
+  }
+
 }
