@@ -250,19 +250,25 @@ object Dedup {
       .filter(col("jaccard") >= threshold)
   }
 
-  /** Connected components over a near-dup pair set, by iterative
-    * min-label propagation: every vertex repeatedly adopts the minimum
-    * component id among itself and its neighbors until fixpoint. Each
-    * round is one shuffle (join + groupBy-min); rounds = graph
-    * diameter, which for near-dup graphs is small (clusters are
-    * cliquish — LSH emits most intra-cluster edges directly). The
-    * O(log n) refinement for adversarial long-path graphs is the
-    * large-star/small-star alternation (Kiveris et al. 2014), same
-    * join/agg primitives. Each round is CUT OUT of the lineage with an
-    * eager localCheckpoint: the round's plan references the previous
-    * round twice, so without truncation the logical plan (and
-    * Catalyst's per-round analysis cost) doubles every iteration — the
-    * classic iterative-DataFrame trap. On a cluster swap
+  /** Connected components over a near-dup pair set, by
+    * large-star/small-star alternation (Kiveris et al. 2014,
+    * "Connected Components in MapReduce and Beyond"): each round,
+    * LARGE-STAR hangs every strictly-larger neighbor of u off
+    * m = min(Γ(u) ∪ {u}), then SMALL-STAR re-hangs each node's
+    * (now all-smaller) neighbors plus itself off its minimum. Both
+    * steps are plain join + groupBy-min shuffles; the edge set
+    * shrinks toward stars rooted at each component's minimum id in
+    * O(log n) rounds REGARDLESS of graph diameter — the property that
+    * matters at 100 TB, where an adversarial duplicate chain (doc A
+    * near-dups B near-dups C …) would cost a min-label-propagation
+    * loop one full shuffle round per hop. Each round is CUT OUT of
+    * the lineage with an eager localCheckpoint: a round's plan
+    * references the previous round several times, so without
+    * truncation the logical plan (and Catalyst's per-round analysis
+    * cost) grows exponentially — the classic iterative-DataFrame
+    * trap. Fixpoint is detected by (count, order-independent xxhash64
+    * checksum) equality of consecutive edge sets — one extra agg job
+    * per round instead of a full set compare. On a cluster swap
     * localCheckpoint for reliable checkpointing if executor loss
     * mid-algorithm must be survivable; the convergence loop is
     * identical.
@@ -305,27 +311,54 @@ object Dedup {
       parent.keySet.forEach(id => out += ((id, find(id))))
       return spark.createDataset(out.toSeq).toDF("id", "comp")
     }
-    var labels = edges.select(col("src").as("id")).distinct()
-      .withColumn("comp", col("id"))
+    // every vertex that appears in `pairs` (incl. self-loop-only ones)
+    // must come back labeled; the star loop drops self-loops, so the
+    // vertex universe is pinned here and re-attached at the end.
+    val allVerts = edges.select(col("src").as("id")).distinct().localCheckpoint(true)
+    // canonical directed form: larger → smaller, self-loops dropped
+    var star = edges.filter(col("src") > col("dst"))
+      .select(col("src").as("u"), col("dst").as("v"))
       .localCheckpoint(true)
+    def fingerprint(e: DataFrame): (Long, Long) = {
+      // bit_xor, not sum: order-independent and cannot overflow under ANSI
+      val r = e.agg(count(lit(1)), coalesce(bit_xor(xxhash64(col("u"), col("v"))), lit(0L)))
+        .as[(Long, Long)].first()
+      r
+    }
+    var prev = fingerprint(star)
     var iter = 0
-    var converged = false
+    var converged = prev._1 == 0L
     while (!converged && iter < maxIter) {
-      val neighborMin = edges
-        .join(labels.select(col("id").as("dst"), col("comp").as("dcomp")), "dst")
-        .groupBy(col("src")).agg(min(col("dcomp")).as("ncomp"))
-      val next = labels
-        .join(neighborMin.select(col("src").as("id"), col("ncomp")), Seq("id"), "left")
-        .select(col("id"),
-          least(col("comp"), coalesce(col("ncomp"), col("comp"))).as("comp"),
-          (coalesce(col("ncomp"), col("comp")) < col("comp")).as("changed"))
+      // LARGE-STAR: for each u, m = min(Γ(u) ∪ {u}); emit (v, m) for
+      // every neighbor v > u. Since m ≤ u < v, output stays larger→smaller.
+      val sym = star.select(col("u"), col("v"))
+        .union(star.select(col("v").as("u"), col("u").as("v")))
+      val ls = sym
+        .join(sym.groupBy(col("u")).agg(min(col("v")).as("mn")), "u")
+        .filter(col("v") > col("u"))
+        .select(col("v").as("u"), least(col("mn"), col("u")).as("v"))
+        .distinct()
+      // SMALL-STAR: every edge now has u > v, so Γ(u) here is exactly
+      // the smaller neighbors; m = min(Γ(u)). Re-hang Γ(u) ∪ {u} \ {m} off m.
+      val m2 = ls.groupBy(col("u")).agg(min(col("v")).as("m"))
+      val ss = ls.join(m2, "u")
+        .filter(col("v") =!= col("m"))
+        .select(col("v").as("u"), col("m").as("v"))
+        .union(m2.select(col("u"), col("m").as("v")))
+        .distinct()
         .localCheckpoint(true)
-      val nChanged = next.filter(col("changed")).count()
-      labels = next.select(col("id"), col("comp"))
-      converged = nChanged == 0
+      val cur = fingerprint(ss)
+      converged = cur == prev
+      prev = cur
+      star = ss
       iter += 1
     }
-    labels
+    // At fixpoint every non-root has exactly one outgoing edge (u → root);
+    // the groupBy-min also degrades gracefully if maxIter cut the loop short.
+    val nonRoot = star.groupBy(col("u")).agg(min(col("v")).as("comp"))
+      .select(col("u").as("id"), col("comp"))
+    allVerts.join(nonRoot, Seq("id"), "left")
+      .select(col("id"), coalesce(col("comp"), col("id")).as("comp"))
   }
 
   /** Cluster-representative output for the near-dup family — the shape

@@ -116,6 +116,34 @@ class OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(drv == expected, s"driver solve: $drv")
   }
 
+  test("connected components: 300-hop adversarial path solved in O(log n) rounds") {
+    val s = spark
+    import s.implicits._
+    // a duplicate CHAIN of diameter 300: min-label propagation needs
+    // ~300 shuffle rounds; star contraction must finish within 15.
+    val pairs = (0L until 300L).map(i => (i + 1, i)).toDF("a_id", "b_id")
+    val out = Dedup.components(pairs, maxIter = 15, driverSolveMaxEdges = 0L)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(out == (0L to 300L).map(_ -> 0L).toMap,
+      s"${out.count(_._2 != 0L)} of ${out.size} vertices mislabeled")
+  }
+
+  test("connected components: random graphs — star contraction agrees with union-find") {
+    val s = spark
+    import s.implicits._
+    val rnd = new scala.util.Random(7)
+    for (trial <- 0 until 3) {
+      val n = 120 + trial * 40
+      val edges = (0 until n).map(_ => (rnd.nextInt(60).toLong, rnd.nextInt(60).toLong))
+      val pairs = edges.toDF("a_id", "b_id") // includes self-loops a==b
+      val dist = Dedup.components(pairs, driverSolveMaxEdges = 0L)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      val drv = Dedup.components(pairs, driverSolveMaxEdges = Long.MaxValue)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(dist == drv, s"trial $trial: star=$dist vs union-find=$drv")
+    }
+  }
+
   test("langId identifies obvious English and German") {
     val s = spark
     import s.implicits._
