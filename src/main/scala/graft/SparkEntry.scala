@@ -91,6 +91,54 @@ object SparkEntry {
         .select(col("url"), col("n_pages"), col("n_spans"),
           xxhash64(col("text")).as("text_hash"))
     }),
+    "extract_stream_metrics" -> ((s, _) => {
+      // watermarked per-(event-time window, host) quality metrics
+      // (ExtractStreamJob.qualityMetrics) driven as a real stream in
+      // COMPLETE mode over a staged corpus: every group is emitted when
+      // AvailableNow drains, so the result is the full deterministic
+      // aggregate. Hosts are remapped onto 5 buckets and timestamps
+      // spread over 3 hours so the windowing actually groups.
+      val base = java.nio.file.Files.createTempDirectory("graft_stream_m").toString
+      PagesGen.writeBucketed(PagesGen.generate(s, 80, seed = 42L, parallelism = 4),
+        s"$base/pages", nBuckets = 4)
+      val schema = s.read.parquet(s"$base/pages").schema
+      val pages = s.readStream.schema(schema).parquet(s"$base/pages")
+        .withColumn("warc_ts", timestamp_seconds(
+          unix_timestamp(col("warc_ts")) + pmod(xxhash64(col("url")), lit(180L)) * 60L))
+        .withColumn("url",
+          concat(lit("https://h"), pmod(xxhash64(col("url")), lit(5L)),
+            lit(".example/"), regexp_extract(col("url"), "doc[0-9]+\\.(pdf|html)", 0)))
+      val sink = "qm_" + java.util.UUID.randomUUID().toString.replace("-", "")
+      val q = graft.spark.ExtractStreamJob.qualityMetrics(pages)
+        .writeStream.format("memory").queryName(sink).outputMode("complete")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+      q.awaitTermination()
+      s.table(sink)
+        .select(col("host"), unix_timestamp(col("window.start")).as("win_start"),
+          col("n_docs"), col("n_ok"), col("n_bytes"), col("n_pages"))
+    }),
+    "extract_stream_dedup" -> ((s, _) => {
+      // stateful first-seen URL dedup (flatMapGroupsWithState) driven as
+      // a real stream: the staged corpus contains every page TWICE (an
+      // exact re-crawl), and only the first occurrence passes. The
+      // duplicates are byte-identical, so the surviving rows are
+      // deterministic regardless of file/batch arrival order.
+      val base = java.nio.file.Files.createTempDirectory("graft_stream_d").toString
+      val once = PagesGen.generate(s, 60, seed = 42L, parallelism = 4)
+      PagesGen.writeBucketed(once.union(once), s"$base/pages", nBuckets = 4)
+      val schema = s.read.parquet(s"$base/pages").schema
+      val stream = s.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "2").parquet(s"$base/pages")
+      val q = graft.spark.ExtractStreamJob.dedupFirstSeen(stream)
+        .writeStream.format("parquet")
+        .option("path", s"$base/out").option("checkpointLocation", s"$base/ckpt")
+        .outputMode("append")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+      q.awaitTermination()
+      s.read.parquet(s"$base/out")
+        .select(col("url"), unix_timestamp(col("warc_ts")).as("ts_sec"),
+          xxhash64(col("html")).as("html_hash"))
+    }),
     "extract_links" -> ((s, _) => {
       // link-annotation extraction (URI actions + GoTo dests) — the
       // web-graph surface over crawled PDFs
