@@ -223,17 +223,35 @@ object Dedup {
       .withColumn("sz", size(col("toks")))
       .withColumn("p",
         (col("sz") - ceil(lit(threshold) * col("sz") - lit(1e-9)) + 1).cast("int"))
-    val prefix = docToks.select(col("doc_id") +: bc :+
-      explode(slice(col("toks"), lit(1), col("p"))).as("tok"): _*)
+    val prefix = docToks.select(col("doc_id") +: bc :+ col("sz") :+
+      posexplode(slice(col("toks"), lit(1), col("p"))).as(Seq("pos0", "tok")): _*)
     // Candidates: prefix-token equi-join inside the blocks.
     // Prefix tokens are the doc's rarest, so posting lists stay short
     // even on hot-vocabulary corpora — this replaced the round-1
-    // all-token join whose postings went quadratic per block.
+    // all-token join whose postings went quadratic per block. On top
+    // of the prefix filter, two more LOSSLESS PPJoin filters (Xiao et
+    // al. 2008) run inside the join before the distinct, which is
+    // where hot-vocabulary corpora blow up:
+    //  - length filter: J ≥ t forces t ≤ min(sz)/max(sz), so wildly
+    //    different-length docs can never pair;
+    //  - positional filter: a match at (1-based) prefix position i/j
+    //    bounds the overlap by 1 + min(sz_a − i, sz_b − j), which must
+    //    reach α = ⌈t/(1+t)·(sz_a+sz_b)⌉ (the overlap J ≥ t requires).
+    //    Every bound is valid for a true pair, so keeping a pair when
+    //    ANY of its prefix matches passes never drops one.
+    // The 1e-9 slacks keep fp noise from rounding a threshold-exact
+    // pair out, mirroring the prefix-length computation above.
     val blockEq = blockCols.map(c => col(s"x.$c") === col(s"y.$c"))
       .reduceOption(_ && _).getOrElse(lit(true))
+    val alpha = ceil((lit(threshold) / (1.0 + threshold)) *
+      (col("x.sz") + col("y.sz")) - lit(1e-9))
     val cand = prefix.as("x").join(prefix.as("y"),
         blockEq && col("x.tok") === col("y.tok") &&
-          col("x.doc_id") < col("y.doc_id"))
+          col("x.doc_id") < col("y.doc_id") &&
+          col("x.sz").cast("double") >= col("y.sz") * threshold - lit(1e-9) &&
+          col("y.sz").cast("double") >= col("x.sz") * threshold - lit(1e-9) &&
+          (lit(1) + least(col("x.sz") - col("x.pos0") - 1,
+            col("y.sz") - col("y.pos0") - 1)).cast("double") >= alpha)
       .select(col("x.doc_id").as("a_id"), col("y.doc_id").as("b_id"))
       .distinct()
     // Exact verify on the (small) candidate set via token-array joins.

@@ -240,16 +240,22 @@ class OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
     val d = docs(variants: _*)
     val sets = variants.map { case (id, t) => id -> t.split(" ").toSet }.toMap
-    val threshold = 0.7
-    val truth = (for {
-      a <- sets.keys; b <- sets.keys if a < b
-      j = sets(a).intersect(sets(b)).size.toDouble / sets(a).union(sets(b)).size
-      if j >= threshold
-    } yield (a, b)).toSet
-    assert(truth.nonEmpty, "test corpus must contain qualifying pairs")
-    val found = Dedup.jaccardPairs(d, threshold)
-      .select("a_id", "b_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
-    assert(found == truth, s"missing: ${truth -- found}; extra: ${found -- truth}")
+    // sweep thresholds: the prefix/length/positional filters all cut
+    // differently at different t, and every cut must stay lossless —
+    // including at t where some pair sits exactly on the threshold
+    for (threshold <- Seq(0.5, 0.7, 0.85, 0.95)) {
+      val truth = (for {
+        a <- sets.keys; b <- sets.keys if a < b
+        j = sets(a).intersect(sets(b)).size.toDouble / sets(a).union(sets(b)).size
+        if j >= threshold
+      } yield (a, b)).toSet
+      assert(threshold > 0.9 || truth.nonEmpty,
+        s"test corpus must contain qualifying pairs at t=$threshold")
+      val found = Dedup.jaccardPairs(d, threshold)
+        .select("a_id", "b_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(found == truth,
+        s"t=$threshold missing: ${truth -- found}; extra: ${found -- truth}")
+    }
   }
 
   test("embedding near-dup: pivot-bucketed exact matches collect-baseline; LSH finds tight dups") {
