@@ -171,6 +171,27 @@ object BoilerplateStripper {
       }
     }
 
+    /** appendCollapsed over the raw char array — the entity-free fast
+      * path (no substring copy, no decodeEntities pass, no per-char
+      * String.charAt checkIndex). Byte-identical output to
+      * appendCollapsed(decodeEntities(...)) when the run has no '&'. */
+    private def appendCollapsedRaw(from: Int, until: Int): Unit = {
+      var k = from
+      while (k < until) {
+        val ch = ca(k)
+        if (Character.isWhitespace(ch)) {
+          if (!prevWs) { text.append(' '); prevWs = true }
+          k += 1
+        } else {
+          var e = k + 1
+          while (e < until && !Character.isWhitespace(ca(e))) e += 1
+          text.append(ca, k, e - k)
+          prevWs = false
+          k = e
+        }
+      }
+    }
+
     def run(): Vector[Block] = {
       loop()
       flush()
@@ -216,18 +237,36 @@ object BoilerplateStripper {
       } else {
         if (skipTag == null) {
           val start = i
-          while (i < n && ca(i) != '<') i += 1
-          val decoded = decodeEntities(html.substring(start, i))
-          appendCollapsed(decoded)
-          if (aDepth > 0) {
-            // manual count: .count(closure) boxes a Function1 per char
-            var k = 0
-            var c2 = 0
-            while (k < decoded.length) {
-              if (!Character.isWhitespace(decoded.charAt(k))) c2 += 1
-              k += 1
+          var hasAmp = false
+          while (i < n && ca(i) != '<') {
+            if (ca(i) == '&') hasAmp = true
+            i += 1
+          }
+          if (!hasAmp) {
+            // entity-free run (the common case): scan ca directly
+            appendCollapsedRaw(start, i)
+            if (aDepth > 0) {
+              var k = start
+              var c2 = 0
+              while (k < i) {
+                if (!Character.isWhitespace(ca(k))) c2 += 1
+                k += 1
+              }
+              linked += c2
             }
-            linked += c2
+          } else {
+            val decoded = decodeEntities(html.substring(start, i))
+            appendCollapsed(decoded)
+            if (aDepth > 0) {
+              // manual count: .count(closure) boxes a Function1 per char
+              var k = 0
+              var c2 = 0
+              while (k < decoded.length) {
+                if (!Character.isWhitespace(decoded.charAt(k))) c2 += 1
+                k += 1
+              }
+              linked += c2
+            }
           }
         } else i += 1
       }

@@ -33,20 +33,77 @@ final case class FontInfo(
   def codeBytes: Int =
     if (isType0) toUnicode.map(c => math.max(c.codeBytes, 2)).getOrElse(2) else 1
 
-  private lazy val symbolic: Option[Array[Char]] = {
+  // plain val, not lazy: the lazy accessor's guard sat on every decode
+  // miss; the builder is one toLowerCase of a short name per instance
+  private val symbolic: Option[Array[Char]] = {
     val bf = baseFont.toLowerCase
     if (bf.contains("symbol")) Some(Encodings.symbol)
     else if (bf.contains("zapf") || bf.contains("dingbat")) Some(Encodings.zapfDingbats)
     else None
   }
 
-  /** Cascade, evaluated once per code (hot path uses the table below). */
-  private def decodeUncached(code: Int): Option[String] = {
-    toUnicode.flatMap(_.get(code)).filter(s => s.nonEmpty && !s.contains('�'))
-      .orElse(diffs.get(code))
-      .orElse(symbolic.flatMap(t => at(t, code)))
-      .orElse(encTable.flatMap(t => at(t, code)))
-      .orElse(fallback(code))
+  /** Cascade, evaluated once per code. Null-based, not Option-based:
+    * fonts live per document, so the cascade re-runs for every touched
+    * code of every font of every document — the flatMap/orElse chain's
+    * Option + closure allocations were 12% of mixed-corpus JFR samples. */
+  private def decodeUncached(code: Int): String = {
+    if (toUnicode.isDefined) {
+      val s = toUnicode.get.get(code).orNull
+      if (s != null && s.nonEmpty && !s.contains('�')) return s
+    }
+    val d = diffs.getOrElse(code, null)
+    if (d != null) return d
+    if (symbolic.isDefined) {
+      val t = symbolic.get
+      if (code >= 0 && code < t.length && t(code) != 0)
+        return FontInfo.charString(t(code))
+    }
+    if (encTable.isDefined) {
+      val t = encTable.get
+      if (code >= 0 && code < t.length && t(code) != 0)
+        return FontInfo.charString(t(code))
+    }
+    fallbackOrNull(code)
+  }
+
+  /** Flattened cascade inputs for the simple-font path: per-code array
+    * loads instead of Map lookups whose Int keys box on every get
+    * (decodeUncached stayed the top leaf frame even Option-free).
+    * Built once per font on first simple decode; ~256 slots is noise
+    * next to the per-glyph lookups they replace. */
+  private lazy val simpleTu: Array[String] =
+    if (toUnicode.isEmpty) FontInfo.emptyTable // shared, never written
+    else {
+      val a = new Array[String](256)
+      toUnicode.foreach(_.map.foreach { case (k, v) =>
+        if (k >= 0 && k < 256 && v.nonEmpty && !v.contains('�')) a(k) = v
+      })
+      a
+    }
+  private lazy val simpleDiffs: Array[String] =
+    if (diffs.isEmpty) FontInfo.emptyTable // shared, never written
+    else {
+      val a = new Array[String](256)
+      diffs.foreach { case (k, v) => if (k >= 0 && k < 256) a(k) = v }
+      a
+    }
+
+  /** decodeUncached specialized to code < 256 on a non-Type0 font:
+    * identical cascade order, array loads only. */
+  private def decodeSimpleUncached(code: Int): String = {
+    val s = simpleTu(code)
+    if (s != null) return s
+    val d = simpleDiffs(code)
+    if (d != null) return d
+    if (symbolic.isDefined) {
+      val t = symbolic.get
+      if (code < t.length && t(code) != 0) return FontInfo.charString(t(code))
+    }
+    if (encTable.isDefined) {
+      val t = encTable.get
+      if (code < t.length && t(code) != 0) return FontInfo.charString(t(code))
+    }
+    fallbackOrNull(code)
   }
 
   /** Per-entry-lazy 256-slot decode table for simple fonts — the
@@ -65,7 +122,8 @@ final case class FontInfo(
   @inline private def simpleLookup(code: Int): String = {
     var v = simpleTable(code)
     if (v == null) {
-      v = decodeUncached(code).getOrElse(NotMapped)
+      v = decodeSimpleUncached(code)
+      if (v == null) v = NotMapped
       simpleTable(code) = v
     }
     if (v.asInstanceOf[AnyRef] eq NotMapped) null else v
@@ -85,22 +143,19 @@ final case class FontInfo(
       val hit = type0Cache.get(k)
       if (hit != null) { if (hit.isEmpty) null else hit }
       else {
-        val v = decodeUncached(code).orNull
+        val v = decodeUncached(code)
         type0Cache.put(k, if (v == null) "" else v)
         v
       }
     }
   }
 
-  @inline private def at(t: Array[Char], code: Int): Option[String] =
-    if (code >= 0 && code < t.length && t(code) != 0) Some(t(code).toString) else None
-
   /** Fallback table (reference: src/extractors/text.rs:183-347): direct
     * printable-ASCII interpretation, else a small punct/space map. */
-  private def fallback(code: Int): Option[String] = {
-    if (code >= 0x20 && code <= 0x7e) Some(code.toChar.toString)
-    else if (code >= 0xa0 && code <= 0xff && !isType0) Some(code.toChar.toString)
-    else FontInfo.fallbackMap.get(code)
+  private def fallbackOrNull(code: Int): String = {
+    if (code >= 0x20 && code <= 0x7e) FontInfo.charString(code.toChar)
+    else if (code >= 0xa0 && code <= 0xff && !isType0) FontInfo.charString(code.toChar)
+    else FontInfo.fallbackMap.getOrElse(code, null)
   }
 
   /** Glyph width in text-space units/1000 (reference: font_dict.rs:607-617). */
@@ -113,6 +168,21 @@ final case class FontInfo(
 
 object FontInfo {
 
+  /** Interned single-char strings for the BMP-latin range: every font
+    * instance fills its own decode table, so per-entry String
+    * allocation repeats per (font, doc). */
+  private val charStrings: Array[String] =
+    Array.tabulate(256)(i => String.valueOf(i.toChar))
+  @inline private[font] def charString(c: Char): String =
+    if (c < 256) charStrings(c) else String.valueOf(c)
+
+  /** Shared all-null/all-NaN tables for the common empty cases — a
+    * FontInfo is built per (font, document), so per-instance 256-slot
+    * arrays showed up as allocation stalls in JFR. Read-only by
+    * construction. */
+  private[font] val emptyTable: Array[String] = new Array[String](256)
+  private[font] val noWidths: Array[Float] = Array.fill(256)(Float.NaN)
+
   /** Sparse fallback for codes outside printable ASCII (reference:
     * text.rs:183-347 fallback_char_to_unicode — punct/space subset). */
   val fallbackMap: Map[Int, String] = Map(
@@ -123,7 +193,7 @@ object FontInfo {
   val default: FontInfo = FontInfo(
     baseFont = "Helvetica", subtype = "Type1", toUnicode = None,
     encTable = Some(Encodings.standard), diffs = Map.empty,
-    isType0 = false, widths = Array.fill(256)(Float.NaN),
+    isType0 = false, widths = noWidths,
     cidWidths = Map.empty, defaultWidth = 500f, flags = 0, isBold = false)
 
   def fromDict(doc: PdfDocument, fontDict: Dict): FontInfo = {
@@ -163,7 +233,7 @@ object FontInfo {
       val cidWidths = parseCidWidths(doc, r(cidDict.get("W")))
       FontInfo(baseFont, subtype, toUnicode, encTable = None,
         diffs = Map.empty, isType0 = true,
-        widths = Array.fill(256)(Float.NaN), cidWidths = cidWidths,
+        widths = noWidths, cidWidths = cidWidths,
         defaultWidth = dw, flags = flags, isBold = isBold)
     } else {
       // /Encoding: Name | Dict{BaseEncoding, Differences}
@@ -197,17 +267,19 @@ object FontInfo {
       val symbolicFlag = (flags & (1 << 2)) != 0
       if (symbolicFlag && fontDict.get("Encoding").isEmpty) encTable = None
 
-      // /Widths + FirstChar
-      val widths = Array.fill(256)(Float.NaN)
+      // /Widths + FirstChar (share the all-NaN table when absent — a
+      // fresh 256-float array per font per doc is allocation noise)
       val first = r(fontDict.get("FirstChar")).asLong.getOrElse(0L).toInt
-      r(fontDict.get("Widths")) match {
-        case Arr(ws) =>
+      val widths = r(fontDict.get("Widths")) match {
+        case Arr(ws) if ws.nonEmpty =>
+          val a = Array.fill(256)(Float.NaN)
           var i = 0
           while (i < ws.length && first + i < 256) {
-            doc.resolve(ws(i)).asDouble.foreach(w => widths(first + i) = w.toFloat)
+            doc.resolve(ws(i)).asDouble.foreach(w => a(first + i) = w.toFloat)
             i += 1
           }
-        case _ => ()
+          a
+        case _ => noWidths
       }
       val missingWidth = r(descDict.get("MissingWidth")).asDouble.map(_.toFloat)
       // flag-based default 500/600 (reference: font_dict.rs:351-363)
