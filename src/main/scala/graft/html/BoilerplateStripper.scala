@@ -211,13 +211,43 @@ object BoilerplateStripper {
           val end = html.indexOf('>', i + 1)
           if (end < 0) i = n
           else {
-            val inner = html.substring(i + 1, end)
-            val closing = inner.startsWith("/")
-            val rawName = (if (closing) inner.substring(1) else inner)
-              .takeWhile(ch => ch.isLetterOrDigit).toLowerCase
+            // tag-name parse straight off the char array: the old
+            // substring + takeWhile + toLowerCase allocated three
+            // objects PER TAG. ASCII names (all real HTML) lowercase
+            // in place; anything else falls back to the exact legacy
+            // expression so semantics cannot drift.
+            var p = i + 1
+            val closing = p < end && ca(p) == '/'
+            if (closing) p += 1
+            val nameStart = p
+            var ascii = true
+            while (p < end && Character.isLetterOrDigit(ca(p))) {
+              if (ca(p) >= 128) ascii = false
+              p += 1
+            }
+            val rawName =
+              if (ascii) {
+                val len = p - nameStart
+                if (len == 0) ""
+                else {
+                  val buf = new Array[Char](len)
+                  var q = 0
+                  while (q < len) {
+                    val ch = ca(nameStart + q)
+                    buf(q) = if (ch >= 'A' && ch <= 'Z') (ch + 32).toChar else ch
+                    q += 1
+                  }
+                  new String(buf)
+                }
+              } else {
+                val inner0 = html.substring(i + 1, end)
+                (if (closing) inner0.substring(1) else inner0)
+                  .takeWhile(ch => ch.isLetterOrDigit).toLowerCase
+              }
+            val selfClose = end > i + 1 && ca(end - 1) == '/'
             if (skipTag != null) {
               if (closing && rawName == skipTag) skipTag = null
-            } else if (skipContentTags.contains(rawName) && !closing && !inner.endsWith("/")) {
+            } else if (skipContentTags.contains(rawName) && !closing && !selfClose) {
               skipTag = rawName
             } else if (rawName == "a") {
               if (closing) aDepth = math.max(0, aDepth - 1) else aDepth += 1
@@ -225,7 +255,7 @@ object BoilerplateStripper {
               flush()
               if (boilerplateContext.contains(rawName)) {
                 if (closing) boilerDepth = math.max(0, boilerDepth - 1)
-                else if (!inner.endsWith("/")) boilerDepth += 1
+                else if (!selfClose) boilerDepth += 1
               }
               if (rawName == "table" && !closing) tableId += 1
               if (rawName == "tr") rowId += 1
