@@ -410,6 +410,11 @@ object SparkEntry {
         |FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
         |WHERE list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
         |        CAST(b.embedding AS DOUBLE[])) >= 0.45""".stripMargin,
+    // full hyperplane-LSH pipeline replicated in SQL (EmbeddingOracle):
+    // splitmix64 hyperplanes, ordered-fold dots, sign bits, bucket
+    // join, exact-cosine re-check / top-k re-rank
+    "dedup_embedding" -> graft.ops.EmbeddingOracle.nearDupSql(),
+    "ann_lsh" -> graft.ops.EmbeddingOracle.annSql(),
     // containment check: LSH ∪ exact must equal the exact set (LSH is
     // precision-1 — every candidate is re-checked with exact cosine)
     "dedup_embedding_cover" ->
@@ -574,6 +579,11 @@ object SparkEntry {
     // pigeonhole banding is complete and no bucket hits the cap
     "dedup_simhash" -> graft.ops.SimhashOracle.simhashSql,
     "dedup_simhash_near" -> graft.ops.SimhashOracle.nearDupSql(8),
+    // full MinHash/LSH pipeline replicated in SQL (MinhashOracle):
+    // FNV token/shingle hashing, splitmix64 permutations with signed
+    // mins, band hashes, bucket join, est/exact thresholds
+    "dedup_minhash_lsh" -> graft.ops.MinhashOracle.lshSql(),
+    "dedup_minhash_verified" -> graft.ops.MinhashOracle.verifiedSql(),
     // content-signature features replicated exactly (recursive-CTE FNV
     // chain + exact dyadic accumulator sums; Multimodal scaladoc)
     "multimodal_features" -> Multimodal.featuresOracleSql(),

@@ -1,0 +1,96 @@
+package graft.ops
+
+/** DuckDB replication of the random-hyperplane LSH pipelines
+  * ([[Similarity.nearDupPairsLsh]] and [[Similarity.lshTopK]]), so the
+  * last two rows-only driver queries (`dedup_embedding`, `ann_lsh`)
+  * get REAL hash-checked oracles.
+  *
+  * Why this is exactly replicable: every float the engine produces is
+  * IEEE-754 double arithmetic over deterministic inputs —
+  *  - hyperplane components are a splitmix64-style mix of
+  *    (seed + bit·φ + d·SM2), converted via signed Long→double and
+  *    divided by Long.MaxValue ([[Similarity.hyperplane]]); the SQL
+  *    reproduces the mod-2^64 integer math (HUGEINT, 32-bit-split
+  *    mulmod — [[SimhashOracle]] helpers) and the same two casts;
+  *  - dot products / norms accumulate LEFT-TO-RIGHT over d (both the
+  *    signature kernel and the exact-cosine re-check), which SQL
+  *    mirrors with an ordered `list(...)`/`generate_series` fold —
+  *    correctly-rounded IEEE ops in the same order are bit-identical
+  *    across engines, so every sign bit and every `>= threshold` /
+  *    rank decision agrees;
+  *  - bucket join / cap / distinct / row_number are plain relational.
+  *
+  * Outputs are integer-only (id pairs; query/neighbor/rank), so the
+  * driver hash compare is over exact values end-to-end.
+  */
+object EmbeddingOracle {
+  import SimhashOracle.{mulmod, xor64}
+
+  private val M = BigInt(1) << 64
+  private val SM1 = java.lang.Long.toUnsignedString(0x9e3779b97f4a7c15L)
+  private val SM2 = java.lang.Long.toUnsignedString(0xbf58476d1ce4e5b9L)
+  private val SM3 = java.lang.Long.toUnsignedString(0x94d049bb133111ebL)
+
+  /** Left-fold dot product of two float-list expressions in element
+    * order (matches the engine kernels' accumulation order). */
+  private def dot(a: String, b: String): String =
+    s"list_reduce(list_prepend(CAST(0 AS DOUBLE), " +
+      s"list_transform(generate_series(1, len($a)), i -> CAST($a[i] AS DOUBLE) * CAST($b[i] AS DOUBLE))), " +
+      s"(x, y) -> x + y)"
+
+  private def cos(a: String, b: String): String =
+    s"${dot(a, b)} / (sqrt(${dot(a, a)}) * sqrt(${dot(b, b)}))"
+
+  /** WITH stages ending in `sigs(vec_id, t, sig)` — the oracle for
+    * [[Similarity.lshSignatures]] over table `embeddings`. */
+  private def sigStages(nBits: Int, nTables: Int, dim: Int): String =
+    s"""grid AS (
+       |  SELECT t.g AS t, b.g AS bit, d.g AS d
+       |  FROM generate_series(0, ${nTables - 1}) t(g), generate_series(0, ${nBits - 1}) b(g), generate_series(0, ${dim - 1}) d(g)),
+       |hp0 AS (SELECT t, bit, d,
+       |  (CAST(42 AS HUGEINT) + t * 1000003 + (bit * CAST($SM1 AS HUGEINT)) % $M + (d * CAST($SM2 AS HUGEINT)) % $M) % $M AS z
+       |  FROM grid),
+       |hp1 AS (SELECT t, bit, d, ${mulmod(xor64("z", s"z // ${1L << 30}"), SM2)} AS z FROM hp0),
+       |hp2 AS (SELECT t, bit, d, ${mulmod(xor64("z", s"z // ${1L << 27}"), SM3)} AS z FROM hp1),
+       |hp3 AS (SELECT t, bit, d, ${xor64("z", s"z // ${1L << 31}")} AS z FROM hp2),
+       |hp AS (SELECT t, bit, d,
+       |  CAST(CASE WHEN z >= ${BigInt(1) << 63} THEN z - $M ELSE z END AS DOUBLE) / 9223372036854775807.0 AS h
+       |  FROM hp3),
+       |prods AS (
+       |  SELECT e.vec_id, h.t, h.bit, h.d, CAST(e.embedding[h.d + 1] AS DOUBLE) * h.h AS p
+       |  FROM embeddings e, hp h),
+       |dots AS (
+       |  SELECT vec_id, t, bit,
+       |    list_reduce(list_prepend(CAST(0 AS DOUBLE), list(p ORDER BY d)), (a, x) -> a + x) AS dot
+       |  FROM prods GROUP BY vec_id, t, bit),
+       |sigs AS (
+       |  SELECT vec_id, t, sum(CASE WHEN dot >= 0 THEN 1 << bit ELSE 0 END) AS sig
+       |  FROM dots GROUP BY vec_id, t)""".stripMargin
+
+  /** Oracle for `Similarity.nearDupPairsLsh(embeddings, 0.45)`. */
+  def nearDupSql(threshold: Double = 0.45, nBits: Int = 6, nTables: Int = 24,
+                 dim: Int = 64, bucketCap: Int = 2000): String =
+    s"""WITH ${sigStages(nBits, nTables, dim)},
+       |capped AS (SELECT * FROM (
+       |  SELECT vec_id, t, sig, count(*) OVER (PARTITION BY t, sig) AS bsz FROM sigs) WHERE bsz <= $bucketCap),
+       |cand AS (SELECT DISTINCT x.vec_id AS a_id, y.vec_id AS b_id
+       |  FROM capped x JOIN capped y ON x.t = y.t AND x.sig = y.sig AND x.vec_id < y.vec_id),
+       |pairs AS (SELECT c.a_id, c.b_id, ea.embedding AS av, eb.embedding AS bv
+       |  FROM cand c JOIN embeddings ea ON ea.vec_id = c.a_id JOIN embeddings eb ON eb.vec_id = c.b_id)
+       |SELECT a_id, b_id FROM pairs
+       |WHERE ${cos("av", "bv")} >= CAST($threshold AS DOUBLE)""".stripMargin
+
+  /** Oracle for `Similarity.lshTopK(emb, emb.filter(vec_id < 10), k, 64)`. */
+  def annSql(k: Int = 5, nBits: Int = 12, nTables: Int = 4, dim: Int = 64): String =
+    s"""WITH ${sigStages(nBits, nTables, dim)},
+       |cand AS (SELECT DISTINCT q.vec_id AS query_id, c.vec_id AS neighbor_id
+       |  FROM sigs c JOIN sigs q ON c.t = q.t AND c.sig = q.sig
+       |  WHERE q.vec_id < 10 AND q.vec_id <> c.vec_id),
+       |scored AS (SELECT c.query_id, c.neighbor_id,
+       |  ${cos("eq.embedding", "en.embedding")} AS cos
+       |  FROM cand c JOIN embeddings eq ON eq.vec_id = c.query_id JOIN embeddings en ON en.vec_id = c.neighbor_id)
+       |SELECT query_id, neighbor_id, rank FROM (
+       |  SELECT query_id, neighbor_id,
+       |    row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id ASC) AS rank
+       |  FROM scored) WHERE rank <= $k""".stripMargin
+}

@@ -1,0 +1,115 @@
+package graft.ops
+
+/** DuckDB replication of the FULL MinHash/LSH pipeline
+  * (`Dedup.minhashSignatures` → banding → bucket join → est-Jaccard
+  * filter, and the verified variant's exact-Jaccard re-check), so
+  * `dedup_minhash_lsh` and `dedup_minhash_verified` get REAL
+  * hash-checked oracles instead of rows-only checks.
+  *
+  * Every number the engine produces is deterministic seeded hashing:
+  *  - token hash: FNV-1a 64 over chars (Dedup.hash64);
+  *  - shingle hash: FNV chain over the w=3 token hashes, with the
+  *    engine's short-document quirk (n = max(1, len-2); partial
+  *    shingles at len<3; the FNV offset basis alone for empty docs);
+  *  - k=64 permutations: splitmix64 finalizer of (h + j*GOLD), min
+  *    taken in SIGNED 64-bit order (Scala Long `<`) — the SQL casts
+  *    to BIGINT before MIN;
+  *  - 16 band hashes: FNV chain seeded with (offset XOR band) over
+  *    the 4 signature lanes in order (unsigned re-interpretation);
+  *  - bucket cap, candidate self-join, matches/64 ≥ t — plain SQL.
+  *
+  * The mod-2^64 arithmetic style (HUGEINT + 32-bit-split mulmod, flat
+  * CTE stages, per-seed literals precomputed here in Scala) follows
+  * [[SimhashOracle]], whose helpers this reuses. Same corpus caveat:
+  * tokens are ASCII, so `unicode(char)` equals the UTF-16 code unit
+  * Scala hashes.
+  */
+object MinhashOracle {
+  import SimhashOracle.{mulmod, xor64}
+
+  private val M = "18446744073709551616"
+  private val FNV_OFF = java.lang.Long.toUnsignedString(0xcbf29ce484222325L)
+  private val FNV_P = "1099511628211"
+  private val GOLD = BigInt(java.lang.Long.toUnsignedString(0xc2b2ae3d27d4eb4fL))
+  private val SM1 = java.lang.Long.toUnsignedString(0x9e3779b97f4a7c15L)
+  private val SM2 = java.lang.Long.toUnsignedString(0xbf58476d1ce4e5b9L)
+  private val SM3 = java.lang.Long.toUnsignedString(0x94d049bb133111ebL)
+
+  private def fnvStep(h: String, c: String): String = mulmod(xor64(h, c), FNV_P)
+
+  /** FNV-1a over the chars of a (short, ASCII) token expression. */
+  private def tokHash(t: String): String =
+    s"list_reduce(list_prepend(CAST($FNV_OFF AS HUGEINT), " +
+      s"list_transform(split($t, ''), x -> CAST(unicode(x) AS HUGEINT))), " +
+      s"(h, c) -> ${fnvStep("h", "c")})"
+
+  /** WITH-clause stages ending in `est(a_id, b_id, est_jaccard)` over
+    * table `documents` (no threshold applied yet). */
+  private def pipeline(k: Int, bands: Int, bucketCap: Int): String = {
+    val r = k / bands
+    val seedRows = (0 until k).map { j =>
+      s"($j, CAST('${(BigInt(j) * GOLD) % (BigInt(1) << 64)}' AS HUGEINT))"
+    }.mkString(", ")
+    val bandRows = (0 until bands).map { b =>
+      s"($b, CAST('${java.lang.Long.toUnsignedString(0xcbf29ce484222325L ^ b)}' AS HUGEINT))"
+    }.mkString(", ")
+    val off = s"CAST($FNV_OFF AS HUGEINT)"
+    s"""toklist AS (
+       |  SELECT doc_id, list_filter(string_split_regex(lower(text), '\\s+'), x -> len(x) > 0) AS ts
+       |  FROM documents),
+       |docn AS (SELECT doc_id, ts, len(ts) AS tl, greatest(1, len(ts) - 2) AS n FROM toklist),
+       |spos AS (SELECT doc_id, ts, tl, unnest(generate_series(1, n)) AS i FROM docn),
+       |sh1 AS (SELECT doc_id, ts, tl, i,
+       |  CASE WHEN i <= tl THEN ${fnvStep(off, tokHash("ts[i]"))} ELSE $off END AS h FROM spos),
+       |sh2 AS (SELECT doc_id, ts, tl, i,
+       |  CASE WHEN i + 1 <= tl THEN ${fnvStep("h", tokHash("ts[i+1]"))} ELSE h END AS h FROM sh1),
+       |sh3 AS (SELECT doc_id,
+       |  CASE WHEN i + 2 <= tl THEN ${fnvStep("h", tokHash("ts[i+2]"))} ELSE h END AS h FROM sh2),
+       |seeds(j, jadd) AS (VALUES $seedRows),
+       |mh0 AS (SELECT doc_id, j, (h + jadd) % $M AS z FROM sh3, seeds),
+       |mh1 AS (SELECT doc_id, j, (z + $SM1) % $M AS z FROM mh0),
+       |mh2 AS (SELECT doc_id, j, ${mulmod(xor64("z", s"z // ${1L << 30}"), SM2)} AS z FROM mh1),
+       |mh3 AS (SELECT doc_id, j, ${mulmod(xor64("z", s"z // ${1L << 27}"), SM3)} AS z FROM mh2),
+       |mh4 AS (SELECT doc_id, j, ${xor64("z", s"z // ${1L << 31}")} AS z FROM mh3),
+       |sig AS (SELECT doc_id, j,
+       |  min(CAST(CASE WHEN z >= 9223372036854775808 THEN z - $M ELSE z END AS BIGINT)) AS s
+       |  FROM mh4 GROUP BY doc_id, j),
+       |bands(b, bstart) AS (VALUES $bandRows),
+       |bh AS (SELECT doc_id, b,
+       |  list_reduce(list_prepend(any_value(bstart),
+       |    list(CASE WHEN s < 0 THEN CAST(s AS HUGEINT) + $M ELSE CAST(s AS HUGEINT) END ORDER BY j)),
+       |    (h, c) -> ${fnvStep("h", "c")}) AS h
+       |  FROM sig JOIN bands ON sig.j // $r = bands.b GROUP BY doc_id, b),
+       |capped AS (SELECT * FROM (
+       |  SELECT doc_id, b, h, count(*) OVER (PARTITION BY b, h) AS bsz FROM bh) WHERE bsz <= $bucketCap),
+       |cand AS (SELECT DISTINCT x.doc_id AS a_id, y.doc_id AS b_id
+       |  FROM capped x JOIN capped y ON x.b = y.b AND x.h = y.h AND x.doc_id < y.doc_id),
+       |est AS (SELECT a_id, b_id,
+       |  CAST(sum(CASE WHEN sa.s = sb.s THEN 1 ELSE 0 END) AS DOUBLE) / $k AS est_jaccard
+       |  FROM cand JOIN sig sa ON sa.doc_id = a_id JOIN sig sb ON sb.doc_id = b_id AND sa.j = sb.j
+       |  GROUP BY a_id, b_id)""".stripMargin
+  }
+
+  /** Oracle for `Dedup.minhashLsh(documents, 64, 16, 0.5)`. */
+  def lshSql(k: Int = 64, bands: Int = 16, threshold: Double = 0.5,
+             bucketCap: Int = 1000): String =
+    s"""WITH ${pipeline(k, bands, bucketCap)}
+       |SELECT a_id, b_id, est_jaccard FROM est WHERE est_jaccard >= $threshold""".stripMargin
+
+  /** Oracle for `Dedup.minhashVerified(documents)` — LSH candidates at
+    * estThreshold, re-checked with exact distinct-token-set Jaccard. */
+  def verifiedSql(k: Int = 64, bands: Int = 16, estThreshold: Double = 0.35,
+                  exactThreshold: Double = 0.7, bucketCap: Int = 1000): String =
+    s"""WITH ${pipeline(k, bands, bucketCap)},
+       |dtoks AS (SELECT doc_id,
+       |  list_distinct(list_filter(string_split_regex(lower(text), '\\s+'), x -> len(x) > 0)) AS toks
+       |  FROM documents),
+       |ver AS (SELECT e.a_id, e.b_id,
+       |  CAST(len(list_intersect(ta.toks, tb.toks)) AS DOUBLE) /
+       |    CAST(len(list_distinct(ta.toks || tb.toks)) AS DOUBLE) AS jaccard
+       |  FROM est e
+       |  JOIN dtoks ta ON ta.doc_id = e.a_id
+       |  JOIN dtoks tb ON tb.doc_id = e.b_id
+       |  WHERE e.est_jaccard >= $estThreshold)
+       |SELECT a_id, b_id, jaccard FROM ver WHERE jaccard >= $exactThreshold""".stripMargin
+}

@@ -28,10 +28,10 @@ object SimhashOracle {
   private val P4 = "9650029242287828579"
   private val P5 = "2870177450012600261"
 
-  private def mulmod(a: String, b: String): String =
+  private[ops] def mulmod(a: String, b: String): String =
     s"((((($a) // $H) * (($b) % $H) + (($a) % $H) * (($b) // $H)) % $H) * $H + (($a) % $H) * (($b) % $H)) % $M"
 
-  private def xor64(a: String, b: String): String =
+  private[ops] def xor64(a: String, b: String): String =
     s"(xor(CAST(($a) // $H AS BIGINT), CAST(($b) // $H AS BIGINT)) * CAST($H AS HUGEINT)" +
       s" + xor(CAST(($a) % $H AS BIGINT), CAST(($b) % $H AS BIGINT)))"
 
