@@ -61,14 +61,35 @@ object BoilerplateStripper {
   /** <title> text (entity-decoded, whitespace-normalized); empty if
     * absent — page-level metadata for curation pipelines. */
   def title(html: String): String = {
-    val lower = html.toLowerCase
-    val open = lower.indexOf("<title")
+    // case-insensitive scans, NOT html.toLowerCase: lowercasing copies
+    // the whole document to find one tag (2.6% of JFR samples)
+    val open = indexOfIgnoreCase(html, "<title", 0)
     if (open < 0) return ""
     val gt = html.indexOf('>', open)
     if (gt < 0) return ""
-    val close = lower.indexOf("</title", gt)
+    val close = indexOfIgnoreCase(html, "</title", gt)
     if (close < 0) return ""
     normalizeWs(decodeEntities(html.substring(gt + 1, close)))
+  }
+
+  /** indexOf for a lowercase-ASCII-letter needle with ASCII case
+    * folding on the haystack (same |0x20 trick as decodeCharset; only
+    * letters appear in the needles used here, so folding is exact). */
+  private def indexOfIgnoreCase(s: String, pat: String, from: Int): Int = {
+    val n = s.length
+    val m = pat.length
+    var i = math.max(from, 0)
+    while (i + m <= n) {
+      var k = 0
+      while (k < m && {
+        val c = s.charAt(i + k)
+        val p = pat.charAt(k)
+        if (p >= 'a' && p <= 'z') (c | 0x20) == p else c == p
+      }) k += 1
+      if (k == m) return i
+      i += 1
+    }
+    -1
   }
 
   def title(bytes: Array[Byte]): String = title(decodeCharset(bytes))
@@ -122,7 +143,6 @@ object BoilerplateStripper {
     * whitespace scanner had; JFR-verified). */
   private final class Segmenter(html: String) {
     private val blocks = Vector.newBuilder[Block]
-    private val text = new java.lang.StringBuilder
     private var prevWs = true // collapse whitespace as we append (leading skipped)
     private var linked = 0
     private var curTag = "p"
@@ -137,17 +157,26 @@ object BoilerplateStripper {
     // UTF16 strings pays a non-eliminated checkIndex per call);
     // indexOf/substring still use the String
     private val ca = html.toCharArray
+    // Collapsed block text accumulates in a raw char[] cursor, not a
+    // StringBuilder: per-word append(' ') + append-range paid
+    // ensureCapacity/coder checks per call (5% of JFR samples); plain
+    // stores + arraycopy don't. Capacity n is a proof-backed bound:
+    // every source char yields ≤ 1 output char (collapse shrinks,
+    // decodeEntities never expands — named map is 1-char values,
+    // numeric forms are ≥4 source chars for ≤2 output chars).
+    private val out = new Array[Char](n)
+    private var w = 0
 
     private def flush(): Unit = {
-      // text is already whitespace-collapsed; just drop a trailing space
-      if (text.length > 0 && text.charAt(text.length - 1) == ' ')
-        text.setLength(text.length - 1)
-      if (text.length > 0) {
-        val t = text.toString
+      // out is already whitespace-collapsed; just drop a trailing space
+      var e = w
+      if (e > 0 && out(e - 1) == ' ') e -= 1
+      if (e > 0) {
+        val t = new String(out, 0, e)
         blocks += Block(t, curTag, math.min(linked, t.length),
           boilerDepth > 0, tableId, rowId)
       }
-      text.setLength(0)
+      w = 0
       prevWs = true
       linked = 0
     }
@@ -158,13 +187,14 @@ object BoilerplateStripper {
       while (k < m) {
         val ch = decoded.charAt(k)
         if (Character.isWhitespace(ch)) {
-          if (!prevWs) { text.append(' '); prevWs = true }
+          if (!prevWs) { out(w) = ' '; w += 1; prevWs = true }
           k += 1
         } else {
           // bulk-append the run of non-whitespace (one range copy)
           var e = k + 1
           while (e < m && !Character.isWhitespace(decoded.charAt(e))) e += 1
-          text.append(decoded, k, e)
+          decoded.getChars(k, e, out, w)
+          w += e - k
           prevWs = false
           k = e
         }
@@ -180,12 +210,13 @@ object BoilerplateStripper {
       while (k < until) {
         val ch = ca(k)
         if (Character.isWhitespace(ch)) {
-          if (!prevWs) { text.append(' '); prevWs = true }
+          if (!prevWs) { out(w) = ' '; w += 1; prevWs = true }
           k += 1
         } else {
           var e = k + 1
           while (e < until && !Character.isWhitespace(ca(e))) e += 1
-          text.append(ca, k, e - k)
+          System.arraycopy(ca, k, out, w, e - k)
+          w += e - k
           prevWs = false
           k = e
         }

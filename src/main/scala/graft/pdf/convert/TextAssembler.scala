@@ -9,7 +9,11 @@ object TextAssembler {
 
   def assemble(spans: Vector[TextSpan]): String = {
     if (spans.isEmpty) return ""
-    val sb = new java.lang.StringBuilder(spans.iterator.map(_.text.length).sum + spans.size * 2)
+    // manual length tally: iterator.map(...).sum reduces over boxed
+    // Ints per span (JFR-visible on the per-page path)
+    var cap = spans.size * 2
+    spans.foreach(s => cap += s.text.length)
+    val sb = new java.lang.StringBuilder(cap)
     var prev: TextSpan = null
     spans.foreach { s =>
       if (prev == null) sb.append(s.text)

@@ -120,27 +120,34 @@ object Whitespace {
   /** Artifact-line blanking can leave >3 consecutive newlines in the
     * markdown output; one cheap second pass caps them. */
   private def capNewlines(sb: java.lang.StringBuilder): String = {
-    val out = new java.lang.StringBuilder(sb.length())
+    // In-place compaction over one char[] snapshot: the former second
+    // StringBuilder started LATIN1-coded and re-grew through copyOf on
+    // any UTF16 content (3% of JFR samples); output only ever shrinks
+    // (w ≤ i), so writing behind the read cursor is safe.
+    val n = sb.length()
+    val a = new Array[Char](n)
+    sb.getChars(0, n, a, 0)
+    var w = 0
     var run = 0
-    var i = 0
-    // also re-trim leading newlines created by removed first lines
     var started = false
-    while (i < sb.length()) {
-      val c = sb.charAt(i)
+    var i = 0
+    while (i < n) {
+      val c = a(i)
       if (c == '\n') { run += 1 }
       else {
         if (started && run > 0) {
           val emit = math.min(run, 3)
           var k = 0
-          while (k < emit) { out.append('\n'); k += 1 }
+          while (k < emit) { a(w) = '\n'; w += 1; k += 1 }
         }
         run = 0
-        out.append(c)
+        a(w) = c
+        w += 1
         started = true
       }
       i += 1
     }
-    out.toString
+    new String(a, 0, w)
   }
 
   /** Matches the artifact regex set on one rendered line [from, to). */

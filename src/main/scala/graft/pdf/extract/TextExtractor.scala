@@ -268,6 +268,14 @@ final class TextExtractor(doc: PdfDocument) {
     * text.rs:1333-1360). Null (the default) costs nothing. */
   var charSink: (String, Float, Float, Float, Float, Boolean) => Unit = null
 
+  /** Reusable per-Tj glyph staging buffer: single-char decodes (the
+    * overwhelming case) batch here and reach `buf` as ONE bulk range
+    * append per show operator — per-glyph StringBuilder.append(char)
+    * paid ensureCapacity + coder checks per character (10% of
+    * mixed-corpus JFR samples). Capacity: single-char glyph count ≤
+    * code count ≤ bytes.length. */
+  private var glyphScratch: Array[Char] = new Array[Char](256)
+
   private def showText(bytes: Array[Byte], emit: Boolean): Unit = {
     if (emit && buf.length() == 0) startBuffer()
     val st = gs.state
@@ -275,6 +283,10 @@ final class TextExtractor(doc: PdfDocument) {
     val wantChars = charSink != null
     // device-space frame for char positions (computed only in char mode)
     val trm0 = if (wantChars) st.textMatrix.multiply(st.ctm) else null
+    if (emit && glyphScratch.length < bytes.length)
+      glyphScratch = new Array[Char](bytes.length)
+    val stage = glyphScratch
+    var staged = 0
     var totalTx = 0f
     var i = 0
     while (i < bytes.length) {
@@ -290,7 +302,19 @@ final class TextExtractor(doc: PdfDocument) {
       if (emit || wantChars) {
         val s = curFont.decodeOrNull(code)
         if (s != null) {
-          if (emit) appendClean(s)
+          if (emit) {
+            if (s.length == 1) {
+              val c = s.charAt(0)
+              if (c >= ' ' || c == '\t' || c == '\n' || c == '\r') {
+                stage(staged) = c; staged += 1
+              }
+            } else {
+              // rare multi-char (ligature) decode: keep order — drain
+              // the staged run first, then the general cleaned append
+              if (staged > 0) { buf.append(stage, 0, staged); staged = 0 }
+              appendClean(s)
+            }
+          }
           // unmappable: dropped (reference skips, no U+FFFD)
           if (wantChars)
             charSink(s, trm0.e + totalTx * trm0.scaleX, trm0.f + st.rise,
@@ -299,16 +323,24 @@ final class TextExtractor(doc: PdfDocument) {
       }
       totalTx += adv
     }
+    if (staged > 0) buf.append(stage, 0, staged)
     if (totalTx != 0f)
       gs.state = st.copy(textMatrix = Matrix.translation(totalTx, 0f).multiply(st.textMatrix))
   }
 
   /** Control chars except \t\n\r are dropped (reference: text.rs:2536-2545). */
   private def appendClean(s: String): Unit = {
-    // fast path: decoded glyph strings are almost always fully clean —
-    // verify once, bulk-append (StringBuilder.append(String) is one
-    // range copy vs per-char appends)
     val n = s.length
+    // decoded glyphs are overwhelmingly single chars: append(char)
+    // writes one slot directly, where append(String) runs the
+    // null-check + getChars + arraycopy machinery (putStringAt was 13%
+    // of mixed-corpus JFR samples)
+    if (n == 1) {
+      val c = s.charAt(0)
+      if (c >= ' ' || c == '\t' || c == '\n' || c == '\r') buf.append(c)
+      return
+    }
+    // multi-char (ligature) path: verify once, bulk-append
     var i = 0
     while (i < n && {
       val c = s.charAt(i); c >= ' ' || c == '\t' || c == '\n' || c == '\r'

@@ -66,34 +66,20 @@ final case class FontInfo(
     fallbackOrNull(code)
   }
 
-  /** Flattened cascade inputs for the simple-font path: per-code array
-    * loads instead of Map lookups whose Int keys box on every get
-    * (decodeUncached stayed the top leaf frame even Option-free).
-    * Built once per font on first simple decode; ~256 slots is noise
-    * next to the per-glyph lookups they replace. */
-  private lazy val simpleTu: Array[String] =
-    if (toUnicode.isEmpty) FontInfo.emptyTable // shared, never written
-    else {
-      val a = new Array[String](256)
-      toUnicode.foreach(_.map.foreach { case (k, v) =>
-        if (k >= 0 && k < 256 && v.nonEmpty && !v.contains('�')) a(k) = v
-      })
-      a
-    }
-  private lazy val simpleDiffs: Array[String] =
-    if (diffs.isEmpty) FontInfo.emptyTable // shared, never written
-    else {
-      val a = new Array[String](256)
-      diffs.foreach { case (k, v) => if (k >= 0 && k < 256) a(k) = v }
-      a
-    }
-
   /** decodeUncached specialized to code < 256 on a non-Type0 font:
-    * identical cascade order, array loads only. */
+    * identical cascade order. Direct map gets, NOT prebuilt 256-slot
+    * tables: simpleLookup memoizes per code, so this runs once per
+    * distinct code (~60/font), while the former flattened-table
+    * variant zero-filled + populated two 256 arrays per font — on
+    * many-small-document corpora that build was the TOP JFR leaf (12%
+    * of samples; fonts live per document, docs average well under 256
+    * decoded codes). */
   private def decodeSimpleUncached(code: Int): String = {
-    val s = simpleTu(code)
-    if (s != null) return s
-    val d = simpleDiffs(code)
+    if (toUnicode.isDefined) {
+      val s = toUnicode.get.map.getOrElse(code, null)
+      if (s != null && s.nonEmpty && !s.contains('�')) return s
+    }
+    val d = diffs.getOrElse(code, null)
     if (d != null) return d
     if (symbolic.isDefined) {
       val t = symbolic.get
@@ -176,11 +162,9 @@ object FontInfo {
   @inline private[font] def charString(c: Char): String =
     if (c < 256) charStrings(c) else String.valueOf(c)
 
-  /** Shared all-null/all-NaN tables for the common empty cases — a
-    * FontInfo is built per (font, document), so per-instance 256-slot
-    * arrays showed up as allocation stalls in JFR. Read-only by
-    * construction. */
-  private[font] val emptyTable: Array[String] = new Array[String](256)
+  /** Shared all-NaN width table for the common empty case — a FontInfo
+    * is built per (font, document), so per-instance 256-slot arrays
+    * showed up as allocation stalls in JFR. Read-only by construction. */
   private[font] val noWidths: Array[Float] = Array.fill(256)(Float.NaN)
 
   /** Sparse fallback for codes outside printable ASCII (reference:

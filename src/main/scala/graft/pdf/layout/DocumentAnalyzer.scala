@@ -37,7 +37,9 @@ object DocumentProperties {
       case Array(a, b) if math.abs(a - b) > 0.1f => math.abs(a - b)
     }.toArray
     val medianSpacing = median(spacings, 12f)
-    val totalChars = spans.iterator.map(_.text.length).sum.toFloat
+    val totalChars = {
+      var t = 0; spans.foreach(s => t += s.text.length); t.toFloat
+    }
     val avgCharsPerLine =
       if (byLine.nonEmpty) totalChars / byLine.size else 50f
 
