@@ -9,16 +9,78 @@ import scala.collection.mutable
   */
 object BoilerplateStripper {
 
-  private val blockTags = Set(
+  private[html] val blockTags = Set(
     "p", "div", "h1", "h2", "h3", "h4", "h5", "h6", "li", "td", "th",
     "tr", "table", "ul", "ol", "dl", "dd", "dt", "article", "section",
     "main", "header", "footer", "nav", "aside", "form", "blockquote",
     "pre", "br", "hr", "figcaption", "figure", "body")
 
-  private val skipContentTags = Set("script", "style", "noscript", "svg", "template", "iframe")
+  private[html] val skipContentTags = Set("script", "style", "noscript", "svg", "template", "iframe")
 
   /** Containers whose text is boilerplate by construction. */
-  private val boilerplateContext = Set("nav", "footer", "aside", "form")
+  private[html] val boilerplateContext = Set("nav", "footer", "aside", "form")
+
+  // one flags computation per tag instead of 3-4 Set probes (each
+  // probe re-dispatched hashCode/equals on the fresh tag-name String —
+  // the tag-classification line was 6% of mixed-corpus JFR samples,
+  // and an interim HashMap variant still paid hash+probe per tag).
+  // Length-then-char switches: no hashing, no allocation. MUST stay in
+  // sync with blockTags / skipContentTags / boilerplateContext above
+  // (TagTableSpec asserts equivalence over the full tag inventory).
+  private final val FlagSkip = 1
+  private final val FlagBlock = 2
+  private final val FlagBoiler = 4
+  private final val FlagA = 8
+
+  private[html] def classifyTag(t: String): Int = {
+    @inline def is(lit: String): Boolean = t == lit // length pre-matched
+    t.length match {
+      case 1 => t.charAt(0) match {
+        case 'a' => FlagA
+        case 'p' => FlagBlock
+        case _   => 0
+      }
+      case 2 =>
+        val c0 = t.charAt(0); val c1 = t.charAt(1)
+        c0 match {
+          case 'h' => if ((c1 >= '1' && c1 <= '6') || c1 == 'r') FlagBlock else 0
+          case 'l' => if (c1 == 'i') FlagBlock else 0
+          case 't' => if (c1 == 'd' || c1 == 'h' || c1 == 'r') FlagBlock else 0
+          case 'u' => if (c1 == 'l') FlagBlock else 0
+          case 'o' => if (c1 == 'l') FlagBlock else 0
+          case 'd' => if (c1 == 'l' || c1 == 'd' || c1 == 't') FlagBlock else 0
+          case 'b' => if (c1 == 'r') FlagBlock else 0
+          case _   => 0
+        }
+      case 3 =>
+        if (is("div")) FlagBlock
+        else if (is("nav")) FlagBlock | FlagBoiler
+        else if (is("pre")) FlagBlock
+        else if (is("svg")) FlagSkip
+        else 0
+      case 4 =>
+        if (is("form")) FlagBlock | FlagBoiler
+        else if (is("main") || is("body")) FlagBlock
+        else 0
+      case 5 =>
+        if (is("table")) FlagBlock
+        else if (is("aside")) FlagBlock | FlagBoiler
+        else if (is("style")) FlagSkip
+        else 0
+      case 6 =>
+        if (is("script") || is("iframe")) FlagSkip
+        else if (is("footer")) FlagBlock | FlagBoiler
+        else if (is("header") || is("figure")) FlagBlock
+        else 0
+      case 7 =>
+        if (is("article") || is("section")) FlagBlock else 0
+      case 8 =>
+        if (is("noscript") || is("template")) FlagSkip else 0
+      case 10 =>
+        if (is("blockquote") || is("figcaption")) FlagBlock else 0
+      case _ => 0
+    }
+  }
 
   // tiny multi-lang stopword set (jusText uses per-lang lists; a compact
   // high-frequency core is enough for the density signal)
@@ -278,19 +340,22 @@ object BoilerplateStripper {
             val selfClose = end > i + 1 && ca(end - 1) == '/'
             if (skipTag != null) {
               if (closing && rawName == skipTag) skipTag = null
-            } else if (skipContentTags.contains(rawName) && !closing && !selfClose) {
-              skipTag = rawName
-            } else if (rawName == "a") {
-              if (closing) aDepth = math.max(0, aDepth - 1) else aDepth += 1
-            } else if (blockTags.contains(rawName)) {
-              flush()
-              if (boilerplateContext.contains(rawName)) {
-                if (closing) boilerDepth = math.max(0, boilerDepth - 1)
-                else if (!selfClose) boilerDepth += 1
+            } else {
+              val flags = classifyTag(rawName)
+              if ((flags & FlagSkip) != 0 && !closing && !selfClose) {
+                skipTag = rawName
+              } else if ((flags & FlagA) != 0) {
+                if (closing) aDepth = math.max(0, aDepth - 1) else aDepth += 1
+              } else if ((flags & FlagBlock) != 0) {
+                flush()
+                if ((flags & FlagBoiler) != 0) {
+                  if (closing) boilerDepth = math.max(0, boilerDepth - 1)
+                  else if (!selfClose) boilerDepth += 1
+                }
+                if (rawName == "table" && !closing) tableId += 1
+                if (rawName == "tr") rowId += 1
+                if (!closing) curTag = rawName
               }
-              if (rawName == "table" && !closing) tableId += 1
-              if (rawName == "tr") rowId += 1
-              if (!closing) curTag = rawName
             }
             i = end + 1
           }

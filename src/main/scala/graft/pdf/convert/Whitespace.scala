@@ -37,14 +37,21 @@ object Whitespace {
         var k = 0
         while (k < n) { s(k) = other.charAt(k); k += 1 }
     }
-    val sb = new java.lang.StringBuilder(n)
+    // Output goes to a raw char[] cursor, not a StringBuilder: the
+    // bulk visible-run appends still paid ensureCapacity + latin1
+    // compression probing per call (5% of JFR samples); plain
+    // arraycopy doesn't, and the final String ctor compresses once.
+    // Capacity n is exact-bounded: emitted newlines ≤ newlines read,
+    // emitted spaces ≤ spaces read, visible runs copy 1:1.
+    val o = new Array[Char](n)
+    var w = 0
     var i = 0
     var pendingNl = 0      // newlines not yet emitted
     var pendingWs = 0      // spaces/tabs not yet emitted (since last visible)
     var pendingHasTab = false
     var lineHasVisible = false // a visible char emitted on current line
     var started = false    // first visible char seen (leading trim)
-    var lineStart = sb.length() // offset of current line in sb
+    var lineStart = 0      // offset of current line in o
 
     // NOTE the line-end handling is manually inlined at its two call
     // sites: a nested def closing over mutable locals boxes ALL of them
@@ -59,7 +66,7 @@ object Whitespace {
         // lines in markdown mode
         pendingWs = 0; pendingHasTab = false
         if (markdown && lineHasVisible &&
-            isArtifactLine(sb, lineStart, sb.length())) sb.setLength(lineStart)
+            isArtifactLine(o, lineStart, w)) w = lineStart
         lineHasVisible = false
         pendingNl += 1
         if (c == '\r' && i + 1 < n && s(i + 1) == '\n') i += 1
@@ -71,25 +78,25 @@ object Whitespace {
           if (pendingNl > 0) {
             val emit = math.min(pendingNl, 3)
             var k = 0
-            while (k < emit) { sb.append('\n'); k += 1 }
+            while (k < emit) { o(w) = '\n'; w += 1; k += 1 }
             pendingNl = 0
-            lineStart = sb.length()
+            lineStart = w
             // line-leading ws = indentation: preserve count (spaces)
-            var w = 0
-            while (w < pendingWs) { sb.append(' '); w += 1 }
+            var q = 0
+            while (q < pendingWs) { o(w) = ' '; w += 1; q += 1 }
           } else if (pendingWs > 0) {
             if (!lineHasVisible) {
-              var w = 0
-              while (w < pendingWs) { sb.append(' '); w += 1 }
-            } else if (pendingHasTab) sb.append('\t')
-            else sb.append(' ') // interior run collapses to one
+              var q = 0
+              while (q < pendingWs) { o(w) = ' '; w += 1; q += 1 }
+            } else if (pendingHasTab) { o(w) = '\t'; w += 1 }
+            else { o(w) = ' '; w += 1 } // interior run collapses to one
           }
         } else {
           pendingNl = 0
-          lineStart = sb.length()
+          lineStart = w
         }
         pendingWs = 0; pendingHasTab = false
-        // bulk-append the whole visible run (one range copy instead of
+        // bulk-copy the whole visible run (one range copy instead of
         // a per-character append — words are ~6 chars, and per-char
         // StringBuilder.append was a top JFR frame)
         var j = i + 1
@@ -97,7 +104,8 @@ object Whitespace {
           val cj = s(j)
           cj != '\n' && cj != '\r' && cj != ' ' && cj != '\t'
         }) j += 1
-        sb.append(s, i, j - i)
+        System.arraycopy(s, i, o, w, j - i)
+        w += j - i
         i = j - 1
         lineHasVisible = true
         started = true
@@ -105,28 +113,18 @@ object Whitespace {
       i += 1
     }
     // final end-line (same as above)
-    pendingWs = 0; pendingHasTab = false
-    if (markdown && lineHasVisible &&
-        isArtifactLine(sb, lineStart, sb.length())) sb.setLength(lineStart)
-    lineHasVisible = false
+    if (markdown && lineHasVisible && isArtifactLine(o, lineStart, w)) w = lineStart
     // drop trailing blank lines (trim) — artifacts may leave a run of
-    // newlines at the end of sb
-    var end = sb.length()
-    while (end > 0 && (sb.charAt(end - 1) == '\n' || sb.charAt(end - 1) == ' ')) end -= 1
-    sb.setLength(end)
-    if (markdown) capNewlines(sb) else sb.toString
+    // newlines at the end
+    while (w > 0 && (o(w - 1) == '\n' || o(w - 1) == ' ')) w -= 1
+    if (markdown) capNewlines(o, w) else new String(o, 0, w)
   }
 
   /** Artifact-line blanking can leave >3 consecutive newlines in the
-    * markdown output; one cheap second pass caps them. */
-  private def capNewlines(sb: java.lang.StringBuilder): String = {
-    // In-place compaction over one char[] snapshot: the former second
-    // StringBuilder started LATIN1-coded and re-grew through copyOf on
-    // any UTF16 content (3% of JFR samples); output only ever shrinks
-    // (w ≤ i), so writing behind the read cursor is safe.
-    val n = sb.length()
-    val a = new Array[Char](n)
-    sb.getChars(0, n, a, 0)
+    * markdown output; one cheap in-place compaction caps them (output
+    * only ever shrinks — w ≤ i — so writing behind the read cursor is
+    * safe). */
+  private def capNewlines(a: Array[Char], n: Int): String = {
     var w = 0
     var run = 0
     var started = false
@@ -151,22 +149,22 @@ object Whitespace {
   }
 
   /** Matches the artifact regex set on one rendered line [from, to). */
-  private def isArtifactLine(sb: java.lang.StringBuilder, from: Int, to: Int): Boolean = {
+  private def isArtifactLine(o: Array[Char], from: Int, to: Int): Boolean = {
     var a = from
     var b = to
-    while (a < b && sb.charAt(a) == ' ') a += 1
-    while (b > a && sb.charAt(b - 1) == ' ') b -= 1
+    while (a < b && o(a) == ' ') a += 1
+    while (b > a && o(b - 1) == ' ') b -= 1
     val len = b - a
     if (len == 0) return false
     def allDigits(x: Int, y: Int): Boolean = {
       if (y <= x) return false
       var i = x
-      while (i < y) { if (!Character.isDigit(sb.charAt(i))) return false; i += 1 }
+      while (i < y) { if (!Character.isDigit(o(i))) return false; i += 1 }
       true
     }
     def allOf(ch: Char): Boolean = {
       var i = a
-      while (i < b) { if (sb.charAt(i) != ch) return false; i += 1 }
+      while (i < b) { if (o(i) != ch) return false; i += 1 }
       true
     }
     // ^\d{1,3}$
@@ -174,15 +172,15 @@ object Whitespace {
     // ^-{3,}$ | ^={3,}$
     if (len >= 3 && (allOf('-') || allOf('='))) return true
     // ^Page \d+$
-    if (len > 5 && sb.charAt(a) == 'P' && sb.charAt(a + 1) == 'a' &&
-        sb.charAt(a + 2) == 'g' && sb.charAt(a + 3) == 'e' &&
-        sb.charAt(a + 4) == ' ' && allDigits(a + 5, b)) return true
+    if (len > 5 && o(a) == 'P' && o(a + 1) == 'a' &&
+        o(a + 2) == 'g' && o(a + 3) == 'e' &&
+        o(a + 4) == ' ' && allDigits(a + 5, b)) return true
     // ^- \d+ -$
-    if (len >= 5 && sb.charAt(a) == '-' && sb.charAt(a + 1) == ' ' &&
-        sb.charAt(b - 1) == '-' && sb.charAt(b - 2) == ' ' &&
+    if (len >= 5 && o(a) == '-' && o(a + 1) == ' ' &&
+        o(b - 1) == '-' && o(b - 2) == ' ' &&
         allDigits(a + 2, b - 2)) return true
     // ^\[\d+\]$
-    if (len >= 3 && sb.charAt(a) == '[' && sb.charAt(b - 1) == ']' &&
+    if (len >= 3 && o(a) == '[' && o(b - 1) == ']' &&
         allDigits(a + 1, b - 1)) return true
     false
   }

@@ -37,7 +37,18 @@ final class TextExtractor(doc: PdfDocument) {
   private var nestingDepth = 0
 
   // --- TjBuffer (reference: text.rs:96-161) ---
-  private val buf = new java.lang.StringBuilder
+  // Raw char[] cursor, not a StringBuilder: the per-show bulk appends
+  // paid ensureCapacity + latin1 canEncode probing per call (10% of
+  // JFR samples); plain stores/arraycopy don't, and the final String
+  // ctor compresses once at flush.
+  private var bufArr = new Array[Char](256)
+  private var bufLen = 0
+  @inline private def bufEnsure(extra: Int): Unit =
+    if (bufLen + extra > bufArr.length) {
+      var c = bufArr.length << 1
+      while (c < bufLen + extra) c <<= 1
+      bufArr = java.util.Arrays.copyOf(bufArr, c)
+    }
   private var bufStartX = 0f
   private var bufStartY = 0f
   private var bufFontName = ""
@@ -246,7 +257,11 @@ final class TextExtractor(doc: PdfDocument) {
       case n @ (Int64(_) | Real(_)) =>
         val off = num(n)
         if (off < SpaceInsertionThreshold) {
-          if (buf.length() > 0 && !buf.toString.endsWith(" ")) buf.append(' ')
+          // (the former buf.toString.endsWith(" ") materialized the
+          // whole buffered run per TJ offset)
+          if (bufLen > 0 && bufArr(bufLen - 1) != ' ') {
+            bufEnsure(1); bufArr(bufLen) = ' '; bufLen += 1
+          }
         }
         val st = gs.state
         val tx = (-off / 1000f) * st.fontSize * st.horizScaling
@@ -277,7 +292,7 @@ final class TextExtractor(doc: PdfDocument) {
   private var glyphScratch: Array[Char] = new Array[Char](256)
 
   private def showText(bytes: Array[Byte], emit: Boolean): Unit = {
-    if (emit && buf.length() == 0) startBuffer()
+    if (emit && bufLen == 0) startBuffer()
     val st = gs.state
     val nBytes = curFont.codeBytes
     val wantChars = charSink != null
@@ -299,7 +314,26 @@ final class TextExtractor(doc: PdfDocument) {
       val isSpaceCode = nBytes == 1 && code == 32
       val adv = ((w0 / 1000f) * st.fontSize + st.charSpacing +
         (if (isSpaceCode) st.wordSpacing else 0f)) * st.horizScaling
-      if (emit || wantChars) {
+      if (emit && !wantChars) {
+        // single-char fast lane: no String materialization, no charAt
+        val c1 = curFont.decodeCharOrZero(code)
+        if (c1 != 0) {
+          if (c1 >= ' ' || c1 == '\t' || c1 == '\n' || c1 == '\r') {
+            stage(staged) = c1; staged += 1
+          }
+        } else {
+          val s = curFont.decodeOrNull(code)
+          if (s != null) {
+            if (staged > 0) {
+              bufEnsure(staged)
+              System.arraycopy(stage, 0, bufArr, bufLen, staged)
+              bufLen += staged
+              staged = 0
+            }
+            appendClean(s)
+          }
+        }
+      } else if (emit || wantChars) {
         val s = curFont.decodeOrNull(code)
         if (s != null) {
           if (emit) {
@@ -311,7 +345,12 @@ final class TextExtractor(doc: PdfDocument) {
             } else {
               // rare multi-char (ligature) decode: keep order — drain
               // the staged run first, then the general cleaned append
-              if (staged > 0) { buf.append(stage, 0, staged); staged = 0 }
+              if (staged > 0) {
+                bufEnsure(staged)
+                System.arraycopy(stage, 0, bufArr, bufLen, staged)
+                bufLen += staged
+                staged = 0
+              }
               appendClean(s)
             }
           }
@@ -323,7 +362,11 @@ final class TextExtractor(doc: PdfDocument) {
       }
       totalTx += adv
     }
-    if (staged > 0) buf.append(stage, 0, staged)
+    if (staged > 0) {
+      bufEnsure(staged)
+      System.arraycopy(stage, 0, bufArr, bufLen, staged)
+      bufLen += staged
+    }
     if (totalTx != 0f)
       gs.state = st.copy(textMatrix = Matrix.translation(totalTx, 0f).multiply(st.textMatrix))
   }
@@ -331,25 +374,26 @@ final class TextExtractor(doc: PdfDocument) {
   /** Control chars except \t\n\r are dropped (reference: text.rs:2536-2545). */
   private def appendClean(s: String): Unit = {
     val n = s.length
-    // decoded glyphs are overwhelmingly single chars: append(char)
-    // writes one slot directly, where append(String) runs the
-    // null-check + getChars + arraycopy machinery (putStringAt was 13%
-    // of mixed-corpus JFR samples)
+    bufEnsure(n) // worst case: every char survives the filter
     if (n == 1) {
       val c = s.charAt(0)
-      if (c >= ' ' || c == '\t' || c == '\n' || c == '\r') buf.append(c)
+      if (c >= ' ' || c == '\t' || c == '\n' || c == '\r') {
+        bufArr(bufLen) = c; bufLen += 1
+      }
       return
     }
-    // multi-char (ligature) path: verify once, bulk-append
+    // multi-char (ligature) path: verify once, bulk-copy
     var i = 0
     while (i < n && {
       val c = s.charAt(i); c >= ' ' || c == '\t' || c == '\n' || c == '\r'
     }) i += 1
-    if (i == n) { buf.append(s); return }
-    buf.append(s, 0, i)
+    s.getChars(0, i, bufArr, bufLen)
+    bufLen += i
     while (i < n) {
       val c = s.charAt(i)
-      if (c >= ' ' || c == '\t' || c == '\n' || c == '\r') buf.append(c)
+      if (c >= ' ' || c == '\t' || c == '\n' || c == '\r') {
+        bufArr(bufLen) = c; bufLen += 1
+      }
       i += 1
     }
   }
@@ -427,9 +471,9 @@ final class TextExtractor(doc: PdfDocument) {
 
   /** Emit the buffered run as one TextSpan (reference: TjBuffer flush). */
   private def flush(): Unit = {
-    if (buf.length() > 0) {
-      val text = buf.toString
-      buf.setLength(0)
+    if (bufLen > 0) {
+      val text = new String(bufArr, 0, bufLen)
+      bufLen = 0
       if (text.nonEmpty) {
         val st = gs.state
         val trm = st.textMatrix.multiply(st.ctm)
