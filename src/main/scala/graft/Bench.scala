@@ -54,12 +54,22 @@ object Bench {
     val names = SparkEntry.queries.keys.toSeq.sorted
     val results = scala.collection.mutable.LinkedHashMap.empty[String, Double]
     var tExtract = Double.MaxValue
+    // the LSH queries persist() signature tables with caller-owned
+    // cleanup (Dedup scaladoc); drop each query's new cache entries
+    // after timing so 3 rounds x 42 queries don't accumulate ~1 GB of
+    // dead cached blocks (the probe corpus cache above is kept)
+    val keepCached = spark.sparkContext.getPersistentRDDs.keySet
+    def dropNewCaches(): Unit =
+      spark.sparkContext.getPersistentRDDs.foreach { case (id, rdd) =>
+        if (!keepCached.contains(id)) rdd.unpersist(blocking = false)
+      }
     for (round <- 1 to rounds) {
       for (name <- names) {
         val fn = SparkEntry.queries(name)
         val dt = time {
           try { fn(spark, sfDir).count(); () } catch { case _: Throwable => () }
         }
+        dropNewCaches()
         results(name) = math.min(results.getOrElse(name, Double.MaxValue), dt)
       }
       // one probe pass per round, minutes apart from the previous one
