@@ -227,7 +227,7 @@ final class ObjParser(
         pos += 1; sawDigit = true
       }
       if (!sawDigit) error("bare '.' is not a number")
-      val v = intPart + (if (nFrac == 0) 0.0 else fracInt / math.pow(10, nFrac))
+      val v = intPart + (if (nFrac == 0) 0.0 else fracInt / ObjParser.Pow10(nFrac))
       Real(if (neg) -v else v)
     } else {
       if (!sawDigit) { pos = start; error("expected number") }
@@ -339,4 +339,8 @@ final class PdfParseException(msg: String) extends RuntimeException(msg)
 
 object ObjParser {
   val MaxDepth = 100 // reference: MAX_RECURSION_DEPTH, src/document.rs:21
+  /** 10^0..10^18 (exact doubles through 10^18 < 2^63): parseNumber ran
+    * math.pow per fractional literal — content streams are mostly
+    * decimal coordinates, so that was a transcendental call per token. */
+  private[cos] val Pow10: Array[Double] = Array.tabulate(19)(i => math.pow(10, i))
 }
