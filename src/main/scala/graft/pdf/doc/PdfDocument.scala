@@ -38,6 +38,12 @@ final class PdfDocument(val data: Array[Byte],
   val xref = new XRefTable
   var trailer: Dict = Dict.empty
   private val cache = mutable.HashMap.empty[Int, PdfObj]
+  /** MUST be initialized before the `locally` init block below:
+    * xref reconstruction harvests ObjStms during construction, and a
+    * declaration-after-use left this null there — the swallowed NPE
+    * silently dropped every compressed-only object in recovered PDFs
+    * (caught by the ported reference objstm vectors). */
+  private val objStmCache = mutable.HashMap.empty[Int, (Vector[(Int, Int)], Array[Byte])]
   /** Decoded-font cache (key: font ref id or the dict itself); fonts
     * are shared across pages so decode tables are built once per doc.
     * Values are graft.pdf.font.FontInfo (typed loosely to keep this
@@ -429,8 +435,6 @@ final class PdfDocument(val data: Array[Byte],
   // ------------------------------------------------------------------
   // Object streams (reference: src/objstm.rs:86-243, document.rs:836-890)
   // ------------------------------------------------------------------
-  private val objStmCache = mutable.HashMap.empty[Int, (Vector[(Int, Int)], Array[Byte])]
-
   private def objStmData(streamId: Int): Option[(Vector[(Int, Int)], Array[Byte])] = {
     objStmCache.get(streamId).orElse {
       loadObject(Ref(streamId, 0)) match {

@@ -128,7 +128,9 @@ final class PdfBuilder(version: String = "1.4") {
     // xref stream object
     val xrefId = nextId; nextId += 1
     val xrefOff = out.size()
-    val maxId = xrefId
+    // cover sparse high ids placed via addObjectAt (e.g. the ObjStm
+    // vector tests use member ids like 10000)
+    val maxId = (Iterable(xrefId) ++ offsets.keys ++ idxInStm.keys).max
     val rows = new ByteArrayOutputStream()
     def row(t: Int, f2: Long, f3: Int): Unit = {
       rows.write(t)
