@@ -42,6 +42,29 @@ class ImagesSpec extends AnyFunSuite {
     imgs.head
   }
 
+  test("BitsPerComponent defaults to 8 when absent (reference test_images.rs:462)") {
+    val b = new PdfBuilder()
+    val catId = b.reserveId()
+    val pagesId = b.reserveId()
+    val imgId = b.addStream("/Subtype /Image /Width 10 /Height 10 /ColorSpace /DeviceRGB ",
+      Array.fill[Byte](300)(0), flate = true)
+    val cId = b.addStream("", "q 10 0 0 10 0 0 cm /Im1 Do Q".getBytes("ISO-8859-1"), flate = false)
+    val pageId = b.addObject(s"<< /Type /Page /Parent $pagesId 0 R /MediaBox [0 0 612 792] " +
+      s"/Resources << /XObject << /Im1 $imgId 0 R >> >> /Contents $cId 0 R >>")
+    b.addObjectAt(pagesId, s"<< /Type /Pages /Kids [$pageId 0 R] /Count 1 >>")
+    b.addObjectAt(catId, s"<< /Type /Catalog /Pages $pagesId 0 R >>")
+    val img = extractOne(b.build(catId))
+    assert(img.bitsPerComponent == 8)
+    assert(img.width == 10 && img.height == 10)
+  }
+
+  test("large image dimensions pass through on DCT (reference test_images.rs:495)") {
+    val jpegStub = Array[Byte](0xff.toByte, 0xd8.toByte, 0xff.toByte, 0xe0.toByte)
+    val img = extractOne(pdfWithImage(4096, 2048, 8, "/DeviceRGB", jpegStub, dct = true))
+    assert(img.width == 4096 && img.height == 2048)
+    assert(img.isJpeg)
+  }
+
   test("8-bit RGB image: pixels survive extract → PNG → decode round-trip") {
     val w = 4; val h = 3
     val px = Array.tabulate(w * h * 3)(i => ((i * 37 + 11) & 0xff).toByte)

@@ -27,4 +27,32 @@ class ReferenceFixtureSpec extends AnyFunSuite {
     assert(r.text == "")   // no /Contents — empty, not an error
     assert(r.nPages == 1)
   }
+
+  test("reference simple.pdf: object graph vectors (test_foundation.rs:50-201)") {
+    assume(Files.exists(path), "reference fixture not present in this environment")
+    import graft.pdf.cos.PdfObj._
+    val doc = new PdfDocument(Files.readAllBytes(path))
+    // object caching: repeated loads return the same (cached) value (:97)
+    val first = doc.loadObject(Ref(1, 0))
+    assert(first ne Null)
+    assert(doc.loadObject(Ref(1, 0)) eq first.asInstanceOf[AnyRef])
+    // nonexistent object: reference errors; this engine degrades to
+    // Null without throwing (:113)
+    assert(doc.loadObject(Ref(999, 0)) == Null)
+    // catalog -> /Pages ref -> /Count flow (:122)
+    val pagesRef = doc.catalog.get("Pages").get
+    assert(pagesRef.isInstanceOf[Ref])
+    val pagesDict = doc.resolve(pagesRef).asDict.get
+    assert(doc.resolve(pagesDict.get("Count").get).asLong.contains(1L))
+    // /MediaBox array of object 3 is [0 0 612 792] (:149)
+    val pageDict = doc.loadObject(Ref(3, 0)).asDict.get
+    doc.resolve(pageDict.get("MediaBox").get) match {
+      case Arr(items) =>
+        assert(items.size == 4)
+        assert(items.map(i => doc.resolve(i).asLong.get) == Vector(0L, 0L, 612L, 792L))
+      case other => fail(s"expected Arr, got $other")
+    }
+    // all referenced objects load (:173)
+    Seq(1, 2, 3).foreach(id => assert(doc.loadObject(Ref(id, 0)) ne Null))
+  }
 }
