@@ -54,29 +54,33 @@ object Bench {
     val names = SparkEntry.queries.keys.toSeq.sorted
     val results = scala.collection.mutable.LinkedHashMap.empty[String, Double]
     var tExtract = Double.MaxValue
-    // the LSH queries persist() signature tables with caller-owned
-    // cleanup (Dedup scaladoc); drop each query's new cache entries
-    // after timing so 3 rounds x 42 queries don't accumulate ~1 GB of
-    // dead cached blocks (the probe corpus cache above is kept)
-    val keepCached = spark.sparkContext.getPersistentRDDs.keySet
-    def dropNewCaches(): Unit =
-      spark.sparkContext.getPersistentRDDs.foreach { case (id, rdd) =>
-        if (!keepCached.contains(id)) rdd.unpersist(blocking = false)
-      }
     for (round <- 1 to rounds) {
       for (name <- names) {
         val fn = SparkEntry.queries(name)
         val dt = time {
           try { fn(spark, sfDir).count(); () } catch { case _: Throwable => () }
         }
-        dropNewCaches()
         results(name) = math.min(results.getOrElse(name, Double.MaxValue), dt)
       }
+      // The LSH queries persist() signature tables with caller-owned
+      // cleanup (Dedup scaladoc): without cleanup, 3 rounds x 44
+      // queries accumulate ~1 GB of dead cached blocks. Cleanup goes
+      // through the catalog (NOT rdd.unpersist on the persistent-RDD
+      // map — that frees blocks but leaves the CacheManager entries
+      // registered, so the NEXT round's identical plans silently
+      // no-op their persist() against gone blocks and recompute per
+      // scan). clearCache drops the probe corpus too; re-cache it
+      // between rounds, outside any timed region.
       // one probe pass per round, minutes apart from the previous one
       tExtract = math.min(tExtract, time {
         ExtractJob.extract(pages, ExtractJob.Config()).write
           .mode("overwrite").format("noop").save()
       })
+      if (round < rounds) {
+        spark.catalog.clearCache()
+        pages.cache()
+        pages.count()
+      }
       System.err.println(f"[bench] round $round/$rounds done, " +
         f"running total ${results.values.sum}%.1f s, probe best ${nDocs / tExtract}%.0f docs/s")
     }

@@ -391,7 +391,7 @@ object SparkEntry {
     "dedup_jaccard" ->
       """WITH toks AS (
         | SELECT doc_id, lang, source, unnest(list_distinct(list_filter(
-        |   string_split_regex(lower(text), '\s+'), x -> len(x) > 0))) AS tok
+        |   string_split_regex(lower(text), '[\s\x0b]+'), x -> len(x) > 0))) AS tok
         | FROM documents),
         |sizes AS (SELECT doc_id, count(*) AS sz FROM toks GROUP BY doc_id),
         |inter AS (
@@ -427,7 +427,7 @@ object SparkEntry {
     "dedup_minhash_cover" ->
       """WITH toks AS (
         | SELECT doc_id, unnest(list_distinct(list_filter(
-        |   string_split_regex(lower(text), '\s+'), x -> len(x) > 0))) AS tok
+        |   string_split_regex(lower(text), '[\s\x0b]+'), x -> len(x) > 0))) AS tok
         | FROM documents WHERE doc_id < 500),
         |sizes AS (SELECT doc_id, count(*) AS sz FROM toks GROUP BY doc_id),
         |inter AS (
@@ -444,7 +444,7 @@ object SparkEntry {
     "dedup_survivors" ->
       """WITH RECURSIVE toks AS (
         | SELECT doc_id, lang, source, unnest(list_distinct(list_filter(
-        |   string_split_regex(lower(text), '\s+'), x -> len(x) > 0))) AS tok
+        |   string_split_regex(lower(text), '[\s\x0b]+'), x -> len(x) > 0))) AS tok
         | FROM documents),
         |sizes AS (SELECT doc_id, count(*) AS sz FROM toks GROUP BY doc_id),
         |inter AS (
@@ -476,17 +476,17 @@ object SparkEntry {
         |) WHERE rn <= 5""".stripMargin,
     "text_token_stats" ->
       """SELECT doc_id,
-        | CAST(len(list_filter(string_split_regex(lower(text), '\s+'), x -> len(x) > 0)) AS BIGINT) AS n_tokens,
+        | CAST(len(list_filter(string_split_regex(lower(text), '[\s\x0b]+'), x -> len(x) > 0)) AS BIGINT) AS n_tokens,
         | CAST(len(regexp_extract_all(text, '[A-Za-z0-9]+|[^A-Za-z0-9\s]')) AS BIGINT) AS n_bpe_pieces,
         | CAST(length(text) AS BIGINT) AS n_chars,
         | CAST(coalesce(list_sum(list_transform(
-        |   list_filter(string_split_regex(lower(text), '\s+'), x -> len(x) > 0),
+        |   list_filter(string_split_regex(lower(text), '[\s\x0b]+'), x -> len(x) > 0),
         |   x -> len(x))), 0) AS BIGINT) AS sum_tok_len
         |FROM documents""".stripMargin,
     "text_quality" ->
       """WITH base AS (
         | SELECT doc_id, text,
-        |  list_filter(string_split_regex(lower(text), '\s+'), x -> len(x) > 0) AS toks
+        |  list_filter(string_split_regex(lower(text), '[\s\x0b]+'), x -> len(x) > 0) AS toks
         | FROM documents)
         |SELECT doc_id,
         | CAST(len(toks) AS BIGINT) AS n_tokens,
@@ -499,7 +499,7 @@ object SparkEntry {
     "text_quality_score" ->
       """WITH base AS (
         | SELECT doc_id, text,
-        |  list_filter(string_split_regex(lower(text), '\s+'), x -> len(x) > 0) AS toks
+        |  list_filter(string_split_regex(lower(text), '[\s\x0b]+'), x -> len(x) > 0) AS toks
         | FROM documents),
         |sig AS (
         | SELECT doc_id,
@@ -517,7 +517,7 @@ object SparkEntry {
         |FROM sig""".stripMargin,
     "text_repetition" ->
       """WITH base AS (
-        | SELECT doc_id, list_filter(string_split_regex(lower(text), '\s+'), x -> len(x) > 0) AS toks
+        | SELECT doc_id, list_filter(string_split_regex(lower(text), '[\s\x0b]+'), x -> len(x) > 0) AS toks
         | FROM documents),
         |bg AS (
         | SELECT doc_id,
@@ -558,7 +558,7 @@ object SparkEntry {
         |GROUP BY tri.doc_id""".stripMargin,
     "text_decontaminate" ->
       """WITH toks AS (
-        | SELECT doc_id, list_filter(string_split_regex(lower(text), '\s+'), x -> len(x) > 0) AS t
+        | SELECT doc_id, list_filter(string_split_regex(lower(text), '[\s\x0b]+'), x -> len(x) > 0) AS t
         | FROM documents),
         |grams AS (
         | SELECT doc_id,

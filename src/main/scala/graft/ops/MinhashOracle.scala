@@ -55,7 +55,7 @@ object MinhashOracle {
     }.mkString(", ")
     val off = s"CAST($FNV_OFF AS HUGEINT)"
     s"""toklist AS (
-       |  SELECT doc_id, list_filter(string_split_regex(lower(text), '\\s+'), x -> len(x) > 0) AS ts
+       |  SELECT doc_id, list_filter(string_split_regex(lower(text), '[\\s\\x0b]+'), x -> len(x) > 0) AS ts
        |  FROM documents),
        |docn AS (SELECT doc_id, ts, len(ts) AS tl, greatest(1, len(ts) - 2) AS n FROM toklist),
        |spos AS (SELECT doc_id, ts, tl, unnest(generate_series(1, n)) AS i FROM docn),
@@ -102,7 +102,7 @@ object MinhashOracle {
                   exactThreshold: Double = 0.7, bucketCap: Int = 1000): String =
     s"""WITH ${pipeline(k, bands, bucketCap)},
        |dtoks AS (SELECT doc_id,
-       |  list_distinct(list_filter(string_split_regex(lower(text), '\\s+'), x -> len(x) > 0)) AS toks
+       |  list_distinct(list_filter(string_split_regex(lower(text), '[\\s\\x0b]+'), x -> len(x) > 0)) AS toks
        |  FROM documents),
        |ver AS (SELECT e.a_id, e.b_id,
        |  CAST(len(list_intersect(ta.toks, tb.toks)) AS DOUBLE) /

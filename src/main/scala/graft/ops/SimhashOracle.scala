@@ -93,7 +93,7 @@ object SimhashOracle {
        |  UNION ALL SELECT b + 1, p * 2 FROM pw2 WHERE b < 63),
        |p2 AS (SELECT list(p ORDER BY b) AS pl FROM pw2),
        |toks AS (
-       |  SELECT doc_id, unnest(list_filter(string_split_regex(lower(text), '\\s+'), x -> len(x) > 0)) AS tok
+       |  SELECT doc_id, unnest(list_filter(string_split_regex(lower(text), '[\\s\\x0b]+'), x -> len(x) > 0)) AS tok
        |  FROM documents),
        |dtok AS (SELECT DISTINCT tok FROM toks),
        |tb AS (SELECT tok, octet_length(encode(tok)) AS n,

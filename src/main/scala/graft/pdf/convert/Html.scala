@@ -29,7 +29,6 @@ object Html {
     // were 5-8% of render-path JFR samples
     if (s.indexOf('&') < 0 && s.indexOf('<') < 0 && s.indexOf('>') < 0 &&
         s.indexOf('"') < 0 && s.indexOf('\'') < 0) return s
-    val n = s.length
     val sb = new java.lang.StringBuilder(s.length + 16)
     var i = 0
     while (i < s.length) {
