@@ -120,13 +120,49 @@ object SimhashOracle {
     s"WITH RECURSIVE\n$pipeline\nSELECT doc_id, simhash FROM sim"
 
   /** Oracle for `dedup_simhash_near` at maxDist: (a_id, b_id, hamming).
-    * Valid where the banding is complete AND no bucket exceeds the cap
-    * — true by construction at the driver's sf0.01 (500 docs < cap). */
-  def nearDupSql(maxDist: Int): String =
+    *
+    * Replicates the ENGINE exactly — distinct-VALUE pigeonhole banding
+    * (maxDist+1 chunks, wide chunks first, same bounds arithmetic as
+    * `Dedup.simhashNearDups`), per-bucket cap, value-pair hamming
+    * filter, doc re-expansion, plus the same-hash hamming-0 pairs — so
+    * it stays value-exact at EVERY scale, including where a bucket
+    * exceeds the cap and the engine intentionally trades recall for a
+    * runtime bound (observed at sf0.1: brute force finds 103 pairs the
+    * capped engine skips). The recall guarantee against the brute-force
+    * ground truth is asserted separately in sbt (cap-not-binding
+    * corpora). */
+  def nearDupSql(maxDist: Int, bucketCap: Int = 2000): String = {
+    val nChunks = maxDist + 1
+    val base = 64 / nChunks
+    val extra = 64 % nChunks
+    val bounds = (0 until nChunks).scanLeft(0) { (off, i) =>
+      off + base + (if (i < extra) 1 else 0)
+    }
+    val chunkRows = (0 until nChunks).map { i =>
+      val off = bounds(i)
+      val width = bounds(i + 1) - off
+      s"($i, CAST('${BigInt(1) << off}' AS HUGEINT), CAST('${BigInt(1) << width}' AS HUGEINT))"
+    }.mkString(", ")
     s"""WITH RECURSIVE
-       |$pipeline
-       |SELECT a.doc_id AS a_id, b.doc_id AS b_id,
-       |  CAST(bit_count(xor(a.simhash, b.simhash)) AS INT) AS hamming
-       |FROM sim a JOIN sim b ON a.doc_id < b.doc_id
-       |WHERE bit_count(xor(a.simhash, b.simhash)) <= $maxDist""".stripMargin
+       |$pipeline,
+       |vals AS (SELECT DISTINCT simhash FROM sim),
+       |valu AS (SELECT simhash,
+       |  CASE WHEN simhash < 0 THEN CAST(simhash AS HUGEINT) + $M ELSE CAST(simhash AS HUGEINT) END AS u
+       |  FROM vals),
+       |chunks(c, pdiv, pmod) AS (VALUES $chunkRows),
+       |vch AS (SELECT simhash, c, (u // pdiv) % pmod AS ch FROM valu, chunks),
+       |capped AS (SELECT * FROM (
+       |  SELECT simhash, c, ch, count(*) OVER (PARTITION BY c, ch) AS bsz FROM vch)
+       |  WHERE bsz <= $bucketCap),
+       |vp AS (SELECT DISTINCT x.simhash AS a_sh, y.simhash AS b_sh
+       |  FROM capped x JOIN capped y ON x.c = y.c AND x.ch = y.ch AND x.simhash < y.simhash
+       |  WHERE bit_count(xor(x.simhash, y.simhash)) <= $maxDist)
+       |SELECT least(sa.doc_id, sb.doc_id) AS a_id,
+       |  greatest(sa.doc_id, sb.doc_id) AS b_id,
+       |  CAST(bit_count(xor(a_sh, b_sh)) AS INT) AS hamming
+       |FROM vp JOIN sim sa ON sa.simhash = vp.a_sh JOIN sim sb ON sb.simhash = vp.b_sh
+       |UNION ALL
+       |SELECT a.doc_id, b.doc_id, CAST(0 AS INT)
+       |FROM sim a JOIN sim b ON a.simhash = b.simhash AND a.doc_id < b.doc_id""".stripMargin
+  }
 }
