@@ -39,7 +39,11 @@ object Images {
         xd.entries.keys.toVector.sorted.flatMap { name =>
           doc.resolve(xd.get(name).getOrElse(Null)) match {
             case s @ Stream(d, _) if d.name("Subtype").contains("Image") =>
-              try Some(fromStream(doc, name, s))
+              // degenerate dimensions (missing/zero /Width or /Height)
+              // are rejected like the reference's error path
+              // (images.rs extract_image_from_xobject) — a 0-dim image
+              // row is pipeline noise, and decode on it is undefined
+              try Some(fromStream(doc, name, s)).filter(i => i.width > 0 && i.height > 0)
               catch { case _: Throwable => None }
             case _ => None
           }

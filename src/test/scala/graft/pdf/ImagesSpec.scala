@@ -42,6 +42,38 @@ class ImagesSpec extends AnyFunSuite {
     imgs.head
   }
 
+  test("malformed image XObjects are rejected, never crash (reference test_images.rs:371)") {
+    // reference errors on missing Subtype / wrong Subtype / missing
+    // Width / missing Height; this engine's analog is a silent skip
+    def pdfWithRawXObject(dict: String): Array[Byte] = {
+      val b = new PdfBuilder()
+      val catId = b.reserveId()
+      val pagesId = b.reserveId()
+      val imgId = b.addStream(dict, Array.fill[Byte](30)(1), flate = true)
+      val cId = b.addStream("", "q 10 0 0 10 0 0 cm /Im1 Do Q".getBytes("ISO-8859-1"), flate = false)
+      val pageId = b.addObject(s"<< /Type /Page /Parent $pagesId 0 R /MediaBox [0 0 612 792] " +
+        s"/Resources << /XObject << /Im1 $imgId 0 R >> >> /Contents $cId 0 R >>")
+      b.addObjectAt(pagesId, s"<< /Type /Pages /Kids [$pageId 0 R] /Count 1 >>")
+      b.addObjectAt(catId, s"<< /Type /Catalog /Pages $pagesId 0 R >>")
+      b.build(catId)
+    }
+    val cases = Seq(
+      "",                                                    // missing Subtype
+      "/Subtype /Form ",                                     // wrong Subtype
+      "/Subtype /Image /Height 100 /ColorSpace /DeviceRGB ", // missing Width
+      "/Subtype /Image /Width 100 /ColorSpace /DeviceRGB ",  // missing Height
+      "/Subtype /Image /Width 0 /Height 10 /ColorSpace /DeviceRGB ") // zero dim
+    for (dict <- cases) {
+      val doc = new PdfDocument(pdfWithRawXObject(dict))
+      assert(Images.extract(doc, doc.pages.head).isEmpty, s"dict [$dict]")
+    }
+    // missing ColorSpace alone keeps the image (lenient pass-through,
+    // cs = unknown) — deliberate divergence for DCT-payload usability
+    val doc = new PdfDocument(pdfWithRawXObject("/Subtype /Image /Width 5 /Height 2 "))
+    val imgs = Images.extract(doc, doc.pages.head)
+    assert(imgs.size == 1 && imgs.head.colorSpace == "unknown")
+  }
+
   test("BitsPerComponent defaults to 8 when absent (reference test_images.rs:462)") {
     val b = new PdfBuilder()
     val catId = b.reserveId()

@@ -53,6 +53,19 @@ class WhitespacePropSpec extends AnyFunSuite {
     }
   }
 
+  test("oracle tokenizer class matches Java \\s exactly (incl. vertical tab)") {
+    // the DuckDB oracles split on '[\s\x0b]+' because RE2's \s lacks
+    // VT while Java's has it; pin the Java side of that contract and
+    // the presence of the widened class in the generated SQL
+    val vt = 0x0b.toChar
+    assert(s"a${vt}b c".split("\\s+").toSeq == Seq("a", "b", "c"))
+    for (c <- Seq('\t', '\n', vt, '\f', '\r', ' '))
+      assert(s"x${c}y".split("\\s+").toSeq == Seq("x", "y"), s"char ${c.toInt}")
+    val sqls = graft.SparkEntry.oracleSql.values.mkString("\n")
+    assert(!sqls.contains("string_split_regex(lower(text), '\\s+')"),
+      "an oracle still tokenizes with bare RE2 \\s (no VT)")
+  }
+
   test("markdown clean: invariants + second-pass fixpoint over 2000 random docs") {
     val rnd = new java.util.Random(2424L)
     for (_ <- 1 to 2000) {
