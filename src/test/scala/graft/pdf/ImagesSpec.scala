@@ -74,6 +74,23 @@ class ImagesSpec extends AnyFunSuite {
     assert(imgs.size == 1 && imgs.head.colorSpace == "unknown")
   }
 
+  test("DCTDecode detected inside a Filter array (reference test_images.rs:434)") {
+    val b = new PdfBuilder()
+    val catId = b.reserveId()
+    val pagesId = b.reserveId()
+    val jpeg = Array[Byte](0xff.toByte, 0xd8.toByte, 0xff.toByte, 0xe0.toByte)
+    val imgId = b.addStream("/Subtype /Image /Width 2 /Height 2 /BitsPerComponent 8 " +
+      "/ColorSpace /DeviceRGB /Filter [ /DCTDecode ] ", jpeg, flate = false)
+    val cId = b.addStream("", "q 2 0 0 2 0 0 cm /Im1 Do Q".getBytes("ISO-8859-1"), flate = false)
+    val pageId = b.addObject(s"<< /Type /Page /Parent $pagesId 0 R /MediaBox [0 0 612 792] " +
+      s"/Resources << /XObject << /Im1 $imgId 0 R >> >> /Contents $cId 0 R >>")
+    b.addObjectAt(pagesId, s"<< /Type /Pages /Kids [$pageId 0 R] /Count 1 >>")
+    b.addObjectAt(catId, s"<< /Type /Catalog /Pages $pagesId 0 R >>")
+    val img = extractOne(b.build(catId))
+    assert(img.isJpeg)
+    assert(Images.toPng(img).isEmpty) // pass-through, not decodable here
+  }
+
   test("BitsPerComponent defaults to 8 when absent (reference test_images.rs:462)") {
     val b = new PdfBuilder()
     val catId = b.reserveId()
