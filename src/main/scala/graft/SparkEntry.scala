@@ -39,6 +39,26 @@ object SparkEntry {
         .select(col("url"), col("status"), col("n_pages"), col("n_spans"),
           length(col("text")).as("text_len"), xxhash64(col("text")).as("text_hash"))
     }),
+    "extract_corrupt_recovery" -> ((s, _) => {
+      // corrupt-xref recovery at JOB level: every startxref anchor in
+      // the (PDF subset of the) corpus is destroyed, so each document
+      // must reopen through the full-scan reconstruction fallback —
+      // and still produce byte-identical text vs the intact twin.
+      // Emits per-url hashes of both sides plus the identity verdict,
+      // frozen as a VALUES pin (OracleFreeze).
+      import s.implicits._
+      val pages = PagesGen.generate(s, 60, seed = 42L, parallelism = 4).toDF()
+        .filter(col("url").endsWith(".pdf"))
+      val corrupted = pages.select(col("url"), col("html")).as[(String, Array[Byte])]
+        .map { case (u, b) => (u, PagesGen.killXref(b)) }.toDF("url", "html")
+      val intact = ExtractJob.extract(pages, ExtractJob.Config(salt = false))
+        .select(col("url"), xxhash64(col("text")).as("intact_hash"))
+      val rec = ExtractJob.extract(corrupted, ExtractJob.Config(salt = false))
+        .select(col("url"), xxhash64(col("text")).as("recovered_hash"), col("status"))
+      intact.join(rec, "url")
+        .select(col("url"), col("status"), col("intact_hash"), col("recovered_hash"),
+          (col("intact_hash") === col("recovered_hash")).as("identical"))
+    }),
     "extract_html_strip" -> ((s, _) => {
       val pages = PagesGen.generate(s, 120, seed = 42L, parallelism = 4).toDF()
         .filter(col("url").endsWith(".html"))

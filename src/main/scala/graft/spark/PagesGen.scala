@@ -115,6 +115,27 @@ object PagesGen {
   def url(id: Long, kind: String): String =
     s"https://host${id % 1000}.example/doc$id.$kind"
 
+  /** Deterministically destroy a PDF payload's xref machinery:
+    * overwrite every `startxref` keyword, so opening the document MUST
+    * take the full-scan reconstruction path (objects and streams are
+    * left intact). Non-PDF payloads pass through unchanged (no match).
+    * Used by the corrupt-recovery driver query and job spec. */
+  def killXref(b: Array[Byte]): Array[Byte] = {
+    val pat = "startxref".getBytes("ISO-8859-1")
+    val out = b.clone()
+    var i = 0
+    while (i + pat.length <= out.length) {
+      var k = 0
+      while (k < pat.length && out(i + k) == pat(k)) k += 1
+      if (k == pat.length) {
+        var j = 0
+        while (j < pat.length) { out(i + j) = 'x'.toByte; j += 1 }
+        i += pat.length
+      } else i += 1
+    }
+    out
+  }
+
   /** Distributed deterministic pages table for ids [startId, startId+nDocs). */
   def generate(spark: SparkSession, nDocs: Long, seed: Long = 42L,
                parallelism: Int = 0, startId: Long = 0L): Dataset[PageRow] = {

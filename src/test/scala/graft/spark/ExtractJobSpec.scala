@@ -39,6 +39,30 @@ class ExtractJobSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(!out.contains("Terms"))
   }
 
+  test("xref-killed payloads recover byte-identical text via reconstruction") {
+    val s = spark
+    import s.implicits._
+    import org.apache.spark.sql.functions.col
+    val pages = PagesGen.generate(spark, 40, seed = 42L, parallelism = 4).toDF()
+      .filter(col("url").endsWith(".pdf"))
+    val corrupted = pages.select(col("url"), col("html")).as[(String, Array[Byte])]
+      .map { case (u, b) => (u, PagesGen.killXref(b)) }.toDF("url", "html")
+    // sanity: corruption really removes the startxref anchor
+    val sample = corrupted.as[(String, Array[Byte])].head()._2
+    assert(!new String(sample, "ISO-8859-1").contains("startxref"))
+    val intact = ExtractJob.extract(pages, ExtractJob.Config(salt = false))
+      .select(col("url"), col("text").as("t1"))
+    val rec = ExtractJob.extract(corrupted, ExtractJob.Config(salt = false))
+      .select(col("url"), col("text").as("t2"), col("status"))
+    val joined = intact.join(rec, "url").collect()
+    assert(joined.length >= 20, s"expected mostly-PDF corpus, got ${joined.length}")
+    joined.foreach { r =>
+      assert(r.getAs[String]("status") == "ok", s"${r.getAs[String]("url")} not ok")
+      assert(r.getAs[String]("t1") == r.getAs[String]("t2"),
+        s"${r.getAs[String]("url")} text diverged after xref kill")
+    }
+  }
+
   test("extract over synthetic pages: 100% non-failing rows") {
     val pages = PagesGen.generate(spark, 60, seed = 42, parallelism = 4).toDF()
     val out = ExtractJob.extract(pages, ExtractJob.Config(salt = false)).cache()
