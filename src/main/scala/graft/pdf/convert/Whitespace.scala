@@ -37,13 +37,14 @@ object Whitespace {
         var k = 0
         while (k < n) { s(k) = other.charAt(k); k += 1 }
     }
-    // Output goes to a raw char[] cursor, not a StringBuilder: the
-    // bulk visible-run appends still paid ensureCapacity + latin1
-    // compression probing per call (5% of JFR samples); plain
-    // arraycopy doesn't, and the final String ctor compresses once.
-    // Capacity n is exact-bounded: emitted newlines ≤ newlines read,
-    // emitted spaces ≤ spaces read, visible runs copy 1:1.
-    val o = new Array[Char](n)
+    // Output compacts IN PLACE over the same array (no StringBuilder:
+    // bulk appends paid ensureCapacity + latin1 probing per call — 5%
+    // of JFR samples; no second array either). Safety: every consumed
+    // char emits ≤ 1 output char (emitted newlines ≤ newlines read,
+    // emitted spaces ≤ spaces read, visible runs 1:1), so w ≤ i always
+    // — writes never reach unread input, and the visible-run
+    // System.arraycopy is a forward overlap (memmove-safe).
+    val o = s
     var w = 0
     var i = 0
     var pendingNl = 0      // newlines not yet emitted
