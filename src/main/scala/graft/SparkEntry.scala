@@ -169,6 +169,20 @@ object SparkEntry {
         .select(col("url"), unix_timestamp(col("warc_ts")).as("ts_sec"),
           xxhash64(col("html")).as("html_hash"))
     }),
+    "extract_fonts" -> ((s, _) => {
+      // font-fidelity tier (round-4): real embedded ToUnicode CMap
+      // streams (bfchar/bfrange/ligature/U+FFFD-skip), /Differences
+      // over AGL names, and a Type0 2-byte font with surrogate-pair
+      // mappings, driven end-to-end; the decoded TEXT is the pin, so
+      // any cascade drift turns this row red. Fixture fonts are
+      // byte-identical across ids — the cross-doc FontCache path.
+      import s.implicits._
+      s.range(0, 60, 1, 4).map { id =>
+        val r = graft.pdf.PdfExtractor.extract(PagesGen.fontPdf(id),
+          graft.pdf.ConversionOptions())
+        (id, r.nPages.toLong, r.nSpans.toLong, r.text)
+      }.toDF("doc_id", "n_pages", "n_spans", "text")
+    }),
     "extract_links" -> ((s, _) => {
       // link-annotation extraction (URI actions + GoTo dests) — the
       // web-graph surface over crawled PDFs
@@ -284,6 +298,15 @@ object SparkEntry {
     "dedup_simhash" -> ((s, dir) => Dedup.simhash(t(s, dir, "documents"))),
     "dedup_simhash_near" -> ((s, dir) =>
       Dedup.simhashNearDups(t(s, dir, "documents"), maxDist = 8)),
+    "dedup_simhash_capped" -> ((s, dir) =>
+      // cap audit at a bucketCap sf0.01 genuinely exceeds (occupancy
+      // runs to 201 distinct values/bucket; cap=50 censors 127 of the
+      // 964 ground-truth pairs): brute-force pairs + OBSERVED capped-run
+      // flag vs an oracle that PREDICTS the flag from bucket occupancy.
+      // Universe bounded like the other cover queries — the brute arm
+      // is quadratic in distinct values BY DESIGN (audit, not prod).
+      Dedup.simhashCapAudit(t(s, dir, "documents").filter(col("doc_id") < 1000),
+        maxDist = 8, bucketCap = 50)),
     "dedup_survivors" -> ((s, dir) => {
       // cluster-representative output (the shape a corpus-scale dedup
       // materializes): min-id connected component over near-dup pairs
@@ -599,6 +622,9 @@ object SparkEntry {
     // pigeonhole banding is complete and no bucket hits the cap
     "dedup_simhash" -> graft.ops.SimhashOracle.simhashSql,
     "dedup_simhash_near" -> graft.ops.SimhashOracle.nearDupSql(8),
+    // cap audit: brute-force pair universe + first-principles cap
+    // prediction — NOT a pipeline replica (see SimhashOracle scaladoc)
+    "dedup_simhash_capped" -> graft.ops.SimhashOracle.capAuditSql(8, 50),
     // full MinHash/LSH pipeline replicated in SQL (MinhashOracle):
     // FNV token/shingle hashing, splitmix64 permutations with signed
     // mins, band hashes, bucket join, est/exact thresholds

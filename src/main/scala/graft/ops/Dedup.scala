@@ -476,4 +476,46 @@ object Dedup {
         lit(0).cast("int").as("hamming"))
     cross.union(same)
   }
+
+  /** Cap audit for [[simhashNearDups]]: brute-force GROUND-TRUTH pairs
+    * (every doc pair at hamming ≤ maxDist — no banding, no cap) flagged
+    * with whether the capped LSH run actually OBSERVED them
+    * (`in_capped` 1/0). Run at a bucketCap the corpus genuinely
+    * exceeds, the 0-flagged rows are exactly the recall the cap trades
+    * away — surfaced instead of silently absent, and checkable against
+    * a first-principles oracle that PREDICTS the flag from bucket
+    * occupancy alone (a banding/cap bug makes observed ≠ predicted).
+    *
+    * Deliberately quadratic in DISTINCT simhash values (the brute arm
+    * is the point); bound the input — audit scale, not corpus scale. */
+  def simhashCapAudit(docs: DataFrame, maxDist: Int = 8,
+                      bucketCap: Int = 50): DataFrame = {
+    val sh = simhash(docs)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val values = sh.select(col("simhash")).distinct()
+    // ground truth over distinct values: all value pairs within budget
+    val vpairs = values.select(col("simhash").as("a_sh"))
+      .crossJoin(values.select(col("simhash").as("b_sh")))
+      .filter(col("a_sh") < col("b_sh"))
+      .select(col("a_sh"), col("b_sh"),
+        bit_count(col("a_sh").bitwiseXOR(col("b_sh"))).as("hamming"))
+      .filter(col("hamming") <= maxDist)
+    val cross = sh.select(col("simhash").as("a_sh"), col("doc_id").as("x_id"))
+      .join(vpairs, "a_sh")
+      .join(sh.select(col("simhash").as("b_sh"), col("doc_id").as("y_id")), "b_sh")
+      .select(least(col("x_id"), col("y_id")).as("a_id"),
+        greatest(col("x_id"), col("y_id")).as("b_id"),
+        col("hamming").cast("int").as("hamming"))
+    val same = sh.as("x").join(sh.as("y"),
+        col("x.simhash") === col("y.simhash") && col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("a_id"), col("y.doc_id").as("b_id"),
+        lit(0).cast("int").as("hamming"))
+    val brute = cross.union(same)
+    // observed behavior of the REAL capped pipeline
+    val observed = simhashNearDups(docs, maxDist, bucketCap)
+      .select(col("a_id"), col("b_id")).withColumn("in_capped", lit(1))
+    brute.join(observed, Seq("a_id", "b_id"), "left_outer")
+      .na.fill(0, Seq("in_capped"))
+      .select(col("a_id"), col("b_id"), col("hamming"), col("in_capped"))
+  }
 }

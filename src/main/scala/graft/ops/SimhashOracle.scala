@@ -47,8 +47,12 @@ object SimhashOracle {
     (0 until nBytes).map(k => s"by[($off) + ${k + 1}] * ${BigInt(1) << (8 * k)}")
       .mkString("(", " + ", ")")
 
-  /** The shared WITH-clause body ending in `sim(doc_id, simhash)`. */
-  private lazy val pipeline: String = {
+  /** The shared WITH-clause body ending in `sim(doc_id, simhash)`.
+    * `docSrc` lets bounded queries (the quadratic-by-design cap audit)
+    * restrict the input table on the oracle side too. */
+  private lazy val pipeline: String = pipelineFor("documents")
+
+  private def pipelineFor(docSrc: String): String = {
     val st = scala.collection.mutable.ArrayBuffer.empty[String]
     def stage(name: String, cols: String, src: String): Unit =
       st += s"$name AS (SELECT $cols FROM $src)"
@@ -94,7 +98,7 @@ object SimhashOracle {
        |p2 AS (SELECT list(p ORDER BY b) AS pl FROM pw2),
        |toks AS (
        |  SELECT doc_id, unnest(list_filter(string_split_regex(lower(text), '[\\s\\x0b]+'), x -> len(x) > 0)) AS tok
-       |  FROM documents),
+       |  FROM $docSrc),
        |dtok AS (SELECT DISTINCT tok FROM toks),
        |tb AS (SELECT tok, octet_length(encode(tok)) AS n,
        |         list_transform(generate_series(1, octet_length(encode(tok))),
@@ -163,6 +167,60 @@ object SimhashOracle {
        |FROM vp JOIN sim sa ON sa.simhash = vp.a_sh JOIN sim sb ON sb.simhash = vp.b_sh
        |UNION ALL
        |SELECT a.doc_id, b.doc_id, CAST(0 AS INT)
+       |FROM sim a JOIN sim b ON a.simhash = b.simhash AND a.doc_id < b.doc_id""".stripMargin
+  }
+
+  /** Oracle for `dedup_simhash_capped` (`Dedup.simhashCapAudit`):
+    * (a_id, b_id, hamming, in_capped).
+    *
+    * NOT a pipeline replica: the pair universe is pure brute force
+    * (every distinct-value pair at hamming ≤ maxDist — no banding), and
+    * `in_capped` is PREDICTED from first principles — a pair survives
+    * the capped engine iff the two hashes are equal, or agree on at
+    * least one chunk whose (chunk, value) bucket holds ≤ bucketCap
+    * distinct hashes (pigeonhole + the cap's stated contract). The
+    * engine side reports what its real banded pipeline OBSERVED, so a
+    * banding-layout or cap off-by-one bug diverges the two — the
+    * independent check round-3's replica oracle could not make. */
+  def capAuditSql(maxDist: Int, bucketCap: Int,
+                  maxDocId: Long = 1000L): String = {
+    val nChunks = maxDist + 1
+    val base = 64 / nChunks
+    val extra = 64 % nChunks
+    val bounds = (0 until nChunks).scanLeft(0) { (off, i) =>
+      off + base + (if (i < extra) 1 else 0)
+    }
+    val chunkRows = (0 until nChunks).map { i =>
+      val off = bounds(i)
+      val width = bounds(i + 1) - off
+      s"($i, CAST('${BigInt(1) << off}' AS HUGEINT), CAST('${BigInt(1) << width}' AS HUGEINT))"
+    }.mkString(", ")
+    s"""WITH RECURSIVE
+       |${pipelineFor(s"(SELECT * FROM documents WHERE doc_id < $maxDocId)")},
+       |vals AS (SELECT DISTINCT simhash FROM sim),
+       |valu AS (SELECT simhash,
+       |  CASE WHEN simhash < 0 THEN CAST(simhash AS HUGEINT) + $M ELSE CAST(simhash AS HUGEINT) END AS u
+       |  FROM vals),
+       |vp AS (SELECT x.simhash AS a_sh, y.simhash AS b_sh,
+       |    bit_count(xor(x.simhash, y.simhash)) AS hv
+       |  FROM valu x JOIN valu y ON x.simhash < y.simhash
+       |  WHERE bit_count(xor(x.simhash, y.simhash)) <= $maxDist),
+       |chunks(c, pdiv, pmod) AS (VALUES $chunkRows),
+       |vch AS (SELECT simhash, c, (u // pdiv) % pmod AS ch FROM valu, chunks),
+       |okb AS (SELECT c, ch FROM vch GROUP BY c, ch HAVING count(*) <= $bucketCap),
+       |shared AS (SELECT DISTINCT xa.simhash AS a_sh, xb.simhash AS b_sh
+       |  FROM vch xa JOIN vch xb ON xa.c = xb.c AND xa.ch = xb.ch AND xa.simhash < xb.simhash
+       |  JOIN okb ON okb.c = xa.c AND okb.ch = xa.ch)
+       |SELECT least(sa.doc_id, sb.doc_id) AS a_id,
+       |  greatest(sa.doc_id, sb.doc_id) AS b_id,
+       |  CAST(vp.hv AS INT) AS hamming,
+       |  CAST(CASE WHEN sh.a_sh IS NULL THEN 0 ELSE 1 END AS INT) AS in_capped
+       |FROM vp
+       |LEFT JOIN shared sh ON sh.a_sh = vp.a_sh AND sh.b_sh = vp.b_sh
+       |JOIN sim sa ON sa.simhash = vp.a_sh
+       |JOIN sim sb ON sb.simhash = vp.b_sh
+       |UNION ALL
+       |SELECT a.doc_id, b.doc_id, CAST(0 AS INT), CAST(1 AS INT)
        |FROM sim a JOIN sim b ON a.simhash = b.simhash AND a.doc_id < b.doc_id""".stripMargin
   }
 }

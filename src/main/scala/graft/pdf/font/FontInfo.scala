@@ -226,7 +226,9 @@ object FontInfo {
     val toUnicode: Option[CMap] = r(fontDict.get("ToUnicode")) match {
       case s: Stream =>
         try {
-          val cm = CMap.parse(doc.streamData(s))
+          // cross-doc content-addressed cache: identical CMap streams
+          // (fonts repeat across a crawl) parse once per JVM
+          val cm = FontCache.cmap(doc.streamData(s))
           if (cm.isEmpty) None else Some(cm)
         } catch { case _: Throwable => None }
       case _ => None

@@ -49,24 +49,47 @@ object ExtractStreamJob {
                      watermark: String = "10 minutes"): DataFrame = {
     val spark = pages.sparkSession
     import spark.implicits._
-    import org.apache.spark.sql.functions._
     val rows = pages
-      .select(col("url"), col("warc_ts"), col("html"))
+      .select(org.apache.spark.sql.functions.col("url"),
+        org.apache.spark.sql.functions.col("warc_ts"),
+        org.apache.spark.sql.functions.col("html"))
       .as[(String, java.sql.Timestamp, Array[Byte])]
       .mapPartitions { it =>
         it.map { case (u, ts, html) =>
           val d = ExtractJob.extractOne(u, html, 0, cfg)
-          val host = {
-            val s = u.indexOf("://")
-            if (s < 0) "" else {
-              val e = u.indexOf('/', s + 3)
-              if (e < 0) u.substring(s + 3) else u.substring(s + 3, e)
-            }
-          }
-          (host, ts, d.status, d.n_bytes, d.n_pages.toLong)
+          (u, ts, d.status, d.n_bytes, d.n_pages.toLong)
         }
-      }.toDF("host", "warc_ts", "status", "n_bytes", "n_pages")
+      }.toDF("url", "warc_ts", "status", "n_bytes", "n_pages")
+    aggregateQuality(rows, windowLen, watermark)
+  }
+
+  /** The production shape of [[qualityMetrics]]: aggregate the rows the
+    * extraction sink ALREADY produced instead of re-running extraction
+    * per row. `extracted` must carry (url, warc_ts, status, n_bytes,
+    * n_pages) — i.e. the sink output joined/zipped with the page event
+    * time. Same window/watermark/aggregates as the stream-driven
+    * variant, so a monitoring job can be pointed at either. */
+  def qualityMetricsFromExtracted(extracted: DataFrame,
+                                  windowLen: String = "1 hour",
+                                  watermark: String = "10 minutes"): DataFrame = {
+    import org.apache.spark.sql.functions.col
+    aggregateQuality(
+      extracted.select(col("url"), col("warc_ts"), col("status"),
+        col("n_bytes"), col("n_pages").cast("long").as("n_pages")),
+      windowLen, watermark)
+  }
+
+  /** Shared watermarked window-agg over (url, warc_ts, status, n_bytes,
+    * n_pages). Host parse mirrors the original row-kernel logic: text
+    * between the first "://" and the next '/' ("" when no scheme). */
+  private[spark] def aggregateQuality(rows: DataFrame, windowLen: String,
+                                      watermark: String): DataFrame = {
+    import org.apache.spark.sql.functions._
+    val afterScheme = col("url").substr(instr(col("url"), "://") + 3, lit(Int.MaxValue))
+    val host = when(instr(col("url"), "://") === 0, lit(""))
+      .otherwise(substring_index(afterScheme, "/", 1))
     rows
+      .withColumn("host", host)
       .withWatermark("warc_ts", watermark)
       .groupBy(window(col("warc_ts"), windowLen), col("host"))
       .agg(count(lit(1)).as("n_docs"),
@@ -100,7 +123,18 @@ object ExtractStreamJob {
           if (state.hasTimedOut) { state.remove(); Iterator.empty }
           else if (state.exists) Iterator.empty // url already emitted
           else {
-            val first = rows.next()
+            // Deterministic intra-batch winner: when several rows for one
+            // url land in the SAME micro-batch, survive the earliest
+            // warc_ts; ties break on unsigned-lexicographic payload bytes
+            // (partition iteration order must not decide which payload
+            // the corpus keeps).
+            val first = rows.reduceLeft { (a, b) =>
+              val c = java.lang.Long.compare(a._2.getTime, b._2.getTime)
+              if (c < 0) a
+              else if (c > 0) b
+              else if (java.util.Arrays.compareUnsigned(a._3, b._3) <= 0) a
+              else b
+            }
             state.update(true)
             // Expire the seen-flag stateTimeoutMs after the FIRST-SEEN
             // event time (not after the current watermark — on the first

@@ -224,6 +224,61 @@ class OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(found == truth, s"missing: ${truth -- found}; extra: ${found -- truth}")
   }
 
+  test("simhashCapAudit: observed cap behavior equals first-principles prediction") {
+    // same mutated-variant corpus as the pigeonhole test, but run the
+    // capped pipeline at a bucketCap the corpus exceeds; assert the
+    // audit's pair universe IS brute-force truth, the in_capped=1 rows
+    // ARE the capped run's output, and the flags match an independent
+    // scala-side prediction from bucket occupancy alone (the local
+    // analog of the DuckDB capAuditSql oracle)
+    val words = base.split(" ")
+    val rnd = new scala.util.Random(7)
+    val variants = (1L to 40L).map { id =>
+      val w = words.clone()
+      val nMut = rnd.nextInt(4)
+      (0 until nMut).foreach { _ => w(rnd.nextInt(w.length)) = s"w${rnd.nextInt(12)}" }
+      (id, w.mkString(" "))
+    }
+    val d = docs(variants: _*)
+    val maxDist = 8
+    val cap = 3
+    val sh = Dedup.simhash(d).collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // first-principles: chunk layout straight from the documented spec
+    // (maxDist+1 contiguous spans, wide spans first)
+    val nChunks = maxDist + 1
+    val cBase = 64 / nChunks
+    val cExtra = 64 % nChunks
+    val bounds = (0 until nChunks).scanLeft(0) { (off, i) =>
+      off + cBase + (if (i < cExtra) 1 else 0)
+    }
+    def chunksOf(v: Long): Seq[(Int, Long)] = (0 until nChunks).map { i =>
+      val off = bounds(i)
+      val width = bounds(i + 1) - off
+      val mask = if (width == 64) -1L else (1L << width) - 1L
+      (i, (v >>> off) & mask)
+    }
+    val vals = sh.values.toSet.toSeq
+    val occupancy = vals.flatMap(chunksOf).groupBy(identity).map { case (k, v) => k -> v.size }
+    assert(occupancy.values.exists(_ > cap), "corpus must exceed the cap for this test")
+    def predictFound(a: Long, b: Long): Boolean =
+      a == b || chunksOf(a).zip(chunksOf(b)).exists { case (ca, cb) =>
+        ca == cb && occupancy(ca) <= cap
+      }
+    val expected = (for {
+      a <- sh.keys; b <- sh.keys if a < b
+      if java.lang.Long.bitCount(sh(a) ^ sh(b)) <= maxDist
+    } yield ((a, b), if (predictFound(sh(a), sh(b))) 1 else 0)).toMap
+    val audit = Dedup.simhashCapAudit(d, maxDist, cap)
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getInt(3))).toMap
+    assert(audit == expected,
+      s"prediction mismatch: ${(expected.toSet -- audit.toSet) ++ (audit.toSet -- expected.toSet)}")
+    assert(audit.values.exists(_ == 0), "cap must censor at least one pair here")
+    assert(audit.values.exists(_ == 1), "cap must keep at least one pair here")
+    val observed = Dedup.simhashNearDups(d, maxDist, cap)
+      .select("a_id", "b_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(audit.filter(_._2 == 1).keySet == observed)
+  }
+
   test("jaccardPairs (prefix-filtered) equals brute-force truth at the threshold") {
     val rnd = new scala.util.Random(11)
     // 3 clusters of lightly-mutated variants → pairs across the whole

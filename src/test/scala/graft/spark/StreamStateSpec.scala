@@ -61,6 +61,65 @@ class StreamStateSpec extends AnyFunSuite with BeforeAndAfterAll {
     } finally q.stop()
   }
 
+  test("dedupFirstSeen: intra-batch duplicates survive min warc_ts, tie-break payload") {
+    val s = spark
+    implicit val sqlCtx = s.sqlContext
+    import s.implicits._
+    val pA = "<html><body><p>payload AAAA</p></body></html>".getBytes("UTF-8")
+    val pB = "<html><body><p>payload BBBB</p></body></html>".getBytes("UTF-8")
+    val in = MemoryStream[(String, Timestamp, Array[Byte])]
+    val deduped = ExtractStreamJob.dedupFirstSeen(in.toDF.toDF("url", "warc_ts", "html"))
+    val q = deduped.writeStream.format("memory").queryName("ddet")
+      .outputMode("append").start()
+    try {
+      // u1: three same-batch rows with DIFFERENT timestamps/payloads,
+      // deliberately added latest-first — the earliest warc_ts must win
+      // regardless of arrival/iteration order.
+      // u2: two same-batch rows with EQUAL timestamps — the smaller
+      // payload (unsigned-lexicographic) must win.
+      in.addData(
+        ("https://x/u1", ts(9), pB),
+        ("https://x/u1", ts(3), pA),
+        ("https://x/u1", ts(5), pB),
+        ("https://x/u2", ts(4), pB),
+        ("https://x/u2", ts(4), pA))
+      q.processAllAvailable()
+      val rows = spark.table("ddet")
+        .selectExpr("url", "warc_ts", "cast(html as string) as body")
+        .as[(String, Timestamp, String)].collect().sortBy(_._1).toSeq
+      assert(rows.map(_._1) == Seq("https://x/u1", "https://x/u2"))
+      assert(rows(0)._2 == ts(3) && rows(0)._3.contains("payload AAAA"),
+        s"u1 must keep the earliest-ts row, got $rows")
+      assert(rows(1)._2 == ts(4) && rows(1)._3.contains("payload AAAA"),
+        s"u2 tie must break to the lexicographically smaller payload, got $rows")
+    } finally q.stop()
+  }
+
+  test("qualityMetricsFromExtracted matches the re-extracting variant (batch)") {
+    val s = spark
+    import s.implicits._
+    import org.apache.spark.sql.functions.col
+    val pages = Seq(
+      ("https://a.example/1", ts(10), html),
+      ("https://a.example/2", ts(20), html),
+      ("nohost-url", ts(25), html),
+      ("https://b.example/1", ts(15), html),
+      ("https://b.example/2", ts(130), html)) // second window
+      .toDF("url", "warc_ts", "html")
+    val direct = ExtractStreamJob.qualityMetrics(pages)
+      .selectExpr("window.start as ws", "host", "n_docs", "n_ok", "n_bytes", "n_pages")
+      .as[(Timestamp, String, Long, Long, Long, Long)].collect().sorted.toSeq
+    // production shape: the sink's extracted rows + event time, no re-extraction
+    val extracted = ExtractJob.extract(pages, ExtractJob.Config(salt = false))
+      .toDF()
+      .join(pages.select(col("url"), col("warc_ts")), "url")
+    val fromSink = ExtractStreamJob.qualityMetricsFromExtracted(extracted)
+      .selectExpr("window.start as ws", "host", "n_docs", "n_ok", "n_bytes", "n_pages")
+      .as[(Timestamp, String, Long, Long, Long, Long)].collect().sorted.toSeq
+    assert(direct.nonEmpty && direct == fromSink,
+      s"direct=$direct\nfromSink=$fromSink")
+  }
+
   test("dedupFirstSeen: only the first occurrence of a url ever passes") {
     val s = spark
     implicit val sqlCtx = s.sqlContext
