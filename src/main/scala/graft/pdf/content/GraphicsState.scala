@@ -19,10 +19,13 @@ final case class Matrix(a: Float, b: Float, c: Float, d: Float, e: Float, f: Flo
   /** Effective vertical scale ≈ how font size maps to device space. */
   def scaleY: Float = math.sqrt((b * b + d * d).toDouble).toFloat
   def scaleX: Float = math.sqrt((a * a + c * c).toDouble).toFloat
+  def determinant: Float = a * d - b * c
+  def isInvertible: Boolean = math.abs(determinant) > 1e-6f
 }
 object Matrix {
   val identity: Matrix = Matrix(1f, 0f, 0f, 1f, 0f, 0f)
   def translation(tx: Float, ty: Float): Matrix = Matrix(1f, 0f, 0f, 1f, tx, ty)
+  def scaling(sx: Float, sy: Float): Matrix = Matrix(sx, 0f, 0f, sy, 0f, 0f)
 }
 
 /** Text + graphics state carried by the content-stream VM
@@ -37,7 +40,8 @@ final case class GraphicsState(
     horizScaling: Float = 1f,   // Tz (stored /100)
     leading: Float = 0f,        // TL
     fontName: String = "",
-    fontSize: Float = 0f,       // Tf size
+    fontSize: Float = 12f,      // Tf size; 12 pt before any Tf, like the
+                                // reference (graphics_state.rs new())
     renderMode: Int = 0,        // Tr
     rise: Float = 0f,           // Ts
     fillColor: (Float, Float, Float) = (0f, 0f, 0f),

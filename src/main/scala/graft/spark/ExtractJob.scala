@@ -24,7 +24,13 @@ object ExtractJob {
       heavySaltBuckets: Int = 64,
       maxPages: Int = PdfExtractor.DefaultMaxPages,
       /** password tried for encrypted PDFs (empty always tried too). */
-      password: String = "")
+      password: String = "",
+      /** commit-lock staleness: a lock older than this is a crashed
+        * committer and gets broken (commit = checkpoint append +
+        * rename; minutes, not hours, even on a slow object store). */
+      lockTtlMs: Long = 10L * 60 * 1000,
+      /** bound on waiting for a live committer before failing loudly. */
+      lockWaitMs: Long = 15L * 60 * 1000)
 
   /** Core transform: (url, html) → ExtractedDoc. Only `url` and `html`
     * survive the scan — Catalyst prunes the rest (verify: ReadSchema in
@@ -139,9 +145,13 @@ object ExtractJob {
 
   private def stagingRoot(outDir: String): String = outDir + ".staging"
 
-  /** Test-only crash injection points for the commit protocol. */
+  /** Test-only crash injection points for the commit protocol.
+    * `renameFalse` simulates `FileSystem.rename` returning false at
+    * publish (transient FS refusal — distinct from a crash: the
+    * process survives, the run FAILS, staging + checkpoint remain). */
   private[spark] final case class FailPoints(
-      afterStage: Boolean = false, afterCheckpoint: Boolean = false)
+      afterStage: Boolean = false, afterCheckpoint: Boolean = false,
+      renameFalse: Boolean = false)
   private[spark] final class InjectedCrash(at: String)
     extends RuntimeException(s"injected crash $at")
 
@@ -167,34 +177,118 @@ object ExtractJob {
     val attempt = runId + "-" + java.util.UUID.randomUUID().toString.take(8)
     val staged = s"${stagingRoot(outDir)}/$attempt"
     val extracted = extract(pending, cfg).persist()
+    val fs = new org.apache.hadoop.fs.Path(outDir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
     try {
-      val statuses = extracted.groupBy($"status").count().collect()
-        .map(r => r.getString(0) -> r.getLong(1)).toMap
-      // 1. stage (bucketed layout, unreadable until published)
+      // 1. stage (bucketed layout, unreadable until published). Staging
+      // runs OUTSIDE the commit lock — the expensive extraction work of
+      // concurrent attempts overlaps; only the commit serializes.
       extracted
         .withColumn("bucket", pmod(xxhash64($"url"), lit(nBuckets)))
         .drop("n_bytes", "partition_id")
         .write.mode("overwrite").partitionBy("bucket").parquet(staged)
       if (fail.afterStage) throw new InjectedCrash("after stage")
-      // 2. record lineage + the attempt that owns each url
-      val now = new Timestamp(System.currentTimeMillis())
-      extracted.select($"url", $"status", $"duration_ms", $"n_bytes", $"partition_id")
-        .withColumn("run_id", lit(runId))
-        .withColumn("attempt", lit(attempt))
-        .withColumn("finished_at", lit(now))
-        .select("run_id", "attempt", "partition_id", "url", "status",
-          "duration_ms", "n_bytes", "finished_at")
-        .write.mode("append").parquet(checkpointDir)
-      if (fail.afterCheckpoint) throw new InjectedCrash("after checkpoint")
-      // 3. publish (single rename)
-      publish(spark, staged, outDir, attempt)
-      RunReport(
-        attempted = statuses.values.sum,
-        ok = statuses.getOrElse("ok", 0L),
-        error = statuses.getOrElse("error", 0L),
-        skipped = statuses.getOrElse("skipped_oversize", 0L))
+      // ---- commit critical section (Iceberg's optimistic-commit
+      // analog): an atomic-create lock file serializes checkpoint
+      // append + publish, and the pending set is RE-VALIDATED under
+      // the lock — a concurrent attempt that committed some of our
+      // urls first wins them, we commit only the remainder. Without
+      // this, two runs racing the same runId each appended overlapping
+      // ownership rows and readOutput double-counted those urls.
+      acquireCommitLock(fs, checkpointDir, attempt, cfg.lockTtlMs, cfg.lockWaitMs)
+      var crashed = false
+      try {
+        val committed: Dataset[ExtractedDoc] =
+          if (!pathExists(spark, checkpointDir)) extracted
+          else {
+            val done2 = spark.read.parquet(checkpointDir).select("url").distinct()
+            val nConflicts = extracted.join(done2, Seq("url"), "left_semi").count()
+            if (nConflicts == 0) extracted
+            else {
+              // losing side of the race: drop the stolen urls and
+              // re-stage the remainder (only the loser pays a rewrite)
+              val keep = extracted.join(done2, Seq("url"), "left_anti")
+                .as[ExtractedDoc].persist()
+              keep.count() // materialize before overwriting nothing-yet
+              keep
+                .withColumn("bucket", pmod(xxhash64($"url"), lit(nBuckets)))
+                .drop("n_bytes", "partition_id")
+                .write.mode("overwrite").partitionBy("bucket").parquet(staged)
+              keep
+            }
+          }
+        val statuses = committed.groupBy($"status").count().collect()
+          .map(r => r.getString(0) -> r.getLong(1)).toMap
+        if (statuses.isEmpty) {
+          // everything was stolen: nothing to commit, GC our staging
+          fs.delete(new org.apache.hadoop.fs.Path(staged), true)
+        } else {
+          // 2. record lineage + the attempt that owns each url
+          val now = new Timestamp(System.currentTimeMillis())
+          committed.select($"url", $"status", $"duration_ms", $"n_bytes", $"partition_id")
+            .withColumn("run_id", lit(runId))
+            .withColumn("attempt", lit(attempt))
+            .withColumn("finished_at", lit(now))
+            .select("run_id", "attempt", "partition_id", "url", "status",
+              "duration_ms", "n_bytes", "finished_at")
+            .write.mode("append").parquet(checkpointDir)
+          if (fail.afterCheckpoint) { crashed = true; throw new InjectedCrash("after checkpoint") }
+          // 3. publish (single rename)
+          publish(spark, staged, outDir, attempt, failRename = fail.renameFalse)
+        }
+        RunReport(
+          attempted = statuses.values.sum,
+          ok = statuses.getOrElse("ok", 0L),
+          error = statuses.getOrElse("error", 0L),
+          skipped = statuses.getOrElse("skipped_oversize", 0L))
+      } finally {
+        // a simulated CRASH means process death: the lock file stays
+        // behind (exactly what the TTL-breaking path is for); every
+        // other exit — success or a surviving failure — releases it
+        if (!crashed) releaseCommitLock(fs, checkpointDir)
+      }
     } finally extracted.unpersist()
   }
+
+  private def commitLockPath(checkpointDir: String): org.apache.hadoop.fs.Path =
+    new org.apache.hadoop.fs.Path(checkpointDir + ".commitlock")
+
+  /** Atomic-create lock with TTL-based stale-lock breaking: a crashed
+    * committer's lock (mtime older than ttlMs) is deleted and the slot
+    * re-contended; a LIVE committer makes progress within the TTL or
+    * is itself crashed by definition. Bounded wait, then fail loudly —
+    * blocking a 1000-executor job silently is worse than erroring. */
+  private[spark] def acquireCommitLock(fs: org.apache.hadoop.fs.FileSystem,
+                                       checkpointDir: String, attempt: String,
+                                       ttlMs: Long, maxWaitMs: Long): Unit = {
+    val lock = commitLockPath(checkpointDir)
+    val deadline = System.currentTimeMillis() + maxWaitMs
+    var acquired = false
+    while (!acquired) {
+      try {
+        fs.mkdirs(lock.getParent)
+        val out = fs.create(lock, false) // atomic: fails if present
+        out.write(attempt.getBytes("UTF-8"))
+        out.close()
+        acquired = true
+      } catch {
+        case _: java.io.IOException =>
+          val stale = try {
+            val st = fs.getFileStatus(lock)
+            System.currentTimeMillis() - st.getModificationTime > ttlMs
+          } catch { case _: java.io.FileNotFoundException => false } // freed: retry now
+          if (stale) fs.delete(lock, false)
+          else if (System.currentTimeMillis() > deadline)
+            throw new java.io.IOException(
+              s"commit lock $lock not acquired within ${maxWaitMs} ms")
+          else Thread.sleep(50)
+      }
+    }
+  }
+
+  private[spark] def releaseCommitLock(fs: org.apache.hadoop.fs.FileSystem,
+                                       checkpointDir: String): Unit =
+    fs.delete(commitLockPath(checkpointDir), false)
 
   /** Committed output: plain parquet read of outDir (run=attempt /
     * bucket=n partition dirs). Staging lives outside outDir, and each
@@ -204,21 +298,30 @@ object ExtractJob {
     spark.read.option("basePath", outDir).parquet(outDir)
 
   private def publish(spark: SparkSession, staged: String, outDir: String,
-                      attempt: String): Unit = {
+                      attempt: String, failRename: Boolean = false): Unit = {
     val conf = spark.sparkContext.hadoopConfiguration
     val src = new org.apache.hadoop.fs.Path(staged)
     val dst = new org.apache.hadoop.fs.Path(s"$outDir/run=$attempt")
     val fs = src.getFileSystem(conf)
     fs.mkdirs(dst.getParent)
-    if (!fs.rename(src, dst))
+    if (failRename || !fs.rename(src, dst))
       throw new java.io.IOException(s"publish rename failed: $src -> $dst")
   }
 
-  /** Recovery pass, run before each attempt: finish publishes the
-    * checkpoint recorded but a crash interrupted (rename is idempotent
-    * — target present means already published), and GC staged attempts
-    * the checkpoint never recorded (their urls are still pending, so
-    * they will be re-extracted; the stale files were never readable). */
+  /** Recovery pass, run before each attempt:
+    *  - finish publishes the checkpoint recorded but a crash or a
+    *    false-returning rename interrupted. Staging presence is the
+    *    authority: a COMPLETED rename removes src, so src+dst both
+    *    existing means dst is partial debris from a non-atomic
+    *    copy-based rename — it is replaced wholesale from staging
+    *    (the previous `!dst.exists` guard would have trusted the
+    *    partial dst as committed: silent loss);
+    *  - tolerate a concurrent healer winning the same publish (rename
+    *    fails but dst now exists → done);
+    *  - GC staged attempts the checkpoint never recorded — including
+    *    stray non-attempt files dropped into staging (their urls are
+    *    still pending, so they will be re-extracted; the stale files
+    *    were never readable). */
   private[spark] def heal(spark: SparkSession, outDir: String,
                           checkpointDir: String): Unit = {
     val conf = spark.sparkContext.hadoopConfiguration
@@ -232,7 +335,14 @@ object ExtractJob {
     for (att <- recorded) {
       val dst = new org.apache.hadoop.fs.Path(s"$outDir/run=$att")
       val src = new org.apache.hadoop.fs.Path(s"${stagingRoot(outDir)}/$att")
-      if (!fs.exists(dst) && fs.exists(src)) publish(spark, src.toString, outDir, att)
+      if (fs.exists(src)) {
+        if (fs.exists(dst)) fs.delete(dst, true) // partial rename debris
+        try publish(spark, src.toString, outDir, att)
+        catch {
+          case e: java.io.IOException =>
+            if (!fs.exists(dst)) throw e // a concurrent healer won: fine
+        }
+      }
     }
     if (fs.exists(root))
       fs.listStatus(root).foreach { st =>

@@ -199,10 +199,13 @@ class ExtractJobSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(!new java.io.File(outDir).exists() ||
       spark.read.parquet(outDir).count() == 0)
 
-    // run 2: heal() publishes the staged attempt instead of
-    // re-extracting; nothing is pending
+    // the crashed committer's lock file is left behind (process death)
+    assert(new java.io.File(s"$ckptDir.commitlock").exists())
+
+    // run 2: the stale lock is broken (ttl 0 = restart-after-crash) and
+    // heal() publishes the staged attempt instead of re-extracting
     val r2 = ExtractJob.runWithCheckpoint(spark, pages, outDir, ckptDir, "run-2",
-      ExtractJob.Config(salt = false))
+      ExtractJob.Config(salt = false, lockTtlMs = 0))
     assert(r2.attempted == 0, s"heal should have published, not re-extracted: $r2")
     val out = ExtractJob.readOutput(spark, outDir)
     assert(out.count() == 30, "no loss")
@@ -235,6 +238,112 @@ class ExtractJobSpec extends AnyFunSuite with BeforeAndAfterAll {
     // orphan staging was GC'd
     val staging = new java.io.File(s"$outDir.staging")
     assert(!staging.exists() || staging.listFiles().isEmpty, staging.listFiles().mkString(","))
+    pages.unpersist()
+  }
+
+  test("commit protocol: rename returning false fails the run; heal publishes") {
+    val dir = Files.createTempDirectory("graft-ckpt-rnf").toString
+    val outDir = s"$dir/extracted"
+    val ckptDir = s"$dir/checkpoint"
+    val pages = PagesGen.generate(spark, 20, seed = 14, parallelism = 2).toDF().cache()
+    // transient FS refusal at publish: the run FAILS (surviving
+    // process), checkpoint + staging remain, lock is released
+    intercept[java.io.IOException] {
+      ExtractJob.runWithCheckpoint(spark, pages, outDir, ckptDir, "run-1",
+        ExtractJob.Config(salt = false), 32,
+        ExtractJob.FailPoints(renameFalse = true))
+    }
+    assert(!new java.io.File(s"$ckptDir.commitlock").exists(),
+      "a surviving failure must release the commit lock")
+    val r2 = ExtractJob.runWithCheckpoint(spark, pages, outDir, ckptDir, "run-2",
+      ExtractJob.Config(salt = false))
+    assert(r2.attempted == 0, s"heal should publish, not re-extract: $r2")
+    val out = ExtractJob.readOutput(spark, outDir)
+    assert(out.count() == 20 && out.select("url").distinct().count() == 20)
+    pages.unpersist()
+  }
+
+  test("heal replaces partial-rename debris from staging (no silent loss)") {
+    val dir = Files.createTempDirectory("graft-ckpt-partial").toString
+    val outDir = s"$dir/extracted"
+    val ckptDir = s"$dir/checkpoint"
+    val pages = PagesGen.generate(spark, 20, seed = 15, parallelism = 2).toDF().cache()
+    intercept[RuntimeException] {
+      ExtractJob.runWithCheckpoint(spark, pages, outDir, ckptDir, "run-1",
+        ExtractJob.Config(salt = false), 32,
+        ExtractJob.FailPoints(afterCheckpoint = true))
+    }
+    // simulate a non-atomic copy-based rename dying midway: dst exists
+    // with ONE bucket dir copied, src (staging) still complete
+    val attempt = spark.read.parquet(ckptDir).select("attempt").head().getString(0)
+    val src = new java.io.File(s"$outDir.staging/$attempt")
+    val dst = new java.io.File(s"$outDir/run=$attempt")
+    val firstBucket = src.listFiles().filter(_.getName.startsWith("bucket=")).head
+    val dstBucket = new java.io.File(dst, firstBucket.getName)
+    assert(dstBucket.mkdirs())
+    firstBucket.listFiles().foreach { f =>
+      java.nio.file.Files.copy(f.toPath, new java.io.File(dstBucket, f.getName).toPath)
+    }
+    // run 2: the old `!dst.exists` heal would have trusted the partial
+    // dst as committed and GC'd nothing; the new heal replaces it
+    val r2 = ExtractJob.runWithCheckpoint(spark, pages, outDir, ckptDir, "run-2",
+      ExtractJob.Config(salt = false, lockTtlMs = 0))
+    assert(r2.attempted == 0, r2.toString)
+    val out = ExtractJob.readOutput(spark, outDir)
+    assert(out.count() == 20, "partial dst must be replaced, not trusted")
+    assert(out.select("url").distinct().count() == 20)
+    pages.unpersist()
+  }
+
+  test("heal GCs stray non-attempt files inside staging") {
+    val dir = Files.createTempDirectory("graft-ckpt-stray").toString
+    val outDir = s"$dir/extracted"
+    val ckptDir = s"$dir/checkpoint"
+    val pages = PagesGen.generate(spark, 10, seed = 16, parallelism = 2).toDF().cache()
+    val staging = new java.io.File(s"$outDir.staging")
+    assert(staging.mkdirs())
+    java.nio.file.Files.writeString(new java.io.File(staging, "orphan.tmp").toPath, "junk")
+    assert(new java.io.File(staging, "_temporary-junk").mkdirs())
+    val r1 = ExtractJob.runWithCheckpoint(spark, pages, outDir, ckptDir, "run-1",
+      ExtractJob.Config(salt = false))
+    assert(r1.attempted == 10)
+    val left = staging.listFiles()
+    assert(left == null || left.isEmpty, s"strays survived: ${left.mkString(",")}")
+    pages.unpersist()
+  }
+
+  test("concurrent attempts, same runId: committed ownership is exactly-once") {
+    val dir = Files.createTempDirectory("graft-ckpt-race").toString
+    val outDir = s"$dir/extracted"
+    val ckptDir = s"$dir/checkpoint"
+    val pages = PagesGen.generate(spark, 40, seed = 17, parallelism = 2).toDF().cache()
+    pages.count()
+    // two full runs over the SAME pending set, racing: both may extract
+    // everything, but the commit lock + under-lock re-validation make
+    // ownership exactly-once — the loser commits only the remainder
+    val reports = new java.util.concurrent.ConcurrentLinkedQueue[ExtractJob.RunReport]()
+    val errs = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]()
+    val threads = (1 to 2).map { _ =>
+      new Thread(() =>
+        try reports.add(ExtractJob.runWithCheckpoint(spark, pages, outDir, ckptDir,
+          "run-race", ExtractJob.Config(salt = false)))
+        catch { case t: Throwable => errs.add(t) })
+    }
+    threads.foreach(_.start())
+    threads.foreach(_.join())
+    assert(errs.isEmpty, s"race must not fail either run: ${errs.toArray.mkString(";")}")
+    val rs = reports.toArray(Array.empty[ExtractJob.RunReport])
+    assert(rs.length == 2)
+    assert(rs.map(_.attempted).sum == 40,
+      s"committed ownership must sum to the corpus exactly once: ${rs.mkString(";")}")
+    val out = ExtractJob.readOutput(spark, outDir)
+    assert(out.count() == 40, "no loss")
+    assert(out.select("url").distinct().count() == 40, "no duplicates")
+    // checkpoint ownership is single-attempt per url
+    val multiOwned = spark.read.parquet(ckptDir).groupBy("url").count()
+      .filter("count > 1").count()
+    assert(multiOwned == 0, "each url checkpoint-owned by exactly one attempt")
+    assert(!new java.io.File(s"$ckptDir.commitlock").exists())
     pages.unpersist()
   }
 
