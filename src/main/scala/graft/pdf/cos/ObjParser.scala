@@ -241,8 +241,10 @@ final class ObjParser(
     var done = false
     while (!done) {
       skipWs()
-      if (atEnd) error("unterminated array")
-      if (cur == ']') { done = true; pos += 1 }
+      // lenient on truncation (reference parser.rs unclosed-array
+      // vector): crawl PDFs cut mid-object — keep what parsed
+      if (atEnd) done = true
+      else if (cur == ']') { done = true; pos += 1 }
       else items += parseObject(depth + 1)
     }
     Arr(items.result())
@@ -254,8 +256,9 @@ final class ObjParser(
     var done = false
     while (!done) {
       skipWs()
-      if (atEnd) error("unterminated dict")
-      if (cur == '>' && peek(1) == '>') { done = true; pos += 2 }
+      // lenient on truncation, like unclosed arrays above
+      if (atEnd) done = true
+      else if (cur == '>' && peek(1) == '>') { done = true; pos += 2 }
       else if (cur == '/') {
         val key = parseName().v
         entries += key -> parseObject(depth + 1)

@@ -180,53 +180,8 @@ final class PdfDocument(val data: Array[Byte],
     }
   }
 
-  /** Classic `xref` table + `trailer` dict (reference: src/xref.rs:323-487). */
-  private def parseClassicSection(p: ObjParser): Dict = {
-    p.takeKeyword("xref")
-    var done = false
-    while (!done) {
-      p.skipWs()
-      if (p.peekKeyword("trailer")) {
-        p.takeKeyword("trailer")
-        p.skipWs()
-        return p.parseObject() match { case d: Dict => d; case _ => Dict.empty }
-      }
-      // subsection header: start count
-      val startOpt = try Some(p.parseNumber()) catch { case _: Throwable => None }
-      startOpt match {
-        case Some(Int64(start)) =>
-          p.skipWs()
-          p.parseNumber() match {
-            case Int64(count) =>
-              var k = 0
-              while (k < count) {
-                p.skipWs()
-                val off = readFixedLong(p, 10)
-                p.skipWs()
-                val gen = readFixedLong(p, 5).toInt
-                p.skipWs()
-                val ty = if (!p.atEnd) { val c = p.data(p.pos).toChar; p.pos += 1; c } else 'n'
-                val id = (start + k).toInt
-                if (ty == 'n') xref.addIfAbsent(id, XRefEntry.Uncompressed(off, gen))
-                else xref.addIfAbsent(id, XRefEntry.Free(off, gen))
-                k += 1
-              }
-            case _ => done = true
-          }
-        case _ => done = true
-      }
-    }
-    Dict.empty
-  }
-
-  private def readFixedLong(p: ObjParser, width: Int): Long = {
-    var v = 0L
-    var n = 0
-    while (n < width && p.pos < p.data.length && p.data(p.pos) >= '0' && p.data(p.pos) <= '9') {
-      v = v * 10 + (p.data(p.pos) - '0'); p.pos += 1; n += 1
-    }
-    v
-  }
+  private def parseClassicSection(p: ObjParser): Dict =
+    PdfDocument.parseClassicSection(xref, p)
 
   /** PDF 1.5 xref stream (reference: src/xref.rs:489-688). */
   private def parseXrefStreamAt(offset: Int): Dict = {
@@ -592,4 +547,97 @@ final class PdfDocument(val data: Array[Byte],
 
   private def tryDecode(s: Stream): Array[Byte] =
     try streamData(s) catch { case _: Throwable => Array.emptyByteArray }
+}
+
+object PdfDocument {
+
+  /** Per-section cap on the subsection entry count (reference:
+    * src/xref.rs:377 rejects > 1,000,000): a hostile `0 2000000`
+    * header must not allocate millions of placeholder entries —
+    * the section aborts and the scan-reconstruction fallback takes
+    * over, same net behavior as the reference's parse error. */
+  private val MaxSubsectionCount = 1000000L
+
+  /** Classic `xref` table + `trailer` dict (reference: src/xref.rs:
+    * 323-487). Lenient like the reference's line-based parser:
+    *  - `%` comment lines between subsections/entries are skipped
+    *    (xref.rs:362-363);
+    *  - a malformed entry becomes a placeholder FREE entry so object
+    *    numbering stays aligned, and parsing resyncs at the next line
+    *    (xref.rs malformed-entry vector);
+    *  - entries may use CR-only line endings. */
+  private[pdf] def parseClassicSection(xref: XRefTable, p: ObjParser): Dict = {
+    p.takeKeyword("xref")
+    var done = false
+    while (!done) {
+      skipWsAndComments(p)
+      if (p.peekKeyword("trailer")) {
+        p.takeKeyword("trailer")
+        p.skipWs()
+        return p.parseObject() match { case d: Dict => d; case _ => Dict.empty }
+      }
+      // subsection header: start count
+      val startOpt = try Some(p.parseNumber()) catch { case _: Throwable => None }
+      startOpt match {
+        case Some(Int64(start)) =>
+          p.skipWs()
+          p.parseNumber() match {
+            case Int64(count) if count >= 0 && count <= MaxSubsectionCount =>
+              var k = 0
+              var aborted = false
+              while (k < count && !aborted) {
+                skipWsAndComments(p)
+                if (p.atEnd || p.peekKeyword("trailer")) aborted = true
+                else {
+                  val id = (start + k).toInt
+                  val p0 = p.pos
+                  val off = readFixedLong(p, 10)
+                  val offDigits = p.pos - p0
+                  p.skipWs()
+                  val p1 = p.pos
+                  val gen = readFixedLong(p, 5).toInt
+                  val genDigits = p.pos - p1
+                  p.skipWs()
+                  val ty = if (!p.atEnd) p.data(p.pos).toChar else ' '
+                  if (offDigits > 0 && genDigits > 0 && (ty == 'n' || ty == 'f')) {
+                    p.pos += 1
+                    if (ty == 'n') xref.addIfAbsent(id, XRefEntry.Uncompressed(off, gen))
+                    else xref.addIfAbsent(id, XRefEntry.Free(off, gen))
+                  } else {
+                    // malformed entry (or invalid flag char): placeholder
+                    // free entry keeps numbering aligned; resync at EOL
+                    xref.addIfAbsent(id, XRefEntry.Free(0L, 65535))
+                    skipToEol(p)
+                  }
+                  k += 1
+                }
+              }
+            case _ => done = true
+          }
+        case _ => done = true
+      }
+    }
+    Dict.empty
+  }
+
+  private def skipWsAndComments(p: ObjParser): Unit = {
+    p.skipWs()
+    while (!p.atEnd && p.data(p.pos) == '%') {
+      skipToEol(p)
+      p.skipWs()
+    }
+  }
+
+  private def skipToEol(p: ObjParser): Unit = {
+    while (!p.atEnd && p.data(p.pos) != '\n' && p.data(p.pos) != '\r') p.pos += 1
+  }
+
+  private def readFixedLong(p: ObjParser, width: Int): Long = {
+    var v = 0L
+    var n = 0
+    while (n < width && p.pos < p.data.length && p.data(p.pos) >= '0' && p.data(p.pos) <= '9') {
+      v = v * 10 + (p.data(p.pos) - '0'); p.pos += 1; n += 1
+    }
+    v
+  }
 }

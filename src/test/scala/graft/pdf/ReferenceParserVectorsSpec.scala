@@ -1,0 +1,62 @@
+package graft.pdf
+
+import java.nio.charset.StandardCharsets.ISO_8859_1
+import org.scalatest.funsuite.AnyFunSuite
+import graft.pdf.cos._
+import graft.pdf.cos.PdfObj._
+
+/** Ports of the reference's inline parser/lexer edge vectors not yet
+  * covered by CosSpec (reference: src/parser.rs:716-1110,
+  * src/lexer.rs:610-647) — octal-escape boundary behavior, invalid
+  * name #-escapes kept literal, empty names, and LENIENT unclosed
+  * array/dict parsing (real crawl PDFs truncate mid-object). */
+class ReferenceParserVectorsSpec extends AnyFunSuite {
+
+  private def parse(s: String): PdfObj =
+    new ObjParser(s.getBytes(ISO_8859_1)).parseObject()
+  private def str(s: String): String = new String(parse(s).asStr.get, ISO_8859_1)
+
+  test("octal escapes: 1/2/3 digits + stop at non-octal (parser.rs:716-751)") {
+    assert(str("(Section \\247)") == "Section §")
+    assert(str("(Plus \\53)") == "Plus +")
+    assert(str("(Bell \\7)") == "Bell \u0007")
+    // \128 = \12 (= \n) then literal '8'
+    assert(str("(Value \\128)") == "Value \n8")
+  }
+
+  test("octal escapes: the real-crawl certificate case (parser.rs:753-762)") {
+    assert(str("(\\247 71.01\\26115 Temporary certificate.)") ==
+      "§ 71.01±15 Temporary certificate.")
+  }
+
+  test("mixed escapes in one string (parser.rs:773-779)") {
+    assert(str("(Tab:\\tNewline:\\nOctal:\\53)") == "Tab:\tNewline:\nOctal:+")
+  }
+
+  test("invalid name #-escapes stay literal (lexer.rs:631-647)") {
+    assert(parse("/A#ZZ") == Name("A#ZZ"))   // invalid hex
+    assert(parse("/A#") == Name("A#"))       // # at end
+    assert(parse("/A#2") == Name("A#2"))     // one digit only
+    assert(parse("/A#20B#23C") == Name("A B#C"))
+  }
+
+  test("empty name accepted leniently (lexer.rs:610-615)") {
+    assert(parse("/ ") == Name(""))
+  }
+
+  test("unclosed array returns the elements parsed so far (parser.rs:1044-1056)") {
+    val arr = parse("[ 1 2 3").asArr.get
+    assert(arr == Vector(Int64(1), Int64(2), Int64(3)))
+  }
+
+  test("unclosed dictionary returns the entries parsed so far (parser.rs:1058-1067)") {
+    val d = parse("<< /Type /Page").asDict.get
+    assert(d.name("Type").contains("Page"))
+  }
+
+  test("extra whitespace everywhere (parser.rs:1087-1110)") {
+    assert(parse("  \n\t  42") == Int64(42))
+    assert(parse("[  1   2    3  ]").asArr.get.length == 3)
+    assert(parse("<<  /Type   /Page  >>").asDict.get.name("Type").contains("Page"))
+  }
+}
