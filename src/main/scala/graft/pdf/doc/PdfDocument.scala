@@ -107,15 +107,25 @@ final class PdfDocument(val data: Array[Byte],
   // for %PDF-x.y — crawled files often have leading garbage.
   // ------------------------------------------------------------------
   private def parseHeader(): String = {
+    // scan the first 1 KB for the magic — a documented SUPERSET of the
+    // reference, which requires %PDF- at byte 0 (document.rs:2775-2786);
+    // crawled files often carry leading garbage and the text behind it
+    // is recoverable. Version validation below matches the reference
+    // exactly (document.rs:2790-2818): M.m single digits, reject
+    // major > 2 and 0.0.
     val limit = math.min(data.length, 1024)
     var i = 0
     while (i + 7 < limit) {
       if (data(i) == '%' && data(i + 1) == 'P' && data(i + 2) == 'D' &&
           data(i + 3) == 'F' && data(i + 4) == '-') {
-        val sb = new StringBuilder
-        var j = i + 5
-        while (j < limit && (data(j).toChar.isDigit || data(j) == '.')) { sb.append(data(j).toChar); j += 1 }
-        return if (sb.nonEmpty) sb.toString else "1.4"
+        val major = data(i + 5).toChar
+        val dot = data(i + 6).toChar
+        val minor = data(i + 7).toChar
+        if (!major.isDigit || dot != '.' || !minor.isDigit)
+          throw new PdfLoadException(s"invalid version format after %PDF-")
+        if (major > '2' || (major == '0' && minor == '0'))
+          throw new PdfLoadException(s"unsupported version $major.$minor")
+        return s"$major.$minor"
       }
       i += 1
     }

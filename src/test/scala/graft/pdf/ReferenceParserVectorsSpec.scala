@@ -54,6 +54,22 @@ class ReferenceParserVectorsSpec extends AnyFunSuite {
     assert(d.name("Type").contains("Page"))
   }
 
+  test("every byte-truncation of a complex object parses or throws cleanly") {
+    // the lenient-truncation paths must hold at EVERY cut point, not
+    // just the two vectors above: partial parse or PdfParseException,
+    // never a foreign exception and never an infinite loop
+    val full = "<< /Type /Page /Kids [1 0 R 2 0 R <</N (str\\( esc)>> <AB CD>] " +
+      "/A << /B [ 1 2.5 -.7 (nested (p)) /N#20m true null ] >> >>"
+    (1 until full.length).foreach { cut =>
+      val s = full.substring(0, cut)
+      try { parse(s); () }
+      catch {
+        case _: PdfParseException => ()
+        case e: Throwable => fail(s"cut=$cut leaked ${e.getClass.getName}: ${e.getMessage}")
+      }
+    }
+  }
+
   test("extra whitespace everywhere (parser.rs:1087-1110)") {
     assert(parse("  \n\t  42") == Int64(42))
     assert(parse("[  1   2    3  ]").asArr.get.length == 3)
