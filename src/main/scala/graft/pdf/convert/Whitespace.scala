@@ -53,6 +53,7 @@ object Whitespace {
     var lineHasVisible = false // a visible char emitted on current line
     var started = false    // first visible char seen (leading trim)
     var lineStart = 0      // offset of current line in o
+    var nlBeforeLine = 0   // newlines emitted just before current line
 
     // NOTE the line-end handling is manually inlined at its two call
     // sites: a nested def closing over mutable locals boxes ALL of them
@@ -64,10 +65,16 @@ object Whitespace {
       val c = s(i)
       if (c == '\n' || c == '\r') {
         // end line: strip trailing ws (pending dropped), blank artifact
-        // lines in markdown mode
+        // lines in markdown mode. Blanking ALSO un-emits the newlines
+        // that preceded the line and returns them to pendingNl, so the
+        // runs on both sides of a removed artifact merge and cap at 3
+        // on the next emission — this replaces the former capNewlines
+        // second pass (it was 2% of mixed-corpus leaf samples).
         pendingWs = 0; pendingHasTab = false
-        if (markdown && lineHasVisible &&
-            isArtifactLine(o, lineStart, w)) w = lineStart
+        if (markdown && lineHasVisible && isArtifactLine(o, lineStart, w)) {
+          w = lineStart - nlBeforeLine
+          pendingNl = nlBeforeLine
+        }
         lineHasVisible = false
         pendingNl += 1
         if (c == '\r' && i + 1 < n && s(i + 1) == '\n') i += 1
@@ -77,10 +84,14 @@ object Whitespace {
       } else {
         if (started) {
           if (pendingNl > 0) {
-            val emit = math.min(pendingNl, 3)
+            // blanked-first-line case: nothing emitted yet (w == 0) ⇒
+            // drop the newlines entirely (the old capNewlines pass
+            // trimmed these leading runs)
+            val emit = if (w == 0) 0 else math.min(pendingNl, 3)
             var k = 0
             while (k < emit) { o(w) = '\n'; w += 1; k += 1 }
             pendingNl = 0
+            nlBeforeLine = emit
             lineStart = w
             // line-leading ws = indentation: preserve count (spaces)
             var q = 0
@@ -113,40 +124,13 @@ object Whitespace {
       }
       i += 1
     }
-    // final end-line (same as above)
+    // final end-line (same as above; newline rewind is moot — trailing
+    // newlines are trimmed next anyway)
     if (markdown && lineHasVisible && isArtifactLine(o, lineStart, w)) w = lineStart
     // drop trailing blank lines (trim) — artifacts may leave a run of
     // newlines at the end
     while (w > 0 && (o(w - 1) == '\n' || o(w - 1) == ' ')) w -= 1
-    if (markdown) capNewlines(o, w) else new String(o, 0, w)
-  }
-
-  /** Artifact-line blanking can leave >3 consecutive newlines in the
-    * markdown output; one cheap in-place compaction caps them (output
-    * only ever shrinks — w ≤ i — so writing behind the read cursor is
-    * safe). */
-  private def capNewlines(a: Array[Char], n: Int): String = {
-    var w = 0
-    var run = 0
-    var started = false
-    var i = 0
-    while (i < n) {
-      val c = a(i)
-      if (c == '\n') { run += 1 }
-      else {
-        if (started && run > 0) {
-          val emit = math.min(run, 3)
-          var k = 0
-          while (k < emit) { a(w) = '\n'; w += 1; k += 1 }
-        }
-        run = 0
-        a(w) = c
-        w += 1
-        started = true
-      }
-      i += 1
-    }
-    new String(a, 0, w)
+    new String(o, 0, w)
   }
 
   /** Matches the artifact regex set on one rendered line [from, to). */
