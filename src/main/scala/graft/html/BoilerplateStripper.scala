@@ -175,8 +175,8 @@ object BoilerplateStripper {
         if (k == pat.length) found = i + pat.length else i += 1
       } else i += 1
     }
-    val cs =
-      if (found < 0) "UTF-8"
+    val cs: java.nio.charset.Charset =
+      if (found < 0) java.nio.charset.StandardCharsets.UTF_8
       else {
         var j = found
         while (j < limit && (bytes(j) == '"' || bytes(j) == '\'' || bytes(j) == ' ')) j += 1
@@ -186,10 +186,27 @@ object BoilerplateStripper {
           c.isLetterOrDigit || c == '-' || c == '_'
         }) j += 1
         val name = new String(bytes, start, j - start, "ISO-8859-1")
-        try { java.nio.charset.Charset.forName(name); name }
-        catch { case _: Throwable => "UTF-8" }
+        resolveCharset(name)
       }
     new String(bytes, cs)
+  }
+
+  /** Charset OBJECTS memoized by sniffed name: Charset.forName plus the
+    * name-based String constructor each re-ran the registry lookup per
+    * document (JFR leaf frames on a 30%-HTML corpus). Unknown names
+    * fall back to UTF-8, like before; the map is size-capped against
+    * hostile unique charset strings. */
+  private val charsetCache =
+    new java.util.concurrent.ConcurrentHashMap[String, java.nio.charset.Charset]()
+
+  private def resolveCharset(name: String): java.nio.charset.Charset = {
+    val hit = charsetCache.get(name)
+    if (hit != null) return hit
+    val cs =
+      try java.nio.charset.Charset.forName(name)
+      catch { case _: Throwable => java.nio.charset.StandardCharsets.UTF_8 }
+    if (charsetCache.size < 256) charsetCache.putIfAbsent(name, cs)
+    cs
   }
 
   // ------------------------------------------------------------------
