@@ -379,6 +379,31 @@ object SparkEntry {
         t(s, dir, "documents").select(col("doc_id"),
           encode(substring(col("text"), 1, 8), "utf-8").as("payload")))
         .select(col("doc_id"), col("n_bytes"), col("head_hex"))),
+    "multimodal_pixels" -> ((s, _) => {
+      // REAL pixel decode (JDK ImageIO) over a deterministic synthetic
+      // PNG corpus: 50 groups × 4 perturbation variants; integer-exact
+      // luminance stats + 64-bit perceptual aHash per image
+      import s.implicits._
+      val media = s.range(0, 200, 1, 4).map { id =>
+        (id, Multimodal.syntheticPng(id / 4, (id % 4).toInt))
+      }.toDF("doc_id", "payload")
+      Multimodal.pixelFeatures(media).toDF()
+        .select(col("doc_id"), col("width"), col("height"),
+          col("mean_luma_q"), col("ahash"))
+    }),
+    "multimodal_phash_dedup" -> ((s, _) => {
+      // image near-dup at corpus scale: perceptual aHash fed into the
+      // SAME pigeonhole banding as text SimHash (hammingNearDups64) —
+      // variants within a group sit ≤3 bits apart, groups ~32 apart,
+      // so exactly the 6 within-group pairs per group surface
+      import s.implicits._
+      val media = s.range(0, 200, 1, 4).map { id =>
+        (id, Multimodal.syntheticPng(id / 4, (id % 4).toInt))
+      }.toDF("doc_id", "payload")
+      val hashes = Multimodal.pixelFeatures(media).toDF()
+        .select(col("doc_id"), col("ahash").as("h"))
+      Dedup.hammingNearDups64(hashes, maxDist = 6, bucketCap = 500)
+    }),
     "multimodal_features" -> ((s, dir) =>
       // hash-stable scalar outputs only (round 1's raw array<float>
       // column crashed the driver's hash compare)

@@ -423,10 +423,20 @@ object Dedup {
     * That trades bounded recall on mega-clusters for a hard runtime
     * bound — the standard LSH production compromise. */
   def simhashNearDups(docs: DataFrame, maxDist: Int = 3,
-                      bucketCap: Int = 2000): DataFrame = {
+                      bucketCap: Int = 2000): DataFrame =
+    hammingNearDups64(
+      simhash(docs).select(col("doc_id"), col("simhash").as("h")),
+      maxDist, bucketCap)
+
+  /** Near-dup pairs for ANY 64-bit locality hash — SimHash over text
+    * tokens, perceptual aHash over image pixels, etc. Input: (doc_id,
+    * h: long). Same pigeonhole banding + distinct-value + bucket-cap
+    * machinery documented on [[simhashNearDups]]. */
+  def hammingNearDups64(hashes: DataFrame, maxDist: Int = 3,
+                        bucketCap: Int = 2000): DataFrame = {
     require(maxDist >= 0 && maxDist < 32, s"maxDist out of range: $maxDist")
     val nChunks = maxDist + 1
-    val sh = simhash(docs)
+    val sh = hashes.select(col("doc_id"), col("h").as("simhash"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // Band over DISTINCT simhash VALUES, not docs: identical docs
     // (template spam — the common mega-cluster case) collapse to ONE

@@ -10,12 +10,17 @@ import org.apache.spark.sql.functions._
   * The container-level decode is REAL byte parsing — PNG IHDR, JPEG
   * SOFn segment walk, GIF logical-screen descriptor (mirrors the
   * metadata surface of reference src/extractors/images.rs:30-106:
-  * width / height / bits-per-component / format). Full pixel decode
-  * (IDAT inflate + filter reconstruction, JPEG entropy decode) is out
-  * of scope in this container — the content feature is a deterministic
-  * byte-level signature (rolling FNV histogram), exposed only as
-  * hash-stable scalars (`feature_hash`, `feature_norm`) so downstream
-  * harnesses can compare results.
+  * width / height / bits-per-component / format). The byte-level
+  * content feature is a deterministic rolling-FNV signature exposed as
+  * hash-stable scalars (`feature_hash`, `feature_norm`).
+  *
+  * FULL pixel decode (round 4) is real too, via the JDK's ImageIO
+  * (PNG/JPEG/GIF/BMP — no external libs): [[pixelFeatures]] decodes
+  * payloads to pixels and derives integer-exact luminance stats plus a
+  * 64-bit perceptual average-hash (aHash: 8×8 block means vs their
+  * global mean), which plugs straight into
+  * [[Dedup.hammingNearDups64]]'s pigeonhole banding for image near-dup
+  * at corpus scale.
   */
 object Multimodal {
 
@@ -208,5 +213,130 @@ object Multimodal {
           MediaFeature(id, bytes.length.toLong, fmt, w, hgt, bits, fh, norm)
         }
       }
+  }
+
+  // ------------------------------------------------------------------
+  // Real pixel decode (JDK ImageIO) + perceptual hashing
+  // ------------------------------------------------------------------
+
+  final case class PixelFeature(
+      doc_id: Long,
+      width: Int,
+      height: Int,
+      /** mean luminance × 1000, integer-exact (0..255000). */
+      mean_luma_q: Long,
+      /** 64-bit average-hash over an 8×8 block grid. */
+      ahash: Long,
+      decoded: Boolean)
+
+  /** Decode one payload to pixels and derive (width, height,
+    * mean-luma×1000, aHash). All-integer arithmetic — no float
+    * accumulation order to worry about, so results are exactly
+    * reproducible across partitionings. None = undecodable. */
+  private[graft] def pixelFeaturesOf(bytes: Array[Byte]): Option[(Int, Int, Long, Long)] = {
+    val img =
+      try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+      catch { case _: Throwable => null }
+    if (img == null) return None
+    val w = img.getWidth
+    val h = img.getHeight
+    if (w <= 0 || h <= 0) return None
+    // luma per pixel ×1000: 299r + 587g + 114b (BT.601, integer)
+    var total = 0L
+    val blockSum = new Array[Long](64)
+    val blockCnt = new Array[Long](64)
+    var y = 0
+    while (y < h) {
+      val by = math.min(7, y * 8 / h)
+      var x = 0
+      while (x < w) {
+        val rgb = img.getRGB(x, y)
+        val luma = 299 * ((rgb >> 16) & 0xff) + 587 * ((rgb >> 8) & 0xff) + 114 * (rgb & 0xff)
+        total += luma
+        val bi = by * 8 + math.min(7, x * 8 / w)
+        blockSum(bi) += luma
+        blockCnt(bi) += 1
+        x += 1
+      }
+      y += 1
+    }
+    val n = w.toLong * h
+    // block means; empty blocks (images narrower/shorter than 8px)
+    // inherit the global mean so their bit is deterministic-neutral
+    val meanQ = total / n
+    val blockMean = new Array[Long](64)
+    var i = 0
+    while (i < 64) {
+      blockMean(i) = if (blockCnt(i) == 0) meanQ else blockSum(i) / blockCnt(i)
+      i += 1
+    }
+    var gsum = 0L
+    i = 0
+    while (i < 64) { gsum += blockMean(i); i += 1 }
+    val gmean = gsum / 64
+    var hash = 0L
+    i = 0
+    while (i < 64) {
+      if (blockMean(i) >= gmean) hash |= (1L << i)
+      i += 1
+    }
+    Some((w, h, meanQ, hash))
+  }
+
+  /** Batched decode + feature extraction over a binary media column —
+    * the mapInPandas-batch shape, Scala-typed. Undecodable payloads
+    * degrade to a decoded=false row, never a task failure. */
+  def pixelFeatures(media: DataFrame): Dataset[PixelFeature] = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.select(col("doc_id").cast("long"), col("payload"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { batch =>
+        batch.map { case (id, payload) =>
+          val bytes = if (payload == null) Array.emptyByteArray else payload
+          pixelFeaturesOf(bytes) match {
+            case Some((w, h, luma, ahash)) => PixelFeature(id, w, h, luma, ahash, decoded = true)
+            case None => PixelFeature(id, 0, 0, 0L, 0L, decoded = false)
+          }
+        }
+      }
+  }
+
+  /** Deterministic synthetic PNG for fixtures/benchmarks: 64×64, an
+    * 8×8 block pattern seeded by `group` (splitmix-style), with blocks
+    * [0, invertBlocks) luminance-inverted — so two variants of one
+    * group sit at aHash hamming ≈ |invert difference| while distinct
+    * groups are ~32 bits apart. Block levels 220/30 keep every block
+    * far from the global mean, so small inversions cannot flip
+    * unrelated bits. */
+  private[graft] def syntheticPng(group: Long, invertBlocks: Int): Array[Byte] = {
+    var s = group * 0x9e3779b97f4a7c15L + 0x632be59bd9b4e019L
+    def next(): Long = {
+      s += 0x9e3779b97f4a7c15L
+      var z = s
+      z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L
+      z = (z ^ (z >>> 27)) * 0x94d049bb133111ebL
+      z ^ (z >>> 31)
+    }
+    val pattern = next()
+    val img = new java.awt.image.BufferedImage(64, 64,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    var y = 0
+    while (y < 64) {
+      var x = 0
+      while (x < 64) {
+        val bi = (y / 8) * 8 + (x / 8)
+        val bitHigh = ((pattern >>> bi) & 1L) == 1L
+        val inverted = bi < invertBlocks
+        val high = bitHigh ^ inverted
+        val v = if (high) 220 else 30
+        img.setRGB(x, y, (v << 16) | (v << 8) | v)
+        x += 1
+      }
+      y += 1
+    }
+    val out = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", out)
+    out.toByteArray
   }
 }
