@@ -43,6 +43,28 @@ class ReferenceHeaderVectorsSpec extends AnyFunSuite {
       new PdfDocument("NotAPDF at all, truly".getBytes("ISO-8859-1")))
   }
 
+  test("circular references resolve to Null, never hang (document.rs:3018-3030 behavioralized)") {
+    // 1 0 obj -> 2 0 R, 2 0 obj -> 1 0 R; catalog/pages valid
+    val b = new graft.pdf.testgen.PdfBuilder()
+    val catId = b.reserveId()  // 1? reserveId order: cat=1, pages=2
+    val pagesId = b.reserveId()
+    val c1 = b.addObject("4 0 R") // id 3 -> points at id 4
+    val c2 = b.addObject("3 0 R") // id 4 -> points back at id 3
+    val cId = b.addStream("", "BT /F1 12 Tf 72 700 Td (ok) Tj ET".getBytes("ISO-8859-1"), flate = false)
+    val f = b.addObject("<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica >>")
+    val pageId = b.addObject(s"<< /Type /Page /Parent $pagesId 0 R /MediaBox [0 0 612 792] " +
+      s"/Resources << /Font << /F1 $f 0 R >> /Circular $c1 0 R >> /Contents $cId 0 R >>")
+    b.addObjectAt(pagesId, s"<< /Type /Pages /Kids [$pageId 0 R] /Count 1 >>")
+    b.addObjectAt(catId, s"<< /Type /Catalog /Pages $pagesId 0 R >>")
+    val doc = new PdfDocument(b.build(catId))
+    assert(doc.resolve(graft.pdf.cos.PdfObj.Ref(c1, 0)) == graft.pdf.cos.PdfObj.Null)
+    assert(doc.resolve(graft.pdf.cos.PdfObj.Ref(c2, 0)) == graft.pdf.cos.PdfObj.Null)
+    // extraction still succeeds despite the circular resource entry
+    val text = graft.pdf.PdfExtractor.extract(b.build(catId),
+      graft.pdf.ConversionOptions()).text
+    assert(text.contains("ok"))
+  }
+
   test("leading garbage before the magic is recovered (documented superset)") {
     val b = graft.pdf.testgen.PdfBuilder.singlePage(
       Seq(graft.pdf.testgen.PdfBuilder.Line(72, 700, 12, "F1", "hello")))
