@@ -181,6 +181,29 @@ class ImagesSpec extends AnyFunSuite {
     assert(img.colorSpace == "DeviceRGB")
   }
 
+  test("opt-in JPEG transcode: real JPEG decodes to a PNG with the right pixels") {
+    // build a real JPEG via ImageIO (solid mid-gray survives DCT
+    // quantization exactly enough for a tolerance check)
+    val src = new java.awt.image.BufferedImage(16, 16,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    for (y <- 0 until 16; x <- 0 until 16) src.setRGB(x, y, 0x808080)
+    val jout = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(src, "jpg", jout)
+    val img = graft.pdf.extract.PdfImage("Im1", 16, 16, 8, "DeviceRGB",
+      isJpeg = true, jout.toByteArray, None, "")
+    assert(Images.toPng(img).isEmpty, "default path stays pass-through")
+    val png = Images.transcodeJpegToPng(img)
+    assert(png.isDefined)
+    val (px, w, h, ch) = Images.decodePngForTest(png.get)
+    assert(w == 16 && h == 16 && ch == 3)
+    // JPEG is lossy: all pixels within a small delta of 0x80
+    assert(px.forall(b => math.abs((b & 0xff) - 0x80) <= 4), "pixels near mid-gray")
+    // non-JPEG input refuses
+    assert(Images.transcodeJpegToPng(img.copy(isJpeg = false)).isEmpty)
+    // garbage JPEG degrades to None, no throw
+    assert(Images.transcodeJpegToPng(img.copy(data = "junk".getBytes)).isEmpty)
+  }
+
   test("DCTDecode is JPEG pass-through: toJpeg yields bytes, toPng None") {
     val fakeJpeg = Array[Byte](0xff.toByte, 0xd8.toByte, 0xff.toByte, 0xe0.toByte) ++
       new Array[Byte](16)
