@@ -37,6 +37,20 @@ class WhitespaceSpec extends AnyFunSuite {
     assert(Whitespace.cleanMarkdown("123") == "")
   }
 
+  test("full-pipeline vector (reference whitespace.rs:426-441)") {
+    val out = Whitespace.cleanMarkdown(
+      "Content\n\n\n\n\n\nPage 1\n\n\n\n\n\nMore content\n\n-----------\n\n\n\n\nEnd")
+    assert(!out.contains("Page 1") && !out.contains("-----------"))
+    assert(!out.contains("\n\n\n\n"), s"newline runs must cap at 3: ${out.replace("\n", "\\n")}")
+    assert(out.contains("Content") && out.contains("More content") && out.contains("End"))
+  }
+
+  test("empty + already-clean inputs are fixed points (whitespace.rs:443-455)") {
+    assert(Whitespace.cleanMarkdown("") == "")
+    val in = "Line 1\n\nLine 2\n\nLine 3"
+    assert(Whitespace.cleanMarkdown(in) == in)
+  }
+
   test("quirk preserved: legitimate bare 1-3 digit line removed (SURVEY 7.4.9)") {
     assert(Whitespace.cleanMarkdown("The answer is\n42\nindeed") == "The answer is\n\nindeed")
   }
