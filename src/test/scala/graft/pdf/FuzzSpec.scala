@@ -63,6 +63,28 @@ class FuzzSpec extends AnyFunSuite {
     }
   }
 
+  test("font-fixture fuzz: mutated CMap/Type0 machinery never escapes") {
+    // the round-4 decode surfaces (embedded ToUnicode streams,
+    // /Differences, Type0 2-byte, surrogate bfranges) get their own
+    // mutation ladder: flips land anywhere incl. inside the
+    // flate-compressed CMap streams
+    val rnd = new java.util.Random(4242)
+    var oks = 0
+    (0 until 200).foreach { i =>
+      val bytes = PagesGen.fontPdf((i % 12).toLong)
+      val mutated = bytes.clone()
+      (0 until 1 + rnd.nextInt(8)).foreach { _ =>
+        mutated(rnd.nextInt(mutated.length)) = rnd.nextInt(256).toByte
+      }
+      if (runOne(s"https://fontfuzz/$i", mutated) == "ok") oks += 1
+    }
+    assert(oks > 120, s"only $oks/200 mutated font docs extracted ok")
+    // truncations through the CMap stream region
+    val base = PagesGen.fontPdf(0L)
+    Seq(base.length / 8, base.length / 3, base.length / 2, base.length - 5)
+      .foreach(n => runOne(s"https://fonttrunc/$n", java.util.Arrays.copyOf(base, n)))
+  }
+
   test("pathological inputs: all zeros, all 0xFF, random noise with %PDF header") {
     runOne("https://zero", new Array[Byte](10000))
     runOne("https://ff", Array.fill[Byte](10000)(0xff.toByte))
