@@ -197,6 +197,23 @@ object ExtractJob {
       // ownership rows and readOutput double-counted those urls.
       acquireCommitLock(fs, checkpointDir, attempt, cfg.lockTtlMs, cfg.lockWaitMs)
       var crashed = false
+      // heartbeat daemon: the TTL is measured from the lock's mtime,
+      // so a LIVE committer refreshes it every ttl/4 — without this, a
+      // single commit step slower than lockTtlMs (a big checkpoint
+      // append on a real cluster) would get its lock broken mid-commit
+      // by a waiter and url ownership would double. The thread dies
+      // with the process on a real crash (daemon) and is interrupted
+      // on every in-process exit path, so a simulated crash leaves a
+      // lock that goes stale exactly like a real one.
+      val heartbeat = new Thread(() =>
+        try {
+          while (!Thread.currentThread().isInterrupted) {
+            Thread.sleep(math.max(1000L, cfg.lockTtlMs / 4))
+            heartbeatCommitLock(fs, checkpointDir)
+          }
+        } catch { case _: InterruptedException => () })
+      heartbeat.setDaemon(true)
+      heartbeat.start()
       try {
         val committed: Dataset[ExtractedDoc] =
           if (!pathExists(spark, checkpointDir)) extracted
@@ -242,6 +259,7 @@ object ExtractJob {
           error = statuses.getOrElse("error", 0L),
           skipped = statuses.getOrElse("skipped_oversize", 0L))
       } finally {
+        heartbeat.interrupt()
         // a simulated CRASH means process death: the lock file stays
         // behind (exactly what the TTL-breaking path is for); every
         // other exit — success or a surviving failure — releases it
@@ -277,7 +295,18 @@ object ExtractJob {
             val st = fs.getFileStatus(lock)
             System.currentTimeMillis() - st.getModificationTime > ttlMs
           } catch { case _: java.io.FileNotFoundException => false } // freed: retry now
-          if (stale) fs.delete(lock, false)
+          if (stale) {
+            // re-check right before deleting: a fresh lock may have
+            // replaced the stale one since the check above (the
+            // remaining check-to-delete window is microseconds; a
+            // victim would also need a >ttl commit gap to be hurt,
+            // which the committer-side heartbeat prevents)
+            val stillStale = try {
+              val st2 = fs.getFileStatus(lock)
+              System.currentTimeMillis() - st2.getModificationTime > ttlMs
+            } catch { case _: java.io.FileNotFoundException => false }
+            if (stillStale) fs.delete(lock, false)
+          }
           else if (System.currentTimeMillis() > deadline)
             throw new java.io.IOException(
               s"commit lock $lock not acquired within ${maxWaitMs} ms")
@@ -289,6 +318,15 @@ object ExtractJob {
   private[spark] def releaseCommitLock(fs: org.apache.hadoop.fs.FileSystem,
                                        checkpointDir: String): Unit =
     fs.delete(commitLockPath(checkpointDir), false)
+
+  /** Refresh the lock's mtime so the TTL clock restarts; best-effort
+    * (a filesystem that refuses setTimes degrades to the plain TTL). */
+  private def heartbeatCommitLock(fs: org.apache.hadoop.fs.FileSystem,
+                                  checkpointDir: String): Unit =
+    try {
+      val now = System.currentTimeMillis()
+      fs.setTimes(commitLockPath(checkpointDir), now, now)
+    } catch { case _: Throwable => () }
 
   /** Committed output: plain parquet read of outDir (run=attempt /
     * bucket=n partition dirs). Staging lives outside outDir, and each
