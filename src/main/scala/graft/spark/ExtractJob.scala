@@ -321,7 +321,7 @@ object ExtractJob {
 
   /** Refresh the lock's mtime so the TTL clock restarts; best-effort
     * (a filesystem that refuses setTimes degrades to the plain TTL). */
-  private def heartbeatCommitLock(fs: org.apache.hadoop.fs.FileSystem,
+  private[spark] def heartbeatCommitLock(fs: org.apache.hadoop.fs.FileSystem,
                                   checkpointDir: String): Unit =
     try {
       val now = System.currentTimeMillis()

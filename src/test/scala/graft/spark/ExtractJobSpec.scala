@@ -312,6 +312,24 @@ class ExtractJobSpec extends AnyFunSuite with BeforeAndAfterAll {
     pages.unpersist()
   }
 
+  test("commit-lock heartbeat refreshes the lock mtime (TTL clock restarts)") {
+    val dir = Files.createTempDirectory("graft-lock-hb").toString
+    val ckptDir = s"$dir/checkpoint"
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    ExtractJob.acquireCommitLock(fs, ckptDir, "att-1", ttlMs = 60000, maxWaitMs = 1000)
+    val lock = new org.apache.hadoop.fs.Path(s"$ckptDir.commitlock")
+    val old = System.currentTimeMillis() - 120000
+    fs.setTimes(lock, old, old)
+    assert(math.abs(fs.getFileStatus(lock).getModificationTime - old) < 5000)
+    ExtractJob.heartbeatCommitLock(fs, ckptDir)
+    val refreshed = fs.getFileStatus(lock).getModificationTime
+    assert(System.currentTimeMillis() - refreshed < 10000,
+      s"heartbeat must refresh mtime, got age ${System.currentTimeMillis() - refreshed}")
+    ExtractJob.releaseCommitLock(fs, ckptDir)
+    assert(!fs.exists(lock))
+  }
+
   test("concurrent attempts, same runId: committed ownership is exactly-once") {
     val dir = Files.createTempDirectory("graft-ckpt-race").toString
     val outDir = s"$dir/extracted"
