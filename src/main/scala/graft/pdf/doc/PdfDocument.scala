@@ -110,10 +110,15 @@ final class PdfDocument(val data: Array[Byte],
     // scan the first 1 KB for the magic — a documented SUPERSET of the
     // reference, which requires %PDF- at byte 0 (document.rs:2775-2786);
     // crawled files often carry leading garbage and the text behind it
-    // is recoverable. Version validation below matches the reference
-    // exactly (document.rs:2790-2818): M.m single digits, reject
-    // major > 2 and 0.0.
+    // is recoverable. Version validation matches the reference exactly
+    // (document.rs:2790-2818): M.m single digits, reject major > 2 and
+    // 0.0. A candidate that FAILS validation does not reject the whole
+    // document — leading garbage can contain a bogus "%PDF-" string
+    // ahead of the real header, so the scan continues and only throws
+    // (with the first candidate's failure, for single-header parity)
+    // when no valid header exists in the window.
     val limit = math.min(data.length, 1024)
+    var firstFailure: PdfLoadException = null
     var i = 0
     while (i + 7 < limit) {
       if (data(i) == '%' && data(i + 1) == 'P' && data(i + 2) == 'D' &&
@@ -121,14 +126,17 @@ final class PdfDocument(val data: Array[Byte],
         val major = data(i + 5).toChar
         val dot = data(i + 6).toChar
         val minor = data(i + 7).toChar
-        if (!major.isDigit || dot != '.' || !minor.isDigit)
-          throw new PdfLoadException(s"invalid version format after %PDF-")
-        if (major > '2' || (major == '0' && minor == '0'))
-          throw new PdfLoadException(s"unsupported version $major.$minor")
-        return s"$major.$minor"
+        if (!major.isDigit || dot != '.' || !minor.isDigit) {
+          if (firstFailure == null)
+            firstFailure = new PdfLoadException("invalid version format after %PDF-")
+        } else if (major > '2' || (major == '0' && minor == '0')) {
+          if (firstFailure == null)
+            firstFailure = new PdfLoadException(s"unsupported version $major.$minor")
+        } else return s"$major.$minor"
       }
       i += 1
     }
+    if (firstFailure != null) throw firstFailure
     throw new PdfLoadException("no %PDF header")
   }
 

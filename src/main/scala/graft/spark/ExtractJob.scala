@@ -166,7 +166,7 @@ object ExtractJob {
                                        runId: String, cfg: Config, nBuckets: Int,
                                        fail: FailPoints): RunReport = {
     import spark.implicits._
-    heal(spark, outDir, checkpointDir)
+    heal(spark, outDir, checkpointDir, cfg)
     val doneUrls: DataFrame =
       if (pathExists(spark, checkpointDir))
         spark.read.parquet(checkpointDir).select("url").distinct()
@@ -209,12 +209,22 @@ object ExtractJob {
         try {
           while (!Thread.currentThread().isInterrupted) {
             Thread.sleep(math.max(1000L, cfg.lockTtlMs / 4))
-            heartbeatCommitLock(fs, checkpointDir)
+            heartbeatCommitLock(fs, checkpointDir, attempt)
           }
         } catch { case _: InterruptedException => () })
       heartbeat.setDaemon(true)
       heartbeat.start()
       try {
+        // a concurrent healer may have GC'd our not-yet-recorded
+        // staging while we waited for the lock (its GC is TTL-gated,
+        // but a stage→lock gap longer than the TTL is possible under
+        // contention); re-stage under the lock if so — `extracted` is
+        // persisted, so this is a rewrite, not a re-extraction
+        if (!fs.exists(new org.apache.hadoop.fs.Path(staged)))
+          extracted
+            .withColumn("bucket", pmod(xxhash64($"url"), lit(nBuckets)))
+            .drop("n_bytes", "partition_id")
+            .write.mode("overwrite").partitionBy("bucket").parquet(staged)
         val committed: Dataset[ExtractedDoc] =
           if (!pathExists(spark, checkpointDir)) extracted
           else {
@@ -240,7 +250,11 @@ object ExtractJob {
           // everything was stolen: nothing to commit, GC our staging
           fs.delete(new org.apache.hadoop.fs.Path(staged), true)
         } else {
-          // 2. record lineage + the attempt that owns each url
+          // 2. record lineage + the attempt that owns each url — but
+          // first confirm the lock still carries OUR attempt id: if a
+          // waiter TTL-broke it (heartbeat starved or setTimes-degraded
+          // FS), appending now would double url ownership
+          verifyCommitLock(fs, checkpointDir, attempt)
           val now = new Timestamp(System.currentTimeMillis())
           committed.select($"url", $"status", $"duration_ms", $"n_bytes", $"partition_id")
             .withColumn("run_id", lit(runId))
@@ -286,8 +300,17 @@ object ExtractJob {
       try {
         fs.mkdirs(lock.getParent)
         val out = fs.create(lock, false) // atomic: fails if present
-        out.write(attempt.getBytes("UTF-8"))
-        out.close()
+        // the create CLAIMED the slot; if the payload write/close then
+        // fails, release our own claim before retrying — otherwise the
+        // loop below would treat our fresh empty lock as a foreign one
+        // and spin until the deadline while blocking every other run
+        try { out.write(attempt.getBytes("UTF-8")); out.close() }
+        catch {
+          case e: java.io.IOException =>
+            try fs.delete(lock, false)
+            catch { case _: java.io.IOException => () }
+            throw e
+        }
         acquired = true
       } catch {
         case _: java.io.IOException =>
@@ -319,14 +342,59 @@ object ExtractJob {
                                        checkpointDir: String): Unit =
     fs.delete(commitLockPath(checkpointDir), false)
 
-  /** Refresh the lock's mtime so the TTL clock restarts; best-effort
-    * (a filesystem that refuses setTimes degrades to the plain TTL). */
+  /** Refresh the lock's TTL clock. Primary path: bump mtime via
+    * setTimes. On filesystems that refuse setTimes, silently degrading
+    * to the plain TTL would let a waiter break a LIVE committer's lock
+    * (the exact double-commit this lock prevents), so the fallback
+    * REWRITES the lock file in place — create(overwrite) resets mtime
+    * everywhere — but only after confirming the file still carries OUR
+    * attempt id, so a lock a waiter already broke and re-claimed is
+    * never clobbered. */
   private[spark] def heartbeatCommitLock(fs: org.apache.hadoop.fs.FileSystem,
-                                  checkpointDir: String): Unit =
+                                  checkpointDir: String,
+                                  attempt: String = null): Unit = {
+    val lock = commitLockPath(checkpointDir)
+    val now = System.currentTimeMillis()
+    try { fs.setTimes(lock, now, now) }
+    catch {
+      case _: Throwable =>
+        try {
+          if (attempt != null && readLockOwner(fs, checkpointDir).contains(attempt)) {
+            val out = fs.create(lock, true)
+            out.write(attempt.getBytes("UTF-8"))
+            out.close()
+          }
+        } catch { case _: Throwable => () }
+    }
+  }
+
+  /** Current lock-file payload (the owning attempt id), if readable. */
+  private[spark] def readLockOwner(fs: org.apache.hadoop.fs.FileSystem,
+                                   checkpointDir: String): Option[String] =
     try {
-      val now = System.currentTimeMillis()
-      fs.setTimes(commitLockPath(checkpointDir), now, now)
-    } catch { case _: Throwable => () }
+      val in = fs.open(commitLockPath(checkpointDir))
+      try {
+        val buf = new java.io.ByteArrayOutputStream()
+        val chunk = new Array[Byte](256)
+        var n = in.read(chunk)
+        while (n > 0) { buf.write(chunk, 0, n); n = in.read(chunk) }
+        Some(new String(buf.toByteArray, "UTF-8"))
+      } finally in.close()
+    } catch { case _: java.io.IOException => None }
+
+  /** Last-line-of-defense ownership check before the irreversible
+    * commit steps: if the lock no longer carries our attempt id (a
+    * waiter TTL-broke it — heartbeat starvation, setTimes degradation),
+    * abort THIS run rather than append overlapping ownership rows. */
+  private[spark] def verifyCommitLock(fs: org.apache.hadoop.fs.FileSystem,
+                                      checkpointDir: String,
+                                      attempt: String): Unit = {
+    val owner = readLockOwner(fs, checkpointDir)
+    if (!owner.contains(attempt))
+      throw new java.io.IOException(
+        s"commit lock lost before checkpoint append: expected owner $attempt, " +
+        s"found ${owner.getOrElse("<missing>")} — aborting commit to avoid double ownership")
+  }
 
   /** Committed output: plain parquet read of outDir (run=attempt /
     * bucket=n partition dirs). Staging lives outside outDir, and each
@@ -359,34 +427,55 @@ object ExtractJob {
     *  - GC staged attempts the checkpoint never recorded — including
     *    stray non-attempt files dropped into staging (their urls are
     *    still pending, so they will be re-extracted; the stale files
-    *    were never readable). */
+    *    were never readable).
+    *
+    * Runs ENTIRELY under the commit lock: a lock-free heal racing a
+    * live committer could observe src before its rename and dst after
+    * it (or a mid-copy dst on object stores), then delete the freshly
+    * published output while the checkpoint already owns those urls —
+    * silent permanent loss — or steal the rename and fail the
+    * committer's publish after a successful commit. Under the lock,
+    * src+dst coexisting really does mean debris (commits are
+    * serialized), and src existence is re-checked after acquisition.
+    * The GC of UNRECORDED staging is additionally TTL-gated: a live
+    * concurrent attempt stages outside the lock, so a fresh unrecorded
+    * dir may belong to a committer still working — only dirs idle
+    * longer than the lock TTL are orphans. */
   private[spark] def heal(spark: SparkSession, outDir: String,
-                          checkpointDir: String): Unit = {
+                          checkpointDir: String,
+                          cfg: Config = Config()): Unit = {
     val conf = spark.sparkContext.hadoopConfiguration
     val root = new org.apache.hadoop.fs.Path(stagingRoot(outDir))
     val fs = root.getFileSystem(conf)
-    val recorded: Set[String] =
-      if (pathExists(spark, checkpointDir))
-        spark.read.parquet(checkpointDir).select("attempt").distinct()
-          .collect().map(_.getString(0)).toSet
-      else Set.empty
-    for (att <- recorded) {
-      val dst = new org.apache.hadoop.fs.Path(s"$outDir/run=$att")
-      val src = new org.apache.hadoop.fs.Path(s"${stagingRoot(outDir)}/$att")
-      if (fs.exists(src)) {
-        if (fs.exists(dst)) fs.delete(dst, true) // partial rename debris
-        try publish(spark, src.toString, outDir, att)
-        catch {
-          case e: java.io.IOException =>
-            if (!fs.exists(dst)) throw e // a concurrent healer won: fine
+    val healId = "heal-" + java.util.UUID.randomUUID().toString.take(8)
+    acquireCommitLock(fs, checkpointDir, healId, cfg.lockTtlMs, cfg.lockWaitMs)
+    try {
+      val recorded: Set[String] =
+        if (pathExists(spark, checkpointDir))
+          spark.read.parquet(checkpointDir).select("attempt").distinct()
+            .collect().map(_.getString(0)).toSet
+        else Set.empty
+      for (att <- recorded) {
+        val dst = new org.apache.hadoop.fs.Path(s"$outDir/run=$att")
+        val src = new org.apache.hadoop.fs.Path(s"${stagingRoot(outDir)}/$att")
+        if (fs.exists(src)) { // re-checked under the lock
+          if (fs.exists(dst)) fs.delete(dst, true) // partial rename debris
+          try publish(spark, src.toString, outDir, att)
+          catch {
+            case e: java.io.IOException =>
+              if (!fs.exists(dst)) throw e // a concurrent healer won: fine
+          }
         }
       }
-    }
-    if (fs.exists(root))
-      fs.listStatus(root).foreach { st =>
-        if (!recorded.contains(st.getPath.getName))
-          fs.delete(st.getPath, true)
+      if (fs.exists(root)) {
+        val now = System.currentTimeMillis()
+        fs.listStatus(root).foreach { st =>
+          if (!recorded.contains(st.getPath.getName) &&
+              now - st.getModificationTime > cfg.lockTtlMs)
+            fs.delete(st.getPath, true)
+        }
       }
+    } finally releaseCommitLock(fs, checkpointDir)
   }
 
   /** Per-partition metrics rollup (SURVEY §2.5 aggregations). */

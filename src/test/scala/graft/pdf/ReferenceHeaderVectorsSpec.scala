@@ -74,4 +74,26 @@ class ReferenceHeaderVectorsSpec extends AnyFunSuite {
     val doc = new PdfDocument(combined)
     assert(doc.version == "1.4")
   }
+
+  test("bogus %PDF- candidate inside leading garbage does not reject the real header") {
+    val b = graft.pdf.testgen.PdfBuilder.singlePage(
+      Seq(graft.pdf.testgen.PdfBuilder.Line(72, 700, 12, "F1", "hello")))
+    // three garbage flavors ahead of the real header: malformed
+    // version, unsupported version, and a dangling magic
+    for (junk <- Seq("blah %PDF-junk blah\n", "x %PDF-9.9 y\n", "%PDF-\n%%zz\n")) {
+      val doc = new PdfDocument(junk.getBytes("ISO-8859-1") ++ b)
+      assert(doc.version == "1.4", s"junk prefix rejected the document: '$junk'")
+      assert(graft.pdf.PdfExtractor.extract(junk.getBytes("ISO-8859-1") ++ b,
+        graft.pdf.ConversionOptions()).text.contains("hello"))
+    }
+  }
+
+  test("single bogus candidate still throws the first candidate's failure (parity)") {
+    // only candidate malformed → invalid-format error, not "no header"
+    val e1 = intercept[PdfLoadException](version("%PDF-X.Y"))
+    assert(e1.getMessage.contains("invalid version"))
+    // only candidate well-formed but unsupported → unsupported error
+    val e2 = intercept[PdfLoadException](version("%PDF-3.0"))
+    assert(e2.getMessage.contains("unsupported"))
+  }
 }

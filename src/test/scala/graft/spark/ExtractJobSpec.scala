@@ -230,8 +230,11 @@ class ExtractJobSpec extends AnyFunSuite with BeforeAndAfterAll {
       spark.read.parquet(outDir).count() == 0)
 
     // run 2 GCs the orphan staging and re-extracts everything, once
+    // (ttl 0 = restart-after-crash: the orphan is instantly past the
+    // heal GC's TTL gate; at the default TTL a fresh unrecorded dir is
+    // presumed to belong to a live concurrent committer and kept)
     val r2 = ExtractJob.runWithCheckpoint(spark, pages, outDir, ckptDir, "run-2",
-      ExtractJob.Config(salt = false))
+      ExtractJob.Config(salt = false, lockTtlMs = 0))
     assert(r2.attempted == 20, r2.toString)
     val out = ExtractJob.readOutput(spark, outDir)
     assert(out.count() == 20 && out.select("url").distinct().count() == 20)
@@ -305,7 +308,7 @@ class ExtractJobSpec extends AnyFunSuite with BeforeAndAfterAll {
     java.nio.file.Files.writeString(new java.io.File(staging, "orphan.tmp").toPath, "junk")
     assert(new java.io.File(staging, "_temporary-junk").mkdirs())
     val r1 = ExtractJob.runWithCheckpoint(spark, pages, outDir, ckptDir, "run-1",
-      ExtractJob.Config(salt = false))
+      ExtractJob.Config(salt = false, lockTtlMs = 0))
     assert(r1.attempted == 10)
     val left = staging.listFiles()
     assert(left == null || left.isEmpty, s"strays survived: ${left.mkString(",")}")
@@ -328,6 +331,108 @@ class ExtractJobSpec extends AnyFunSuite with BeforeAndAfterAll {
       s"heartbeat must refresh mtime, got age ${System.currentTimeMillis() - refreshed}")
     ExtractJob.releaseCommitLock(fs, ckptDir)
     assert(!fs.exists(lock))
+  }
+
+  test("heal waits on a live committer's lock instead of racing it (bounded, fails loudly)") {
+    val dir = Files.createTempDirectory("graft-heal-lock").toString
+    val outDir = s"$dir/extracted"
+    val ckptDir = s"$dir/checkpoint"
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // a LIVE committer holds the lock (fresh mtime, long ttl)
+    ExtractJob.acquireCommitLock(fs, ckptDir, "live-committer", ttlMs = 60000, maxWaitMs = 1000)
+    // heal must NOT proceed to inspect/delete dst while the lock is
+    // held — with a short bounded wait it errors instead of racing
+    val e = intercept[java.io.IOException] {
+      ExtractJob.heal(spark, outDir, ckptDir,
+        ExtractJob.Config(lockTtlMs = 60000, lockWaitMs = 300))
+    }
+    assert(e.getMessage.contains("not acquired"), e.getMessage)
+    ExtractJob.releaseCommitLock(fs, ckptDir)
+    // lock free → heal proceeds (no-op here) and releases its own lock
+    ExtractJob.heal(spark, outDir, ckptDir,
+      ExtractJob.Config(lockTtlMs = 60000, lockWaitMs = 1000))
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(s"$ckptDir.commitlock")))
+  }
+
+  test("heartbeat on a setTimes-refusing FS rewrites the lock in place (TTL still restarts)") {
+    val dir = Files.createTempDirectory("graft-lock-hb2").toString
+    val ckptDir = s"$dir/checkpoint"
+    val raw = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val noSetTimes = new org.apache.hadoop.fs.FilterFileSystem(raw) {
+      override def setTimes(p: org.apache.hadoop.fs.Path, m: Long, a: Long): Unit =
+        throw new java.io.IOException("setTimes unsupported")
+    }
+    ExtractJob.acquireCommitLock(noSetTimes, ckptDir, "att-hb", ttlMs = 60000, maxWaitMs = 1000)
+    val lock = new org.apache.hadoop.fs.Path(s"$ckptDir.commitlock")
+    val old = System.currentTimeMillis() - 120000
+    raw.setTimes(lock, old, old)
+    // fallback path: setTimes throws → rewrite-in-place refreshes mtime
+    ExtractJob.heartbeatCommitLock(noSetTimes, ckptDir, "att-hb")
+    val refreshed = raw.getFileStatus(lock).getModificationTime
+    assert(System.currentTimeMillis() - refreshed < 10000,
+      s"fallback heartbeat must refresh mtime, got age ${System.currentTimeMillis() - refreshed}")
+    assert(ExtractJob.readLockOwner(raw, ckptDir).contains("att-hb"))
+    // ownership guard: a lock someone else re-claimed is NOT clobbered
+    raw.delete(lock, false)
+    ExtractJob.acquireCommitLock(raw, ckptDir, "other-owner", ttlMs = 60000, maxWaitMs = 1000)
+    raw.setTimes(lock, old, old)
+    ExtractJob.heartbeatCommitLock(noSetTimes, ckptDir, "att-hb")
+    assert(ExtractJob.readLockOwner(raw, ckptDir).contains("other-owner"),
+      "foreign lock must never be clobbered by a stale heartbeat")
+    assert(math.abs(raw.getFileStatus(lock).getModificationTime - old) < 5000,
+      "foreign lock mtime must stay untouched")
+    ExtractJob.releaseCommitLock(raw, ckptDir)
+  }
+
+  test("acquire: write failure after create releases the claim instead of spinning on own lock") {
+    val dir = Files.createTempDirectory("graft-lock-wf").toString
+    val ckptDir = s"$dir/checkpoint"
+    val raw = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val failures = new java.util.concurrent.atomic.AtomicInteger(2)
+    val flaky = new org.apache.hadoop.fs.FilterFileSystem(raw) {
+      override def create(p: org.apache.hadoop.fs.Path, overwrite: Boolean)
+          : org.apache.hadoop.fs.FSDataOutputStream = {
+        val out = super.create(p, overwrite)
+        if (failures.getAndDecrement() > 0)
+          new org.apache.hadoop.fs.FSDataOutputStream(
+            new java.io.OutputStream {
+              override def write(b: Int): Unit = throw new java.io.IOException("disk full")
+              override def write(b: Array[Byte], o: Int, l: Int): Unit =
+                throw new java.io.IOException("disk full")
+            }, null) { override def close(): Unit = out.close() }
+        else out
+      }
+    }
+    val t0 = System.currentTimeMillis()
+    // first two writes fail AFTER the create claimed the slot; the fix
+    // deletes the own claim and the third try wins — well inside the
+    // wait bound (the old code spun on its own empty lock to deadline)
+    ExtractJob.acquireCommitLock(flaky, ckptDir, "att-wf", ttlMs = 60000, maxWaitMs = 5000)
+    assert(System.currentTimeMillis() - t0 < 4000, "should not spin to the deadline")
+    assert(ExtractJob.readLockOwner(raw, ckptDir).contains("att-wf"))
+    ExtractJob.releaseCommitLock(raw, ckptDir)
+  }
+
+  test("verifyCommitLock aborts when the lock was TTL-broken by another attempt") {
+    val dir = Files.createTempDirectory("graft-lock-vf").toString
+    val ckptDir = s"$dir/checkpoint"
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    ExtractJob.acquireCommitLock(fs, ckptDir, "att-a", ttlMs = 60000, maxWaitMs = 1000)
+    ExtractJob.verifyCommitLock(fs, ckptDir, "att-a") // own lock: fine
+    // simulate a waiter TTL-breaking and re-claiming the lock
+    ExtractJob.releaseCommitLock(fs, ckptDir)
+    ExtractJob.acquireCommitLock(fs, ckptDir, "att-b", ttlMs = 60000, maxWaitMs = 1000)
+    val e = intercept[java.io.IOException](
+      ExtractJob.verifyCommitLock(fs, ckptDir, "att-a"))
+    assert(e.getMessage.contains("att-a") && e.getMessage.contains("att-b"), e.getMessage)
+    ExtractJob.releaseCommitLock(fs, ckptDir)
+    val e2 = intercept[java.io.IOException](
+      ExtractJob.verifyCommitLock(fs, ckptDir, "att-a"))
+    assert(e2.getMessage.contains("<missing>"), e2.getMessage)
   }
 
   test("concurrent attempts, same runId: committed ownership is exactly-once") {
@@ -363,6 +468,41 @@ class ExtractJobSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(multiOwned == 0, "each url checkpoint-owned by exactly one attempt")
     assert(!new java.io.File(s"$ckptDir.commitlock").exists())
     pages.unpersist()
+  }
+
+  test("fixture kinds through the JOB path decode identically to the kernel path") {
+    val s = spark
+    import s.implicits._
+    import org.apache.spark.sql.functions.col
+    // the same payload bytes the kernel-level pins decode, pushed
+    // through ExtractJob.extract (pruning, sniff, dispatch, status)
+    val pages = PagesGen.generateFixtures(spark, nPerKind = 6, parallelism = 2).toDF()
+    val job = ExtractJob.extract(pages, ExtractJob.Config(salt = false))
+      .select("url", "status", "text").collect()
+      .map(r => r.getString(0) -> (r.getString(1), r.getString(2))).toMap
+    assert(job.size == 36)
+    assert(job.values.forall(_._1 == "ok"), job.filter(_._2._1 != "ok").keys.mkString(","))
+    // kernel-path equality per fixture kind (same generators, same ids)
+    for (id <- 0L until 6L) {
+      val fonts = graft.pdf.PdfExtractor.extract(PagesGen.fontPdf(id),
+        graft.pdf.ConversionOptions()).text
+      assert(job(s"https://fixtures.example/font$id.pdf")._2 == fonts,
+        s"font$id: job path diverged from kernel path")
+      val forms = graft.pdf.PdfExtractor.extract(PagesGen.formPdf(id),
+        graft.pdf.ConversionOptions()).text
+      assert(job(s"https://fixtures.example/form$id.pdf")._2 == forms)
+      val outl = graft.pdf.PdfExtractor.extract(PagesGen.outlinePdf(id),
+        graft.pdf.ConversionOptions()).text
+      assert(job(s"https://fixtures.example/outline$id.pdf")._2 == outl)
+      val links = graft.pdf.PdfExtractor.extract(PagesGen.linkPdf(id),
+        graft.pdf.ConversionOptions()).text
+      assert(job(s"https://fixtures.example/link$id.pdf")._2 == links)
+      val imgs = graft.pdf.PdfExtractor.extract(PagesGen.imagePdf(id),
+        graft.pdf.ConversionOptions()).text
+      assert(job(s"https://fixtures.example/image$id.pdf")._2 == imgs)
+      val (st, _, _) = graft.html.BoilerplateStripper.extractAll(PagesGen.structuredHtml(id))
+      assert(job(s"https://fixtures.example/structured$id.html")._2 == st)
+    }
   }
 
   test("malformed payloads become error rows with messages, never failures") {
