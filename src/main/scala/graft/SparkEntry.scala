@@ -231,6 +231,44 @@ object SparkEntry {
         }
       }.toDF("doc_id", "md_len", "md_hash")
     }),
+    "extract_forms" -> ((s, _) => {
+      // AcroForm field extraction (round-5): nested /Kids with dotted
+      // names, inherited /FT, UTF-16BE + Name + integer values, and
+      // widget kids keeping the parent's name — every surface
+      // DocExtras.formFields implements, frozen as a VALUES pin
+      import s.implicits._
+      s.range(0, 60, 1, 4).flatMap { id =>
+        val doc = new graft.pdf.doc.PdfDocument(PagesGen.formPdf(id))
+        graft.pdf.doc.DocExtras.formFields(doc).map { ff =>
+          (id, ff.name, ff.fieldType, ff.value)
+        }
+      }.toDF("doc_id", "field_name", "field_type", "value")
+    }),
+    "extract_outline" -> ((s, _) => {
+      // bookmark-tree extraction (round-5): nested items, pre-order +
+      // levels, explicit /Dest arrays, GoTo actions, named (string)
+      // dests, a UTF-16BE title — the DocExtras.outline surfaces
+      import s.implicits._
+      s.range(0, 60, 1, 4).flatMap { id =>
+        val doc = new graft.pdf.doc.PdfDocument(PagesGen.outlinePdf(id))
+        graft.pdf.doc.DocExtras.outline(doc).zipWithIndex.map { case (o, k) =>
+          (id, k, o.title, o.level, o.dest)
+        }
+      }.toDF("doc_id", "ord", "title", "level", "dest")
+    }),
+    "extract_fixtures_job" -> ((s, _) => {
+      // the round-4 fixture kinds (fonts/images/links/forms/outlines/
+      // structured HTML) driven through the FULL job path — column
+      // pruning, PDF sniff, per-row dispatch, status rows — instead of
+      // the kernel-only s.range.map pins; text/markdown hashes frozen,
+      // so job-path regressions on any fixture kind turn this red
+      val pages = PagesGen.generateFixtures(s, nPerKind = 12, parallelism = 4).toDF()
+      ExtractJob.extract(pages, ExtractJob.Config(salt = false))
+        .select(col("url"), col("status"), col("n_pages"), col("n_spans"),
+          length(col("text")).as("text_len"),
+          xxhash64(col("text")).as("text_hash"),
+          xxhash64(col("markdown")).as("md_hash"))
+    }),
     "extract_metrics" -> ((s, _) => {
       // per-partition lineage/metrics surface, made deterministic (and
       // therefore freezable): a FIXED url-hash repartition pins

@@ -250,23 +250,51 @@ object Similarity {
     val prepared = corpus.select(col("vec_id").cast("long"), col("embedding"))
       .as[(Long, Array[Float])]
       .mapPartitions { it =>
+        // Pivot components materialized ONCE per partition (flat
+        // [p][d] row-major, plus each pivot's norm) — the same hoist
+        // lshSignatures uses: the splitmix-style mix is ~6 int ops per
+        // component vs 2 flops for the mult-add it feeds, so
+        // recomputing it per row made the hash the bulk of the kernel.
+        // Identical component values and the same left-to-right double
+        // accumulation → bucket indices are bit-identical to the
+        // per-row formulation (oracle unchanged). Sized lazily off the
+        // first row's dim; pivots from the deterministic hyperplane
+        // stream (seed disjoint from the LSH tables').
+        var piv: Array[Double] = null
+        var pivNorm: Array[Double] = null
+        var dim = -1
         it.map { case (id, v) =>
+          if (v.length != dim) {
+            dim = v.length
+            piv = new Array[Double](nPivots * dim)
+            pivNorm = new Array[Double](nPivots)
+            var p = 0
+            while (p < nPivots) {
+              var pn = 0.0
+              var d = 0
+              val base = p * dim
+              while (d < dim) {
+                val r = hyperplane(7776001L + p * 104729L, 0, d)
+                piv(base + d) = r
+                pn += r * r
+                d += 1
+              }
+              pivNorm(p) = pn
+              p += 1
+            }
+          }
           val nv = norm(v)
           val buckets = new Array[Int](nPivots)
           var p = 0
           while (p < nPivots) {
-            // cos(v, pivot_p), pivot from the deterministic hyperplane
-            // stream (seed disjoint from the LSH tables')
             var dot = 0.0
-            var pn = 0.0
+            val base = p * dim
             var d = 0
             while (d < v.length) {
-              val r = hyperplane(7776001L + p * 104729L, 0, d)
-              dot += v(d).toDouble * r
-              pn += r * r
+              dot += v(d).toDouble * piv(base + d)
               d += 1
             }
-            val c = math.max(-1.0, math.min(1.0, dot / (nv * math.sqrt(pn))))
+            val c = math.max(-1.0, math.min(1.0, dot / (nv * math.sqrt(pivNorm(p)))))
             val dist = math.sqrt(math.max(0.0, 2.0 - 2.0 * c))
             buckets(p) = (dist / bigD).toInt
             p += 1

@@ -323,6 +323,130 @@ object PagesGen {
     b.build(catId)
   }
 
+  /** AcroForm fixture (round-4 verdict item 3): exercises the form
+    * surfaces DocExtras.formFields implements, end-to-end through the
+    * driver —
+    *  - a flat text field with a literal value;
+    *  - a PARENT field with /Kids: one child inheriting the parent's
+    *    /FT (dotted name person.first), one overriding it (/Ch);
+    *  - a checkbox (/Btn) whose Name value varies with id;
+    *  - a UTF-16BE (BOM'd hex string) value;
+    *  - an integer value;
+    *  - a widget-kid group: kids WITHOUT /T keep the parent's name.
+    * (reference: src/extractors/forms.rs:12-58 walk + decode,
+    * ISO 32000 §12.7) */
+  def formPdf(id: Long): Array[Byte] = {
+    val b = new PdfBuilder()
+    val catId = b.reserveId()
+    val pagesId = b.reserveId()
+    val f = b.addObject("<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica /Encoding /WinAnsiEncoding >>")
+    val cId = b.addStream("",
+      s"BT /F1 12 Tf 1 0 0 1 72 700 Tm (Form doc $id) Tj ET".getBytes("ISO-8859-1"),
+      flate = false)
+    val pageId = b.addObject(s"<< /Type /Page /Parent $pagesId 0 R /MediaBox [0 0 612 792] " +
+      s"/Resources << /Font << /F1 $f 0 R >> >> /Contents $cId 0 R >>")
+    val fName = b.addObject(
+      s"<< /T (name${id % 5}) /FT /Tx /V (${PdfBuilder.esc(s"value of doc $id")}) >>")
+    val kidFirst = b.addObject("<< /T (first) /V (Ada) >>") // inherits /Tx
+    val kidLast = b.addObject("<< /T (last) /FT /Ch /V /optB >>") // overrides
+    val fPerson = b.addObject(
+      s"<< /T (person${id % 3}) /FT /Tx /Kids [$kidFirst 0 R $kidLast 0 R] >>")
+    val fAgree = b.addObject(
+      s"<< /T (agree) /FT /Btn /V /${if (id % 2 == 0) "Yes" else "Off"} >>")
+    val fUni = b.addObject("<< /T (uni) /FT /Tx /V <FEFF004100E9> >>") // "Aé"
+    val fCount = b.addObject(s"<< /T (count) /FT /Tx /V ${id % 7} >>")
+    val w1 = b.addObject("<< /Subtype /Widget /Rect [0 0 10 10] /AS /A >>")
+    val w2 = b.addObject("<< /Subtype /Widget /Rect [0 20 10 30] /AS /Off >>")
+    val fGrp = b.addObject(
+      s"<< /T (grp) /FT /Btn /Kids [$w1 0 R $w2 0 R] >>")
+    val acro = b.addObject(
+      s"<< /Fields [$fName 0 R $fPerson 0 R $fAgree 0 R $fUni 0 R $fCount 0 R $fGrp 0 R] >>")
+    b.addObjectAt(pagesId, s"<< /Type /Pages /Kids [$pageId 0 R] /Count 1 >>")
+    b.addObjectAt(catId,
+      s"<< /Type /Catalog /Pages $pagesId 0 R /AcroForm $acro 0 R >>")
+    b.build(catId)
+  }
+
+  /** Outline (bookmark) fixture (round-4 verdict item 3): a two-page
+    * document with a nested bookmark tree —
+    *  - Chapter 1: explicit /Dest array [page /Fit], two children:
+    *    one GoTo-action dest (/XYZ), one NAMED (string) dest;
+    *  - Chapter 2: UTF-16BE title, explicit dest to page 2.
+    * Pre-order + levels + dest encodings are exactly the surfaces
+    * DocExtras.outline renders. (reference: src/outline.rs:12,
+    * build_outline_item / parse_destination) */
+  def outlinePdf(id: Long): Array[Byte] = {
+    val b = new PdfBuilder()
+    val catId = b.reserveId()
+    val pagesId = b.reserveId()
+    val f = b.addObject("<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica /Encoding /WinAnsiEncoding >>")
+    val pageIds = (1 to 2).map { p =>
+      val cId = b.addStream("",
+        s"BT /F1 12 Tf 1 0 0 1 72 700 Tm (Outline doc $id page $p) Tj ET"
+          .getBytes("ISO-8859-1"), flate = false)
+      b.addObject(s"<< /Type /Page /Parent $pagesId 0 R /MediaBox [0 0 612 792] " +
+        s"/Resources << /Font << /F1 $f 0 R >> >> /Contents $cId 0 R >>")
+    }
+    val outRoot = b.reserveId()
+    val chap1 = b.reserveId()
+    val chap2 = b.reserveId()
+    val sec11 = b.reserveId()
+    val sec12 = b.reserveId()
+    b.addObjectAt(sec11,
+      s"<< /Title (Section 1.1 of $id) /Parent $chap1 0 R /Next $sec12 0 R " +
+        s"/A << /S /GoTo /D [${pageIds(1)} 0 R /XYZ 0 792 0] >> >>")
+    b.addObjectAt(sec12,
+      s"<< /Title (Section 1.2) /Parent $chap1 0 R /Prev $sec11 0 R " +
+        s"/Dest (sec-${id % 4}) >>")
+    b.addObjectAt(chap1,
+      s"<< /Title (Chapter 1 doc $id) /Parent $outRoot 0 R /Next $chap2 0 R " +
+        s"/First $sec11 0 R /Last $sec12 0 R /Count 2 " +
+        s"/Dest [${pageIds(0)} 0 R /Fit] >>")
+    // UTF-16BE title: "Ch 2 é" = FEFF 0043 0068 0020 0032 0020 00E9
+    b.addObjectAt(chap2,
+      s"<< /Title <FEFF0043006800200032002000E9> /Parent $outRoot 0 R " +
+        s"/Prev $chap1 0 R /Dest [${pageIds(1)} 0 R /Fit] >>")
+    b.addObjectAt(outRoot,
+      s"<< /Type /Outlines /First $chap1 0 R /Last $chap2 0 R /Count 4 >>")
+    b.addObjectAt(pagesId,
+      s"<< /Type /Pages /Kids [${pageIds.map(i => s"$i 0 R").mkString(" ")}] /Count 2 >>")
+    b.addObjectAt(catId,
+      s"<< /Type /Catalog /Pages $pagesId 0 R /Outlines $outRoot 0 R >>")
+    b.build(catId)
+  }
+
+  /** Fixture-tier pages table (round-4 verdict item 2): every special
+    * fixture kind as (url, html) PageRows, so the SAME payloads the
+    * kernel-level pins decode also flow through ExtractJob.extract —
+    * pruning, PDF sniff, status rows, the whole job path. Ids are
+    * cycled across the five fixture generators; urls encode the kind
+    * so pins stay self-describing. Kept OUT of `payload()` — the
+    * frozen goldens never change. */
+  def generateFixtures(spark: SparkSession, nPerKind: Int = 12,
+                       parallelism: Int = 4): Dataset[PageRow] = {
+    import spark.implicits._
+    val baseTs = 1735689600000L
+    val kinds = Seq("font", "image", "link", "form", "outline", "structured")
+    val nKinds = kinds.length
+    spark.range(0, nPerKind.toLong * nKinds, 1, parallelism).mapPartitions { ids =>
+      ids.map { i =>
+        val kind = i % nKinds
+        val id = i / nKinds
+        val bytes = kind match {
+          case 0 => fontPdf(id)
+          case 1 => imagePdf(id)
+          case 2 => linkPdf(id)
+          case 3 => formPdf(id)
+          case 4 => outlinePdf(id)
+          case _ => structuredHtml(id)
+        }
+        val ext = if (kind == 5) "html" else "pdf"
+        PageRow(s"https://fixtures.example/${kinds(kind.toInt)}$id.$ext",
+          new Timestamp(baseTs + i * 1000L), bytes, "", "en")
+      }
+    }
+  }
+
   /** Write as the Iceberg-emulated bucketed parquet layout:
     * directory-partitioned by bucket = pmod(xxhash64(url), nBuckets).
     * (No Iceberg jars in this sandbox — SURVEY preamble.) */
