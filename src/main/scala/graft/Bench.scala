@@ -43,8 +43,12 @@ object Bench {
     // host-noise burst then inflates at most ONE pass, not all of them
     // — back-to-back passes measured 25k vs 44k docs/s run-to-run)
     val nDocs = sys.env.getOrElse("SPARK_GRAFT_BENCH_DOCS", "20000").toLong
-    val pages = PagesGen.generate(spark, nDocs, seed = 42L,
-      parallelism = cpus.toInt * 2).toDF().cache()
+    // "mixed" (default): fonts in the measured path — 20% font-fixture
+    // + ~6% big-CMap docs, so the headline number exercises the
+    // ToUnicode/FontCache path; "plain": the r3/r4-comparable corpus
+    val corpus = sys.env.getOrElse("SPARK_GRAFT_BENCH_CORPUS", "mixed")
+    val pages = PagesGen.benchCorpus(spark, nDocs, 42L,
+      cpus.toInt * 2, corpus).toDF().cache()
     val nBytes = pages.selectExpr("sum(length(html))").collect()(0).getLong(0)
     pages.count() // materialize cache so generation cost is excluded
     // full-size warmup: C2 needs a complete pass before steady state
@@ -94,7 +98,7 @@ object Bench {
     val total = results.values.sum
     println(
       s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir",""" +
-      f""""extract_docs":$nDocs,"extract_docs_per_sec":$docsPerSec%.1f,"extract_mb_per_sec":$mbPerSec%.1f,"cpus":$cpus,"rounds":$rounds}""")
+      f""""extract_docs":$nDocs,"extract_docs_per_sec":$docsPerSec%.1f,"extract_mb_per_sec":$mbPerSec%.1f,"cpus":$cpus,"rounds":$rounds,"corpus":"$corpus"}""")
     spark.stop()
   }
 }

@@ -20,7 +20,8 @@ object BenchCpu {
       .config("spark.sql.shuffle.partitions", "16")
       .config("spark.ui.enabled", "false").getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
-    val pages = PagesGen.generate(spark, nDocs, 42L, 64).toDF().cache()
+    val corpus = sys.env.getOrElse("SPARK_GRAFT_BENCH_CORPUS", "mixed")
+    val pages = PagesGen.benchCorpus(spark, nDocs, 42L, 64, corpus).toDF().cache()
     pages.count()
     val os = java.lang.management.ManagementFactory.getOperatingSystemMXBean
       .asInstanceOf[com.sun.management.OperatingSystemMXBean]
@@ -33,7 +34,7 @@ object BenchCpu {
       (cpuNs() - c0) / 1e9
     }
     val best = times.min
-    println(f"""{"cpu_sec_per_pass_min":$best%.3f,"all":[${times.map(t => f"$t%.3f").mkString(",")}],"n_docs":$nDocs,"docs_per_cpu_sec":${nDocs / best}%.0f}""")
+    println(f"""{"cpu_sec_per_pass_min":$best%.3f,"all":[${times.map(t => f"$t%.3f").mkString(",")}],"n_docs":$nDocs,"docs_per_cpu_sec":${nDocs / best}%.0f,"corpus":"$corpus"}""")
     spark.stop()
   }
 }

@@ -23,49 +23,6 @@ import graft.spark.{ExtractJob, PagesGen}
   */
 object BenchFontCache {
 
-  /** Bench-only: single page, Type0 Identity-H, 2,000-entry bfchar
-    * ToUnicode CMap (~36 KB decoded) — byte-identical across ids. */
-  private def bigFontPdf(id: Long): Array[Byte] = {
-    import graft.pdf.testgen.PdfBuilder
-    val b = new PdfBuilder()
-    val catId = b.reserveId()
-    val pagesId = b.reserveId()
-    val entries = (0 until 2000).map { k =>
-      f"<${0x100 + k}%04X> <${0x4E00 + k}%04X>"
-    }.mkString("\n")
-    val cmap =
-      s"""/CIDInit /ProcSet findresource begin
-         |12 dict begin
-         |begincmap
-         |1 begincodespacerange
-         |<0000> <FFFF>
-         |endcodespacerange
-         |2000 beginbfchar
-         |$entries
-         |endbfchar
-         |endcmap
-         |end
-         |end""".stripMargin
-    val tu = b.addStream("", cmap.getBytes("ISO-8859-1"), flate = true)
-    val desc = b.addObject("<< /Type /FontDescriptor /FontName /Big-CID /Flags 4 /StemV 80 >>")
-    val cid = b.addObject(
-      s"<< /Type /Font /Subtype /CIDFontType2 /BaseFont /Big-CID " +
-        s"/CIDSystemInfo << /Registry (Adobe) /Ordering (Identity) /Supplement 0 >> " +
-        s"/FontDescriptor $desc 0 R /DW 1000 >>")
-    val f0 = b.addObject(
-      s"<< /Type /Font /Subtype /Type0 /BaseFont /Big-CID /Encoding /Identity-H " +
-        s"/DescendantFonts [$cid 0 R] /ToUnicode $tu 0 R >>")
-    val codes = (0 until 24).map(k => f"${0x100 + ((id + k) % 2000)}%04X").mkString
-    val content = s"BT /F0 12 Tf 1 0 0 1 72 700 Tm <$codes> Tj ET"
-    val cId = b.addStream("", content.getBytes("ISO-8859-1"), flate = true)
-    val pageId = b.addObject(
-      s"<< /Type /Page /Parent $pagesId 0 R /MediaBox [0 0 612 792] " +
-        s"/Resources << /Font << /F0 $f0 0 R >> >> /Contents $cId 0 R >>")
-    b.addObjectAt(pagesId, s"<< /Type /Pages /Kids [$pageId 0 R] /Count 1 >>")
-    b.addObjectAt(catId, s"<< /Type /Catalog /Pages $pagesId 0 R >>")
-    b.build(catId)
-  }
-
   def main(args: Array[String]): Unit = {
     val nDocs = if (args.length > 0) args(0).toInt else 60000
     val passes = if (args.length > 1) args(1).toInt else 3
@@ -77,7 +34,7 @@ object BenchFontCache {
     import spark.implicits._
     val pages = spark.range(0, nDocs, 1, 64)
       .map { id =>
-        val payload = if (kind == "big") bigFontPdf(id) else PagesGen.fontPdf(id)
+        val payload = if (kind == "big") PagesGen.bigFontPdf(id) else PagesGen.fontPdf(id)
         graft.spark.PageRow(PagesGen.url(id, "pdf"),
           new java.sql.Timestamp(0L), payload, "", "en")
       }.toDF().cache()

@@ -36,7 +36,9 @@ object BenchScaling {
     locally {
       val s = session(16)
       s.sparkContext.setLogLevel("WARN")
-      PagesGen.writeBucketed(PagesGen.generate(s, nDocs, seed = 42L, parallelism = 64),
+      PagesGen.writeBucketed(
+        PagesGen.benchCorpus(s, nDocs, 42L, 64,
+          sys.env.getOrElse("SPARK_GRAFT_BENCH_CORPUS", "mixed")),
         corpusDir, nBuckets = 64)
       val pages = s.read.parquet(corpusDir)
       ExtractJob.extract(pages, ExtractJob.Config()).count()
@@ -76,7 +78,8 @@ object BenchScaling {
     val json =
       f"""{"n_docs":$nDocs,"n_cores":$nCores,"t_localN_sec":$tN%.2f,"t_local4N_sec":$t4N%.2f,""" +
       f""""docs_per_sec_N":$thN%.1f,"docs_per_sec_4N":$th4N%.1f,""" +
-      f""""scaling_efficiency":$eff%.3f,"target":0.8}"""
+      f""""scaling_efficiency":$eff%.3f,"target":0.8,""" +
+      s""""corpus":"${sys.env.getOrElse("SPARK_GRAFT_BENCH_CORPUS", "mixed")}"}"""
     println(json)
     if (args.length > 1)
       java.nio.file.Files.writeString(java.nio.file.Paths.get(args(1)), json + "\n")

@@ -40,10 +40,17 @@ object Images {
           doc.resolve(xd.get(name).getOrElse(Null)) match {
             case s @ Stream(d, _) if d.name("Subtype").contains("Image") =>
               // degenerate dimensions (missing/zero /Width or /Height)
-              // are rejected like the reference's error path
-              // (images.rs extract_image_from_xobject) — a 0-dim image
-              // row is pipeline noise, and decode on it is undefined
-              try Some(fromStream(doc, name, s)).filter(i => i.width > 0 && i.height > 0)
+              // and unsupported/missing color spaces on RAW images are
+              // rejected like the reference's error paths (images.rs
+              // extract_image_from_xobject + parse_color_space: an
+              // unrecognized family or a non-name object is Err, so
+              // the image never reaches the result set). DOCUMENTED
+              // DIVERGENCE: DCT pass-through keeps the image even with
+              // an unknown/missing /ColorSpace — the JPEG payload
+              // carries its own color model and stays fully usable
+              try Some(fromStream(doc, name, s))
+                .filter(i => i.width > 0 && i.height > 0 &&
+                  (i.colorSpace != "unknown" || i.isJpeg))
               catch { case _: Throwable => None }
             case _ => None
           }
@@ -70,9 +77,15 @@ object Images {
 
   /** (family, palette, paletteBase) — /Indexed palettes resolved to
     * raw base-component bytes (images.rs parse_color_space analog). */
-  private def colorSpace(doc: PdfDocument, o: PdfObj): (String, Option[Array[Byte]], String) =
+  /** Bare-name families the reference accepts (images.rs:345-351). */
+  private val bareNameFamilies = Set("DeviceRGB", "DeviceGray", "DeviceCMYK", "Pattern")
+  /** Array-form families the reference accepts (images.rs:356-397). */
+  private val arrayFamilies =
+    Set("Indexed", "CalGray", "CalRGB", "Lab", "ICCBased", "Separation", "DeviceN", "Pattern")
+
+  private[extract] def colorSpace(doc: PdfDocument, o: PdfObj): (String, Option[Array[Byte]], String) =
     o match {
-      case Name(n) => (n, None, "")
+      case Name(n) if bareNameFamilies(n) => (n, None, "")
       case Arr(items) if items.nonEmpty =>
         items.head.asName match {
           case Some("ICCBased") if items.size >= 2 =>
@@ -89,9 +102,10 @@ object Images {
               case _              => Array.emptyByteArray
             }
             ("Indexed", Some(lookup), base)
-          case Some(n) => (n, None, "")
-          case None    => ("unknown", None, "")
+          case Some(n) if arrayFamilies(n) => (n, None, "")
+          case _ => ("unknown", None, "") // unrecognized family → Err in ref
         }
+      // unsupported bare name, non-name object, missing → Err in ref
       case _ => ("unknown", None, "")
     }
 
@@ -121,9 +135,12 @@ object Images {
           val m = (eight(i * 4 + 1) & 0xff) / 255f
           val y = (eight(i * 4 + 2) & 0xff) / 255f
           val k = (eight(i * 4 + 3) & 0xff) / 255f
-          rgb(i * 3) = ((1 - math.min(1f, c * (1 - k) + k)) * 255f).round.toByte
-          rgb(i * 3 + 1) = ((1 - math.min(1f, m * (1 - k) + k)) * 255f).round.toByte
-          rgb(i * 3 + 2) = ((1 - math.min(1f, y * (1 - k) + k)) * 255f).round.toByte
+          // reference formula INCLUDING its truncation: R=(1-C)(1-K)*255
+          // `as u8` (images.rs:526-558 cmyk_to_rgb) — r4 round() gave
+          // +1 on fractional products (found porting the cmyk vectors)
+          rgb(i * 3) = ((1 - c) * (1 - k) * 255f).toInt.toByte
+          rgb(i * 3 + 1) = ((1 - m) * (1 - k) * 255f).toInt.toByte
+          rgb(i * 3 + 2) = ((1 - y) * (1 - k) * 255f).toInt.toByte
           i += 1
         }
         Some((rgb, 3))

@@ -110,72 +110,97 @@ final class TextExtractor(doc: PdfDocument) {
     case _        => 0f
   }
 
+  /** Positional slot access with the reference's per-slot defaults
+    * (parser.rs:162-420 build_operator + :551-575 get_number family):
+    * a MISSING or NON-NUMERIC slot takes the default — malformed
+    * operand lists never drop the operator wholesale. `100 Td` moves
+    * (tx=100, ty=0); bare `Tz` resets scaling to 100. */
+  private def numAt(o: scala.collection.IndexedSeq[PdfObj], i: Int, dflt: Float): Float =
+    if (i < o.size) o(i) match {
+      case Int64(v) => v.toFloat
+      case Real(v)  => v.toFloat
+      case _        => dflt
+    } else dflt
+
+  /** get_integer analog: only an Integer slot counts (parser.rs:559). */
+  private def intAt(o: scala.collection.IndexedSeq[PdfObj], i: Int, dflt: Int): Int =
+    if (i < o.size) o(i) match {
+      case Int64(v) => v.toInt
+      case _        => dflt
+    } else dflt
+
   private def exec(op: Op, resources: Dict): Unit = {
     val o = op.operands
     op.name match {
       case "BT" =>
         gs.state = gs.state.copy(textMatrix = Matrix.identity, textLineMatrix = Matrix.identity)
       case "ET" => flush()
-      case "Tf" if o.size >= 2 =>
+      case "Tf" =>
         flush()
-        val name = o(0).asName.getOrElse("")
-        gs.state = gs.state.copy(fontName = name, fontSize = num(o(1)))
+        val name = if (o.nonEmpty) o(0).asName.getOrElse("") else ""
+        gs.state = gs.state.copy(fontName = name, fontSize = numAt(o, 1, 12f))
         curFont = fonts.getOrElse(name, FontInfo.default)
-      case "Tm" if o.size >= 6 =>
+      case "Tm" =>
         flush()
-        val m = Matrix(num(o(0)), num(o(1)), num(o(2)), num(o(3)), num(o(4)), num(o(5)))
+        val m = Matrix(numAt(o, 0, 1f), numAt(o, 1, 0f), numAt(o, 2, 0f),
+          numAt(o, 3, 1f), numAt(o, 4, 0f), numAt(o, 5, 0f))
         gs.state = gs.state.copy(textMatrix = m, textLineMatrix = m)
-      case "Td" if o.size >= 2 => td(num(o(0)), num(o(1)))
-      case "TD" if o.size >= 2 =>
-        gs.state = gs.state.copy(leading = -num(o(1)))
-        td(num(o(0)), num(o(1)))
+      case "Td" => td(numAt(o, 0, 0f), numAt(o, 1, 0f))
+      case "TD" =>
+        gs.state = gs.state.copy(leading = -numAt(o, 1, 0f))
+        td(numAt(o, 0, 0f), numAt(o, 1, 0f))
       case "T*" => td(0f, -gs.state.leading)
       case "Tj" if o.nonEmpty =>
         o(0) match { case Str(b) => showText(b, emit = true); case _ => () }
       case "TJ" if o.nonEmpty =>
         o(0) match { case Arr(items) => processTJ(items); case _ => () }
-      case "'" if o.nonEmpty =>
-        // quirk: advances but never emits spans (see class doc)
+      case "'" =>
+        // quirk: advances but never emits spans (see class doc); the
+        // advance happens even with NO operand (Quote{text:""} default)
         td(0f, -gs.state.leading)
-        o(0) match { case Str(b) => showText(b, emit = false); case _ => () }
-      case "\"" if o.size >= 3 =>
-        gs.state = gs.state.copy(wordSpacing = num(o(0)), charSpacing = num(o(1)))
+        if (o.nonEmpty) o(0) match { case Str(b) => showText(b, emit = false); case _ => () }
+      case "\"" =>
+        gs.state = gs.state.copy(wordSpacing = numAt(o, 0, 0f), charSpacing = numAt(o, 1, 0f))
         td(0f, -gs.state.leading)
-        o(2) match { case Str(b) => showText(b, emit = false); case _ => () }
-      case "Tc" if o.nonEmpty => gs.state = gs.state.copy(charSpacing = num(o(0)))
-      case "Tw" if o.nonEmpty => gs.state = gs.state.copy(wordSpacing = num(o(0)))
-      case "Tz" if o.nonEmpty => gs.state = gs.state.copy(horizScaling = num(o(0)) / 100f)
-      case "TL" if o.nonEmpty => gs.state = gs.state.copy(leading = num(o(0)))
-      case "Ts" if o.nonEmpty => gs.state = gs.state.copy(rise = num(o(0)))
-      case "Tr" if o.nonEmpty => gs.state = gs.state.copy(renderMode = num(o(0)).toInt)
+        if (o.size >= 3) o(2) match { case Str(b) => showText(b, emit = false); case _ => () }
+      case "Tc" => gs.state = gs.state.copy(charSpacing = numAt(o, 0, 0f))
+      case "Tw" => gs.state = gs.state.copy(wordSpacing = numAt(o, 0, 0f))
+      case "Tz" => gs.state = gs.state.copy(horizScaling = numAt(o, 0, 100f) / 100f)
+      case "TL" => gs.state = gs.state.copy(leading = numAt(o, 0, 0f))
+      case "Ts" => gs.state = gs.state.copy(rise = numAt(o, 0, 0f))
+      case "Tr" => gs.state = gs.state.copy(renderMode = intAt(o, 0, 0))
       case "q" => gs.push()
       case "Q" => flush(); gs.pop(); curFont = fonts.getOrElse(gs.state.fontName, curFont)
-      case "cm" if o.size >= 6 =>
-        val m = Matrix(num(o(0)), num(o(1)), num(o(2)), num(o(3)), num(o(4)), num(o(5)))
+      case "cm" =>
+        val m = Matrix(numAt(o, 0, 1f), numAt(o, 1, 0f), numAt(o, 2, 0f),
+          numAt(o, 3, 1f), numAt(o, 4, 0f), numAt(o, 5, 0f))
         gs.state = gs.state.copy(ctm = m.multiply(gs.state.ctm))
-      case "rg" if o.size >= 3 =>
-        gs.state = gs.state.copy(fillColor = (num(o(0)), num(o(1)), num(o(2))))
-      case "g" if o.nonEmpty =>
-        val v = num(o(0)); gs.state = gs.state.copy(fillColor = (v, v, v))
-      case "k" if o.size >= 4 =>
+      case "rg" =>
+        gs.state = gs.state.copy(fillColor = (numAt(o, 0, 0f), numAt(o, 1, 0f), numAt(o, 2, 0f)))
+      case "g" =>
+        val v = numAt(o, 0, 0f); gs.state = gs.state.copy(fillColor = (v, v, v))
+      case "k" =>
         gs.state = gs.state.copy(fillColor =
-          cmykToRgb(num(o(0)), num(o(1)), num(o(2)), num(o(3))))
+          cmykToRgb(numAt(o, 0, 0f), numAt(o, 1, 0f), numAt(o, 2, 0f), numAt(o, 3, 0f)))
       // stroke-color family (reference: text.rs:1399-1421)
-      case "RG" if o.size >= 3 =>
-        gs.state = gs.state.copy(strokeColor = (num(o(0)), num(o(1)), num(o(2))))
-      case "G" if o.nonEmpty =>
-        val v = num(o(0)); gs.state = gs.state.copy(strokeColor = (v, v, v))
-      case "K" if o.size >= 4 =>
+      case "RG" =>
+        gs.state = gs.state.copy(strokeColor = (numAt(o, 0, 0f), numAt(o, 1, 0f), numAt(o, 2, 0f)))
+      case "G" =>
+        val v = numAt(o, 0, 0f); gs.state = gs.state.copy(strokeColor = (v, v, v))
+      case "K" =>
         gs.state = gs.state.copy(strokeColor =
-          cmykToRgb(num(o(0)), num(o(1)), num(o(2)), num(o(3))))
-      // color-space selection resets the color (text.rs:1423-1441)
-      case "cs" if o.nonEmpty =>
+          cmykToRgb(numAt(o, 0, 0f), numAt(o, 1, 0f), numAt(o, 2, 0f), numAt(o, 3, 0f)))
+      // color-space selection resets the color (text.rs:1423-1441);
+      // missing operand defaults to /DeviceGray (parser.rs:308-316)
+      case "cs" =>
         gs.state = gs.state.copy(
-          fillColorSpace = colorSpaceFamily(o(0), resources),
+          fillColorSpace = colorSpaceFamily(
+            if (o.nonEmpty) o(0) else Name("DeviceGray"), resources),
           fillColor = (0f, 0f, 0f))
-      case "CS" if o.nonEmpty =>
+      case "CS" =>
         gs.state = gs.state.copy(
-          strokeColorSpace = colorSpaceFamily(o(0), resources),
+          strokeColorSpace = colorSpaceFamily(
+            if (o.nonEmpty) o(0) else Name("DeviceGray"), resources),
           strokeColor = (0f, 0f, 0f))
       // component color in the current space (text.rs:1443-1604)
       case "sc" | "scn" =>

@@ -415,6 +415,88 @@ object PagesGen {
     b.build(catId)
   }
 
+  /** Single page, Type0 Identity-H, 2,000-entry bfchar ToUnicode CMap
+    * (~36 KB decoded) — byte-identical across ids; the realistic size
+    * for CJK / subset-font crawl PDFs, where ToUnicode streams run
+    * tens of KB. Shared by BenchFontCache and the mixed bench corpus
+    * (reference: docs/ARCHITECTURE.md:255-260 font caching;
+    * src/fonts/cmap.rs ToUnicode parse). */
+  def bigFontPdf(id: Long): Array[Byte] = {
+    val b = new PdfBuilder()
+    val catId = b.reserveId()
+    val pagesId = b.reserveId()
+    val entries = (0 until 2000).map { k =>
+      f"<${0x100 + k}%04X> <${0x4E00 + k}%04X>"
+    }.mkString("\n")
+    val cmap =
+      s"""/CIDInit /ProcSet findresource begin
+         |12 dict begin
+         |begincmap
+         |1 begincodespacerange
+         |<0000> <FFFF>
+         |endcodespacerange
+         |2000 beginbfchar
+         |$entries
+         |endbfchar
+         |endcmap
+         |end
+         |end""".stripMargin
+    val tu = b.addStream("", cmap.getBytes("ISO-8859-1"), flate = true)
+    val desc = b.addObject("<< /Type /FontDescriptor /FontName /Big-CID /Flags 4 /StemV 80 >>")
+    val cid = b.addObject(
+      s"<< /Type /Font /Subtype /CIDFontType2 /BaseFont /Big-CID " +
+        s"/CIDSystemInfo << /Registry (Adobe) /Ordering (Identity) /Supplement 0 >> " +
+        s"/FontDescriptor $desc 0 R /DW 1000 >>")
+    val f0 = b.addObject(
+      s"<< /Type /Font /Subtype /Type0 /BaseFont /Big-CID /Encoding /Identity-H " +
+        s"/DescendantFonts [$cid 0 R] /ToUnicode $tu 0 R >>")
+    val codes = (0 until 24).map(k => f"${0x100 + ((id + k) % 2000)}%04X").mkString
+    val content = s"BT /F0 12 Tf 1 0 0 1 72 700 Tm <$codes> Tj ET"
+    val cId = b.addStream("", content.getBytes("ISO-8859-1"), flate = true)
+    val pageId = b.addObject(
+      s"<< /Type /Page /Parent $pagesId 0 R /MediaBox [0 0 612 792] " +
+        s"/Resources << /Font << /F0 $f0 0 R >> >> /Contents $cId 0 R >>")
+    b.addObjectAt(pagesId, s"<< /Type /Pages /Kids [$pageId 0 R] /Count 1 >>")
+    b.addObjectAt(catId, s"<< /Type /Catalog /Pages $pagesId 0 R >>")
+    b.build(catId)
+  }
+
+  /** Bench corpus with FONTS IN THE MEASURED PATH (round-4 verdict
+    * item 1): the standard `payload` mix, except 20% of ids carry the
+    * font-fidelity fixture (two embedded ToUnicode CMaps, /Differences,
+    * Type0 surrogate pairs) and ~6% the 2,000-entry big-CMap doc — so
+    * the headline docs/s, the BenchCpu gate and the scaling evidence
+    * all execute the ToUnicode parse + FontCache path on every pass.
+    * SEPARATE from `generate()` (pins/goldens unchanged); the plain
+    * corpus stays available for cross-round comparability. */
+  def generateMixed(spark: SparkSession, nDocs: Long, seed: Long = 42L,
+                    parallelism: Int = 0): Dataset[PageRow] = {
+    import spark.implicits._
+    val par = if (parallelism > 0) parallelism else spark.sparkContext.defaultParallelism
+    val baseTs = 1735689600000L
+    spark.range(0, nDocs, 1, par).mapPartitions { ids =>
+      ids.map { id =>
+        if (id % 16 == 2) {
+          PageRow(url(id, "pdf"), new Timestamp(baseTs + id * 1000L),
+            bigFontPdf(id), "", "en")
+        } else if (id % 5 == 1) {
+          PageRow(url(id, "pdf"), new Timestamp(baseTs + id * 1000L),
+            fontPdf(id), "", "en")
+        } else {
+          val (bytes, kind) = payload(id, seed)
+          PageRow(url(id, kind), new Timestamp(baseTs + id * 1000L), bytes, "", "en")
+        }
+      }
+    }
+  }
+
+  /** Bench-corpus selector: "mixed" (default — fonts in the measured
+    * path) or "plain" (the r3/r4-comparable corpus). */
+  def benchCorpus(spark: SparkSession, nDocs: Long, seed: Long,
+                  parallelism: Int, kind: String): Dataset[PageRow] =
+    if (kind == "plain") generate(spark, nDocs, seed, parallelism)
+    else generateMixed(spark, nDocs, seed, parallelism)
+
   /** Fixture-tier pages table (round-4 verdict item 2): every special
     * fixture kind as (url, html) PageRows, so the SAME payloads the
     * kernel-level pins decode also flow through ExtractJob.extract —

@@ -67,11 +67,28 @@ class ImagesSpec extends AnyFunSuite {
       val doc = new PdfDocument(pdfWithRawXObject(dict))
       assert(Images.extract(doc, doc.pages.head).isEmpty, s"dict [$dict]")
     }
-    // missing ColorSpace alone keeps the image (lenient pass-through,
-    // cs = unknown) — deliberate divergence for DCT-payload usability
+    // a RAW image with missing/unsupported ColorSpace is rejected like
+    // the reference's parse_color_space Err path (unknown-as-gray
+    // would fabricate pixel semantics)…
     val doc = new PdfDocument(pdfWithRawXObject("/Subtype /Image /Width 5 /Height 2 "))
-    val imgs = Images.extract(doc, doc.pages.head)
-    assert(imgs.size == 1 && imgs.head.colorSpace == "unknown")
+    assert(Images.extract(doc, doc.pages.head).isEmpty)
+    // …but DCT pass-through KEEPS the image without a /ColorSpace —
+    // deliberate divergence: the JPEG payload carries its own color
+    // model and the sink saves it verbatim
+    val b2 = new PdfBuilder()
+    val catId2 = b2.reserveId()
+    val pagesId2 = b2.reserveId()
+    val jpeg = Array[Byte](0xff.toByte, 0xd8.toByte, 0xff.toByte, 0xe0.toByte)
+    val imgId2 = b2.addStream("/Subtype /Image /Width 5 /Height 2 /Filter /DCTDecode ",
+      jpeg, flate = false)
+    val cId2 = b2.addStream("", "q 5 0 0 2 0 0 cm /Im1 Do Q".getBytes("ISO-8859-1"), flate = false)
+    val pageId2 = b2.addObject(s"<< /Type /Page /Parent $pagesId2 0 R /MediaBox [0 0 612 792] " +
+      s"/Resources << /XObject << /Im1 $imgId2 0 R >> >> /Contents $cId2 0 R >>")
+    b2.addObjectAt(pagesId2, s"<< /Type /Pages /Kids [$pageId2 0 R] /Count 1 >>")
+    b2.addObjectAt(catId2, s"<< /Type /Catalog /Pages $pagesId2 0 R >>")
+    val doc2 = new PdfDocument(b2.build(catId2))
+    val kept = Images.extract(doc2, doc2.pages.head)
+    assert(kept.size == 1 && kept.head.isJpeg && kept.head.colorSpace == "unknown")
   }
 
   test("DCTDecode detected inside a Filter array (reference test_images.rs:434)") {
