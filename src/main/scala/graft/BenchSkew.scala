@@ -83,7 +83,7 @@ object BenchSkew {
         .agg(sum(col("duration_ms")).as("busy_ms"), count(lit(1)).as("n"))
         .collect()
       val wall = (System.nanoTime() - t0) / 1e9
-      val busy = perPart.map(_.getDouble(0))
+      val busy = perPart.map(_.getDouble(1)) // col 1 = busy_ms (0 = partition_id)
       val maxBusy = busy.max
       val meanBusy = busy.sum / busy.length
       (wall, maxBusy, meanBusy, perPart.length.toLong)
