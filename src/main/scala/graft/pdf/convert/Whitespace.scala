@@ -17,6 +17,11 @@ package graft.pdf.convert
   */
 object Whitespace {
 
+  /** Bit set of the scanner's stop chars: \t(9) \n(10) \r(13) ' '(32)
+    * — all < 64, so membership is `c < 64 && ((1L << c) & mask) != 0`. */
+  private final val StopMask: Long =
+    (1L << '\n') | (1L << '\r') | (1L << ' ') | (1L << '\t')
+
   /** Plain-text cleanup (reference: whitespace.rs:284-345). */
   def cleanPlainText(s: CharSequence): String = clean(s, markdown = false)
 
@@ -60,28 +65,19 @@ object Whitespace {
     // as IntRef/BooleanRef, and this loop is the job's hottest scanner
     // (every character access paid a heap deref — top leaf frame in
     // JFR).
+    //
+    // The four stop chars (\n \r space \t) all sit below code point
+    // 64, so "is this char a stop?" is one compare + shift + mask
+    // instead of a 4-compare chain — this test runs once per input
+    // char in the dispatch below AND once per char in the visible-run
+    // scan, and clean() was 45% of large-doc leaf samples (r5 JFR)
+    // with the run scan as the inner loop. Visible chars (the common
+    // case by far) are dispatched first.
 
     while (i < n) {
       val c = s(i)
-      if (c == '\n' || c == '\r') {
-        // end line: strip trailing ws (pending dropped), blank artifact
-        // lines in markdown mode. Blanking ALSO un-emits the newlines
-        // that preceded the line and returns them to pendingNl, so the
-        // runs on both sides of a removed artifact merge and cap at 3
-        // on the next emission — this replaces the former capNewlines
-        // second pass (it was 2% of mixed-corpus leaf samples).
-        pendingWs = 0; pendingHasTab = false
-        if (markdown && lineHasVisible && isArtifactLine(o, lineStart, w)) {
-          w = lineStart - nlBeforeLine
-          pendingNl = nlBeforeLine
-        }
-        lineHasVisible = false
-        pendingNl += 1
-        if (c == '\r' && i + 1 < n && s(i + 1) == '\n') i += 1
-      } else if (c == ' ' || c == '\t') {
-        pendingWs += 1
-        if (c == '\t') pendingHasTab = true
-      } else {
+      if (c >= 64 || ((1L << c) & StopMask) == 0) {
+        // ---- visible char (common case) ----
         if (started) {
           if (pendingNl > 0) {
             // blanked-first-line case: nothing emitted yet (w == 0) ⇒
@@ -114,13 +110,31 @@ object Whitespace {
         var j = i + 1
         while (j < n && {
           val cj = s(j)
-          cj != '\n' && cj != '\r' && cj != ' ' && cj != '\t'
+          cj >= 64 || ((1L << cj) & StopMask) == 0
         }) j += 1
         System.arraycopy(s, i, o, w, j - i)
         w += j - i
         i = j - 1
         lineHasVisible = true
         started = true
+      } else if (c == '\n' || c == '\r') {
+        // end line: strip trailing ws (pending dropped), blank artifact
+        // lines in markdown mode. Blanking ALSO un-emits the newlines
+        // that preceded the line and returns them to pendingNl, so the
+        // runs on both sides of a removed artifact merge and cap at 3
+        // on the next emission — this replaces the former capNewlines
+        // second pass (it was 2% of mixed-corpus leaf samples).
+        pendingWs = 0; pendingHasTab = false
+        if (markdown && lineHasVisible && isArtifactLine(o, lineStart, w)) {
+          w = lineStart - nlBeforeLine
+          pendingNl = nlBeforeLine
+        }
+        lineHasVisible = false
+        pendingNl += 1
+        if (c == '\r' && i + 1 < n && s(i + 1) == '\n') i += 1
+      } else { // ' ' or '\t'
+        pendingWs += 1
+        if (c == '\t') pendingHasTab = true
       }
       i += 1
     }
