@@ -28,6 +28,14 @@ object Whitespace {
   /** Markdown cleanup (reference: whitespace.rs:91-114, 247-255). */
   def cleanMarkdown(s: CharSequence): String = clean(s, markdown = true)
 
+  /** Zero-copy entry: clean `s(0 until n)` IN PLACE (the array is
+    * consumed — caller must not reuse it). Lets producers that already
+    * assemble into a char[] (TextAssembler) skip the StringBuilder's
+    * latin1 byte→char→byte double conversion entirely. Identical state
+    * machine — `clean(cs, md)` delegates here after its bulk copy. */
+  private[convert] def cleanArray(s: Array[Char], n: Int, markdown: Boolean): String =
+    run(s, n, markdown)
+
   private def clean(cs: CharSequence, markdown: Boolean): String = {
     // One bulk copy into a primitive char array up front: String.charAt
     // on UTF16 strings pays a checkIndex per call that the JIT was not
@@ -42,6 +50,10 @@ object Whitespace {
         var k = 0
         while (k < n) { s(k) = other.charAt(k); k += 1 }
     }
+    run(s, n, markdown)
+  }
+
+  private def run(s: Array[Char], n: Int, markdown: Boolean): String = {
     // Output compacts IN PLACE over the same array (no StringBuilder:
     // bulk appends paid ensureCapacity + latin1 probing per call — 5%
     // of JFR samples; no second array either). Safety: every consumed

@@ -27,6 +27,14 @@ import java.util.concurrent.atomic.AtomicLong
   *
   * The parsed CMap is immutable (Map + Int), so sharing one instance
   * across documents and threads is safe.
+  *
+  * SINGLETON / METRICS CAVEAT: both the cache and the hit/miss
+  * counters are JVM-GLOBAL. In production that is exactly right (one
+  * cache per executor JVM), but in tests and benches it means state
+  * leaks across corpora — any spec or A/B arm that reads `hits`/
+  * `misses` or asserts cold-start behavior MUST call `clear()` first
+  * (the existing specs and BenchFontCache do). Counters are
+  * monotonically cumulative across all corpora the JVM has seen.
   */
 object FontCache {
 
