@@ -102,7 +102,15 @@ class CodecSpec extends AnyFunSuite {
   }
 
   test("lzw round-trip (encoder in test only, early-change packing)") {
-    def encodeLzw(data: Array[Byte]): Array[Byte] = {
+    forAll { data =>
+      assert(Codecs.lzwDecode(encodeLzw(data), earlyChange = 1).sameElements(data))
+    }
+  }
+
+  /** Test-only LZW encoder (MSB-first, EarlyChange=1 width growth) —
+    * shared by the round-trip property and the 3-filter pipeline
+    * vector below. */
+  private def encodeLzw(data: Array[Byte]): Array[Byte] = {
       val table = scala.collection.mutable.HashMap.empty[Seq[Byte], Int]
       (0 until 256).foreach(i => table(Seq(i.toByte)) = i)
       var nxt = 258
@@ -140,10 +148,37 @@ class CodecSpec extends AnyFunSuite {
       }
       if (bitCnt > 0) out.write(((bitBuf << (8 - bitCnt)) & 0xff).toInt)
       out.toByteArray
-    }
-    forAll { data =>
-      assert(Codecs.lzwDecode(encodeLzw(data), earlyChange = 1).sameElements(data))
-    }
+  }
+
+  test("3-filter pipeline AHx→Fl→LZW (test_decoders.rs:238 complex_filter_pipeline)") {
+    import graft.pdf.cos.PdfObj
+    import graft.pdf.cos.PdfObj._
+    val original = "Complex!".getBytes
+    // encode inside-out: LZW, then flate, then hex — decode lists the
+    // OUTERMOST filter first: [/ASCIIHexDecode /FlateDecode /LZWDecode]
+    val enc = (PdfBuilder.deflate(encodeLzw(original))
+      .map(b => f"${b & 0xff}%02X").mkString + ">").getBytes
+    val dict = Dict(Map("Filter" -> Arr(Vector(
+      Name("ASCIIHexDecode"), Name("FlateDecode"), Name("LZWDecode")))))
+    assert(Codecs.decodeStream(dict, enc, identity[PdfObj]).sameElements(original))
+  }
+
+  test("unsupported filter in a pipeline throws (test_decoders.rs:135)") {
+    import graft.pdf.cos.PdfObj
+    import graft.pdf.cos.PdfObj._
+    val dict = Dict(Map("Filter" -> Name("NonExistentFilter")))
+    intercept[DecodeException](
+      Codecs.decodeStream(dict, "test".getBytes, identity[PdfObj]))
+  }
+
+  test("no /Filter entry returns data as-is (test_decoders.rs:144,230)") {
+    import graft.pdf.cos.PdfObj
+    import graft.pdf.cos.PdfObj._
+    val data = "No compression here!".getBytes
+    assert(Codecs.decodeStream(Dict(Map.empty), data, identity[PdfObj]).sameElements(data))
+    // decode on a non-stream object (test_decoders.rs:211) has no
+    // analog: streamData takes Stream by type — the error is
+    // unrepresentable rather than runtime-checked
   }
 
   test("png predictor: Up and Sub filters") {
