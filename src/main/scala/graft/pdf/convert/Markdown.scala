@@ -70,7 +70,10 @@ object Markdown {
       prevY = y
       prevSize = maxSize
     }
-    Whitespace.cleanMarkdown(linkify(sb.toString))
+    // common case (no URL/email candidates): hand the builder straight
+    // to the cleaner — skips materializing an intermediate String
+    if (sb.indexOf("http") < 0 && sb.indexOf("@") < 0) Whitespace.cleanMarkdown(sb)
+    else Whitespace.cleanMarkdown(linkify(sb.toString))
   }
 
   /** Bare URLs/emails → autolinks (reference: markdown.rs:758-801). */

@@ -333,6 +333,47 @@ class ExtractJobSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(!fs.exists(lock))
   }
 
+  test("heal racing a LIVE committer never destroys published output (the r4-advice loss scenario)") {
+    // Before heal ran under the commit lock, this interleaving lost
+    // data: committer stages src → heal sees src (+ dst mid-rename on
+    // copy-based stores) → heal deletes dst after the committer's
+    // checkpoint append → urls owned but output gone, never
+    // re-extracted. Under the lock the interleaving is serialized;
+    // this drives a real committer thread against a heal loop and
+    // asserts zero loss however the schedules land.
+    val dir = Files.createTempDirectory("graft-heal-race").toString
+    val outDir = s"$dir/extracted"
+    val ckptDir = s"$dir/checkpoint"
+    val pages = PagesGen.generate(spark, 30, seed = 21, parallelism = 2).toDF().cache()
+    pages.count()
+    val errs = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]()
+    val committer = new Thread(() =>
+      try ExtractJob.runWithCheckpoint(spark, pages, outDir, ckptDir, "run-hr",
+        ExtractJob.Config(salt = false))
+      catch { case t: Throwable => errs.add(t) })
+    val healDone = new java.util.concurrent.atomic.AtomicBoolean(false)
+    val healer = new Thread(() =>
+      try {
+        // hammer heal() the whole time the committer works
+        while (!healDone.get()) {
+          ExtractJob.heal(spark, outDir, ckptDir, ExtractJob.Config())
+          Thread.sleep(10)
+        }
+      } catch { case t: Throwable => errs.add(t) })
+    committer.start(); healer.start()
+    committer.join(120000)
+    healDone.set(true)
+    healer.join(120000)
+    assert(errs.isEmpty, s"race must not fail either side: ${errs.toArray.mkString(";")}")
+    val out = ExtractJob.readOutput(spark, outDir)
+    assert(out.count() == 30, "no loss under committer/heal race")
+    assert(out.select("url").distinct().count() == 30, "no duplicates")
+    // a final heal is a no-op on the committed state
+    ExtractJob.heal(spark, outDir, ckptDir, ExtractJob.Config())
+    assert(ExtractJob.readOutput(spark, outDir).count() == 30)
+    pages.unpersist()
+  }
+
   test("heal waits on a live committer's lock instead of racing it (bounded, fails loudly)") {
     val dir = Files.createTempDirectory("graft-heal-lock").toString
     val outDir = s"$dir/extracted"
