@@ -23,7 +23,8 @@ object ProfileRun {
           (s"https://big.example/doc$id.pdf",
             graft.pdf.testgen.PdfBuilder.multiPage(pagesSeq, compress = true))
         }.toDF("url", "html").cache()
-      } else PagesGen.generate(spark, 150000, 42L, 64).toDF().cache()
+      } else PagesGen.benchCorpus(spark, 150000, 42L, 64,
+        sys.env.getOrElse("SPARK_GRAFT_BENCH_CORPUS", "mixed")).toDF().cache()
     pages.count()
     // warmup
     ExtractJob.extract(pages, ExtractJob.Config()).write.mode("overwrite").format("noop").save()
