@@ -41,9 +41,28 @@ object FontCache {
   private val MaxEntries = 512
   private val MaxEntryBytes = 128 * 1024
 
-  /** Exact-bytes key with a cached hash. */
+  /** Exact-bytes key with a cached hash. The hash mixes 8 bytes per
+    * step (intrinsified ByteBuffer.getLong) instead of
+    * Arrays.hashCode's byte-at-a-time 31x — every LOOKUP constructs a
+    * Key and hashes the full payload, which for a realistic ~36 KB
+    * CMap made the hash itself a visible slice of the lookup the cache
+    * exists to make cheap (mixed-corpus JFR). Correctness is carried
+    * by equals (full Arrays.equals, vectorized) exactly as before; the
+    * hash only routes buckets and the map never outlives the JVM, so
+    * the function change is invisible outside this class. */
   private final class Key(val bytes: Array[Byte]) {
-    override val hashCode: Int = java.util.Arrays.hashCode(bytes)
+    override val hashCode: Int = {
+      val n = bytes.length
+      val bb = java.nio.ByteBuffer.wrap(bytes).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      var h = 0x9E3779B97F4A7C15L ^ n
+      var i = 0
+      while (i + 8 <= n) {
+        h = (h ^ bb.getLong(i)) * 0xC2B2AE3D27D4EB4FL
+        i += 8
+      }
+      while (i < n) { h = (h ^ (bytes(i) & 0xffL)) * 0x100000001B3L; i += 1 }
+      (h ^ (h >>> 32)).toInt
+    }
     override def equals(o: Any): Boolean = o match {
       case k: Key => (k eq this) || java.util.Arrays.equals(bytes, k.bytes)
       case _      => false
