@@ -30,12 +30,15 @@ final class ObjParser(
     throw new PdfParseException(s"$msg at offset $pos")
 
   // --- character classes (PDF 32000-1 §7.2.2) ---
-  @inline def isWs(c: Int): Boolean =
-    c == 0x00 || c == 0x09 || c == 0x0a || c == 0x0c || c == 0x0d || c == 0x20
-  @inline def isDelim(c: Int): Boolean =
-    c == '(' || c == ')' || c == '<' || c == '>' || c == '[' || c == ']' ||
-      c == '{' || c == '}' || c == '/' || c == '%'
-  @inline def isRegular(c: Int): Boolean = c >= 0 && !isWs(c) && !isDelim(c)
+  // One 256-byte class table instead of compare chains: isRegular —
+  // the lexer's per-char test in name/keyword scans — was 6 ws + 10
+  // delim compares per call (skipWs/isDigit/parseName together ~10%
+  // of mixed-corpus leaf samples); now it is a single array load.
+  // `c` comes from `cur`/`peek` so its range is [-1, 255].
+  import ObjParser.CharClass
+  @inline def isWs(c: Int): Boolean = c >= 0 && (CharClass(c) & 1) != 0
+  @inline def isDelim(c: Int): Boolean = c >= 0 && (CharClass(c) & 2) != 0
+  @inline def isRegular(c: Int): Boolean = c >= 0 && CharClass(c) == 0
   @inline private def isDigit(c: Int): Boolean = c >= '0' && c <= '9'
 
   /** Skip whitespace and %-comments (comment runs to EOL). */
@@ -342,6 +345,14 @@ final class PdfParseException(msg: String) extends RuntimeException(msg)
 
 object ObjParser {
   val MaxDepth = 100 // reference: MAX_RECURSION_DEPTH, src/document.rs:21
+  /** Per-byte class flags (PDF 32000-1 §7.2.2): bit 0 = whitespace
+    * (NUL TAB LF FF CR SP), bit 1 = delimiter; 0 = regular. */
+  private[cos] final val CharClass: Array[Byte] = {
+    val t = new Array[Byte](256)
+    Seq(0x00, 0x09, 0x0a, 0x0c, 0x0d, 0x20).foreach(c => t(c) = 1)
+    "()<>[]{}/%".foreach(c => t(c) = 2)
+    t
+  }
   /** 10^0..10^18 (exact doubles through 10^18 < 2^63): parseNumber ran
     * math.pow per fractional literal — content streams are mostly
     * decimal coordinates, so that was a transcendental call per token. */
