@@ -86,9 +86,26 @@ final class ObjParser(
     }
   }
 
-  /** `/Name` with `#xx` escapes (reference: src/lexer.rs name path). */
+  /** `/Name` with `#xx` escapes (reference: src/lexer.rs name path).
+    * Escape-free names (all of them, in practice) construct as one
+    * latin1 slice instead of per-char StringBuilder growth, then
+    * dedupe against the canonical-literal pool: pooled results are
+    * reference-equal to the string CONSTANTS call sites pass to
+    * `Dict.get("Type")` etc. (JVM-interned literals), so every dict
+    * probe on a common key short-circuits String.equals. */
   def parseName(): Name = {
     pos += 1 // '/'
+    val start = pos
+    var sawHash = false
+    var h = 0x811c9dc5 // FNV-1a folded into the scan: no second pass
+    while (isRegular(cur)) {
+      if (cur == '#' && isHexDigit(peek(1)) && isHexDigit(peek(2))) { sawHash = true; pos += 3 }
+      else { h = (h ^ cur) * 0x01000193; pos += 1 }
+    }
+    if (!sawHash)
+      return Name(ObjParser.pooledName(data, start, pos - start, h))
+    // rare #xx path: re-scan with a builder
+    pos = start
     val sb = new java.lang.StringBuilder(16)
     while (isRegular(cur)) {
       if (cur == '#' && isHexDigit(peek(1)) && isHexDigit(peek(2))) {
@@ -357,4 +374,74 @@ object ObjParser {
     * math.pow per fractional literal — content streams are mostly
     * decimal coordinates, so that was a transcendental call per token. */
   private[cos] val Pow10: Array[Double] = Array.tabulate(19)(i => math.pow(10, i))
+
+  /** Canonical pool for the names PDF dictionaries repeat constantly
+    * (ISO 32000 core vocabulary + every literal this codebase passes to
+    * Dict.get). Values are string LITERALS, hence JVM-interned: a
+    * pooled parseName result is reference-equal to the constant at the
+    * Dict.get call site, so Map key equality short-circuits. Pool
+    * misses build a fresh latin1 String — same behavior as before. */
+  private val PoolNames: Array[String] = Array(
+    "Type", "Length", "Filter", "Subtype", "Font", "Page", "Pages",
+    "Kids", "Count", "Parent", "Contents", "Resources", "MediaBox",
+    "CropBox", "Rotate", "XObject", "Encoding", "ToUnicode", "BaseFont",
+    "FirstChar", "LastChar", "Widths", "FontDescriptor", "Flags",
+    "FontWeight", "StemV", "W", "DW", "CIDSystemInfo", "DescendantFonts",
+    "Differences", "BaseEncoding", "Root", "Info", "Size", "Prev",
+    "XRefStm", "Encrypt", "ID", "Index", "DecodeParms", "Columns",
+    "Predictor", "Colors", "BitsPerComponent", "FlateDecode",
+    "ASCIIHexDecode", "ASCII85Decode", "LZWDecode", "RunLengthDecode",
+    "DCTDecode", "CCITTFaxDecode", "JBIG2Decode", "Width", "Height",
+    "ColorSpace", "Image", "Form", "N", "First", "Extends", "ObjStm",
+    "XRef", "Catalog", "Outlines", "Annots", "Rect", "A", "S", "URI",
+    "Dest", "Title", "Next", "Last", "EarlyChange", "Group",
+    "StructTreeRoot", "MarkInfo", "K", "P", "Pg", "MCID", "Identity-H",
+    "Type0", "Type1", "TrueType", "Type3", "MMType1", "CIDFontType0",
+    "CIDFontType2", "F", "Fm", "Im", "DeviceRGB", "DeviceGray",
+    "DeviceCMYK", "Indexed", "ICCBased", "Separation", "Name", "Names",
+    "Dests", "Outline", "FontFile", "FontFile2", "FontFile3",
+    "WinAnsiEncoding", "MacRomanEncoding", "StandardEncoding",
+    "PDFDocEncoding", "Lang", "Metadata", "StructParents", "BBox",
+    "Matrix", "Ordering", "Registry", "Supplement", "CIDToGIDMap",
+    "AcroForm", "FT", "Ff", "V", "T", "TU", "DA", "Btn", "Tx", "Ch",
+    "Sig", "Opt", "AS", "Off", "Yes", "GoTo", "Action", "Link", "Annot",
+    "Border", "C", "H", "D", "Fit", "FitH", "FitB", "XYZ", "U", "O",
+    "R", "CF", "StmF", "StrF", "AESV2", "AESV3", "V2", "CFM", "StdCF",
+    "Standard", "Limits", "Nums", "ItalicAngle", "Ascent", "Descent",
+    "CapHeight", "MissingWidth", "AvgWidth", "MaxWidth", "FontBBox")
+  private final val PoolSize = 1024 // power of 2, ~6x entries: sparse probes
+  private val poolKeys = new Array[Array[Byte]](PoolSize)
+  private val poolVals = new Array[String](PoolSize)
+  locally {
+    PoolNames.foreach { s =>
+      val b = s.getBytes(java.nio.charset.StandardCharsets.ISO_8859_1)
+      var idx = hashNameBytes(b, 0, b.length) & (PoolSize - 1)
+      while (poolKeys(idx) != null) idx = (idx + 1) & (PoolSize - 1)
+      poolKeys(idx) = b
+      poolVals(idx) = s
+    }
+  }
+
+  @inline private def hashNameBytes(data: Array[Byte], start: Int, len: Int): Int = {
+    var h = 0x811c9dc5
+    var i = start
+    val end = start + len
+    while (i < end) { h = (h ^ (data(i) & 0xff)) * 0x01000193; i += 1 }
+    h
+  }
+
+  private[cos] def pooledName(data: Array[Byte], start: Int, len: Int, hash: Int): String = {
+    var idx = hash & (PoolSize - 1)
+    var k = poolKeys(idx)
+    while (k != null) {
+      if (k.length == len) {
+        var i = 0
+        while (i < len && k(i) == data(start + i)) i += 1
+        if (i == len) return poolVals(idx)
+      }
+      idx = (idx + 1) & (PoolSize - 1)
+      k = poolKeys(idx)
+    }
+    new String(data, start, len, java.nio.charset.StandardCharsets.ISO_8859_1)
+  }
 }

@@ -14,10 +14,47 @@ final class CMap(
     val codeBytes: Int) {
   def get(code: Int): Option[String] = map.get(code)
   def isEmpty: Boolean = map.isEmpty
+
+  /** Dense lookup for low codes that map to EXACTLY one char the
+    * decode cascade would accept (non-NUL, non-U+FFFD — FontInfo
+    * skips replacement-char mappings): the Type0 glyph hot loop reads
+    * this instead of a boxed `Map[Int,String]` probe per glyph.
+    * Built at most once per CMap INSTANCE — FontCache shares instances
+    * across documents, so the cost amortizes over the whole corpus
+    * (a per-FontInfo table measurably regressed: per-(font,doc)
+    * allocation+zeroing outweighed the per-glyph win). 0 = no 1-char
+    * mapping here, caller takes the slow cascade. @volatile for safe
+    * publication across executor threads; the build is deterministic,
+    * so a lost race just rebuilds the identical array. */
+  @volatile private var charTab: Array[Char] = null
+  private[font] def singleCharTable: Array[Char] = {
+    var t = charTab
+    if (t == null) {
+      var maxCode = -1
+      map.foreach { case (c, s) =>
+        if (c >= 0 && c < CMap.DenseCap && s.length == 1) {
+          val ch = s.charAt(0)
+          if (ch != 0 && ch != '�' && c > maxCode) maxCode = c
+        }
+      }
+      t = new Array[Char](maxCode + 1)
+      map.foreach { case (c, s) =>
+        if (c >= 0 && c <= maxCode && s.length == 1) {
+          val ch = s.charAt(0)
+          if (ch != 0 && ch != '�') t(c) = ch
+        }
+      }
+      charTab = t
+    }
+    t
+  }
 }
 
 object CMap {
   val empty = new CMap(Map.empty, 1)
+  /** Dense-table code bound: CID fonts assign glyph ids from 0 upward,
+    * so real 2-byte codes cluster far below this. */
+  private[font] final val DenseCap = 4096
 
   def parse(data: Array[Byte]): CMap = {
     val p = new ObjParser(data, 0)

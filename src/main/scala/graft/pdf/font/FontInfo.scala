@@ -118,6 +118,7 @@ final case class FontInfo(
   /** Lazy per-font cache for Type0 code points (2-byte space). */
   private lazy val type0Cache = new java.util.HashMap[Integer, String]()
 
+
   /** Decode one character code to a Unicode string; None = unmappable. */
   def decode(code: Int): Option[String] = Option(decodeOrNull(code))
 
@@ -133,15 +134,28 @@ final case class FontInfo(
   private val simpleCharTable = new Array[Char](256)
 
   def decodeCharOrZero(code: Int): Char = {
-    if (isType0 || code < 0 || code >= 256) return 0.toChar
-    val c = simpleCharTable(code)
-    if (c != 0) return c
-    val v = simpleLookup(code) // memoized; cheap to re-hit for non-1-char codes
-    if (v != null && v.length == 1) {
-      val ch = v.charAt(0)
-      simpleCharTable(code) = ch
-      ch
-    } else 0.toChar
+    if (isType0) {
+      // dense per-CMap table, shared across documents via FontCache —
+      // a per-FontInfo table was tried and REGRESSED: FontInfo is
+      // per (font, document), so each instance paid kilobytes of
+      // allocation+zeroing amortized over a handful of glyphs. The
+      // CMap instance is the cross-doc object, so its table builds
+      // once per DISTINCT CMap. 0 = not a 1-char CMap mapping →
+      // caller falls back to decodeOrNull (diffs/fallback cascade).
+      if (toUnicode.isEmpty) return 0.toChar
+      val t = toUnicode.get.singleCharTable
+      if (code >= 0 && code < t.length) t(code) else 0.toChar
+    } else {
+      if (code < 0 || code >= 256) return 0.toChar
+      val c = simpleCharTable(code)
+      if (c != 0) return c
+      val v = simpleLookup(code) // memoized; cheap to re-hit for non-1-char codes
+      if (v != null && v.length == 1) {
+        val ch = v.charAt(0)
+        simpleCharTable(code) = ch
+        ch
+      } else 0.toChar
+    }
   }
 
   def decodeOrNull(code: Int): String = {
