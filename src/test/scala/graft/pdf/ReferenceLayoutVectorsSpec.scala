@@ -217,4 +217,29 @@ class ReferenceLayoutVectorsSpec extends AnyFunSuite {
     assert(html.contains("first") && html.contains("second"))
     assert(html.contains("<") && html.contains(">"))
   }
+
+  test("heading classification thresholds (heading_detector.rs:228-290)") {
+    import graft.pdf.convert.Markdown
+    def md1(text: String, size: Float, bold: Boolean): String =
+      Markdown.convertPage(Vector(span(text, 0f, 90f, size, bold))).trim
+    assert(md1("Title", 24f, bold = true) == "# Title")          // H1
+    assert(md1("Section", 18f, bold = true) == "## Section")     // H2
+    assert(md1("Mid", 16f, bold = true) == "## Mid")             // 16-18pt bold is H2 too
+    assert(md1("Subsection", 14f, bold = true) == "### Subsection") // H3
+    // 14pt NON-bold is body (the "could be H3, default to body" rule)
+    assert(md1("Ambiguous", 14f, bold = false) == "Ambiguous")
+    assert(md1("Regular text", 12f, bold = false) == "Regular text")
+    // small text renders as body (no Small tier in markdown output)
+    assert(md1("Footnote", 8f, bold = false) == "Footnote")
+    // mixed document keeps every tier distinct
+    val mixed = Markdown.convertPage(Vector(
+      span("Main Title", 0f, 200f, 24f, bold = true),
+      span("Introduction", 0f, 160f, 18f, bold = true),
+      span("Background", 0f, 120f, 14f, bold = true),
+      span("Lorem ipsum dolor", 0f, 80f, 12f, bold = false)))
+    assert(mixed.contains("# Main Title"))
+    assert(mixed.contains("## Introduction"))
+    assert(mixed.contains("### Background"))
+    assert(mixed.linesIterator.exists(_ == "Lorem ipsum dolor"))
+  }
 }

@@ -70,6 +70,18 @@ class ReferenceParserVectorsSpec extends AnyFunSuite {
     }
   }
 
+  test("number edge forms: bare-dot reals + real/integer distinction (lexer.rs:516-535, 841-853)") {
+    assert(parse(".5") == Real(0.5))
+    assert(parse("5.") == Real(5.0))
+    assert(parse("-.002") == Real(-0.002))
+    // integral-valued reals stay Real (the type distinction survives)
+    assert(parse("0.0") == Real(0.0))
+    assert(parse("3.14") == Real(3.14))
+    assert(parse("0") == Int64(0))
+    assert(parse("42") == Int64(42))
+    assert(parse("-123") == Int64(-123))
+  }
+
   test("extra whitespace everywhere (parser.rs:1087-1110)") {
     assert(parse("  \n\t  42") == Int64(42))
     assert(parse("[  1   2    3  ]").asArr.get.length == 3)
