@@ -82,6 +82,48 @@ class ReferenceParserVectorsSpec extends AnyFunSuite {
     assert(parse("-123") == Int64(-123))
   }
 
+  test("pooled parseName matches per-char decode semantics on random names") {
+    // oracle: the pre-pool per-char StringBuilder decode (lexer.rs name
+    // path) — pooled/sliced construction must be byte-identical for
+    // every name shape, including #xx escapes, invalid escapes, and
+    // high (0x80+) bytes
+    def oracle(bytes: Array[Byte]): String = {
+      val sb = new java.lang.StringBuilder
+      var i = 0
+      def hex(c: Int) = Character.digit(c, 16) >= 0
+      while (i < bytes.length) {
+        val c = bytes(i) & 0xff
+        if (c == '#' && i + 2 < bytes.length &&
+            hex(bytes(i + 1) & 0xff) && hex(bytes(i + 2) & 0xff)) {
+          sb.append(((Character.digit(bytes(i + 1) & 0xff, 16) << 4) |
+            Character.digit(bytes(i + 2) & 0xff, 16)).toChar)
+          i += 3
+        } else { sb.append(c.toChar); i += 1 }
+      }
+      sb.toString
+    }
+    val regular = (0 until 256).filter { c =>
+      !Set(0x00, 0x09, 0x0a, 0x0c, 0x0d, 0x20).contains(c) &&
+        !"()<>[]{}/%".contains(c.toChar)
+    }.toArray
+    val rnd = new java.util.Random(7L)
+    (0 until 2000).foreach { _ =>
+      val len = rnd.nextInt(12)
+      val raw = Array.fill(len) {
+        val r = rnd.nextInt(10)
+        if (r < 3) '#'.toByte
+        else if (r < 6) ('a' + rnd.nextInt(26)).toByte
+        else regular(rnd.nextInt(regular.length)).toByte
+      }
+      val parsed = new ObjParser(("/" + new String(raw, ISO_8859_1) + " ")
+        .getBytes(ISO_8859_1)).parseObject()
+      assert(parsed == Name(oracle(raw)), s"name bytes: ${raw.mkString(",")}")
+    }
+    // pool hits return the canonical instance (reference equality)
+    val n1 = new ObjParser("/Type ".getBytes(ISO_8859_1)).parseObject()
+    assert(n1.asInstanceOf[Name].v eq "Type")
+  }
+
   test("extra whitespace everywhere (parser.rs:1087-1110)") {
     assert(parse("  \n\t  42") == Int64(42))
     assert(parse("[  1   2    3  ]").asArr.get.length == 3)
