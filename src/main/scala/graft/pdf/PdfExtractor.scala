@@ -42,7 +42,12 @@ final case class ConversionOptions(
     password: String = "",
     /** HTML export mode: absolute-positioned divs instead of semantic
       * tags (reference html.rs preserve_layout option). */
-    preserveLayout: Boolean = false)
+    preserveLayout: Boolean = false,
+    /** TJ offset below which a synthetic space is inserted;
+      * Float.NegativeInfinity disables insertion (reference:
+      * extractors/text.rs:30-98 TextExtractionConfig
+      * .space_insertion_threshold / with_space_threshold). */
+    spaceInsertionThreshold: Float = TextExtractor.DefaultSpaceInsertionThreshold)
 
 object PdfExtractor {
 
@@ -76,7 +81,7 @@ object PdfExtractor {
     val doc = new PdfDocument(bytes, opts.password)
     doc.pages.take(opts.maxPages).map { page =>
       val chars =
-        try new TextExtractor(doc).extractChars(page)
+        try new TextExtractor(doc, opts.spaceInsertionThreshold).extractChars(page)
         catch { case _: Throwable => Vector.empty }
       graft.pdf.layout.CharMode.convertPage(chars)
     }.filter(_.nonEmpty).mkString("\n\n")
@@ -91,7 +96,7 @@ object PdfExtractor {
     val htmls = Vector.newBuilder[String]
     pages.foreach { page =>
       val raw0 =
-        try new TextExtractor(doc).extractRaw(page)
+        try new TextExtractor(doc, opts.spaceInsertionThreshold).extractRaw(page)
         catch { case _: Throwable => Vector.empty }
       // /Rotate pages: sort in display orientation
       val (raw, mediaBox) = graft.pdf.extract.Rotation.normalize(raw0, page)

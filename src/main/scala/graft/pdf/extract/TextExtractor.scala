@@ -21,11 +21,13 @@ import graft.pdf.font.FontInfo
   * reference's span path (text.rs:1333-1360 vs 614-641 — their text
   * lands in the never-returned char vec). SURVEY §7.4.9.
   */
-final class TextExtractor(doc: PdfDocument) {
-
-  /** TJ offset below which a synthetic space is inserted
-    * (reference: text.rs:44-55 space_insertion_threshold). */
-  private val SpaceInsertionThreshold = -120f
+final class TextExtractor(
+    doc: PdfDocument,
+    /** TJ offset below which a synthetic space is inserted; negative
+      * infinity disables insertion (reference: text.rs:44-98
+      * TextExtractionConfig.space_insertion_threshold /
+      * with_space_threshold, default -120). */
+    spaceInsertionThreshold: Float = TextExtractor.DefaultSpaceInsertionThreshold) {
 
   private val gs = new GraphicsStack
   private var fonts = Map.empty[String, FontInfo]
@@ -281,7 +283,7 @@ final class TextExtractor(doc: PdfDocument) {
       case Str(b) => showText(b, emit = true)
       case n @ (Int64(_) | Real(_)) =>
         val off = num(n)
-        if (off < SpaceInsertionThreshold) {
+        if (off < spaceInsertionThreshold) {
           // (the former buf.toString.endsWith(" ") materialized the
           // whole buffered run per TJ offset)
           if (bufLen > 0 && bufArr(bufLen - 1) != ' ') {
@@ -512,4 +514,9 @@ final class TextExtractor(doc: PdfDocument) {
       }
     }
   }
+}
+
+object TextExtractor {
+  /** reference: text.rs:44-55 — TextExtractionConfig default. */
+  final val DefaultSpaceInsertionThreshold: Float = -120f
 }

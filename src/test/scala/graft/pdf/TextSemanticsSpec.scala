@@ -57,6 +57,29 @@ class TextSemanticsSpec extends AnyFunSuite {
     assert(PdfExtractor.extract(doc(c)).text == "A BC")
   }
 
+  // reference: extractors/text.rs:2828-2857 (test_space_threshold_
+  // default / _custom / _disabled) — ported behaviorally: the config
+  // plumbs through ConversionOptions and changes TJ space insertion.
+  test("space-insertion threshold: default -120, custom, NEG_INFINITY disables") {
+    assert(graft.pdf.extract.TextExtractor.DefaultSpaceInsertionThreshold == -120f)
+    assert(ConversionOptions().spaceInsertionThreshold == -120f)
+    // -100 offset: above the default threshold (kerning) → no space;
+    // a more sensitive -80 threshold inserts one
+    val kern = "BT /F1 12 Tf 100 700 Td [(A) -100 (B)] TJ ET"
+    assert(PdfExtractor.extract(doc(kern), ConversionOptions()).text == "AB")
+    assert(PdfExtractor.extract(doc(kern),
+      ConversionOptions(spaceInsertionThreshold = -80f)).text == "A B")
+    // -300 offset: word boundary under the default; NEG_INFINITY
+    // disables insertion entirely (offset < -inf is never true)
+    val word = "BT /F1 12 Tf 100 700 Td [(A) -300 (B)] TJ ET"
+    assert(PdfExtractor.extract(doc(word), ConversionOptions()).text == "A B")
+    assert(PdfExtractor.extract(doc(word),
+      ConversionOptions(spaceInsertionThreshold = Float.NegativeInfinity)).text == "AB")
+    // exactly -120 is NOT below the strict threshold (reference uses <)
+    val edge = "BT /F1 12 Tf 100 700 Td [(A) -120 (B)] TJ ET"
+    assert(PdfExtractor.extract(doc(edge), ConversionOptions()).text == "AB")
+  }
+
   test("ToUnicode CMap on a simple (1-byte) font overrides encoding") {
     val cmap =
       """1 begincodespacerange <00> <FF> endcodespacerange
