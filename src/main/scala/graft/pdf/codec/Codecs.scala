@@ -117,19 +117,32 @@ object Codecs {
     out.toByteArray
   }
 
+  /** Rust's `u8::is_ascii_whitespace`: space, \t, \n, \f, \r (NOT \x0b)
+    * — the skip set the reference decoders use. */
+  @inline private def isRefWhitespace(c: Int): Boolean =
+    c == ' ' || c == '\t' || c == '\n' || c == '\f' || c == '\r'
+
   // ------------------------------------------------------------------
-  // ASCIIHexDecode (reference: src/decoders/ascii_hex.rs)
+  // ASCIIHexDecode (reference: src/decoders/ascii_hex.rs:31-63).
+  // Reference quirk kept for parity: '>' is FILTERED anywhere (along
+  // with whitespace), not treated as a terminator — bytes after an
+  // embedded '>' still decode (spec reads it as EOD; the reference's
+  // iterator-filter does not stop there). Invalid digits are an error
+  // (not skipped): a failed filter yields no text, exactly like the
+  // reference, instead of garbage bytes it would never produce.
   // ------------------------------------------------------------------
   def asciiHexDecode(in: Array[Byte]): Array[Byte] = {
     val out = new mutable.ArrayBuilder.ofByte
     var hi = -1
     var i = 0
-    var done = false
-    while (i < in.length && !done) {
+    while (i < in.length) {
       val c = in(i) & 0xff
-      if (c == '>') done = true
-      else if ((c >= '0' && c <= '9') || (c >= 'a' && c <= 'f') || (c >= 'A' && c <= 'F')) {
-        val v = if (c <= '9') c - '0' else (c | 0x20) - 'a' + 10
+      if (c != '>' && !isRefWhitespace(c)) {
+        val v =
+          if (c >= '0' && c <= '9') c - '0'
+          else if (c >= 'a' && c <= 'f') c - 'a' + 10
+          else if (c >= 'A' && c <= 'F') c - 'A' + 10
+          else throw new DecodeException(s"ASCIIHexDecode: invalid hex digit '${c.toChar}'")
         if (hi < 0) hi = v else { out += ((hi << 4) | v).toByte; hi = -1 }
       }
       i += 1
@@ -139,11 +152,19 @@ object Codecs {
   }
 
   // ------------------------------------------------------------------
-  // ASCII85Decode (reference: src/decoders/ascii85.rs)
+  // ASCII85Decode (reference: src/decoders/ascii85.rs:21-84).
+  // Reference semantics, ported exactly: '~' ends the stream; 'z'
+  // outside a group start is an error; non-whitespace characters
+  // outside '!'..'u' are an error; a single trailing character is an
+  // error; a group whose value exceeds u32 (e.g. "uuuuu") is an
+  // overflow error (reference checked_mul/checked_add) — NOT silently
+  // truncated. Lenient superset kept from before: an exact "<~"
+  // framing prefix is skipped (PostScript framing some generators
+  // emit; the reference would error on it).
   // ------------------------------------------------------------------
   def ascii85Decode(in: Array[Byte]): Array[Byte] = {
     val out = new java.io.ByteArrayOutputStream(in.length)
-    val group = new Array[Int](5)
+    var acc = 0L
     var gi = 0
     var i = 0
     // optional <~ prefix
@@ -152,28 +173,37 @@ object Codecs {
     while (i < in.length && !done) {
       val c = in(i) & 0xff
       if (c == '~') done = true
-      else if (c == 'z' && gi == 0) out.write(Array[Byte](0, 0, 0, 0), 0, 4)
-      else if (c >= '!' && c <= 'u') {
-        group(gi) = c - '!'
+      else if (c == 'z') {
+        if (gi != 0)
+          throw new DecodeException("ASCII85Decode: 'z' must not appear in the middle of a group")
+        out.write(Array[Byte](0, 0, 0, 0), 0, 4)
+      } else if (c >= '!' && c <= 'u') {
+        acc = acc * 85 + (c - '!')
+        if (acc > 0xffffffffL)
+          throw new DecodeException("ASCII85Decode: overflow in decoding")
         gi += 1
         if (gi == 5) {
-          var v = 0L
-          var k = 0
-          while (k < 5) { v = v * 85 + group(k); k += 1 }
-          out.write(((v >>> 24) & 0xff).toInt); out.write(((v >>> 16) & 0xff).toInt)
-          out.write(((v >>> 8) & 0xff).toInt); out.write((v & 0xff).toInt)
+          out.write(((acc >>> 24) & 0xff).toInt); out.write(((acc >>> 16) & 0xff).toInt)
+          out.write(((acc >>> 8) & 0xff).toInt); out.write((acc & 0xff).toInt)
+          acc = 0L
           gi = 0
         }
-      } // else: skip whitespace/garbage
+      } else if (!isRefWhitespace(c)) {
+        throw new DecodeException(s"ASCII85Decode: invalid character '${c.toChar}'")
+      }
       i += 1
     }
     if (gi > 0) { // partial final group: pad with 'u' (84), emit gi-1 bytes
+      if (gi == 1)
+        throw new DecodeException("ASCII85Decode: incomplete group (need at least 2 characters)")
       var k = gi
-      while (k < 5) { group(k) = 84; k += 1 }
-      var v = 0L
-      k = 0
-      while (k < 5) { v = v * 85 + group(k); k += 1 }
-      val bytes = Array(((v >>> 24) & 0xff).toByte, ((v >>> 16) & 0xff).toByte, ((v >>> 8) & 0xff).toByte)
+      while (k < 5) {
+        acc = acc * 85 + 84
+        if (acc > 0xffffffffL)
+          throw new DecodeException("ASCII85Decode: overflow in padding")
+        k += 1
+      }
+      val bytes = Array(((acc >>> 24) & 0xff).toByte, ((acc >>> 16) & 0xff).toByte, ((acc >>> 8) & 0xff).toByte)
       out.write(bytes, 0, gi - 1)
     }
     bombCheck(out.size().toLong, in.length.toLong)
@@ -181,7 +211,11 @@ object Codecs {
   }
 
   // ------------------------------------------------------------------
-  // RunLengthDecode (reference: src/decoders/runlength.rs)
+  // RunLengthDecode (reference: src/decoders/runlength.rs:14-55).
+  // A literal run truncated by end-of-input and a repeat run missing
+  // its byte are ERRORS (reference parity) — previously clamped /
+  // dropped silently, which produced partial bytes the reference
+  // would reject wholesale.
   // ------------------------------------------------------------------
   def runLengthDecode(in: Array[Byte]): Array[Byte] = {
     val out = new java.io.ByteArrayOutputStream(in.length * 2)
@@ -192,9 +226,14 @@ object Codecs {
       i += 1
       if (l == 128) done = true
       else if (l < 128) {
-        val n = math.min(l + 1, in.length - i)
+        val n = l + 1
+        if (i + n > in.length)
+          throw new DecodeException(
+            s"RunLengthDecode: not enough data for literal run (need $n, have ${in.length - i})")
         out.write(in, i, n); i += n
-      } else if (i < in.length) {
+      } else {
+        if (i >= in.length)
+          throw new DecodeException("RunLengthDecode: missing byte for run")
         val b = in(i); i += 1
         var k = 0
         while (k < 257 - l) { out.write(b); k += 1 }
