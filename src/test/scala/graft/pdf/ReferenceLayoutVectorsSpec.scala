@@ -186,6 +186,15 @@ class ReferenceLayoutVectorsSpec extends AnyFunSuite {
     assert(html.contains("&lt;") && html.contains("&gt;") && html.contains("&amp;"))
   }
 
+  test("escape_html direct vectors (html.rs:43-51)") {
+    assert(Html.escape("Hello") == "Hello")
+    assert(Html.escape("AT&T") == "AT&amp;T")
+    assert(Html.escape("<div>") == "&lt;div&gt;")
+    assert(Html.escape("\"quoted\"") == "&quot;quoted&quot;")
+    assert(Html.escape("'apostrophe'") == "&#x27;apostrophe&#x27;")
+    assert(Html.escape("<b>&\"'</b>") == "&lt;b&gt;&amp;&quot;&#x27;&lt;/b&gt;")
+  }
+
   test("html_layout basic/multiple/css_structure (test_converters.rs:226,246,266)") {
     val html = Html.convertPage(Vector(
       span("First", 10f, 20f, 12f, bold = false),

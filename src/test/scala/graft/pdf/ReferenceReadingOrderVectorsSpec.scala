@@ -155,4 +155,20 @@ class ReferenceReadingOrderVectorsSpec extends AnyFunSuite {
     assert(math.abs(centerX(a) - centerX(d)) <= 5f)
     assert(math.abs(centerX(a) - centerX(e)) > 5f)
   }
+
+  // ---------------- geometry/mod.rs -------------------------------
+
+  test("Rect vectors: from_points, edges, center, union (geometry/mod.rs tests)") {
+    // reference Rect::from_points(10,20,110,70) → x=10,y=20,w=100,h=50
+    val r = Rect(10f, 20f, 110f, 70f)
+    assert(r.width == 100f && r.height == 50f)
+    // center of (0,0,100,50)
+    val c = Rect(0f, 0f, 100f, 50f)
+    assert(c.centerX == 50f && (c.y0 + c.y1) / 2f == 25f)
+    // union of (0,0)-(50,50) and (25,25)-(75,75)
+    val u = Rect(0f, 0f, 50f, 50f).union(Rect(25f, 25f, 75f, 75f))
+    assert(u == Rect(0f, 0f, 75f, 75f))
+    // area analog
+    assert(c.width * c.height == 5000f)
+  }
 }

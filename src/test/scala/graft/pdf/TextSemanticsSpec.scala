@@ -80,6 +80,21 @@ class TextSemanticsSpec extends AnyFunSuite {
     assert(PdfExtractor.extract(doc(edge), ConversionOptions()).text == "AB")
   }
 
+  // reference: extractors/text.rs:116-126 (test_extract_no_font) — a
+  // Tf naming a font absent from /Resources still extracts via the
+  // identity/default mapping instead of dropping the run.
+  test("missing font resource falls back to identity mapping") {
+    val b = new PdfBuilder()
+    val catId = b.reserveId()
+    val pagesId = b.reserveId()
+    val cId = b.addStream("", "BT /F9 12 Tf 100 700 Td (ABC) Tj ET".getBytes(ISO_8859_1), flate = false)
+    val pageId = b.addObject(s"<< /Type /Page /Parent $pagesId 0 R /MediaBox [0 0 612 792] " +
+      s"/Contents $cId 0 R >>") // no /Font resources at all
+    b.addObjectAt(pagesId, s"<< /Type /Pages /Kids [$pageId 0 R] /Count 1 >>")
+    b.addObjectAt(catId, s"<< /Type /Catalog /Pages $pagesId 0 R >>")
+    assert(PdfExtractor.extract(b.build(catId)).text == "ABC")
+  }
+
   test("ToUnicode CMap on a simple (1-byte) font overrides encoding") {
     val cmap =
       """1 begincodespacerange <00> <FF> endcodespacerange
