@@ -213,6 +213,14 @@ object DocExtras {
           case Name(n) => n
           case Int64(n) => n.toString
           case Real(n)  => n.toString
+          // multi-select choice fields: /V is an array of selected
+          // values (reference: FieldValue::Array, forms.rs:parse_field_
+          // value + vector forms.rs:428-441) — flatten into one column
+          case Arr(xs) => xs.map(doc.resolve).flatMap {
+            case Str(b)  => Some(decodeDocString(b))
+            case Name(n) => Some(n)
+            case _       => None
+          }.mkString(", ")
           case _        => ""
         }
         out += FormField(name, v, ft)

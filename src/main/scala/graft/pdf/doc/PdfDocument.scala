@@ -299,6 +299,13 @@ final class PdfDocument(val data: Array[Byte],
       i += 1
     }
     found.foreach { case (id, off) => xref.put(id, XRefEntry.Uncompressed(off, 0)) }
+    // Reconstruction is the last rung of the ladder: a document with no
+    // findable objects at all is unusable — error now, with a clear
+    // message, instead of surfacing as a bogus empty-text success
+    // (reference: xref_reconstruction.rs returns Err when the scan
+    // finds nothing; vector at xref_reconstruction.rs:457-466).
+    if (xref.size == 0)
+      throw new PdfLoadException("xref reconstruction found no objects")
     // harvest any ObjStms so compressed-only objects are reachable
     indexObjectStreams(found.keys)
     if (trailer.get("Root").isEmpty) {

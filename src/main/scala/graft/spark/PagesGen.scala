@@ -355,12 +355,15 @@ object PagesGen {
       s"<< /T (agree) /FT /Btn /V /${if (id % 2 == 0) "Yes" else "Off"} >>")
     val fUni = b.addObject("<< /T (uni) /FT /Tx /V <FEFF004100E9> >>") // "Aé"
     val fCount = b.addObject(s"<< /T (count) /FT /Tx /V ${id % 7} >>")
+    // multi-select choice: /V is an ARRAY of selected values
+    // (reference: forms.rs parse_field_value FieldValue::Array)
+    val fMulti = b.addObject("<< /T (multi) /FT /Ch /V [(Option1) (Option2)] >>")
     val w1 = b.addObject("<< /Subtype /Widget /Rect [0 0 10 10] /AS /A >>")
     val w2 = b.addObject("<< /Subtype /Widget /Rect [0 20 10 30] /AS /Off >>")
     val fGrp = b.addObject(
       s"<< /T (grp) /FT /Btn /Kids [$w1 0 R $w2 0 R] >>")
     val acro = b.addObject(
-      s"<< /Fields [$fName 0 R $fPerson 0 R $fAgree 0 R $fUni 0 R $fCount 0 R $fGrp 0 R] >>")
+      s"<< /Fields [$fName 0 R $fPerson 0 R $fAgree 0 R $fUni 0 R $fCount 0 R $fMulti 0 R $fGrp 0 R] >>")
     b.addObjectAt(pagesId, s"<< /Type /Pages /Kids [$pageId 0 R] /Count 1 >>")
     b.addObjectAt(catId,
       s"<< /Type /Catalog /Pages $pagesId 0 R /AcroForm $acro 0 R >>")

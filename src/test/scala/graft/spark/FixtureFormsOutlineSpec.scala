@@ -23,6 +23,7 @@ class FixtureFormsOutlineSpec extends AnyFunSuite {
       ("agree", "Yes", "Btn"),         // Name value
       ("uni", "Aé", "Tx"),        // UTF-16BE BOM'd hex string
       ("count", "0", "Tx"),            // integer value
+      ("multi", "Option1, Option2", "Ch"), // array /V → flattened (forms.rs:428-441)
       ("grp", "", "Btn"),              // widget kid: parent's name kept
       ("grp", "", "Btn")), asTuples.mkString("\n"))
   }
