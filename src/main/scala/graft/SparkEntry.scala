@@ -395,6 +395,12 @@ object SparkEntry {
       val emb = t(s, dir, "embeddings")
       Similarity.lshTopK(emb, emb.filter(col("vec_id") < 10), k = 5, dim = 64)
     }),
+    "ann_ivf" -> ((s, dir) => {
+      // IVF scale shape: one inverted list per corpus vector, queries
+      // probe their 4 nearest of 16 cells, exact re-rank inside lists
+      val emb = t(s, dir, "embeddings")
+      Similarity.ivfTopK(emb, emb.filter(col("vec_id") < 10), k = 5)
+    }),
 
     // ---------------- text analysis ---------------------------------
     "text_token_stats" -> ((s, dir) => TextAnalysis.tokenStats(t(s, dir, "documents"))),
@@ -521,6 +527,10 @@ object SparkEntry {
     // join, exact-cosine re-check / top-k re-rank
     "dedup_embedding" -> graft.ops.EmbeddingOracle.nearDupSql(),
     "ann_lsh" -> graft.ops.EmbeddingOracle.annSql(),
+    // IVF pipeline replicated in SQL: deterministic centroid stream,
+    // ordered-fold cosines, (cos DESC, cell ASC) assignment/probes,
+    // cell equi-join, exact-cosine top-k re-rank
+    "ann_ivf" -> graft.ops.EmbeddingOracle.ivfSql(),
     // containment check: LSH ∪ exact must equal the exact set (LSH is
     // precision-1 — every candidate is re-checked with exact cosine)
     "dedup_embedding_cover" ->

@@ -80,6 +80,56 @@ object EmbeddingOracle {
        |SELECT a_id, b_id FROM pairs
        |WHERE ${cos("av", "bv")} >= CAST($threshold AS DOUBLE)""".stripMargin
 
+  /** Oracle for `Similarity.ivfTopK(emb, emb.filter(vec_id < 10), k)`:
+    * replays the deterministic centroid stream (splitmix64 mix, seed
+    * base 1299709 + cell·7919, bit fixed at 0), the per-(vec, cell)
+    * cosine with ordered folds, the (cos DESC, cell ASC) cell ranking
+    * (take-1 assignment / take-nProbe probes), the cell equi-join, and
+    * the exact-cosine top-k re-rank — every decision the engine makes,
+    * in the same IEEE order. */
+  def ivfSql(k: Int = 5, nCells: Int = 16, nProbe: Int = 4, dim: Int = 64): String =
+    s"""WITH cgrid AS (
+       |  SELECT c.g AS cell, d.g AS d
+       |  FROM generate_series(0, ${nCells - 1}) c(g), generate_series(0, ${dim - 1}) d(g)),
+       |ch0 AS (SELECT cell, d,
+       |  (CAST(1299709 AS HUGEINT) + cell * 7919 + (d * CAST($SM2 AS HUGEINT)) % $M) % $M AS z
+       |  FROM cgrid),
+       |ch1 AS (SELECT cell, d, ${mulmod(xor64("z", s"z // ${1L << 30}"), SM2)} AS z FROM ch0),
+       |ch2 AS (SELECT cell, d, ${mulmod(xor64("z", s"z // ${1L << 27}"), SM3)} AS z FROM ch1),
+       |ch3 AS (SELECT cell, d, ${xor64("z", s"z // ${1L << 31}")} AS z FROM ch2),
+       |chp AS (SELECT cell, d,
+       |  CAST(CASE WHEN z >= ${BigInt(1) << 63} THEN z - $M ELSE z END AS DOUBLE) / 9223372036854775807.0 AS h
+       |  FROM ch3),
+       |cn AS (SELECT cell,
+       |  list_reduce(list_prepend(CAST(0 AS DOUBLE), list(h * h ORDER BY d)), (a, x) -> a + x) AS cn2
+       |  FROM chp GROUP BY cell),
+       |vn AS (SELECT e.vec_id, ${dot("e.embedding", "e.embedding")} AS vn2 FROM embeddings e),
+       |cprods AS (
+       |  SELECT e.vec_id, h.cell, h.d, CAST(e.embedding[h.d + 1] AS DOUBLE) * h.h AS p
+       |  FROM embeddings e, chp h),
+       |cdots AS (
+       |  SELECT vec_id, cell,
+       |    list_reduce(list_prepend(CAST(0 AS DOUBLE), list(p ORDER BY d)), (a, x) -> a + x) AS dot
+       |  FROM cprods GROUP BY vec_id, cell),
+       |cscored AS (
+       |  SELECT t.vec_id, t.cell, t.dot / (sqrt(v.vn2) * sqrt(c.cn2)) AS ccos
+       |  FROM cdots t JOIN vn v USING (vec_id) JOIN cn c USING (cell)),
+       |assign AS (SELECT vec_id, cell FROM (
+       |  SELECT vec_id, cell, row_number() OVER (PARTITION BY vec_id ORDER BY ccos DESC, cell ASC) AS r
+       |  FROM cscored) WHERE r = 1),
+       |probes AS (SELECT vec_id, cell FROM (
+       |  SELECT vec_id, cell, row_number() OVER (PARTITION BY vec_id ORDER BY ccos DESC, cell ASC) AS r
+       |  FROM cscored WHERE vec_id < 10) WHERE r <= $nProbe),
+       |cand AS (SELECT q.vec_id AS query_id, a.vec_id AS neighbor_id
+       |  FROM probes q JOIN assign a ON a.cell = q.cell AND a.vec_id <> q.vec_id),
+       |scored AS (SELECT c.query_id, c.neighbor_id,
+       |  ${cos("eq.embedding", "en.embedding")} AS cos
+       |  FROM cand c JOIN embeddings eq ON eq.vec_id = c.query_id JOIN embeddings en ON en.vec_id = c.neighbor_id)
+       |SELECT query_id, neighbor_id, rank FROM (
+       |  SELECT query_id, neighbor_id,
+       |    row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id ASC) AS rank
+       |  FROM scored) WHERE rank <= $k""".stripMargin
+
   /** Oracle for `Similarity.lshTopK(emb, emb.filter(vec_id < 10), k, 64)`. */
   def annSql(k: Int = 5, nBits: Int = 12, nTables: Int = 4, dim: Int = 64): String =
     s"""WITH ${sigStages(nBits, nTables, dim)},

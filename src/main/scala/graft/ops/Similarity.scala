@@ -170,6 +170,115 @@ object Similarity {
       .select(col("query_id"), col("neighbor_id"), col("rank"))
   }
 
+  /** IVF-style coarse quantization: score every vector against `nCells`
+    * deterministic centroid directions (drawn from the same splitmix64
+    * component stream as the LSH hyperplanes, disjoint seed base) and
+    * keep the `take` best cells per vector ordered by (cosine desc,
+    * cell asc). `take = 1` is the corpus-side inverted-list assignment;
+    * `take = nProbe` is the query-side probe list. A trained k-means
+    * codebook would adapt to the data, but training is a separate
+    * (non-deterministic) job; fixed random directions keep the whole
+    * pipeline reproducible and oracle-checkable while preserving the
+    * IVF *shape* — each corpus vector lands in exactly one list, and a
+    * query touches only nProbe/nCells of the corpus.
+    *
+    * Same bit-exactness discipline as [[lshSignatures]]: the centroid
+    * matrix is materialized once per partition, all dot/norm
+    * accumulations are left-to-right doubles, and ties in the cell
+    * ranking break to the lower cell index — so the DuckDB oracle
+    * ([[EmbeddingOracle.ivfSql]]) reproduces every assignment. */
+  def ivfCells(df: DataFrame, idCol: String, nCells: Int, take: Int): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col(idCol).cast("long"), col("embedding"))
+      .as[(Long, Array[Float])]
+      .mapPartitions { rows =>
+        var cm: Array[Double] = null   // flat [cell][d] centroid components
+        var cn: Array[Double] = null   // per-cell sqrt(sum h^2), fold order d
+        var dim = -1
+        rows.flatMap { case (id, v) =>
+          if (v.length != dim) {
+            dim = v.length
+            cm = new Array[Double](nCells * dim)
+            cn = new Array[Double](nCells)
+            var c = 0
+            while (c < nCells) {
+              val base = c * dim
+              var n2 = 0.0
+              var d = 0
+              while (d < dim) {
+                val h = hyperplane(1299709L + c * 7919L, 0, d)
+                cm(base + d) = h
+                n2 += h * h
+                d += 1
+              }
+              cn(c) = math.sqrt(n2)
+              c += 1
+            }
+          }
+          var vn2 = 0.0
+          var d = 0
+          while (d < v.length) { vn2 += v(d).toDouble * v(d).toDouble; d += 1 }
+          val vn = math.sqrt(vn2)
+          val cos = new Array[Double](nCells)
+          var c = 0
+          while (c < nCells) {
+            var dot = 0.0
+            val base = c * dim
+            var i = 0
+            while (i < v.length) { dot += v(i).toDouble * cm(base + i); i += 1 }
+            cos(c) = dot / (vn * cn(c))
+            c += 1
+          }
+          // top-`take` cells by (cos desc, cell asc): strictly-greater
+          // argmax keeps the lowest cell on ties — matches the oracle's
+          // row_number() ORDER BY cos DESC, cell ASC
+          val used = new Array[Boolean](nCells)
+          (0 until math.min(take, nCells)).map { _ =>
+            var best = -1
+            var bestCos = Double.NegativeInfinity
+            var i = 0
+            while (i < nCells) {
+              if (!used(i) && cos(i) > bestCos) { best = i; bestCos = cos(i) }
+              i += 1
+            }
+            used(best) = true
+            (id, best, v)
+          }
+        }
+      }.toDF(idCol, "cell", "embedding")
+  }
+
+  /** IVF-bucketed ANN: corpus vectors live in exactly one inverted
+    * list ([[ivfCells]] take=1 — never shuffled, never broadcast);
+    * each query probes its `nProbe` nearest cells; exact cosine
+    * re-ranks inside the probed lists only. Complements [[lshTopK]]
+    * (multi-table hash buckets) with the other classic ANN scale
+    * shape: candidate volume is a tunable nProbe/nCells fraction of
+    * the corpus per query instead of a hash-collision census, so
+    * recall degrades gracefully (nProbe = nCells ≡ brute force). Only
+    * the (query_id, neighbor_id, cos) candidate triples — 24 bytes
+    * each — reach the final rank shuffle. */
+  def ivfTopK(corpus: DataFrame, queries: DataFrame, k: Int,
+              nCells: Int = 16, nProbe: Int = 4): DataFrame = {
+    val c = ivfCells(corpus, "vec_id", nCells, take = 1)
+      .withColumnRenamed("vec_id", "neighbor_id")
+      .withColumnRenamed("embedding", "c_emb")
+    val q = ivfCells(queries, "vec_id", nCells, take = nProbe)
+      .withColumnRenamed("vec_id", "query_id")
+      .withColumnRenamed("embedding", "q_emb")
+    // corpus cells are disjoint and probe cells distinct per query, so
+    // each (query, neighbor) pair arises at most once — no dedup needed
+    val cand = c.join(broadcast(q), Seq("cell"))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        cosine(col("q_emb"), col("c_emb")).as("cos"))
+    val w = Window.partitionBy(col("query_id")).orderBy(col("cos").desc, col("neighbor_id").asc)
+    cand.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("neighbor_id"), col("rank"))
+  }
+
   /** Embedding near-duplicate pairs at scale: random-hyperplane LSH
     * buckets generate candidates (sub-quadratic, bucket equi-join —
     * nothing is collected or broadcast whole), then EXACT cosine

@@ -86,6 +86,46 @@ class OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     val lsh1 = Similarity.lshTopK(emb, emb.filter("vec_id = 0"), k = 1, dim = 8)
       .collect()
     assert(lsh1.length == 1 && Set(1L, 2L).contains(lsh1(0).getLong(1)), lsh1.mkString)
+    // IVF variant agrees too: cluster-mates have near-identical centroid
+    // cosines, so the query's top probe is its mates' assignment cell
+    val ivf1 = Similarity.ivfTopK(emb, emb.filter("vec_id = 0"), k = 1,
+      nCells = 8, nProbe = 2).collect()
+    assert(ivf1.length == 1 && Set(1L, 2L).contains(ivf1(0).getLong(1)), ivf1.mkString)
+  }
+
+  /** Deterministic synthetic embeddings: 40 vectors, dim 8, values a
+    * small integer lattice scaled to [-1, 1] — no RNG, non-zero norms. */
+  private def syntheticEmb(n: Int = 40, dim: Int = 8): DataFrame = {
+    val s = spark
+    import s.implicits._
+    (0 until n).map { id =>
+      val v = Array.tabulate(dim)(d => (((id * 7 + d * 3) % 11) - 5).toFloat / 5f)
+      (id.toLong, if (v.forall(_ == 0f)) Array.fill(dim)(0.2f) else v)
+    }.toDF("vec_id", "embedding")
+  }
+
+  test("IVF ANN: cells partition the corpus; probes are nProbe distinct cells") {
+    val emb = syntheticEmb()
+    val assign = Similarity.ivfCells(emb, "vec_id", nCells = 8, take = 1).collect()
+    assert(assign.length == 40, s"expected one cell per vector, got ${assign.length}")
+    assert(assign.map(_.getLong(0)).distinct.length == 40)
+    val probes = Similarity.ivfCells(emb.filter("vec_id < 3"), "vec_id", nCells = 8, take = 3)
+      .collect().groupBy(_.getLong(0))
+    assert(probes.keySet == Set(0L, 1L, 2L))
+    probes.values.foreach { rows =>
+      assert(rows.length == 3 && rows.map(_.getInt(1)).distinct.length == 3, rows.mkString)
+    }
+  }
+
+  test("IVF ANN with nProbe == nCells is exactly brute force") {
+    val emb = syntheticEmb()
+    val queries = emb.filter("vec_id < 3")
+    def rows(df: DataFrame): Set[(Long, Long, Long)] =
+      df.collect().map(r => (r.getLong(0), r.getLong(1),
+        r.get(2).asInstanceOf[Number].longValue())).toSet
+    val brute = rows(Similarity.bruteForceTopK(emb, queries, k = 4))
+    val ivf = rows(Similarity.ivfTopK(emb, queries, k = 4, nCells = 8, nProbe = 8))
+    assert(ivf == brute, s"ivf full-probe diverged:\n  ivf=$ivf\n  brute=$brute")
   }
 
   test("connected components: min-id representative per cluster, singletons self-represent") {
