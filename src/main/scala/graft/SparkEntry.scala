@@ -322,6 +322,11 @@ object SparkEntry {
       t(s, dir, "part").select(col("p_partkey"))
         .except(t(s, dir, "lineitem").filter(col("l_quantity") > 45)
           .select(col("l_partkey").as("p_partkey")))),
+    "q7_sessionize" -> ((s, dir) =>
+      // gap-based sessionization (6h inactivity gap): one user_id
+      // shuffle, window lag → boundary flag → running-sum session
+      // index; integer-only, timezone-invariant output
+      graft.ops.Events.sessionize(t(s, dir, "events"), gapUs = 21600L * 1000000L)),
 
     // ---------------- deduplication ---------------------------------
     "dedup_exact" -> ((s, dir) => Dedup.exact(t(s, dir, "documents"))),
@@ -489,6 +494,7 @@ object SparkEntry {
       """SELECT count(DISTINCT l_partkey) AS n_parts,
         | count(DISTINCT l_suppkey) AS n_supps, count(*) AS n_rows
         |FROM lineitem""".stripMargin,
+    "q7_sessionize" -> graft.ops.Events.sessionizeOracleSql(21600L * 1000000L),
     "dedup_exact" ->
       "SELECT min(doc_id) AS doc_id, count(*) AS n_copies FROM documents GROUP BY text",
     // same oracle as dedup_exact: the hash-shuffle variant must produce

@@ -117,6 +117,26 @@ class OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("sessionize: gap boundaries, singleton sessions, durations — hand-computed") {
+    val s = spark
+    import s.implicits._
+    val base = java.sql.Timestamp.valueOf("2024-01-01 00:00:00")
+    def ts(sec: Long) = new java.sql.Timestamp(base.getTime + sec * 1000)
+    // user 1: burst at 0/10/20 s, then (after a >1h gap) 7200/7205 s;
+    // user 2: one event → singleton session with zero duration
+    val ev = Seq(
+      (0L, ts(0), 1L), (1L, ts(10), 1L), (2L, ts(20), 1L),
+      (3L, ts(7200), 1L), (4L, ts(7205), 1L),
+      (5L, ts(100), 2L)
+    ).toDF("event_id", "ts", "user_id")
+    val out = Events.sessionize(ev, gapUs = 3600L * 1000000L).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    assert(out == Set(
+      (1L, 0L, 3L, 20000000L),
+      (1L, 3L, 2L, 5000000L),
+      (2L, 5L, 1L, 0L)), out.toString)
+  }
+
   test("IVF ANN with nProbe == nCells is exactly brute force") {
     val emb = syntheticEmb()
     val queries = emb.filter("vec_id < 3")
