@@ -32,7 +32,12 @@ object Events {
     val byUser = Window.partitionBy(col("user_id"))
       .orderBy(col("ts").asc, col("event_id").asc)
     val running = byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val us = unix_micros(col("ts"))
+    // parquet readers may surface ts as TIMESTAMP or TIMESTAMP_NTZ
+    // depending on the writer's isAdjustedToUTC flag; unix_micros only
+    // accepts the former. The cast interprets NTZ wall time in the
+    // session zone — safe here because only DIFFERENCES are used and
+    // the session zone is UTC (DST-free) in every driver entry point.
+    val us = unix_micros(col("ts").cast(org.apache.spark.sql.types.TimestampType))
     val prev = lag(us, 1).over(byUser)
     events
       .withColumn("us", us)

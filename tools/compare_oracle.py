@@ -43,3 +43,9 @@ for name in sorted(glob.glob(f'{out}/*/')):
         for i in idx:
             print('  spark:', dict(s.loc[i]))
             print('  duck :', dict(k.loc[i]))
+
+# oracle entries whose Spark dump is MISSING (Verify swallowed the
+# query's exception) must be loud, not silently skipped
+dumped = {p.rstrip('/').split('/')[-1] for p in glob.glob(f'{out}/*/')}
+for qname in sorted(set(oracle) - dumped):
+    print(f'{qname:24s} MISSING SPARK DUMP (query failed in Verify?)')
