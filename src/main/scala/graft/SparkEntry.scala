@@ -269,6 +269,21 @@ object SparkEntry {
           xxhash64(col("text")).as("text_hash"),
           xxhash64(col("markdown")).as("md_hash"))
     }),
+    "extract_dedup_job" -> ((s, _) => {
+      // payload-dedup job path: fixture corpus seen under 3 urls each;
+      // extraction runs once per distinct payload, results fan out to
+      // every url — per-url text/markdown hashes frozen, so both the
+      // dedup plumbing AND the extraction semantics pin here
+      val base = PagesGen.generateFixtures(s, nPerKind = 8, parallelism = 4).toDF()
+      val dup = base
+        .unionAll(base.withColumn("url", concat(lit("mirror-a/"), col("url"))))
+        .unionAll(base.withColumn("url", concat(lit("mirror-b/"), col("url"))))
+      ExtractJob.extractDeduped(dup, ExtractJob.Config(salt = false))
+        .select(col("url"), col("status"), col("n_pages"), col("n_spans"),
+          length(col("text")).as("text_len"),
+          xxhash64(col("text")).as("text_hash"),
+          xxhash64(col("markdown")).as("md_hash"))
+    }),
     "extract_metrics" -> ((s, _) => {
       // per-partition lineage/metrics surface, made deterministic (and
       // therefore freezable): a FIXED url-hash repartition pins

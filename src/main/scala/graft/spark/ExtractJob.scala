@@ -68,6 +68,51 @@ object ExtractJob {
     }
   }
 
+  /** Opt-in payload-level dedup-before-extract for high-duplication
+    * crawl corpora: extraction runs ONCE per distinct payload and the
+    * result fans back out to every url carrying those bytes.
+    *
+    * Shape: one window over the raw payload bytes (exact — grouping by
+    * the BINARY column, not a hash, so colliding payloads can never
+    * merge) picks min(url) as the representative; non-reps drop their
+    * payload immediately, so the ids-only (url → rep_url) mapping is a
+    * free byproduct of the same exchange. The distinct payloads then
+    * take one EXPLICIT repartition before the scan-local extract —
+    * same AQE rationale as the heavy tier: the window's post-shuffle
+    * partitions are size-coalesced, and extraction is per-row CPU, not
+    * bytes. Finally the extracted rows join the mapping on rep_url
+    * (text shuffles, payloads don't) and each url gets its row back.
+    *
+    * Cost model (why opt-IN, default extract() stays shuffle-free):
+    * the full corpus pays one payload shuffle + the distinct set pays a
+    * second; that buys (dup_rate)× of the extraction CPU. Worth it when
+    * duplicate-heavy and extraction-bound (real crawls: 30-50% exact
+    * dups, PDFs milliseconds each) — BENCH.md carries the measured A/B.
+    * Not composed into runWithCheckpoint by default: resume stays
+    * per-url and is oblivious to how the rows were produced.
+    *
+    * Determinism: rep = min(url) per payload, so reruns pick identical
+    * reps; output rows differ from plain extract() ONLY in duration_ms
+    * and partition_id lineage (duplicates inherit the rep's), which is
+    * pinned by the equality spec. */
+  def extractDeduped(pages: DataFrame, cfg: Config = Config()): Dataset[ExtractedDoc] = {
+    val spark = pages.sparkSession
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("html"))
+    val withRep = pages.select(col("url"), col("html"))
+      .withColumn("rep_url", min(col("url")).over(w))
+    val mapping = withRep.select(col("url"), col("rep_url"))
+    val nPart = math.max(spark.sparkContext.defaultParallelism * 2, 16)
+    val reps = withRep.filter(col("url") === col("rep_url"))
+      .select(col("url"), col("html"))
+      .repartition(nPart, col("url"))
+    val extracted = extract(reps, cfg).toDF().withColumnRenamed("url", "__rep_url")
+    mapping.join(extracted, mapping("rep_url") === extracted("__rep_url"))
+      .drop("rep_url", "__rep_url")
+      .as[ExtractedDoc]
+  }
+
   /** Pure per-row dispatch: sniff %PDF- magic vs HTML (SURVEY §2.5). */
   def extractOne(u: String, html: Array[Byte], pid: Int, cfg: Config): ExtractedDoc = {
     val nBytes = if (html == null) 0L else html.length.toLong

@@ -500,6 +500,13 @@ object PagesGen {
     if (kind == "plain") generate(spark, nDocs, seed, parallelism)
     else generateMixed(spark, nDocs, seed, parallelism)
 
+  /** Per-id analog of benchCorpus: the bytes benchCorpus would give
+    * this id (lets benches replicate one payload under many urls). */
+  def benchPayload(id: Long, seed: Long, corpus: String): Array[Byte] =
+    if (corpus != "plain" && id % 16 == 2) bigFontPdf(id)
+    else if (corpus != "plain" && id % 5 == 1) fontPdf(id)
+    else payload(id, seed)._1
+
   /** Fixture-tier pages table (round-4 verdict item 2): every special
     * fixture kind as (url, html) PageRows, so the SAME payloads the
     * kernel-level pins decode also flow through ExtractJob.extract —
