@@ -27,21 +27,8 @@ import graft.spark.{ExtractJob, PageRow, PagesGen}
   */
 object BenchSkew {
 
-  /** Long text-dense PDF (~50 pages), the heavy-tail shape. */
-  private def heavyPdf(id: Long, nLines: Int): Array[Byte] = {
-    import graft.pdf.testgen.PdfBuilder
-    val rnd = new java.util.Random(id * 0x9e3779b97f4a7c15L + 99L)
-    val linesPerPage = 40
-    val nPages = (nLines + linesPerPage - 1) / linesPerPage
-    val pages = (0 until nPages).map { p =>
-      val count = math.min(linesPerPage, nLines - p * linesPerPage)
-      (0 until count).map { k =>
-        PdfBuilder.Line(72f, 720f - 14f * (k % 48), 11f, "F1",
-          PagesGen.sentence(rnd, 6 + rnd.nextInt(8)))
-      }
-    }
-    PdfBuilder.multiPage(pages, compress = false)
-  }
+  private def heavyPdf(id: Long, nLines: Int): Array[Byte] =
+    PagesGen.longPdf(id, nLines)
 
   def main(args: Array[String]): Unit = {
     val nDocs = if (args.length > 0) args(0).toLong else 20000L

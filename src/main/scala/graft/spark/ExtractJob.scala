@@ -72,22 +72,32 @@ object ExtractJob {
     * crawl corpora: extraction runs ONCE per distinct payload and the
     * result fans back out to every url carrying those bytes.
     *
-    * Shape: one window over the raw payload bytes (exact — grouping by
-    * the BINARY column, not a hash, so colliding payloads can never
-    * merge) picks min(url) as the representative; non-reps drop their
-    * payload immediately, so the ids-only (url → rep_url) mapping is a
-    * free byproduct of the same exchange. The distinct payloads then
-    * take one EXPLICIT repartition before the scan-local extract —
-    * same AQE rationale as the heavy tier: the window's post-shuffle
-    * partitions are size-coalesced, and extraction is per-row CPU, not
-    * bytes. Finally the extracted rows join the mapping on rep_url
-    * (text shuffles, payloads don't) and each url gets its row back.
+    * Shape: ONE explicit repartition on (xxhash64(payload), payload) —
+    * exact, the raw BINARY column stays in the key so colliding
+    * payloads can never merge; the leading hash makes the partitioner
+    * and the in-partition sort resolve almost every comparison on one
+    * long (crawl payloads share deep common prefixes — every PDF opens
+    * with the same header bytes; keying on raw bytes alone made each
+    * sort comparison scan to the first divergence, measured at 1.7x the
+    * CPU of the whole plain extraction at dup=3). A sortWithinPartitions
+    * on (hash, payload, url) then lands every copy of a payload
+    * ADJACENT with min(url) first, and a single streaming mapPartitions
+    * pass extracts each group's payload once and re-emits the row per
+    * url. Payload bytes cross the wire once and are scanned once; no
+    * window, no join, no second computation of the exchange. (An
+    * earlier window+filter+join formulation computed the payload
+    * exchange twice — mapping arm and reps arm — and benched SLOWER
+    * than no dedup at all; mapPartitions is the (d)-tier last resort,
+    * used here precisely because group-adjacent streaming extraction
+    * is not expressible as one pass with relational operators.)
     *
     * Cost model (why opt-IN, default extract() stays shuffle-free):
-    * the full corpus pays one payload shuffle + the distinct set pays a
-    * second; that buys (dup_rate)× of the extraction CPU. Worth it when
-    * duplicate-heavy and extraction-bound (real crawls: 30-50% exact
-    * dups, PDFs milliseconds each) — BENCH.md carries the measured A/B.
+    * the full corpus pays exactly one payload shuffle + sort; that buys
+    * (1 - 1/dup_rate) of the extraction CPU. Worth it when duplicate-
+    * heavy and extraction-bound (real crawls: 30-50% exact dups, PDFs
+    * milliseconds each) — BENCH.md carries the measured A/B both ways.
+    * The explicit repartition (2x parallelism) is deliberately NOT an
+    * AQE-coalescible exchange: extraction is per-row CPU, not bytes.
     * Not composed into runWithCheckpoint by default: resume stays
     * per-url and is oblivious to how the rows were produced.
     *
@@ -98,19 +108,30 @@ object ExtractJob {
   def extractDeduped(pages: DataFrame, cfg: Config = Config()): Dataset[ExtractedDoc] = {
     val spark = pages.sparkSession
     import spark.implicits._
-    import org.apache.spark.sql.expressions.Window
-    val w = Window.partitionBy(col("html"))
-    val withRep = pages.select(col("url"), col("html"))
-      .withColumn("rep_url", min(col("url")).over(w))
-    val mapping = withRep.select(col("url"), col("rep_url"))
     val nPart = math.max(spark.sparkContext.defaultParallelism * 2, 16)
-    val reps = withRep.filter(col("url") === col("rep_url"))
-      .select(col("url"), col("html"))
-      .repartition(nPart, col("url"))
-    val extracted = extract(reps, cfg).toDF().withColumnRenamed("url", "__rep_url")
-    mapping.join(extracted, mapping("rep_url") === extracted("__rep_url"))
-      .drop("rep_url", "__rep_url")
-      .as[ExtractedDoc]
+    pages.select(col("url"), col("html"))
+      .withColumn("__h", coalesce(xxhash64(col("html")), lit(0L))) // null payload → one group
+      // route on the 8-byte hash alone (colliding payloads still
+      // co-locate; the partitioner needn't re-scan the payload bytes)
+      .repartition(nPart, col("__h"))
+      .sortWithinPartitions(col("__h"), col("html"), col("url"))
+      .as[(String, Array[Byte], Long)]
+      .mapPartitions { it =>
+        val pid = org.apache.spark.TaskContext.getPartitionId()
+        var prevH = 0L
+        var prevBytes: Array[Byte] = null
+        var prevDoc: ExtractedDoc = null
+        it.map { case (u, bytes, h) =>
+          val same = prevDoc != null && h == prevH &&
+            java.util.Arrays.equals(bytes, prevBytes)
+          if (same) prevDoc.copy(url = u) // duplicate: rep's row, this url
+          else {
+            val doc = extractOne(u, bytes, pid, cfg)
+            prevH = h; prevBytes = bytes; prevDoc = doc
+            doc
+          }
+        }
+      }
   }
 
   /** Pure per-row dispatch: sniff %PDF- magic vs HTML (SURVEY §2.5). */

@@ -501,11 +501,31 @@ object PagesGen {
     else generateMixed(spark, nDocs, seed, parallelism)
 
   /** Per-id analog of benchCorpus: the bytes benchCorpus would give
-    * this id (lets benches replicate one payload under many urls). */
+    * this id (lets benches replicate one payload under many urls).
+    * "heavy" = every doc a ~50-page text-dense PDF (the extraction-
+    * bound shape where per-doc CPU dominates per-byte shuffle cost). */
   def benchPayload(id: Long, seed: Long, corpus: String): Array[Byte] =
-    if (corpus != "plain" && id % 16 == 2) bigFontPdf(id)
+    if (corpus == "heavy") longPdf(id, 2000)
+    else if (corpus != "plain" && id % 16 == 2) bigFontPdf(id)
     else if (corpus != "plain" && id % 5 == 1) fontPdf(id)
     else payload(id, seed)._1
+
+  /** Long text-dense PDF (~nLines/40 pages) — the heavy-tail / heavy-
+    * corpus shape shared by BenchSkew and BenchDedup. */
+  def longPdf(id: Long, nLines: Int): Array[Byte] = {
+    import graft.pdf.testgen.PdfBuilder
+    val rnd = new java.util.Random(id * 0x9e3779b97f4a7c15L + 99L)
+    val linesPerPage = 40
+    val nPages = (nLines + linesPerPage - 1) / linesPerPage
+    val pages = (0 until nPages).map { p =>
+      val count = math.min(linesPerPage, nLines - p * linesPerPage)
+      (0 until count).map { k =>
+        PdfBuilder.Line(72f, 720f - 14f * (k % 48), 11f, "F1",
+          sentence(rnd, 6 + rnd.nextInt(8)))
+      }
+    }
+    PdfBuilder.multiPage(pages, compress = false)
+  }
 
   /** Fixture-tier pages table (round-4 verdict item 2): every special
     * fixture kind as (url, html) PageRows, so the SAME payloads the
