@@ -23,6 +23,60 @@ object SparkEntry {
   private def t(s: SparkSession, dir: String, name: String): DataFrame =
     s.read.parquet(s"$dir/$name.parquet")
 
+  /** DuckDB quality-score SQL over an arbitrary table expression —
+    * shared by the standalone `text_quality_score` row and the composed
+    * `corpus_training_set` (single source of truth, no drift). */
+  private def qualityScoreSql(table: String = "documents"): String =
+    s"""WITH base AS (
+       | SELECT doc_id, text,
+       |  list_filter(string_split_regex(lower(text), '[\\s\\x0b]+'), x -> len(x) > 0) AS toks
+       | FROM $table),
+       |sig AS (
+       | SELECT doc_id,
+       |  CAST(len(toks) AS DOUBLE) AS n_tokens,
+       |  CAST(len(list_filter(toks, t -> list_contains(
+       |    ['the','a','an','of','to','in','and','or','is','are','was','for','on','with','as','by','at','it','this','that'], t))) AS DOUBLE) AS n_stop,
+       |  CAST(length(text) AS DOUBLE) AS n_chars,
+       |  CAST(length(regexp_replace(text, '[a-zA-Z0-9\\s]', '', 'g')) AS DOUBLE) AS n_punct
+       | FROM base)
+       |SELECT doc_id, round(
+       |  greatest(0.0, least(1.0,
+       |    0.4 * least(1.0, n_tokens / 100.0) +
+       |    0.3 * least(1.0, n_stop * 8.0 / greatest(n_tokens, 1.0)) +
+       |    0.3 * (1.0 - least(1.0, n_punct * 4.0 / greatest(n_chars, 1.0))))), 4) AS quality
+       |FROM sig""".stripMargin
+
+  private val decontaminateSql: String =
+    """WITH toks AS (
+      | SELECT doc_id, list_filter(string_split_regex(lower(text), '[\s\x0b]+'), x -> len(x) > 0) AS t
+      | FROM documents),
+      |grams AS (
+      | SELECT doc_id,
+      |  unnest(list_distinct(list_transform(generate_series(1, len(t) - 4),
+      |    i -> array_to_string(t[i:i+4], ' ')))) AS g
+      | FROM toks),
+      |bench AS (SELECT DISTINCT g FROM grams WHERE doc_id < 20)
+      |SELECT grams.doc_id, count(DISTINCT grams.g) AS n_contaminated_grams
+      |FROM grams JOIN bench USING (g)
+      |WHERE grams.doc_id >= 20
+      |GROUP BY grams.doc_id""".stripMargin
+
+  /** Composed training-corpus oracle: the component SQL generators over
+    * the non-benchmark corpus subquery, joined exactly as the Spark
+    * pipeline does. */
+  private def trainingSetSql: String = {
+    val corpus = "(SELECT * FROM documents WHERE doc_id >= 20)"
+    s"""WITH q AS (SELECT * FROM (${qualityScoreSql(corpus)})),
+       |lid AS (SELECT * FROM (${graft.ops.TextAnalysis.langIdOracleSql(corpus)})),
+       |reps AS (SELECT min(doc_id) AS doc_id FROM $corpus GROUP BY text),
+       |contam AS (SELECT * FROM ($decontaminateSql))
+       |SELECT d.doc_id, q.quality, CAST(length(d.text) AS BIGINT) AS n_chars
+       |FROM $corpus d
+       |JOIN reps USING(doc_id) JOIN q USING(doc_id) JOIN lid USING(doc_id)
+       |WHERE q.quality >= 0.6 AND lid.lang_pred = 'en'
+       |AND d.doc_id NOT IN (SELECT doc_id FROM contam)""".stripMargin
+  }
+
   /** Flagship: the extraction pipeline end-to-end on synthetic pages. */
   def entry(spark: SparkSession): DataFrame = {
     val pages = PagesGen.generate(spark, 64, seed = 42L, parallelism = 4).toDF()
@@ -436,6 +490,50 @@ object SparkEntry {
       TextAnalysis.contamination(
         docs.filter(col("doc_id") >= 20), docs.filter(col("doc_id") < 20), w = 5)
     }),
+    // The composed pipeline the individual ops exist FOR: materialize a
+    // training-ready corpus view — non-benchmark docs (doc_id < 20 are
+    // the held-out eval suite), exact-dedup survivors (ids-only hash
+    // shuffle, the 100 TB shape), quality >= 0.6, predicted English,
+    // minus benchmark-contaminated docs. Every stage joins on doc_id
+    // (small sides broadcast at test SF, natural co-partitioning at
+    // scale); the contamination arm is bloom-prefiltered.
+    "corpus_training_set" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val corpus = docs.filter(col("doc_id") >= 20)
+      val bench = docs.filter(col("doc_id") < 20)
+      // Each per-doc signal arm is MATERIALIZED (localCheckpoint) before
+      // the filters/joins. This is load-bearing, not belt-and-braces:
+      // without the barrier, PushDownPredicate substitutes the filter
+      // through the signal projection, and for langId's argmax that
+      // re-inlines `m = greatest(7 score exprs)` into every CASE branch
+      // — where codegen's subexpression elimination cannot reach
+      // (branches are conditionally evaluated) — so every marker
+      // replace() runs ~8x per row. Measured at sf0.1: the lang arm
+      // alone went 0.49 s -> 17.3 s (35x). The checkpointed tables are
+      // (id, scalar) — trivially shardable at any scale — and the
+      // downstream joins stay lazy and broadcastable.
+      val survivors = Dedup.exactByHash(corpus).select("doc_id").localCheckpoint(true)
+      val quality = TextAnalysis.qualityScore(corpus).localCheckpoint(true)
+      val lang = TextAnalysis.langId(corpus).select(col("doc_id"), col("lang_pred"))
+        .localCheckpoint(true)
+      val contam = TextAnalysis.contamination(corpus, bench, w = 5)
+        .select("doc_id").localCheckpoint(true)
+      corpus.join(survivors, Seq("doc_id"))
+        .join(quality, Seq("doc_id")).filter(col("quality") >= 0.6)
+        .join(lang, Seq("doc_id")).filter(col("lang_pred") === "en")
+        .join(contam, Seq("doc_id"), "left_anti")
+        .select(col("doc_id"), col("quality"),
+          length(col("text")).cast("long").as("n_chars"))
+    }),
+    // ---------------- sampling / mixing (post-filter stage) ---------
+    "corpus_host_cap" -> ((s, dir) =>
+      graft.ops.Sampling.hostCap(t(s, dir, "documents"), k = 15)),
+    "corpus_budget_sample" -> ((s, dir) =>
+      graft.ops.Sampling.tokenBudgetSample(t(s, dir, "documents"), budget = 150L)),
+    "corpus_vocab" -> ((s, dir) =>
+      graft.ops.Sampling.vocabulary(t(s, dir, "documents"), n = 30)),
+    "corpus_mix_report" -> ((s, dir) =>
+      graft.ops.Sampling.mixReport(t(s, dir, "documents"))),
 
     // ---------------- multimodal plumbing ---------------------------
     "multimodal_meta" -> ((s, dir) =>
@@ -633,25 +731,7 @@ object SparkEntry {
         | CAST(length(text) AS BIGINT) AS n_chars,
         | CAST(length(regexp_replace(text, '[a-zA-Z0-9\s]', '', 'g')) AS BIGINT) AS n_punct
         |FROM base""".stripMargin,
-    "text_quality_score" ->
-      """WITH base AS (
-        | SELECT doc_id, text,
-        |  list_filter(string_split_regex(lower(text), '[\s\x0b]+'), x -> len(x) > 0) AS toks
-        | FROM documents),
-        |sig AS (
-        | SELECT doc_id,
-        |  CAST(len(toks) AS DOUBLE) AS n_tokens,
-        |  CAST(len(list_filter(toks, t -> list_contains(
-        |    ['the','a','an','of','to','in','and','or','is','are','was','for','on','with','as','by','at','it','this','that'], t))) AS DOUBLE) AS n_stop,
-        |  CAST(length(text) AS DOUBLE) AS n_chars,
-        |  CAST(length(regexp_replace(text, '[a-zA-Z0-9\s]', '', 'g')) AS DOUBLE) AS n_punct
-        | FROM base)
-        |SELECT doc_id, round(
-        |  greatest(0.0, least(1.0,
-        |    0.4 * least(1.0, n_tokens / 100.0) +
-        |    0.3 * least(1.0, n_stop * 8.0 / greatest(n_tokens, 1.0)) +
-        |    0.3 * (1.0 - least(1.0, n_punct * 4.0 / greatest(n_chars, 1.0))))), 4) AS quality
-        |FROM sig""".stripMargin,
+    "text_quality_score" -> qualityScoreSql(),
     "text_repetition" ->
       """WITH base AS (
         | SELECT doc_id, list_filter(string_split_regex(lower(text), '[\s\x0b]+'), x -> len(x) > 0) AS toks
@@ -693,20 +773,50 @@ object SparkEntry {
         | CAST(sum(CASE WHEN rare.t IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_rare
         |FROM tri LEFT JOIN rare ON tri.t = rare.t
         |GROUP BY tri.doc_id""".stripMargin,
-    "text_decontaminate" ->
-      """WITH toks AS (
-        | SELECT doc_id, list_filter(string_split_regex(lower(text), '[\s\x0b]+'), x -> len(x) > 0) AS t
+    "text_decontaminate" -> decontaminateSql,
+    // composed pipeline: same component SQL, parameterized on the
+    // non-benchmark corpus subquery (single source of truth with the
+    // standalone rows — the components can't drift from the pipeline)
+    "corpus_training_set" -> trainingSetSql,
+    // sampling / mixing: deterministic windows + integer aggregates —
+    // the Knuth shuffle key (doc_id*2654435761 mod 2^32) and all
+    // cumulative sums are BIGINT-exact on both engines
+    "corpus_host_cap" ->
+      s"""WITH q AS (${qualityScoreSql()}),
+         |r AS (
+         | SELECT d.doc_id, d.source, q.quality,
+         |  CAST(row_number() OVER (
+         |    PARTITION BY d.source ORDER BY q.quality DESC, d.doc_id ASC) AS BIGINT) AS rn
+         | FROM documents d JOIN q USING (doc_id))
+         |SELECT doc_id, source, quality, rn FROM r WHERE rn <= 15""".stripMargin,
+    "corpus_budget_sample" ->
+      """WITH st AS (
+        | SELECT doc_id, lang, source,
+        |  CAST(len(list_filter(string_split_regex(lower(text), '[\s\x0b]+'), x -> len(x) > 0)) AS BIGINT) AS n_tokens,
+        |  (doc_id * 2654435761) % 4294967296 AS k
         | FROM documents),
-        |grams AS (
-        | SELECT doc_id,
-        |  unnest(list_distinct(list_transform(generate_series(1, len(t) - 4),
-        |    i -> array_to_string(t[i:i+4], ' ')))) AS g
-        | FROM toks),
-        |bench AS (SELECT DISTINCT g FROM grams WHERE doc_id < 20)
-        |SELECT grams.doc_id, count(DISTINCT grams.g) AS n_contaminated_grams
-        |FROM grams JOIN bench USING (g)
-        |WHERE grams.doc_id >= 20
-        |GROUP BY grams.doc_id""".stripMargin,
+        |c AS (
+        | SELECT doc_id, lang, source, n_tokens,
+        |  CAST(sum(n_tokens) OVER (PARTITION BY lang, source ORDER BY k ASC, doc_id ASC
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_tokens
+        | FROM st)
+        |SELECT doc_id, lang, source, n_tokens, cum_tokens
+        |FROM c WHERE cum_tokens <= 150""".stripMargin,
+    "corpus_vocab" ->
+      """WITH toks AS (
+        | SELECT unnest(list_filter(string_split_regex(lower(text), '[\s\x0b]+'), x -> len(x) > 0)) AS token
+        | FROM documents)
+        |SELECT token, CAST(count(*) AS BIGINT) AS cnt
+        |FROM toks GROUP BY token ORDER BY cnt DESC, token ASC LIMIT 30""".stripMargin,
+    "corpus_mix_report" ->
+      """WITH st AS (
+        | SELECT lang, source,
+        |  CAST(len(list_filter(string_split_regex(lower(text), '[\s\x0b]+'), x -> len(x) > 0)) AS BIGINT) AS n_tokens,
+        |  CAST(length(text) AS BIGINT) AS n_chars
+        | FROM documents)
+        |SELECT lang, source, CAST(count(*) AS BIGINT) AS n_docs,
+        | CAST(sum(n_tokens) AS BIGINT) AS n_tokens, CAST(sum(n_chars) AS BIGINT) AS n_chars
+        |FROM st GROUP BY lang, source""".stripMargin,
     // langId is pure column expressions; the oracle is generated from
     // the same marker table + fold order (single source of truth)
     "text_langid" -> graft.ops.TextAnalysis.langIdOracleSql(),

@@ -1,0 +1,110 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Corpus sampling / mixing operators — the stage AFTER filtering and
+  * dedup in a training-data pipeline: cap any one host's contribution,
+  * sample each stratum down to a token budget, build the tokenizer
+  * vocabulary, and report the resulting mix.
+  *
+  * Design rules shared by every operator here:
+  *  - determinism is a hard requirement (a training set must be
+  *    reproducible run-to-run and engine-to-engine), so "random"
+  *    sampling uses a fixed multiplicative hash of doc_id — a total
+  *    order both Spark and the DuckDB oracle compute bit-exactly —
+  *    never rand()/sample(), whose draws are partitioning-dependent;
+  *  - all aggregates are integer (token/char counts) so cumulative
+  *    sums are order-independent and hash-stable across engines;
+  *  - each operator is one window or one aggregation over keys that
+  *    are ALREADY the natural partitioning of a crawl corpus
+  *    (source/host, lang) — a single hash shuffle each at 100 TB, no
+  *    driver-side collection anywhere.
+  */
+object Sampling {
+
+  /** Deterministic per-doc shuffle key: Knuth multiplicative hash.
+    * doc_id * 2654435761 stays well inside Long for any realistic id
+    * space (< 2^32 ids), and `pmod .. 2^32` gives a uniform-ish,
+    * engine-exact BIGINT both Spark and DuckDB evaluate identically —
+    * this is the "random" order used for budget sampling. */
+  private[ops] val KnuthA = 2654435761L
+  private[ops] val KnuthM = 4294967296L
+  def shuffleKey(id: Column): Column = pmod(id * lit(KnuthA), lit(KnuthM))
+
+  /** Per-host document cap: keep at most `k` docs per `source`, best
+    * quality first (doc_id ascending as the tie-break — quality is a
+    * 4-decimal score, so ties are common and MUST be broken
+    * deterministically). The standard anti-SEO-spam / domain-diversity
+    * pass: one row_number window partitioned by host.
+    *
+    * Scale shape: a single hash shuffle on `source`; hosts are the
+    * natural unit of crawl locality, and per-partition top-k needs no
+    * global sort. A pathological mega-host makes one hot partition —
+    * at 100 TB pair this with a pre-aggregated per-host count and
+    * AQE skew splitting (the window itself only ever keeps k rows per
+    * host in the output, so the skew is read-side, not state-side). */
+  def hostCap(docs: DataFrame, k: Int): DataFrame = {
+    val q = TextAnalysis.qualityScore(docs)
+    val w = Window.partitionBy(col("source"))
+      .orderBy(col("quality").desc, col("doc_id").asc)
+    docs.select(col("doc_id"), col("source"))
+      .join(q, Seq("doc_id"))
+      .withColumn("rn", row_number().over(w).cast("long"))
+      .filter(col("rn") <= k)
+      .select(col("doc_id"), col("source"), col("quality"), col("rn"))
+  }
+
+  /** Token-budget stratified sampling: within each (lang, source)
+    * stratum, order docs by the deterministic shuffle key and keep
+    * docs while the running token total stays within `budget` — how a
+    * training mix ("x tokens of lang A from source B") is actually
+    * materialized. Inclusive running sum: a doc is kept iff the
+    * budget survives INCLUDING it, so the output never exceeds the
+    * budget (and a single over-budget head doc drops its whole
+    * stratum — the caller sizes budgets above the max doc length).
+    *
+    * Scale shape: one shuffle on (lang, source) + a running sum —
+    * integer-exact, order fixed by (key, doc_id). No global sort, no
+    * driver state; strata process independently. */
+  def tokenBudgetSample(docs: DataFrame, budget: Long): DataFrame = {
+    val n = TextAnalysis.tokenStats(docs).select(col("doc_id"), col("n_tokens"))
+    val w = Window.partitionBy(col("lang"), col("source"))
+      .orderBy(col("k").asc, col("doc_id").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    docs.select(col("doc_id"), col("lang"), col("source"))
+      .join(n, Seq("doc_id"))
+      .withColumn("k", shuffleKey(col("doc_id")))
+      .withColumn("cum_tokens", sum(col("n_tokens")).over(w))
+      .filter(col("cum_tokens") <= budget)
+      .select(col("doc_id"), col("lang"), col("source"),
+        col("n_tokens"), col("cum_tokens"))
+  }
+
+  /** Vocabulary build: global token counts, top `n` by (count desc,
+    * token asc) — a total order, so the LIMIT is deterministic. The
+    * classic map-side-combine aggregation: partial counts collapse
+    * per partition before the single shuffle, and the ordered LIMIT
+    * is a TakeOrdered (per-partition top-n, driver merge of n rows
+    * per partition — no global sort materialization). */
+  def vocabulary(docs: DataFrame, n: Int): DataFrame =
+    docs.select(explode(TextAnalysis.tokens(col("text"))).as("token"))
+      .groupBy(col("token")).agg(count(lit(1)).as("cnt"))
+      .orderBy(col("cnt").desc, col("token").asc)
+      .limit(n)
+
+  /** Training-mix report: per (lang, source) document/token/char
+    * totals — the table a data-mixing decision is made from. Integer
+    * sums only (means and ratios are the consumer's division — they
+    * survive engine round-trips exactly). One partial-agg shuffle on
+    * a low-cardinality key; output is vocabulary-sized. */
+  def mixReport(docs: DataFrame): DataFrame =
+    docs.select(col("lang"), col("source"),
+        size(TextAnalysis.tokens(col("text"))).cast("long").as("n_tokens"),
+        length(col("text")).cast("long").as("n_chars"))
+      .groupBy(col("lang"), col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_tokens")).as("n_tokens"),
+        sum(col("n_chars")).as("n_chars"))
+}

@@ -10,7 +10,7 @@ import org.apache.spark.sql.functions._
   */
 object TextAnalysis {
 
-  private def tokens(text: Column): Column =
+  private[ops] def tokens(text: Column): Column =
     filter(split(lower(text), "\\s+"), t => length(t) > 0)
 
   /** Whitespace + BPE-ish regex token counts and length stats.
@@ -90,7 +90,15 @@ object TextAnalysis {
     * first: kana → ja (round 2 conflated ja into zh by counting kana
     * with Han), Han → zh, hangul → ko; otherwise argmax of per-language
     * literal-marker counts (non-overlapping, via replace-length — the
-    * same primitive DuckDB has, so the oracle is exact). */
+    * same primitive DuckDB has, so the oracle is exact).
+    *
+    * SCALE WARNING: do not filter directly on `lang_pred` in the same
+    * plan — PushDownPredicate substitutes the argmax CASE through this
+    * projection, re-inlining `greatest(all scores)` into every branch,
+    * where codegen subexpression elimination cannot reach (conditional
+    * branches). Measured 35x slowdown at sf0.1 (0.49 s -> 17.3 s).
+    * Materialize first (localCheckpoint/persist), as
+    * `corpus_training_set` does. */
   def langId(docs: DataFrame): DataFrame = {
     val t = concat(lit(" "), lower(substring(col("text"), 1, 4000)), lit(" "))
     def occ(m: String): Column =

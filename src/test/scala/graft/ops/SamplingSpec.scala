@@ -1,0 +1,123 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.scalatest.BeforeAndAfterAll
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Sampling/mixing operators on controlled corpora: cap semantics,
+  * budget monotonicity, determinism under repartitioning (the property
+  * the multiplicative-hash order exists FOR), and hand-computed
+  * expectations independent of the engine. */
+class SamplingSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  private var spark: SparkSession = _
+
+  override def beforeAll(): Unit = {
+    spark = SparkSession.builder()
+      .master("local[4]")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+  }
+
+  override def afterAll(): Unit = if (spark != null) spark.stop()
+
+  /** doc_id, text, lang, source — text length scales with id so token
+    * counts differ per doc. */
+  private def corpus(n: Int, langs: Seq[String], sources: Seq[String]): DataFrame = {
+    val s = spark
+    import s.implicits._
+    (0 until n).map { i =>
+      val words = Seq.tabulate(3 + i % 7)(j => s"w${(i + j) % 11}")
+      (i.toLong, words.mkString(" "), langs(i % langs.size), sources(i % sources.size))
+    }.toDF("doc_id", "text", "lang", "source")
+      .withColumn("n_chars", length(col("text")).cast("long"))
+  }
+
+  test("hostCap keeps at most k per source, best quality first, doc_id tie-break") {
+    val d = corpus(60, Seq("en"), Seq("a.com", "b.com", "c.com"))
+    val out = Sampling.hostCap(d, k = 5).collect()
+    val bySource = out.groupBy(_.getAs[String]("source"))
+    assert(bySource.keySet == Set("a.com", "b.com", "c.com"))
+    bySource.foreach { case (_, rows) =>
+      assert(rows.length == 5)
+      // rn is 1..k and quality non-increasing along rn
+      val sorted = rows.sortBy(_.getAs[Long]("rn"))
+      assert(sorted.map(_.getAs[Long]("rn")).toSeq == (1L to 5L))
+      val qs = sorted.map(_.getAs[Double]("quality"))
+      assert(qs.zip(qs.tail).forall { case (a, b) => a >= b })
+    }
+    // deterministic tie-break: equal qualities must appear in doc_id order
+    val a = Sampling.hostCap(d, 5).orderBy("doc_id").collect().toSeq
+    val b = Sampling.hostCap(d.repartition(13), 5).orderBy("doc_id").collect().toSeq
+    assert(a == b)
+  }
+
+  test("tokenBudgetSample: per-stratum inclusive budget, hand-checked") {
+    val s = spark
+    import s.implicits._
+    // one stratum, known token counts: 3,1,2,5 tokens for ids 0..3
+    val d = Seq(
+      (0L, "a b c"), (1L, "a"), (2L, "a b"), (3L, "a b c d e"))
+      .toDF("doc_id", "text")
+      .withColumn("lang", lit("en")).withColumn("source", lit("s"))
+    // Knuth order of ids 0..3: key = (id*2654435761) mod 2^32
+    val key = (id: Long) => java.lang.Math.floorMod(id * 2654435761L, 4294967296L)
+    val order = Seq(0L, 1L, 2L, 3L).sortBy(id => (key(id), id))
+    val nTok = Map(0L -> 3L, 1L -> 1L, 2L -> 2L, 3L -> 5L)
+    // hand-fold the inclusive cumulative sum in that order
+    val expected = order.scanLeft((0L, 0L)) { case ((_, cum), id) => (id, cum + nTok(id)) }
+      .tail.filter(_._2 <= 6L).map(_._1).toSet
+    val out = Sampling.tokenBudgetSample(d, budget = 6L)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(out == expected)
+    assert(out.nonEmpty && out.size < 4) // budget genuinely binds
+  }
+
+  test("tokenBudgetSample: budget monotone and repartition-invariant") {
+    val d = corpus(80, Seq("en", "de"), Seq("a.com", "b.com"))
+    val small = Sampling.tokenBudgetSample(d, 20L).select("doc_id")
+      .collect().map(_.getLong(0)).toSet
+    val big = Sampling.tokenBudgetSample(d, 60L).select("doc_id")
+      .collect().map(_.getLong(0)).toSet
+    assert(small.subsetOf(big))
+    // per-stratum totals within budget
+    val totals = Sampling.tokenBudgetSample(d, 60L)
+      .groupBy("lang", "source").agg(max("cum_tokens").as("t"))
+      .collect().map(_.getAs[Long]("t"))
+    assert(totals.forall(_ <= 60L))
+    val a = Sampling.tokenBudgetSample(d, 60L).orderBy("doc_id").collect().toSeq
+    val b = Sampling.tokenBudgetSample(d.repartition(17), 60L).orderBy("doc_id").collect().toSeq
+    assert(a == b)
+  }
+
+  test("vocabulary: hand-computed counts with deterministic tie order") {
+    val s = spark
+    import s.implicits._
+    val d = Seq((0L, "b a b C"), (1L, "c a B"), (2L, "a")).toDF("doc_id", "text")
+    // counts: a=3, b=3, c=2 (lowercased)
+    val out = Sampling.vocabulary(d, n = 2).collect()
+      .map(r => (r.getString(0), r.getLong(1))).toSeq
+    assert(out == Seq("a" -> 3L, "b" -> 3L)) // tie a<b broken lexicographically
+    val top3 = Sampling.vocabulary(d, n = 3).collect()
+      .map(r => (r.getString(0), r.getLong(1))).toSeq
+    assert(top3 == Seq("a" -> 3L, "b" -> 3L, "c" -> 2L))
+  }
+
+  test("mixReport: integer totals per stratum, hand-computed") {
+    val s = spark
+    import s.implicits._
+    val d = Seq(
+      (0L, "x y", "en", "a"), (1L, "x", "en", "a"),
+      (2L, "x y z", "de", "a"), (3L, "x y z w", "en", "b"))
+      .toDF("doc_id", "text", "lang", "source")
+    val out = Sampling.mixReport(d).collect()
+      .map(r => ((r.getString(0), r.getString(1)),
+        (r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+    assert(out(("en", "a")) == ((2L, 3L, 4L)))  // 2 docs, 3 tokens, "x y"+"x"=4 chars
+    assert(out(("de", "a")) == ((1L, 3L, 5L)))
+    assert(out(("en", "b")) == ((1L, 4L, 7L)))
+  }
+}
