@@ -223,6 +223,29 @@ object SparkEntry {
         .select(col("url"), unix_timestamp(col("warc_ts")).as("ts_sec"),
           xxhash64(col("html")).as("html_hash"))
     }),
+    "extract_stream_quality" -> ((s, _) => {
+      // streaming quality gate: ONE streaming pipeline — file source →
+      // extraction → qualityGate (quality score + langid + accept flag,
+      // pure projections, no state) → parquet sink. Stamps `accept`
+      // instead of filtering, so rejected docs stay auditable and the
+      // langId pushdown trap never arms.
+      val base = java.nio.file.Files.createTempDirectory("graft_stream_g").toString
+      PagesGen.writeBucketed(PagesGen.generate(s, 80, seed = 42L, parallelism = 4),
+        s"$base/pages", nBuckets = 4)
+      val schema = s.read.parquet(s"$base/pages").schema
+      val pages = s.readStream.schema(schema).parquet(s"$base/pages")
+      val gated = graft.spark.ExtractStreamJob.qualityGate(
+        ExtractJob.extract(pages, ExtractJob.Config(salt = false)).toDF())
+      val q = gated.writeStream.format("parquet")
+        .option("path", s"$base/out").option("checkpointLocation", s"$base/ckpt")
+        .outputMode("append")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+      q.awaitTermination()
+      s.read.parquet(s"$base/out")
+        .filter(col("status") === "ok")
+        .select(col("url"), col("quality"), col("lang_pred"), col("accept"),
+          xxhash64(col("text")).as("text_hash"))
+    }),
     "extract_fonts" -> ((s, _) => {
       // font-fidelity tier (round-4): real embedded ToUnicode CMap
       // streams (bfchar/bfrange/ligature/U+FFFD-skip), /Differences

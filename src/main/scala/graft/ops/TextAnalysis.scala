@@ -47,16 +47,30 @@ object TextAnalysis {
   }
 
   /** Composite quality score in [0,1] (heuristic, for filtering). */
-  def qualityScore(docs: DataFrame): DataFrame = {
-    val s = qualitySignals(docs)
-    s.select(col("doc_id"),
+  def qualityScore(docs: DataFrame): DataFrame =
+    withQuality(docs).select(col("doc_id"), col("quality"))
+
+  /** [[qualityScore]] as a column-preserving transform over ANY table
+    * with a `text` column (no doc_id requirement) — the form the
+    * streaming quality gate composes with. Identical expression tree
+    * to the historical qualityScore (signals as longs, the same
+    * double formula), so outputs are bit-identical. */
+  private[graft] def withQuality(df: DataFrame): DataFrame = {
+    val toks = tokens(col("text"))
+    val stopArr = array(stopwordList.map(lit): _*)
+    val sig = df.select(df.columns.map(col).toSeq ++ Seq(
+      size(toks).cast("long").as("__q_n_tokens"),
+      size(filter(toks, t => array_contains(stopArr, t))).cast("long").as("__q_n_stopwords"),
+      length(col("text")).cast("long").as("__q_n_chars"),
+      length(regexp_replace(col("text"), "[a-zA-Z0-9\\s]", "")).cast("long").as("__q_n_punct")): _*)
+    sig.select(df.columns.map(col).toSeq :+
       round(
         greatest(lit(0.0), least(lit(1.0),
-          lit(0.4) * least(lit(1.0), col("n_tokens").cast("double") / 100.0) +
-          lit(0.3) * least(lit(1.0), col("n_stopwords").cast("double") * 8.0 /
-            greatest(col("n_tokens").cast("double"), lit(1.0))) +
-          lit(0.3) * (lit(1.0) - least(lit(1.0), col("n_punct").cast("double") * 4.0 /
-            greatest(col("n_chars").cast("double"), lit(1.0)))))), 4).as("quality"))
+          lit(0.4) * least(lit(1.0), col("__q_n_tokens").cast("double") / 100.0) +
+          lit(0.3) * least(lit(1.0), col("__q_n_stopwords").cast("double") * 8.0 /
+            greatest(col("__q_n_tokens").cast("double"), lit(1.0))) +
+          lit(0.3) * (lit(1.0) - least(lit(1.0), col("__q_n_punct").cast("double") * 4.0 /
+            greatest(col("__q_n_chars").cast("double"), lit(1.0)))))), 4).as("quality"): _*)
   }
 
   // ------------------------------------------------------------------
@@ -99,17 +113,27 @@ object TextAnalysis {
     * branches). Measured 35x slowdown at sf0.1 (0.49 s -> 17.3 s).
     * Materialize first (localCheckpoint/persist), as
     * `corpus_training_set` does. */
-  def langId(docs: DataFrame): DataFrame = {
+  def langId(docs: DataFrame): DataFrame =
+    withLangPred(docs.select(col("doc_id"), col("lang"), col("text")))
+      .select(col("doc_id"), col("lang").as("lang_true"), col("lang_pred"))
+
+  /** [[langId]] as a column-preserving transform over ANY table with a
+    * `text` column (no doc_id/lang requirement) — the form the
+    * streaming quality gate composes with. Same expression tree as the
+    * historical langId (two-step select, named score columns, strict
+    * argmax fold), so predictions are identical. The SCALE WARNING
+    * above applies here too. */
+  private[graft] def withLangPred(df: DataFrame): DataFrame = {
     val t = concat(lit(" "), lower(substring(col("text"), 1, 4000)), lit(" "))
     def occ(m: String): Column =
       ((length(t) - length(replace(t, lit(m), lit("")))) / m.length).cast("int")
     // two-step select: scores become named columns so the argmax below
     // references each once instead of inlining the marker chains
-    val scored = docs.select(
-      Seq(col("doc_id"), col("lang"), col("text"),
+    val scored = df.select(
+      (df.columns.map(col).toSeq ++ Seq(
         regexp_count(col("text"), lit(HanRange)).as("__han"),
         regexp_count(col("text"), lit(KanaRange)).as("__kana"),
-        regexp_count(col("text"), lit(HangulRange)).as("__hangul")) ++
+        regexp_count(col("text"), lit(HangulRange)).as("__hangul"))) ++
       langOrder.map(l => langMarkers(l).map(occ).reduce(_ + _).as(s"__s_$l")): _*)
     val m = greatest(langOrder.map(l => col(s"__s_$l")): _*)
     // earliest lang (alphabetical order) achieving the max
@@ -122,7 +146,7 @@ object TextAnalysis {
           when(col("__kana") > 2, "ja").otherwise("zh"))
         .when(col("__hangul") > 10, "ko")
         .otherwise(when(m > 0, argmax).otherwise(lit("und")))
-    scored.select(col("doc_id"), col("lang").as("lang_true"), pred.as("lang_pred"))
+    scored.select(df.columns.map(col).toSeq :+ pred.as("lang_pred"): _*)
   }
 
   /** DuckDB oracle for `langId`, generated from the SAME marker table

@@ -98,6 +98,28 @@ object ExtractStreamJob {
         sum(col("n_pages")).as("n_pages"))
   }
 
+  /** Stateless streaming quality gate: score each extracted document
+    * (composite quality heuristic + marker-based language ID — the SAME
+    * column expressions as the batch ops, so batch and stream agree
+    * bit-for-bit) and stamp an `accept` routing flag instead of
+    * filtering. Pure projections — no watermark, no state, valid in any
+    * output mode; the caller routes on `accept` (e.g. partitionBy at
+    * the sink) so rejected docs stay auditable rather than vanishing.
+    *
+    * Deliberately NOT filtering here also sidesteps the
+    * predicate-pushdown CASE-explosion documented on
+    * [[graft.ops.TextAnalysis.langId]]: a filter on the computed
+    * columns inside this plan would re-inline the argmax per branch.
+    * Docs with null/failed text get null quality/accept — route them
+    * by `status` upstream. */
+  def qualityGate(docs: DataFrame, minQuality: Double = 0.6,
+                  acceptLangs: Seq[String] = Seq("en")): DataFrame = {
+    import org.apache.spark.sql.functions._
+    graft.ops.TextAnalysis.withLangPred(graft.ops.TextAnalysis.withQuality(docs))
+      .withColumn("accept",
+        col("quality") >= minQuality && col("lang_pred").isInCollection(acceptLangs))
+  }
+
   /** Stateful streaming URL dedup (flatMapGroupsWithState): the
     * canonical crawl-ingestion guard — only the FIRST occurrence of
     * each url ever passes; re-crawls and duplicate WARC entries are
