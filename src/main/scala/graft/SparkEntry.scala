@@ -557,6 +557,21 @@ object SparkEntry {
       graft.ops.Sampling.vocabulary(t(s, dir, "documents"), n = 30)),
     "corpus_mix_report" -> ((s, dir) =>
       graft.ops.Sampling.mixReport(t(s, dir, "documents"))),
+    // incremental crawl: two deterministic snapshot views of documents
+    // (dropped urls, new urls, 1-in-3 content edits) classified by one
+    // full-outer url join on md5 fingerprints (md5 = oracle-parity
+    // choice; the operator takes any fp column)
+    "corpus_crawl_delta" -> ((s, dir) => {
+      val docs = t(s, dir, "documents").withColumn("url",
+        concat(lit("https://"), col("source"), lit("/doc"),
+          col("doc_id").cast("string")))
+      val prev = docs.filter(col("doc_id") % 5 =!= 0)
+        .select(col("url"), md5(col("text")).as("fp"))
+      val cur = docs.filter(col("doc_id") % 7 =!= 0)
+        .select(col("url"), md5(when(col("doc_id") % 3 === 0,
+          concat(col("text"), lit(" v2"))).otherwise(col("text"))).as("fp"))
+      graft.ops.Crawl.delta(prev, cur)
+    }),
 
     // ---------------- multimodal plumbing ---------------------------
     "multimodal_meta" -> ((s, dir) =>
@@ -825,6 +840,20 @@ object SparkEntry {
         | FROM st)
         |SELECT doc_id, lang, source, n_tokens, cum_tokens
         |FROM c WHERE cum_tokens <= 150""".stripMargin,
+    "corpus_crawl_delta" ->
+      """WITH d AS (
+        | SELECT doc_id, text,
+        |  'https://' || source || '/doc' || CAST(doc_id AS VARCHAR) AS url
+        | FROM documents),
+        |p AS (SELECT url, md5(text) AS fp FROM d WHERE doc_id % 5 <> 0),
+        |c AS (SELECT url, md5(CASE WHEN doc_id % 3 = 0 THEN text || ' v2' ELSE text END) AS fp
+        |      FROM d WHERE doc_id % 7 <> 0)
+        |SELECT coalesce(p.url, c.url) AS url,
+        | CASE WHEN p.fp IS NULL THEN 'added'
+        |      WHEN c.fp IS NULL THEN 'removed'
+        |      WHEN p.fp <> c.fp THEN 'changed'
+        |      ELSE 'unchanged' END AS status
+        |FROM p FULL OUTER JOIN c ON p.url = c.url""".stripMargin,
     "corpus_vocab" ->
       """WITH toks AS (
         | SELECT unnest(list_filter(string_split_regex(lower(text), '[\s\x0b]+'), x -> len(x) > 0)) AS token

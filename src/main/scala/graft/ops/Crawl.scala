@@ -1,0 +1,37 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Crawl-snapshot operators: the incremental-ingestion primitives a
+  * recurring crawl pipeline runs between snapshots. */
+object Crawl {
+
+  /** Snapshot delta: classify every url across two crawl snapshots as
+    * added / removed / changed / unchanged by comparing content
+    * fingerprints. Inputs are (url, fp) tables — the fingerprint
+    * column is the CALLER's choice (md5 here in the driver query for
+    * DuckDB oracle parity; xxhash64 at production scale — the operator
+    * is agnostic).
+    *
+    * Scale shape: ONE full-outer equi-join on url — with both
+    * snapshots bucketed by url-hash (the layout ExtractJob already
+    * writes), this is a zero-shuffle sort-merge join per bucket; the
+    * incremental re-extraction workload is then `status IN ('added',
+    * 'changed')`, typically a few percent of the crawl. No driver
+    * state, no window, AQE handles host-skewed url spaces. */
+  def delta(prev: DataFrame, cur: DataFrame): DataFrame = {
+    val p = prev.select(col("url"), col("fp").as("__fp_prev"))
+    val c = cur.select(col("url"), col("fp").as("__fp_cur"))
+    p.join(c, Seq("url"), "full_outer")
+      .select(col("url"),
+        when(col("__fp_prev").isNull, "added")
+          .when(col("__fp_cur").isNull, "removed")
+          .when(col("__fp_prev") =!= col("__fp_cur"), "changed")
+          .otherwise("unchanged").as("status"))
+  }
+
+  /** Per-status counts of [[delta]] — the snapshot health report. */
+  def deltaSummary(prev: DataFrame, cur: DataFrame): DataFrame =
+    delta(prev, cur).groupBy(col("status")).agg(count(lit(1)).as("n_urls"))
+}

@@ -1,0 +1,50 @@
+package graft.ops
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.BeforeAndAfterAll
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Crawl snapshot delta on a hand-built pair of snapshots: every
+  * classification exercised, counts exact. */
+class CrawlSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  private var spark: SparkSession = _
+
+  override def beforeAll(): Unit = {
+    spark = SparkSession.builder()
+      .master("local[4]")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+  }
+
+  override def afterAll(): Unit = if (spark != null) spark.stop()
+
+  test("delta classifies added/removed/changed/unchanged") {
+    val s = spark
+    import s.implicits._
+    val prev = Seq(("a", "h1"), ("b", "h2"), ("c", "h3")).toDF("url", "fp")
+    val cur = Seq(("b", "h2"), ("c", "h3x"), ("d", "h4")).toDF("url", "fp")
+    val out = Crawl.delta(prev, cur).collect()
+      .map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(out == Map("a" -> "removed", "b" -> "unchanged",
+      "c" -> "changed", "d" -> "added"))
+    val summary = Crawl.deltaSummary(prev, cur).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(summary == Map("removed" -> 1L, "unchanged" -> 1L,
+      "changed" -> 1L, "added" -> 1L))
+  }
+
+  test("identical snapshots are all unchanged; disjoint are added+removed") {
+    val s = spark
+    import s.implicits._
+    val a = Seq(("a", "h1"), ("b", "h2")).toDF("url", "fp")
+    assert(Crawl.delta(a, a).collect().forall(_.getString(1) == "unchanged"))
+    val b = Seq(("c", "h3")).toDF("url", "fp")
+    val m = Crawl.deltaSummary(a, b).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(m == Map("removed" -> 2L, "added" -> 1L))
+  }
+}
