@@ -361,6 +361,27 @@ object SparkEntry {
           xxhash64(col("text")).as("text_hash"),
           xxhash64(col("markdown")).as("md_hash"))
     }),
+    "extract_incremental" -> ((s, _) => {
+      // incremental crawl job path: previous snapshot = docs 0..59,
+      // current = docs 20..79 with every 3rd carried-over doc
+      // regenerated under a different seed (a real content change).
+      // Worklist = added (60..79) + changed (multiples of 3 in
+      // 20..59); unchanged docs never re-enter the kernel. Per-url
+      // delta status + extracted text hash frozen.
+      import s.implicits._
+      def snap(ids: Range, seedOf: Long => Long) =
+        s.range(ids.start, ids.end, 1, 4).map { id =>
+          (s"https://host$id.example/doc$id", PagesGen.payload(id, seedOf(id))._1)
+        }.toDF("url", "html")
+      val prev = snap(0 until 60, _ => 42L)
+      val cur = snap(20 until 80, id => if (id % 3 == 0) 43L else 42L)
+      val out = ExtractJob.extractIncremental(prev, cur, ExtractJob.Config(salt = false))
+      val delta = ExtractJob.incrementalWorklist(prev, cur)
+        .withColumnRenamed("status", "delta_status")
+      out.toDF().join(delta, Seq("url"))
+        .select(col("url"), col("delta_status"), col("status"),
+          col("n_pages"), xxhash64(col("text")).as("text_hash"))
+    }),
     "extract_metrics" -> ((s, _) => {
       // per-partition lineage/metrics surface, made deterministic (and
       // therefore freezable): a FIXED url-hash repartition pins

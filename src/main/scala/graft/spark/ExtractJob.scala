@@ -68,6 +68,38 @@ object ExtractJob {
     }
   }
 
+  /** Snapshot worklist for incremental crawls: classify every url
+    * across two page snapshots (added / removed / changed / unchanged)
+    * by 64-bit payload fingerprint — `Crawl.delta` over
+    * (url, xxhash64(html)). Fingerprints are computed in the scan
+    * stage, so only (url, 8-byte fp) pairs reach the full-outer join;
+    * with both snapshots in the bucketed url-hash layout the sink
+    * writes, the join is per-bucket and shuffle-free. */
+  def incrementalWorklist(prevPages: DataFrame, curPages: DataFrame): DataFrame = {
+    def fp(df: DataFrame) =
+      df.select(col("url"), xxhash64(col("html")).as("fp"))
+    graft.ops.Crawl.delta(fp(prevPages), fp(curPages))
+  }
+
+  /** Incremental extraction between crawl snapshots: extract ONLY the
+    * urls whose payload is new or changed since `prevPages` —
+    * unchanged documents (the overwhelming majority of a recurring
+    * crawl) never re-enter the extraction kernel, and removed urls
+    * fall out of the worklist entirely. The caller unions the result
+    * with the previous snapshot's retained output (minus `removed`
+    * urls from [[incrementalWorklist]]) to materialize the full
+    * current corpus — that union is a metadata operation, not CPU.
+    *
+    * Same Config semantics as [[extract]]; the worklist join is
+    * ids-only against the bucketed url layout. */
+  def extractIncremental(prevPages: DataFrame, curPages: DataFrame,
+                         cfg: Config = Config()): Dataset[ExtractedDoc] = {
+    val work = incrementalWorklist(prevPages, curPages)
+      .filter(col("status").isin("added", "changed"))
+      .select("url")
+    extract(curPages.join(work, Seq("url")), cfg)
+  }
+
   /** Opt-in payload-level dedup-before-extract for high-duplication
     * crawl corpora: extraction runs ONCE per distinct payload and the
     * result fans back out to every url carrying those bytes.
