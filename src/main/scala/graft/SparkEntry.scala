@@ -578,6 +578,8 @@ object SparkEntry {
       graft.ops.Sampling.vocabulary(t(s, dir, "documents"), n = 30)),
     "corpus_mix_report" -> ((s, dir) =>
       graft.ops.Sampling.mixReport(t(s, dir, "documents"))),
+    "corpus_length_profile" -> ((s, dir) =>
+      graft.ops.Sampling.lengthProfile(t(s, dir, "documents"))),
     // incremental crawl: two deterministic snapshot views of documents
     // (dropped urls, new urls, 1-in-3 content edits) classified by one
     // full-outer url join on md5 fingerprints (md5 = oracle-parity
@@ -861,6 +863,22 @@ object SparkEntry {
         | FROM st)
         |SELECT doc_id, lang, source, n_tokens, cum_tokens
         |FROM c WHERE cum_tokens <= 150""".stripMargin,
+    // exact discrete quantiles via rank arithmetic (value at row
+    // ceil(p*n)) — integer-deterministic on both engines, unlike
+    // percentile_approx / quantile sketches
+    "corpus_length_profile" ->
+      """WITH r AS (
+        | SELECT source, CAST(length(text) AS BIGINT) AS n_chars,
+        |  CAST(row_number() OVER (PARTITION BY source ORDER BY length(text) ASC, doc_id ASC) AS BIGINT) AS rn,
+        |  count(*) OVER (PARTITION BY source) AS n
+        | FROM documents)
+        |SELECT source,
+        | max(CASE WHEN rn = CAST(ceil(0.5 * n) AS BIGINT) THEN n_chars END) AS p50,
+        | max(CASE WHEN rn = CAST(ceil(0.9 * n) AS BIGINT) THEN n_chars END) AS p90,
+        | max(CASE WHEN rn = CAST(ceil(0.99 * n) AS BIGINT) THEN n_chars END) AS p99,
+        | max(n_chars) AS max_chars,
+        | CAST(count(*) AS BIGINT) AS n_docs
+        |FROM r GROUP BY source""".stripMargin,
     "corpus_crawl_delta" ->
       """WITH d AS (
         | SELECT doc_id, text,

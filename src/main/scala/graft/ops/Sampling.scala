@@ -94,6 +94,33 @@ object Sampling {
       .orderBy(col("cnt").desc, col("token").asc)
       .limit(n)
 
+  /** Corpus length profile: EXACT discrete quantiles (p50/p90/p99 of
+    * doc length) per source, via rank arithmetic — the value at row
+    * ceil(p*n) in (n_chars, doc_id) order. No interpolation and no
+    * sketch, so Spark and the DuckDB oracle agree bit-for-bit (Spark's
+    * percentile_approx and DuckDB's quantile would not); doc_id breaks
+    * length ties so ranks are total.
+    *
+    * Scale shape: ONE hash shuffle on source; both window passes
+    * (row_number, per-partition count) and the final aggregation reuse
+    * that partitioning. Rank-based quantiles need no global sort —
+    * this is how you profile a 100 TB corpus without collecting it. */
+  def lengthProfile(docs: DataFrame): DataFrame = {
+    val byLen = Window.partitionBy(col("source"))
+      .orderBy(col("n_chars").asc, col("doc_id").asc)
+    val part = Window.partitionBy(col("source"))
+    def at(p: Double, name: String) =
+      max(when(col("rn") === ceil(lit(p) * col("n")), col("n_chars"))).as(name)
+    docs.select(col("doc_id"), col("source"),
+        length(col("text")).cast("long").as("n_chars"))
+      .withColumn("rn", row_number().over(byLen).cast("long"))
+      .withColumn("n", count(lit(1)).over(part))
+      .groupBy(col("source"))
+      .agg(at(0.5, "p50"), at(0.9, "p90"), at(0.99, "p99"),
+        max(col("n_chars")).as("max_chars"),
+        count(lit(1)).as("n_docs"))
+  }
+
   /** Training-mix report: per (lang, source) document/token/char
     * totals — the table a data-mixing decision is made from. Integer
     * sums only (means and ratios are the consumer's division — they

@@ -106,6 +106,26 @@ class SamplingSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(top3 == Seq("a" -> 3L, "b" -> 3L, "c" -> 2L))
   }
 
+  test("lengthProfile: exact rank-based quantiles, hand-computed") {
+    val s = spark
+    import s.implicits._
+    // source 'a': lengths 1..10 (doc_id = length for tie-order) ->
+    //   n=10: p50 = value at ceil(5)=rank 5 -> 5; p90 -> rank 9 -> 9;
+    //   p99 -> ceil(9.9)=rank 10 -> 10; max=10
+    // source 'b': single doc of length 4 -> all quantiles = 4
+    val d = ((1 to 10).map(i => (i.toLong, "x" * i, "a")) :+ ((11L, "x" * 4, "b")))
+      .toDF("doc_id", "text", "source")
+    val out = Sampling.lengthProfile(d).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5)))).toMap
+    assert(out("a") == ((5L, 9L, 10L, 10L, 10L)))
+    assert(out("b") == ((4L, 4L, 4L, 4L, 1L)))
+    // partitioning-independent (rank order is total via doc_id tie-break)
+    val again = Sampling.lengthProfile(d.repartition(7)).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(again == Map("a" -> 5L, "b" -> 4L))
+  }
+
   test("mixReport: integer totals per stratum, hand-computed") {
     val s = spark
     import s.implicits._
