@@ -840,8 +840,9 @@ object SparkEntry {
     // standalone rows — the components can't drift from the pipeline)
     "corpus_training_set" -> trainingSetSql,
     // sampling / mixing: deterministic windows + integer aggregates —
-    // the Knuth shuffle key (doc_id*2654435761 mod 2^32) and all
-    // cumulative sums are BIGINT-exact on both engines
+    // the Knuth shuffle key (((doc_id mod 2^31)*2654435761) mod 2^32,
+    // masked so the product can never overflow BIGINT on either
+    // engine) and all cumulative sums are BIGINT-exact on both engines
     "corpus_host_cap" ->
       s"""WITH q AS (${qualityScoreSql()}),
          |r AS (
@@ -854,7 +855,7 @@ object SparkEntry {
       """WITH st AS (
         | SELECT doc_id, lang, source,
         |  CAST(len(list_filter(string_split_regex(lower(text), '[\s\x0b]+'), x -> len(x) > 0)) AS BIGINT) AS n_tokens,
-        |  (doc_id * 2654435761) % 4294967296 AS k
+        |  ((doc_id % 2147483648) * 2654435761) % 4294967296 AS k
         | FROM documents),
         |c AS (
         | SELECT doc_id, lang, source, n_tokens,
@@ -888,9 +889,9 @@ object SparkEntry {
         |c AS (SELECT url, md5(CASE WHEN doc_id % 3 = 0 THEN text || ' v2' ELSE text END) AS fp
         |      FROM d WHERE doc_id % 7 <> 0)
         |SELECT coalesce(p.url, c.url) AS url,
-        | CASE WHEN p.fp IS NULL THEN 'added'
-        |      WHEN c.fp IS NULL THEN 'removed'
-        |      WHEN p.fp <> c.fp THEN 'changed'
+        | CASE WHEN p.url IS NULL THEN 'added'
+        |      WHEN c.url IS NULL THEN 'removed'
+        |      WHEN p.fp IS DISTINCT FROM c.fp THEN 'changed'
         |      ELSE 'unchanged' END AS status
         |FROM p FULL OUTER JOIN c ON p.url = c.url""".stripMargin,
     "corpus_vocab" ->

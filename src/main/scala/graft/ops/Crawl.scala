@@ -21,13 +21,21 @@ object Crawl {
     * 'changed')`, typically a few percent of the crawl. No driver
     * state, no window, AQE handles host-skewed url spaces. */
   def delta(prev: DataFrame, cur: DataFrame): DataFrame = {
-    val p = prev.select(col("url"), col("fp").as("__fp_prev"))
-    val c = cur.select(col("url"), col("fp").as("__fp_cur"))
+    // Presence is carried by explicit marker columns, NOT by fp
+    // nullness: a snapshot row whose fingerprint is legitimately NULL
+    // (e.g. md5 of NULL text) must still count as present, and
+    // changed-ness uses null-safe equality — otherwise a prev-only url
+    // with NULL fp would misclassify as 'added' and poison the
+    // worklist.
+    val p = prev.select(col("url"), col("fp").as("__fp_prev"),
+      lit(true).as("__in_prev"))
+    val c = cur.select(col("url"), col("fp").as("__fp_cur"),
+      lit(true).as("__in_cur"))
     p.join(c, Seq("url"), "full_outer")
       .select(col("url"),
-        when(col("__fp_prev").isNull, "added")
-          .when(col("__fp_cur").isNull, "removed")
-          .when(col("__fp_prev") =!= col("__fp_cur"), "changed")
+        when(col("__in_prev").isNull, "added")
+          .when(col("__in_cur").isNull, "removed")
+          .when(!(col("__fp_prev") <=> col("__fp_cur")), "changed")
           .otherwise("unchanged").as("status"))
   }
 

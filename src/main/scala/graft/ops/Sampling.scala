@@ -24,14 +24,20 @@ import org.apache.spark.sql.functions._
   */
 object Sampling {
 
-  /** Deterministic per-doc shuffle key: Knuth multiplicative hash.
-    * doc_id * 2654435761 stays well inside Long for any realistic id
-    * space (< 2^32 ids), and `pmod .. 2^32` gives a uniform-ish,
-    * engine-exact BIGINT both Spark and DuckDB evaluate identically —
-    * this is the "random" order used for budget sampling. */
+  /** Deterministic per-doc shuffle key: Knuth multiplicative hash over
+    * the LOW 31 BITS of the id. The mask is what makes the arithmetic
+    * overflow-free on BOTH engines for any Long id: (2^31-1) *
+    * 2654435761 ≈ 5.7e18 < Long.Max, whereas the unmasked product
+    * overflows past id ≈ 3.47e9 — silently wrapping in non-ANSI Spark
+    * while DuckDB raises, breaking engine-exactness exactly where it
+    * matters. Ids beyond 2^31 alias into the same key space, which is
+    * harmless for a sampling order (doc_id tiebreak keeps the total
+    * order total). */
   private[ops] val KnuthA = 2654435761L
   private[ops] val KnuthM = 4294967296L
-  def shuffleKey(id: Column): Column = pmod(id * lit(KnuthA), lit(KnuthM))
+  private[ops] val IdMask = 2147483648L // 2^31
+  def shuffleKey(id: Column): Column =
+    pmod(pmod(id, lit(IdMask)) * lit(KnuthA), lit(KnuthM))
 
   /** Per-host document cap: keep at most `k` docs per `source`, best
     * quality first (doc_id ascending as the tie-break — quality is a
@@ -46,11 +52,11 @@ object Sampling {
     * AQE skew splitting (the window itself only ever keeps k rows per
     * host in the output, so the skew is read-side, not state-side). */
   def hostCap(docs: DataFrame, k: Int): DataFrame = {
-    val q = TextAnalysis.qualityScore(docs)
     val w = Window.partitionBy(col("source"))
       .orderBy(col("quality").desc, col("doc_id").asc)
-    docs.select(col("doc_id"), col("source"))
-      .join(q, Seq("doc_id"))
+    // quality is attached in the scan projection (withQuality keeps
+    // input columns) — ONE corpus pass, no self-join on doc_id
+    TextAnalysis.withQuality(docs.select(col("doc_id"), col("source"), col("text")))
       .withColumn("rn", row_number().over(w).cast("long"))
       .filter(col("rn") <= k)
       .select(col("doc_id"), col("source"), col("quality"), col("rn"))
@@ -69,13 +75,14 @@ object Sampling {
     * integer-exact, order fixed by (key, doc_id). No global sort, no
     * driver state; strata process independently. */
   def tokenBudgetSample(docs: DataFrame, budget: Long): DataFrame = {
-    val n = TextAnalysis.tokenStats(docs).select(col("doc_id"), col("n_tokens"))
     val w = Window.partitionBy(col("lang"), col("source"))
       .orderBy(col("k").asc, col("doc_id").asc)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    docs.select(col("doc_id"), col("lang"), col("source"))
-      .join(n, Seq("doc_id"))
-      .withColumn("k", shuffleKey(col("doc_id")))
+    // token count and shuffle key both live in the scan projection —
+    // ONE corpus pass, no tokenStats self-join (mixReport pattern)
+    docs.select(col("doc_id"), col("lang"), col("source"),
+        size(TextAnalysis.tokens(col("text"))).cast("long").as("n_tokens"),
+        shuffleKey(col("doc_id")).as("k"))
       .withColumn("cum_tokens", sum(col("n_tokens")).over(w))
       .filter(col("cum_tokens") <= budget)
       .select(col("doc_id"), col("lang"), col("source"),

@@ -37,6 +37,25 @@ class CrawlSpec extends AnyFunSuite with BeforeAndAfterAll {
       "changed" -> 1L, "added" -> 1L))
   }
 
+  test("NULL fingerprints: presence still counts, null-safe change detection") {
+    val s = spark
+    import s.implicits._
+    // md5(NULL text) = NULL on both engines — presence must come from
+    // the row, not fp nullness
+    val prev = Seq(("a", Option("h1")), ("b", None), ("c", None), ("d", None))
+      .toDF("url", "fp")
+    val cur = Seq(("b", None: Option[String]), ("c", Option("h3")))
+      .toDF("url", "fp")
+    val out = Crawl.delta(prev, cur).collect()
+      .map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(out == Map(
+      "a" -> "removed",
+      "b" -> "unchanged", // NULL <=> NULL
+      "c" -> "changed",   // NULL vs h3
+      "d" -> "removed"))  // prev-only with NULL fp — the bug case:
+                          // fp-nullness-as-presence misread this as 'added'
+  }
+
   test("identical snapshots are all unchanged; disjoint are added+removed") {
     val s = spark
     import s.implicits._

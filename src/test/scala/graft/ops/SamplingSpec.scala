@@ -63,8 +63,10 @@ class SamplingSpec extends AnyFunSuite with BeforeAndAfterAll {
       (0L, "a b c"), (1L, "a"), (2L, "a b"), (3L, "a b c d e"))
       .toDF("doc_id", "text")
       .withColumn("lang", lit("en")).withColumn("source", lit("s"))
-    // Knuth order of ids 0..3: key = (id*2654435761) mod 2^32
-    val key = (id: Long) => java.lang.Math.floorMod(id * 2654435761L, 4294967296L)
+    // Knuth order of ids 0..3, from the implementation's own constants
+    // (low-31-bit mask, then multiply mod 2^32)
+    val key = (id: Long) => java.lang.Math.floorMod(
+      java.lang.Math.floorMod(id, Sampling.IdMask) * Sampling.KnuthA, Sampling.KnuthM)
     val order = Seq(0L, 1L, 2L, 3L).sortBy(id => (key(id), id))
     val nTok = Map(0L -> 3L, 1L -> 1L, 2L -> 2L, 3L -> 5L)
     // hand-fold the inclusive cumulative sum in that order

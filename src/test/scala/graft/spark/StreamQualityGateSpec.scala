@@ -87,6 +87,6 @@ class StreamQualityGateSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(stream.nonEmpty && stream.toSeq == batch.toSeq)
     // the gate genuinely partitions the corpus (both outcomes occur)
     val accepts = stream.map(_(3)).toSet
-    assert(accepts.contains(true) || accepts.contains(false))
+    assert(accepts == Set(true, false))
   }
 }
