@@ -440,6 +440,14 @@ object SparkEntry {
       // shuffle, window lag → boundary flag → running-sum session
       // index; integer-only, timezone-invariant output
       graft.ops.Events.sessionize(t(s, dir, "events"), gapUs = 21600L * 1000000L)),
+    "q8_funnel" -> ((s, dir) =>
+      // ordered funnel over a 1-in-7 event sample (full stream is so
+      // dense every user completes — the sample makes dropoff real);
+      // strict-after greedy scan vs the oracle's iterative min-after:
+      // equivalent formulations, counts-only output
+      graft.ops.Events.funnel(
+        t(s, dir, "events").filter(col("event_id") % 7 === 0),
+        steps = Seq("signup", "view", "click", "purchase"))),
 
     // ---------------- deduplication ---------------------------------
     "dedup_exact" -> ((s, dir) => Dedup.exact(t(s, dir, "documents"))),
@@ -669,6 +677,8 @@ object SparkEntry {
         | count(DISTINCT l_suppkey) AS n_supps, count(*) AS n_rows
         |FROM lineitem""".stripMargin,
     "q7_sessionize" -> graft.ops.Events.sessionizeOracleSql(21600L * 1000000L),
+    "q8_funnel" -> graft.ops.Events.funnelOracleSql(
+      Seq("signup", "view", "click", "purchase"), where = "event_id % 7 = 0"),
     "dedup_exact" ->
       "SELECT min(doc_id) AS doc_id, count(*) AS n_copies FROM documents GROUP BY text",
     // same oracle as dedup_exact: the hash-shuffle variant must produce

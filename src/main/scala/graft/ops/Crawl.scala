@@ -19,7 +19,12 @@ object Crawl {
     * writes), this is a zero-shuffle sort-merge join per bucket; the
     * incremental re-extraction workload is then `status IN ('added',
     * 'changed')`, typically a few percent of the crawl. No driver
-    * state, no window, AQE handles host-skewed url spaces. */
+    * state, no window, AQE handles host-skewed url spaces.
+    *
+    * CONTRACT: each snapshot must be url-unique (one row per url — a
+    * snapshot, not a raw re-crawl log). Duplicate urls fan out through
+    * the full-outer join; run first-seen dedup (ExtractStreamJob
+    * .dedupFirstSeen or Dedup.exact on url) upstream if needed. */
   def delta(prev: DataFrame, cur: DataFrame): DataFrame = {
     // Presence is carried by explicit marker columns, NOT by fp
     // nullness: a snapshot row whose fingerprint is legitimately NULL

@@ -71,4 +71,92 @@ object Events {
        |SELECT user_id, min(event_id) AS session_start,
        |  count(*) AS n_events, max(us) - min(us) AS duration_us
        |FROM sess GROUP BY user_id, s_idx""".stripMargin
+
+  /** Ordered funnel analysis: for each user, how far through the step
+    * sequence they got — a step counts only if it happens STRICTLY
+    * after the event that completed the previous step (equal
+    * timestamps do not advance; event_id order never decides funnel
+    * semantics). Output is one row per step with the number of users
+    * who reached it: counts only, so the result is invariant to the
+    * engines' epoch/timezone reading of the timestamps (comparisons
+    * are order-based and monotone-transform-proof).
+    *
+    * Greedy first-occurrence scan ≡ the iterative "min ts after the
+    * previous stage" definition (standard exchange argument), which is
+    * what the DuckDB oracle computes — two formulations, same
+    * function, so a bug in either side shows as a mismatch.
+    *
+    * Scale shape: ONE hash shuffle on user_id + an in-partition sort,
+    * then a streaming group-adjacent fold (the extractDeduped
+    * pattern) — per-user state is two scalars, so a mega-user costs
+    * nothing beyond its sorted run; no window materialization, no
+    * self-joins (the declarative alternative re-joins events once per
+    * step). The per-step report is an n-row aggregate. */
+  def funnel(events: DataFrame, steps: Seq[String]): DataFrame = {
+    require(steps.nonEmpty, "funnel needs at least one step")
+    val spark = events.sparkSession
+    import spark.implicits._
+    val n = steps.size
+    val us = unix_micros(col("ts").cast(org.apache.spark.sql.types.TimestampType))
+    val typed = events
+      .select(col("user_id").cast("long"), us.as("us"),
+        col("event_id").cast("long"), col("event_type"))
+      .repartition(col("user_id"))
+      .sortWithinPartitions(col("user_id"), col("us"), col("event_id"))
+      .as[(Long, Long, Long, String)]
+    val stepsArr = steps.toArray
+    val reached = typed.mapPartitions { it =>
+      val buf = it.buffered
+      new Iterator[(Long, Int)] {
+        def hasNext: Boolean = buf.hasNext
+        def next(): (Long, Int) = {
+          val user = buf.head._1
+          var stage = 0
+          var lastUs = Long.MinValue
+          while (buf.hasNext && buf.head._1 == user) {
+            val (_, u, _, tpe) = buf.next()
+            if (stage < n && tpe == stepsArr(stage) && u > lastUs) {
+              stage += 1
+              lastUs = u
+            }
+          }
+          (user, stage)
+        }
+      }
+    }.toDF("user_id", "stage")
+    val counts = reached.groupBy(col("stage")).agg(count(lit(1)).as("c"))
+    val stepTable = steps.zipWithIndex
+      .map { case (s, i) => (s, (i + 1).toLong) }
+      .toDF("step", "step_idx")
+    // n_users(step i) = users whose stage >= i; tiny inequality join
+    // over an n x n frame (n = #steps), nothing corpus-sized
+    stepTable.join(counts, col("stage") >= col("step_idx"), "left")
+      .groupBy(col("step"), col("step_idx"))
+      .agg(coalesce(sum(col("c")), lit(0L)).as("n_users"))
+  }
+
+  /** DuckDB oracle for [[funnel]]: the iterative min-after-previous
+    * formulation (deliberately DIFFERENT from the engine's greedy
+    * scan — equivalent by the exchange argument, so either
+    * implementation drifting breaks the match). */
+  def funnelOracleSql(steps: Seq[String], where: String = "TRUE"): String = {
+    def q(s: String) = "'" + s.replace("'", "''") + "'"
+    val stages = steps.zipWithIndex.map { case (s, i) =>
+      val k = i + 1
+      if (i == 0)
+        s"s1 AS (SELECT user_id, min(us) AS t FROM e WHERE event_type = ${q(s)} GROUP BY user_id)"
+      else
+        s"s$k AS (SELECT e.user_id, min(e.us) AS t FROM e JOIN s$i USING (user_id) " +
+          s"WHERE e.event_type = ${q(s)} AND e.us > s$i.t GROUP BY e.user_id)"
+    }.mkString(",\n")
+    val rows = steps.zipWithIndex.map { case (s, i) =>
+      s"SELECT ${q(s)} AS step, CAST(${i + 1} AS BIGINT) AS step_idx, " +
+        s"(SELECT count(*) FROM s${i + 1}) AS n_users"
+    }.mkString("\nUNION ALL\n")
+    s"""WITH e AS (
+       | SELECT user_id, event_type, event_id, epoch_us(ts) AS us
+       | FROM events WHERE $where),
+       |$stages
+       |$rows""".stripMargin
+  }
 }

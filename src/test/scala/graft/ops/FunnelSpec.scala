@@ -1,0 +1,74 @@
+package graft.ops
+
+import java.sql.Timestamp
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.scalatest.BeforeAndAfterAll
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Funnel analysis on hand-built event streams: completion, partial
+  * dropoff, wrong-order, the strict-after tie rule, and a user who
+  * never enters the funnel. */
+class FunnelSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  private var spark: SparkSession = _
+
+  override def beforeAll(): Unit = {
+    spark = SparkSession.builder()
+      .master("local[4]")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+  }
+
+  override def afterAll(): Unit = if (spark != null) spark.stop()
+
+  private val steps = Seq("signup", "view", "click", "purchase")
+
+  private def events(rows: (Long, Long, Long, String)*): DataFrame = {
+    val s = spark
+    import s.implicits._
+    rows.map { case (eid, ms, uid, tpe) => (eid, new Timestamp(ms), uid, tpe) }
+      .toDF("event_id", "ts", "user_id", "event_type")
+  }
+
+  test("funnel stages: complete, partial, wrong order, tie, absent") {
+    val d = events(
+      // user 1: full funnel in order -> stage 4
+      (1L, 1000L, 1L, "signup"), (2L, 2000L, 1L, "view"),
+      (3L, 3000L, 1L, "click"), (4L, 4000L, 1L, "purchase"),
+      // user 2: signup, view, purchase (no click) -> stage 2
+      (5L, 1000L, 2L, "signup"), (6L, 2000L, 2L, "view"),
+      (7L, 3000L, 2L, "purchase"),
+      // user 3: view BEFORE signup; no view after -> stage 1
+      (8L, 1000L, 3L, "view"), (9L, 2000L, 3L, "signup"),
+      // user 4: view at the SAME timestamp as signup must NOT advance
+      // (strict after); the later view does -> stage 2
+      (10L, 5000L, 4L, "signup"), (11L, 5000L, 4L, "view"),
+      (12L, 6000L, 4L, "view"),
+      // user 5: never signs up -> stage 0
+      (13L, 1000L, 5L, "view"), (14L, 2000L, 5L, "purchase"))
+    val out = Events.funnel(d, steps).collect()
+      .map(r => r.getString(0) -> r.getLong(2)).toMap
+    assert(out == Map(
+      "signup" -> 4L,   // users 1,2,3,4
+      "view" -> 3L,     // users 1,2,4
+      "click" -> 1L,    // user 1
+      "purchase" -> 1L))
+  }
+
+  test("every step present even when nobody reaches it; repartition-invariant") {
+    val d = events((1L, 1000L, 1L, "view"))
+    val out = Events.funnel(d, steps).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+    assert(out == Set(("signup", 1L, 0L), ("view", 2L, 0L),
+      ("click", 3L, 0L), ("purchase", 4L, 0L)))
+    val big = events((1L to 40L).map(i =>
+      (i, i * 1000L, i % 4, steps((i % 4).toInt))): _*)
+    val a = Events.funnel(big, steps).collect().map(_.toSeq).sortBy(_.toString)
+    val b = Events.funnel(big.repartition(11), steps).collect()
+      .map(_.toSeq).sortBy(_.toString)
+    assert(a.toSeq == b.toSeq)
+  }
+}
