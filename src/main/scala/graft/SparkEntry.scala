@@ -603,6 +603,17 @@ object SparkEntry {
           concat(col("text"), lit(" v2"))).otherwise(col("text"))).as("fp"))
       graft.ops.Crawl.delta(prev, cur)
     }),
+    "corpus_crawl_delta_summary" -> ((s, dir) => {
+      val docs = t(s, dir, "documents").withColumn("url",
+        concat(lit("https://"), col("source"), lit("/doc"),
+          col("doc_id").cast("string")))
+      val prev = docs.filter(col("doc_id") % 5 =!= 0)
+        .select(col("url"), md5(col("text")).as("fp"))
+      val cur = docs.filter(col("doc_id") % 7 =!= 0)
+        .select(col("url"), md5(when(col("doc_id") % 3 === 0,
+          concat(col("text"), lit(" v2"))).otherwise(col("text"))).as("fp"))
+      graft.ops.Crawl.deltaSummary(prev, cur)
+    }),
 
     // ---------------- multimodal plumbing ---------------------------
     "multimodal_meta" -> ((s, dir) =>
@@ -904,6 +915,22 @@ object SparkEntry {
         |      WHEN p.fp IS DISTINCT FROM c.fp THEN 'changed'
         |      ELSE 'unchanged' END AS status
         |FROM p FULL OUTER JOIN c ON p.url = c.url""".stripMargin,
+    "corpus_crawl_delta_summary" ->
+      """WITH d AS (
+        | SELECT doc_id, text,
+        |  'https://' || source || '/doc' || CAST(doc_id AS VARCHAR) AS url
+        | FROM documents),
+        |p AS (SELECT url, md5(text) AS fp FROM d WHERE doc_id % 5 <> 0),
+        |c AS (SELECT url, md5(CASE WHEN doc_id % 3 = 0 THEN text || ' v2' ELSE text END) AS fp
+        |      FROM d WHERE doc_id % 7 <> 0),
+        |delta AS (
+        | SELECT CASE WHEN p.url IS NULL THEN 'added'
+        |             WHEN c.url IS NULL THEN 'removed'
+        |             WHEN p.fp IS DISTINCT FROM c.fp THEN 'changed'
+        |             ELSE 'unchanged' END AS status
+        | FROM p FULL OUTER JOIN c ON p.url = c.url)
+        |SELECT status, CAST(count(*) AS BIGINT) AS n_urls
+        |FROM delta GROUP BY status""".stripMargin,
     "corpus_vocab" ->
       """WITH toks AS (
         | SELECT unnest(list_filter(string_split_regex(lower(text), '[\s\x0b]+'), x -> len(x) > 0)) AS token
