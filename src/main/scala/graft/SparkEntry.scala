@@ -615,6 +615,42 @@ object SparkEntry {
       graft.ops.Crawl.deltaSummary(prev, cur)
     }),
 
+    // ---------------- web graph (anchors + link analytics) ----------
+    // deterministic synthetic web over documents: the ENGINE builds the
+    // html (pure codegen concat) and parses it back with the real
+    // anchor scanner; the oracle derives the same edges in closed form
+    // without ever touching html — a construct+parse round-trip
+    // cross-check (q8_funnel pattern). PageRank is integer micro-units
+    // end to end, so the iterative ranks are bit-exact on both engines.
+    "web_links" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      graft.ops.WebGraph.extractAnchors(
+        graft.ops.WebGraph.syntheticWeb(docs, docs.count()))
+    }),
+    "web_degrees" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      graft.ops.WebGraph.degrees(graft.ops.WebGraph.extractAnchors(
+        graft.ops.WebGraph.syntheticWeb(docs, docs.count())))
+    }),
+    "web_pagerank" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      graft.ops.WebGraph.pageRankInt(
+        graft.ops.WebGraph.extractAnchors(
+          graft.ops.WebGraph.syntheticWeb(docs, docs.count())),
+        iterations = 5)
+    }),
+    "web_hostrank" -> ((s, dir) => {
+      // Common-Crawl-style host-level rank: collapse page edges to
+      // host edges (same regexp both sides), reuse the same kernel
+      val docs = t(s, dir, "documents")
+      val edges = graft.ops.WebGraph.extractAnchors(
+        graft.ops.WebGraph.syntheticWeb(docs, docs.count()))
+      val hostEdges = edges.select(
+        regexp_extract(col("src"), "^https://([^/]+)", 1).as("src"),
+        regexp_extract(col("dst"), "^https://([^/]+)", 1).as("dst"))
+      graft.ops.WebGraph.pageRankInt(hostEdges, iterations = 5)
+    }),
+
     // ---------------- multimodal plumbing ---------------------------
     "multimodal_meta" -> ((s, dir) =>
       Multimodal.metadata(
@@ -931,6 +967,31 @@ object SparkEntry {
         | FROM p FULL OUTER JOIN c ON p.url = c.url)
         |SELECT status, CAST(count(*) AS BIGINT) AS n_urls
         |FROM delta GROUP BY status""".stripMargin,
+    // web graph: closed-form edge derivation (the engine parses real
+    // html; the oracle never does) + staged integer-PageRank replica
+    "web_links" -> graft.ops.WebGraph.syntheticEdgesOracleSql,
+    // edges SQL substituted AFTER stripMargin — its lines can begin
+    // with `||`, which an outer stripMargin would eat one pipe of
+    "web_degrees" ->
+      """WITH raw_e AS (%EDGES%),
+        |e AS (SELECT DISTINCT src, dst FROM raw_e WHERE src <> dst),
+        |outd AS (SELECT src AS url, CAST(count(*) AS BIGINT) AS out_deg
+        |         FROM e GROUP BY src),
+        |ind AS (SELECT dst AS url, CAST(count(*) AS BIGINT) AS in_deg
+        |        FROM e GROUP BY dst)
+        |SELECT coalesce(outd.url, ind.url) AS url,
+        | CAST(coalesce(out_deg, 0) AS BIGINT) AS out_deg,
+        | CAST(coalesce(in_deg, 0) AS BIGINT) AS in_deg
+        |FROM outd FULL OUTER JOIN ind ON outd.url = ind.url""".stripMargin
+        .replace("%EDGES%", graft.ops.WebGraph.syntheticEdgesOracleSql),
+    "web_pagerank" -> graft.ops.WebGraph.pageRankOracleSql(
+      graft.ops.WebGraph.syntheticEdgesOracleSql, iterations = 5),
+    "web_hostrank" -> graft.ops.WebGraph.pageRankOracleSql(
+      """SELECT regexp_extract(src, '^https://([^/]+)', 1) AS src,
+        |       regexp_extract(dst, '^https://([^/]+)', 1) AS dst
+        |FROM (%EDGES%)""".stripMargin
+        .replace("%EDGES%", graft.ops.WebGraph.syntheticEdgesOracleSql),
+      iterations = 5),
     "corpus_vocab" ->
       """WITH toks AS (
         | SELECT unnest(list_filter(string_split_regex(lower(text), '[\s\x0b]+'), x -> len(x) > 0)) AS token

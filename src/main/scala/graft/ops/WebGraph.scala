@@ -1,0 +1,377 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+import scala.collection.mutable.ArrayBuffer
+
+/** Web-graph analytics: anchor/out-link extraction from raw HTML and
+  * link-graph algorithms (degrees, PageRank) over the extracted edge
+  * table — the post-extraction layer a crawl corpus pipeline runs to
+  * rank hosts/pages (crawl prioritization, quality priors for training
+  * data selection à la Common Crawl's host-level ranks).
+  *
+  * Scale notes (100 TB corpus, ~10^11 edges):
+  *  - anchor extraction is per-row kernel work over the pages scan —
+  *    embarrassingly parallel, no shuffle;
+  *  - the edge table is the unit of reuse: write it bucketed by `src`
+  *    so degree aggregation is shuffle-free and each PageRank
+  *    iteration's src-side join is co-located; the per-iteration
+  *    shuffle on `dst` (contribution aggregation) is irreducible and
+  *    is THE cost — partial aggregation (map-side combine on dst)
+  *    keeps it proportional to distinct dst per partition;
+  *  - ranks are Long micro-units (integer arithmetic end to end), so
+  *    per-node sums are order-independent — results are bit-identical
+  *    across any partitioning/parallelism, and the DuckDB oracle can
+  *    replicate them exactly (same trick as Multimodal's dyadic sums);
+  *  - iterative lineage MUST be truncated per round (localCheckpoint)
+  *    — persist() leaves the logical plan doubling per iteration.
+  */
+object WebGraph {
+
+  /** One extracted anchor: page url, resolved target url, the anchor's
+    * visible text (tags stripped, whitespace collapsed), and whether
+    * the href was relative before resolution. */
+  final case class AnchorEdge(src: String, dst: String, anchor: String,
+                              is_rel: Boolean)
+
+  // ------------------------------------------------------------------
+  // Anchor scanner (per-row kernel)
+  // ------------------------------------------------------------------
+
+  /** Extract all `<a href=...>text</a>` anchors from one HTML page.
+    *
+    * Robustness contract (crawl HTML, not valid XHTML):
+    *  - tag name matched case-insensitively (`<a`/`<A`) and only when
+    *    followed by a boundary (whitespace or `>`), so `<abbr>` and
+    *    `<area>` never match;
+    *  - href value may be double-quoted, single-quoted, or unquoted
+    *    (terminated by whitespace/`>`);
+    *  - `<a>` without an href (named anchors) yields no edge;
+    *  - anchor text is the inner content up to the first
+    *    case-insensitive `</a`, with nested tags stripped and runs of
+    *    whitespace collapsed to single spaces;
+    *  - unterminated markup at EOF is dropped, never thrown on.
+    *
+    * Resolution: absolute (contains "://") kept as-is; protocol-relative
+    * `//host/p` gets the base's scheme; root-relative `/p` gets the
+    * base's scheme+host; other relative forms resolve against the
+    * base's directory. Fragment-only and empty hrefs yield no edge. */
+  def anchors(base: String, html: String): Seq[AnchorEdge] = {
+    val out = new ArrayBuffer[AnchorEdge]()
+    val n = html.length
+    var i = 0
+    while (i < n) {
+      val lt = html.indexOf('<', i)
+      if (lt < 0 || lt + 1 >= n) { i = n }
+      else {
+        val c1 = html.charAt(lt + 1)
+        val isA = (c1 == 'a' || c1 == 'A') &&
+          (lt + 2 >= n || isBoundary(html.charAt(lt + 2)))
+        if (!isA) { i = lt + 1 }
+        else {
+          val gt = html.indexOf('>', lt + 2)
+          if (gt < 0) { i = n } // unterminated open tag at EOF
+          else {
+            val href = findHref(html, lt + 2, gt)
+            val close = indexOfCloseA(html, gt + 1)
+            val end = if (close < 0) n else close
+            if (href != null && href.nonEmpty && href.charAt(0) != '#') {
+              val text = innerText(html, gt + 1, end)
+              val isRel = !href.contains("://")
+              out += AnchorEdge(base, resolve(base, href), text, isRel)
+            }
+            // resume after </a> (or at the unterminated tail's end)
+            i = if (close < 0) n
+                else html.indexOf('>', close) match {
+                  case -1 => n
+                  case g  => g + 1
+                }
+          }
+        }
+      }
+    }
+    out.toSeq
+  }
+
+  private def isBoundary(c: Char): Boolean =
+    c == ' ' || c == '\t' || c == '\n' || c == '\r' || c == '>' || c == '/'
+
+  /** Find the href attribute value inside `[from, to)` (the attribute
+    * region of an open tag); null when absent. */
+  private def findHref(html: String, from: Int, to: Int): String = {
+    var i = from
+    while (i + 4 <= to) {
+      // match "href" case-insensitively at a word boundary
+      if ((html.charAt(i) | 0x20) == 'h' && (html.charAt(i + 1) | 0x20) == 'r' &&
+          (html.charAt(i + 2) | 0x20) == 'e' && (html.charAt(i + 3) | 0x20) == 'f' &&
+          (i == from || isAttrBoundary(html.charAt(i - 1)))) {
+        var j = i + 4
+        while (j < to && isWs(html.charAt(j))) j += 1
+        if (j < to && html.charAt(j) == '=') {
+          j += 1
+          while (j < to && isWs(html.charAt(j))) j += 1
+          if (j >= to) return null
+          val q = html.charAt(j)
+          if (q == '"' || q == '\'') {
+            val e = html.indexOf(q, j + 1)
+            return if (e < 0 || e > to) html.substring(j + 1, to)
+                   else html.substring(j + 1, e)
+          } else {
+            var e = j
+            while (e < to && !isWs(html.charAt(e))) e += 1
+            return html.substring(j, e)
+          }
+        }
+      }
+      i += 1
+    }
+    null
+  }
+
+  private def isWs(c: Char): Boolean =
+    c == ' ' || c == '\t' || c == '\n' || c == '\r'
+
+  private def isAttrBoundary(c: Char): Boolean = isWs(c)
+
+  /** First case-insensitive `</a` at or after `from`, with a boundary
+    * after the name (so `</abbr>` never matches); -1 when absent. */
+  private def indexOfCloseA(html: String, from: Int): Int = {
+    var i = from
+    val n = html.length
+    while (i + 2 < n) {
+      if (html.charAt(i) == '<' && html.charAt(i + 1) == '/' &&
+          (html.charAt(i + 2) | 0x20) == 'a' &&
+          (i + 3 >= n || isBoundary(html.charAt(i + 3))))
+        return i
+      i += 1
+    }
+    -1
+  }
+
+  /** Inner text of `[from, to)`: nested tags dropped, whitespace runs
+    * collapsed to one space, trimmed. */
+  private def innerText(html: String, from: Int, to: Int): String = {
+    val sb = new java.lang.StringBuilder(to - from)
+    var i = from
+    var inTag = false
+    var pendingWs = false
+    while (i < to) {
+      val c = html.charAt(i)
+      if (inTag) { if (c == '>') inTag = false }
+      else if (c == '<') inTag = true
+      else if (isWs(c)) { if (sb.length > 0) pendingWs = true }
+      else {
+        if (pendingWs) { sb.append(' '); pendingWs = false }
+        sb.append(c)
+      }
+      i += 1
+    }
+    sb.toString
+  }
+
+  /** Resolve `href` against `base` (scheme://host/path...). */
+  private def resolve(base: String, href: String): String = {
+    if (href.contains("://")) return href
+    val schemeEnd = base.indexOf("://")
+    if (schemeEnd < 0) return href // base not absolute: keep as-is
+    val scheme = base.substring(0, schemeEnd)
+    if (href.startsWith("//")) return scheme + ":" + href
+    val hostEnd0 = base.indexOf('/', schemeEnd + 3)
+    val hostEnd = if (hostEnd0 < 0) base.length else hostEnd0
+    if (href.startsWith("/")) return base.substring(0, hostEnd) + href
+    // path-relative: against the base's directory
+    val lastSlash = base.lastIndexOf('/')
+    val dirEnd = if (lastSlash > hostEnd) lastSlash else hostEnd
+    base.substring(0, dirEnd) + "/" + href
+  }
+
+  // ------------------------------------------------------------------
+  // Edge extraction over a pages table
+  // ------------------------------------------------------------------
+
+  /** (url, html) pages → (src, dst, anchor, is_rel) edge rows, one per
+    * extracted anchor. Pure per-row flatMap over the scan — no shuffle;
+    * at corpus scale write the result bucketed by `src` for the graph
+    * ops below. */
+  def extractAnchors(pages: DataFrame): DataFrame = {
+    val spark = pages.sparkSession
+    import spark.implicits._
+    pages.select(col("url").cast("string"), col("html").cast("string"))
+      .as[(String, String)]
+      .flatMap { case (u, h) => anchors(u, h) }
+      .toDF()
+  }
+
+  // ------------------------------------------------------------------
+  // Graph reports
+  // ------------------------------------------------------------------
+
+  /** Distinct-edge out/in degree per node (self-loops dropped, like
+    * [[pageRankInt]]). One shuffle per side on the group key, then an
+    * equi-join on url — all broadcast/bucket-friendly. */
+  def degrees(edges: DataFrame): DataFrame = {
+    val e = distinctEdges(edges)
+    val outd = e.groupBy(col("src").as("url"))
+      .agg(count(lit(1)).as("out_deg"))
+    val ind = e.groupBy(col("dst").as("url"))
+      .agg(count(lit(1)).as("in_deg"))
+    outd.join(ind, Seq("url"), "full_outer")
+      .select(col("url"),
+        coalesce(col("out_deg"), lit(0L)).as("out_deg"),
+        coalesce(col("in_deg"), lit(0L)).as("in_deg"))
+  }
+
+  private def distinctEdges(edges: DataFrame): DataFrame =
+    edges.select(col("src"), col("dst"))
+      .filter(col("src") =!= col("dst")).distinct()
+
+  /** Integer PageRank over the (src, dst) edge table.
+    *
+    * Semantics (fixed-point, replicated bit-exactly by
+    * [[pageRankOracleSql]]):
+    *  - ranks are Long micro-units at `scale` total initial mass;
+    *  - self-loops dropped, multi-edges collapsed (DISTINCT);
+    *  - node set = union of srcs and dsts;
+    *  - init r0 = scale div n; per iteration each node emits
+    *    r div outdeg along every out-edge, and
+    *    r' = (15*(scale div n)) div 100 + (85 * sum(in-contribs)) div 100;
+    *  - dangling-node mass leaks (not redistributed) — the standard
+    *    simplification; documented so both sides agree.
+    *
+    * Integer division truncates toward zero on both engines for these
+    * non-negative operands, and Long sums commute — the result is
+    * independent of partitioning, parallelism, and visit order.
+    * `scale` must satisfy 85*scale < Long.MaxValue (scale ≤ ~1e17).
+    *
+    * Shape per iteration: one equi-join edges⋈ranks on src (co-located
+    * when both are bucketed by src), one partial-aggregated shuffle on
+    * dst, one left join back to the node set. Lineage is truncated per
+    * round via localCheckpoint — the non-negotiable pattern for
+    * iterative DataFrames (see Dedup.components). */
+  def pageRankInt(edges: DataFrame, iterations: Int,
+                  scale: Long = 1000000000000L): DataFrame = {
+    require(iterations >= 1, "iterations must be >= 1")
+    require(scale > 0 && scale <= Long.MaxValue / 85,
+      "scale must keep 85*rank within Long")
+    val e = distinctEdges(edges).localCheckpoint(true)
+    val nodes = e.select(col("src").as("url"))
+      .union(e.select(col("dst").as("url"))).distinct()
+      .localCheckpoint(true)
+    val n = nodes.count()
+    val init = scale / n
+    val base = 15L * init / 100L
+    val outdeg = e.groupBy(col("src"))
+      .agg(count(lit(1)).as("outdeg")).localCheckpoint(true)
+    var ranks = nodes.select(col("url"), lit(init).as("pr"))
+    var i = 0
+    while (i < iterations) {
+      val contribs = e
+        .join(ranks.withColumnRenamed("url", "src"), Seq("src"))
+        .join(outdeg, Seq("src"))
+        .select(col("dst").as("url"), expr("pr div outdeg").as("c"))
+        .groupBy(col("url")).agg(sum(col("c")).as("contrib"))
+      ranks = nodes.join(contribs, Seq("url"), "left")
+        .select(col("url"),
+          (lit(base) +
+            expr("(85 * coalesce(contrib, 0L)) div 100")).as("pr"))
+        .localCheckpoint(true)
+      i += 1
+    }
+    ranks
+  }
+
+  /** DuckDB replica of [[pageRankInt]] as flat CTE stages (the
+    * MinhashOracle pattern — textual nesting explodes, staged CTEs
+    * stay linear). `edgesSql` must yield (src, dst). */
+  def pageRankOracleSql(edgesSql: String, iterations: Int,
+                        scale: Long = 1000000000000L): String = {
+    // edgesSql is substituted AFTER stripMargin: its lines may begin
+    // with the SQL concat operator `||`, which stripMargin would
+    // otherwise truncate to a single `|` (margin eats the first pipe)
+    val head =
+      s"""WITH raw_e AS (%EDGES%),
+         |e AS (SELECT DISTINCT src, dst FROM raw_e WHERE src <> dst),
+         |nodes AS (SELECT src AS url FROM e UNION SELECT dst FROM e),
+         |nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM nodes),
+         |od AS (SELECT src, CAST(count(*) AS BIGINT) AS outdeg
+         |       FROM e GROUP BY src),
+         |r0 AS (SELECT url, (SELECT CAST($scale // n AS BIGINT) FROM nn) AS pr
+         |       FROM nodes)""".stripMargin.replace("%EDGES%", edgesSql)
+    val iters = (1 to iterations).map { i =>
+      s"""c$i AS (SELECT e.dst AS url,
+         |  CAST(sum(r${i - 1}.pr // od.outdeg) AS BIGINT) AS contrib
+         | FROM e JOIN r${i - 1} ON e.src = r${i - 1}.url
+         |        JOIN od ON e.src = od.src
+         | GROUP BY e.dst),
+         |r$i AS (SELECT nodes.url,
+         |  CAST((SELECT (15 * ($scale // n)) // 100 FROM nn)
+         |   + (85 * coalesce(c$i.contrib, 0)) // 100 AS BIGINT) AS pr
+         | FROM nodes LEFT JOIN c$i ON nodes.url = c$i.url)""".stripMargin
+    }
+    (head +: iters).mkString(",\n") + s"\nSELECT url, pr FROM r$iterations"
+  }
+
+  // ------------------------------------------------------------------
+  // Deterministic synthetic web (driver corpus; no external data)
+  // ------------------------------------------------------------------
+
+  /** Deterministic page corpus over the `documents` table: doc d lives
+    * at https://host{d%13}.example/doc{d} and links to 1 + d%3 absolute
+    * targets t_k = (d*7 + k*11) % nDocs (k = 1..) plus one root-relative
+    * link to (d*3 + 5) % nDocs. The markup deliberately varies quoting
+    * (double/single/unquoted), nests tags inside one anchor, uses an
+    * uppercase tag for the relative link, and includes a no-href decoy
+    * — the scanner must handle all of it; the DuckDB oracle never
+    * parses HTML, it derives the same edges in closed form (a
+    * cross-formulation check, like q8_funnel). Pure column expressions
+    * — the synthesis stays in whole-stage codegen. */
+  def syntheticWeb(docs: DataFrame, nDocs: Long): DataFrame = {
+    val d = col("doc_id")
+    def urlOf(id: Column): Column =
+      concat(lit("https://host"), (id % 13).cast("string"),
+        lit(".example/doc"), id.cast("string"))
+    def target(k: Int): Column = (d * 7 + lit(k) * 11) % nDocs
+    val rel = (d * 3 + 5) % nDocs
+    val seg1 = concat(lit("<a href=\""), urlOf(target(1)),
+      lit("\">ref 1</a>"))
+    val seg2 = when(d % 3 >= 1, concat(lit(" <a href='"), urlOf(target(2)),
+      lit("'>ref <b>2</b></a>"))).otherwise(lit(""))
+    val seg3 = when(d % 3 >= 2, concat(lit(" <a href="), urlOf(target(3)),
+      lit(">ref 3</a>"))).otherwise(lit(""))
+    val relSeg = concat(lit(" <A HREF=\"/doc"), rel.cast("string"),
+      lit("\">rel  link</A>"))
+    docs.select(urlOf(d).as("url"),
+      concat(lit("<html><body><p>"), col("text"), lit("</p>"),
+        lit("<a name=\"top\">skip me</a>"),
+        seg1, seg2, seg3, relSeg,
+        lit("</body></html>")).as("html"))
+  }
+
+  /** Closed-form DuckDB edge derivation matching
+    * extractAnchors(syntheticWeb(documents)) — src/dst/anchor/is_rel. */
+  def syntheticEdgesOracleSql: String =
+    """WITH nd AS (SELECT CAST(count(*) AS BIGINT) AS n FROM documents),
+      |d AS (SELECT doc_id,
+      |  'https://host' || CAST(doc_id % 13 AS VARCHAR) || '.example/doc'
+      |    || CAST(doc_id AS VARCHAR) AS src
+      | FROM documents),
+      |ks AS (SELECT unnest([1, 2, 3]) AS k),
+      |abs_e AS (
+      | SELECT d.src,
+      |  'https://host'
+      |    || CAST(((d.doc_id * 7 + k * 11) % nd.n) % 13 AS VARCHAR)
+      |    || '.example/doc'
+      |    || CAST((d.doc_id * 7 + k * 11) % nd.n AS VARCHAR) AS dst,
+      |  'ref ' || CAST(k AS VARCHAR) AS anchor,
+      |  false AS is_rel
+      | FROM d, ks, nd WHERE k <= 1 + d.doc_id % 3),
+      |rel_e AS (
+      | SELECT d.src,
+      |  'https://host' || CAST(d.doc_id % 13 AS VARCHAR) || '.example/doc'
+      |    || CAST((d.doc_id * 3 + 5) % nd.n AS VARCHAR) AS dst,
+      |  'rel link' AS anchor, true AS is_rel
+      | FROM d, nd)
+      |SELECT src, dst, anchor, is_rel FROM abs_e
+      |UNION ALL SELECT src, dst, anchor, is_rel FROM rel_e""".stripMargin
+}

@@ -1,0 +1,154 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.scalatest.BeforeAndAfterAll
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Web-graph layer: anchor-scanner vectors (hand-written markup, not
+  * engine-generated), hand-computed integer PageRank, determinism
+  * under repartitioning, and the synthetic-web construct+parse
+  * round-trip against a Spark replication of the closed-form oracle. */
+class WebGraphSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  private var spark: SparkSession = _
+
+  override def beforeAll(): Unit = {
+    spark = SparkSession.builder()
+      .master("local[4]")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+  }
+
+  override def afterAll(): Unit = if (spark != null) spark.stop()
+
+  private val base = "https://h.example/a/page.html"
+
+  private def edges(html: String): Seq[(String, String, Boolean)] =
+    WebGraph.anchors(base, html).map(a => (a.dst, a.anchor, a.is_rel))
+
+  // ---------------- scanner vectors --------------------------------
+
+  test("quoting styles: double, single, unquoted") {
+    val html = """<a href="https://x/1">one</a><a href='https://x/2'>two</a><a href=https://x/3>three</a>"""
+    assert(edges(html) == Seq(
+      ("https://x/1", "one", false),
+      ("https://x/2", "two", false),
+      ("https://x/3", "three", false)))
+  }
+
+  test("case-insensitive tag and attribute; boundary guards abbr/area") {
+    val html = """<A HREF="https://x/up">UP</A><abbr href="https://no/1">n</abbr><area href="https://no/2">"""
+    assert(edges(html) == Seq(("https://x/up", "UP", false)))
+  }
+
+  test("no-href and fragment-only anchors yield no edge") {
+    val html = """<a name="top">skip</a><a href="#sec">frag</a><a href="">empty</a><a href="https://x/k">keep</a>"""
+    assert(edges(html) == Seq(("https://x/k", "keep", false)))
+  }
+
+  test("anchor text strips nested tags and collapses whitespace") {
+    val html = "<a href=\"https://x/1\">ref <b>2</b>\n\t more</a>"
+    assert(edges(html) == Seq(("https://x/1", "ref 2 more", false)))
+  }
+
+  test("relative resolution: root, protocol, and path relative") {
+    val html = """<a href="/doc9">r</a><a href="//cdn.example/f">p</a><a href="sub/x.html">s</a>"""
+    assert(edges(html) == Seq(
+      ("https://h.example/doc9", "r", true),
+      ("https://cdn.example/f", "p", true),
+      ("https://h.example/a/sub/x.html", "s", true)))
+  }
+
+  test("malformed markup never throws: unterminated tag / missing close") {
+    assert(edges("<a href=\"https://x/1\"").isEmpty) // open tag hits EOF
+    // missing </a>: text runs to EOF, edge still extracted
+    assert(edges("<a href=\"https://x/1\">tail text") ==
+      Seq(("https://x/1", "tail text", false)))
+    assert(edges("text with < stray <a> and <a href=#>f</a> only") .isEmpty)
+  }
+
+  test("</abbr> does not close an anchor; real </a> does") {
+    val html = "<a href=\"https://x/1\">t <abbr>q</abbr> end</a><a href=\"https://x/2\">n</a>"
+    assert(edges(html) == Seq(
+      ("https://x/1", "t q end", false), ("https://x/2", "n", false)))
+  }
+
+  // ---------------- graph kernels ----------------------------------
+
+  private def edgeDf(rows: Seq[(String, String)]): DataFrame = {
+    val s = spark
+    import s.implicits._
+    rows.toDF("src", "dst")
+  }
+
+  test("degrees: distinct edges, self-loops dropped, zero-filled") {
+    val e = edgeDf(Seq(("A", "B"), ("A", "B"), ("A", "C"), ("B", "A"),
+      ("C", "C")))
+    val d = WebGraph.degrees(e).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+    assert(d == Set(("A", 2L, 1L), ("B", 1L, 1L), ("C", 0L, 1L)))
+  }
+
+  test("pageRankInt matches hand-computed integer fixed point") {
+    // A -> B, A -> C, B -> A; C dangling. scale = 1e6, n = 3:
+    // init = 333333, base = (15*333333)/100 = 49999
+    // iter1: A = 49999 + (85*333333)/100        = 333332
+    //        B = C = 49999 + (85*166666)/100    = 191665
+    // iter2: A = 49999 + (85*191665)/100        = 212914
+    //        B = C = 49999 + (85*(333332/2))/100 = 191665
+    val e = edgeDf(Seq(("A", "B"), ("A", "C"), ("B", "A")))
+    val r1 = WebGraph.pageRankInt(e, iterations = 1, scale = 1000000L)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toMap
+    assert(r1 == Map("A" -> 333332L, "B" -> 191665L, "C" -> 191665L))
+    val r2 = WebGraph.pageRankInt(e, iterations = 2, scale = 1000000L)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toMap
+    assert(r2 == Map("A" -> 212914L, "B" -> 191665L, "C" -> 191665L))
+  }
+
+  test("pageRankInt is bit-identical across partitioning/parallelism") {
+    val rows = (0 until 200).flatMap { i =>
+      Seq((s"n${i % 37}", s"n${(i * 7 + 3) % 37}"),
+        (s"n${i % 37}", s"n${(i * 11 + 5) % 37}"))
+    }
+    val a = WebGraph.pageRankInt(edgeDf(rows).repartition(1), 4)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toMap
+    val b = WebGraph.pageRankInt(edgeDf(rows).repartition(16), 4)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toMap
+    assert(a == b)
+    // mass sanity: total never exceeds the initial mass
+    assert(a.values.sum <= 1000000000000L)
+  }
+
+  // ---------------- synthetic web round-trip ------------------------
+
+  test("extractAnchors(syntheticWeb) equals the closed-form edge set") {
+    val s = spark
+    import s.implicits._
+    val n = 50L
+    val docs = (0L until n).map(i => (i, s"word$i text body"))
+      .toDF("doc_id", "text")
+    val got = WebGraph.extractAnchors(WebGraph.syntheticWeb(docs, n))
+      .collect()
+      .map(r => (r.getString(0), r.getString(1), r.getString(2),
+        r.getBoolean(3))).toSet
+
+    // Spark replication of the oracle's closed form (never parses html)
+    def urlOf(id: Long) = s"https://host${id % 13}.example/doc$id"
+    val expected = (0L until n).flatMap { d =>
+      val abs = (1 to (1 + d % 3).toInt).map { k =>
+        val t = (d * 7 + k * 11) % n
+        (urlOf(d), urlOf(t), s"ref $k", false)
+      }
+      abs :+ ((urlOf(d),
+        s"https://host${d % 13}.example/doc${(d * 3 + 5) % n}",
+        "rel link", true))
+    }.toSet
+    assert(got == expected)
+    // non-vacuous: every quoting style and the relative form occur
+    assert(got.exists(_._3 == "ref 2") && got.exists(_._3 == "ref 3"))
+    assert(got.count(_._4) == n)
+  }
+}
