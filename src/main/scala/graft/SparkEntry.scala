@@ -639,6 +639,13 @@ object SparkEntry {
           graft.ops.WebGraph.syntheticWeb(docs, docs.count())),
         iterations = 5)
     }),
+    "web_url_normalize" -> ((s, dir) => {
+      // crawl-frontier canonicalization: engine runs the real RFC-3986
+      // normalizer over deterministic messy variants; oracle states
+      // the canonical form in closed form per variant
+      val docs = t(s, dir, "documents")
+      graft.ops.WebGraph.normalizeUrls(graft.ops.WebGraph.messyUrls(docs))
+    }),
     "web_hostrank" -> ((s, dir) => {
       // Common-Crawl-style host-level rank: collapse page edges to
       // host edges (same regexp both sides), reuse the same kernel
@@ -984,6 +991,7 @@ object SparkEntry {
         | CAST(coalesce(in_deg, 0) AS BIGINT) AS in_deg
         |FROM outd FULL OUTER JOIN ind ON outd.url = ind.url""".stripMargin
         .replace("%EDGES%", graft.ops.WebGraph.syntheticEdgesOracleSql),
+    "web_url_normalize" -> graft.ops.WebGraph.messyUrlsOracleSql,
     "web_pagerank" -> graft.ops.WebGraph.pageRankOracleSql(
       graft.ops.WebGraph.syntheticEdgesOracleSql, iterations = 5),
     "web_hostrank" -> graft.ops.WebGraph.pageRankOracleSql(

@@ -187,6 +187,123 @@ object WebGraph {
   }
 
   // ------------------------------------------------------------------
+  // URL canonicalization (crawl-frontier dedup primitive)
+  // ------------------------------------------------------------------
+
+  /** Canonicalize an absolute URL. Rule set (each documented because
+    * the oracle must predict the exact output):
+    *  1. scheme and authority lowercased (path/query case preserved);
+    *  2. default ports stripped (http:80, https:443 — others kept);
+    *  3. fragment removed;
+    *  4. dot segments resolved per RFC 3986 §5.2.4 ("." dropped, ".."
+    *     pops, never past the root); consecutive path slashes collapse
+    *     (crawl-canonicalizer choice, stricter than the RFC);
+    *  5. empty path becomes "/";
+    *  6. a trailing bare "?" (empty query) is dropped.
+    * Non-absolute inputs (no "://") are returned untouched — resolve
+    * them against a base with [[anchors]]' machinery first. */
+  def normalizeUrl(url: String): String = {
+    val si = url.indexOf("://")
+    if (si < 0) return url
+    val scheme = url.substring(0, si).toLowerCase
+    val rest = url.substring(si + 3)
+    val frag = rest.indexOf('#')
+    val noFrag = if (frag < 0) rest else rest.substring(0, frag)
+    val slash = noFrag.indexOf('/')
+    val qMark = noFrag.indexOf('?')
+    val authEnd =
+      if (slash >= 0 && (qMark < 0 || slash < qMark)) slash
+      else if (qMark >= 0) qMark
+      else noFrag.length
+    val auth = noFrag.substring(0, authEnd).toLowerCase
+    val authNoPort =
+      if (scheme == "http" && auth.endsWith(":80")) auth.dropRight(3)
+      else if (scheme == "https" && auth.endsWith(":443")) auth.dropRight(4)
+      else auth
+    val pathAndQuery = noFrag.substring(authEnd)
+    val qi = pathAndQuery.indexOf('?')
+    val path = if (qi < 0) pathAndQuery else pathAndQuery.substring(0, qi)
+    val query = if (qi < 0) "" else pathAndQuery.substring(qi + 1)
+    val normPath = if (path.isEmpty) "/" else removeDotSegments(path)
+    val q = if (query.isEmpty) "" else "?" + query
+    scheme + "://" + authNoPort + normPath + q
+  }
+
+  /** RFC 3986 §5.2.4 remove_dot_segments over an absolute path. */
+  private def removeDotSegments(path: String): String = {
+    val segs = new ArrayBuffer[String]()
+    var trailingSlash = path.endsWith("/")
+    var i = 1 // path starts with '/'
+    val n = path.length
+    while (i <= n) {
+      val next = path.indexOf('/', i)
+      val end = if (next < 0) n else next
+      val seg = path.substring(i, end)
+      seg match {
+        case "." => trailingSlash = true
+        case ".." =>
+          trailingSlash = true
+          if (segs.nonEmpty) segs.remove(segs.length - 1)
+        case "" => // consecutive slashes collapse via trailingSlash
+        case s =>
+          segs += s
+          trailingSlash = path.startsWith("/", end)
+      }
+      i = end + 1
+    }
+    if (segs.isEmpty) "/"
+    else "/" + segs.mkString("/") + (if (trailingSlash) "/" else "")
+  }
+
+  /** (doc_id, url) → (doc_id, url_raw, url_norm): per-row kernel map,
+    * no shuffle — at crawl scale this runs inside the frontier scan
+    * and feeds exact dedup / Crawl.delta on the canonical key. */
+  def normalizeUrls(urls: DataFrame): DataFrame = {
+    val spark = urls.sparkSession
+    import spark.implicits._
+    urls.select(col("doc_id").cast("long"), col("url").cast("string"))
+      .as[(Long, String)]
+      .map { case (id, u) => (id, u, normalizeUrl(u)) }
+      .toDF("doc_id", "url_raw", "url_norm")
+  }
+
+  /** Deterministic messy-URL corpus over documents: variant v = d%6
+    * applies one canonicalization hazard (case, default port, dot
+    * segments, fragment, bare query); every variant canonicalizes to
+    * the plain form, which the oracle states in closed form. */
+  def messyUrls(docs: DataFrame): DataFrame = {
+    val d = col("doc_id")
+    val host = concat(lit("host"), (d % 13).cast("string"), lit(".example"))
+    val hostUp = concat(lit("HOST"), (d % 13).cast("string"), lit(".Example"))
+    val doc = concat(lit("/doc"), d.cast("string"))
+    val raw = when(d % 6 === 0, concat(lit("https://"), host, doc))
+      .when(d % 6 === 1, concat(lit("HTTPS://"), hostUp, doc))
+      .when(d % 6 === 2, concat(lit("https://"), host, lit(":443"), doc))
+      .when(d % 6 === 3, concat(lit("https://"), host, lit("/a/.."), doc))
+      .when(d % 6 === 4, concat(lit("https://"), host, doc, lit("#sec1")))
+      .otherwise(concat(lit("https://"), host, doc, lit("?")))
+    docs.select(d.as("doc_id"), raw.as("url"))
+  }
+
+  /** Closed-form oracle for normalizeUrls(messyUrls(documents)). */
+  def messyUrlsOracleSql: String =
+    """WITH d AS (SELECT doc_id,
+      |  'host' || CAST(doc_id % 13 AS VARCHAR) || '.example' AS host,
+      |  'HOST' || CAST(doc_id % 13 AS VARCHAR) || '.Example' AS host_up,
+      |  '/doc' || CAST(doc_id AS VARCHAR) AS pth
+      | FROM documents)
+      |SELECT doc_id,
+      | CASE doc_id % 6
+      |  WHEN 0 THEN 'https://' || host || pth
+      |  WHEN 1 THEN 'HTTPS://' || host_up || pth
+      |  WHEN 2 THEN 'https://' || host || ':443' || pth
+      |  WHEN 3 THEN 'https://' || host || '/a/..' || pth
+      |  WHEN 4 THEN 'https://' || host || pth || '#sec1'
+      |  ELSE 'https://' || host || pth || '?' END AS url_raw,
+      | 'https://' || host || pth AS url_norm
+      |FROM d""".stripMargin
+
+  // ------------------------------------------------------------------
   // Edge extraction over a pages table
   // ------------------------------------------------------------------
 
@@ -266,19 +383,28 @@ object WebGraph {
     var ranks = nodes.select(col("url"), lit(init).as("pr"))
     var i = 0
     while (i < iterations) {
-      val contribs = e
-        .join(ranks.withColumnRenamed("url", "src"), Seq("src"))
-        .join(outdeg, Seq("src"))
-        .select(col("dst").as("url"), expr("pr div outdeg").as("c"))
-        .groupBy(col("url")).agg(sum(col("c")).as("contrib"))
-      ranks = nodes.join(contribs, Seq("url"), "left")
-        .select(col("url"),
-          (lit(base) +
-            expr("(85 * coalesce(contrib, 0L)) div 100")).as("pr"))
-        .localCheckpoint(true)
+      ranks = iterate(e, outdeg, nodes, ranks, base).localCheckpoint(true)
       i += 1
     }
     ranks
+  }
+
+  /** One PageRank round (pre-checkpoint plan — exposed so PlanDump can
+    * audit the per-iteration shape): edges⋈ranks⋈outdeg on src, a
+    * partial-aggregated shuffle on dst, left join back to the node
+    * set. */
+  private[graft] def iterate(e: DataFrame, outdeg: DataFrame,
+                             nodes: DataFrame, ranks: DataFrame,
+                             base: Long): DataFrame = {
+    val contribs = e
+      .join(ranks.withColumnRenamed("url", "src"), Seq("src"))
+      .join(outdeg, Seq("src"))
+      .select(col("dst").as("url"), expr("pr div outdeg").as("c"))
+      .groupBy(col("url")).agg(sum(col("c")).as("contrib"))
+    nodes.join(contribs, Seq("url"), "left")
+      .select(col("url"),
+        (lit(base) +
+          expr("(85 * coalesce(contrib, 0L)) div 100")).as("pr"))
   }
 
   /** DuckDB replica of [[pageRankInt]] as flat CTE stages (the

@@ -76,6 +76,45 @@ class WebGraphSpec extends AnyFunSuite with BeforeAndAfterAll {
       ("https://x/1", "t q end", false), ("https://x/2", "n", false)))
   }
 
+  // ---------------- url canonicalization ---------------------------
+
+  test("normalizeUrl: case, ports, fragments, dot segments, bare query") {
+    val n = WebGraph.normalizeUrl _
+    assert(n("HTTPS://Host4.Example/Doc9") == "https://host4.example/Doc9")
+    assert(n("https://h.example:443/x") == "https://h.example/x")
+    assert(n("http://h.example:80/x") == "http://h.example/x")
+    assert(n("http://h.example:443/x") == "http://h.example:443/x") // non-default kept
+    assert(n("https://h.example:8443/x") == "https://h.example:8443/x")
+    assert(n("https://h.example/a/../doc5") == "https://h.example/doc5")
+    assert(n("https://h.example/a/./b/.") == "https://h.example/a/b/")
+    assert(n("https://h.example/..") == "https://h.example/")
+    assert(n("https://h.example/a/../../b") == "https://h.example/b")
+    assert(n("https://h.example/a//b") == "https://h.example/a/b")
+    assert(n("https://h.example/doc5#sec1") == "https://h.example/doc5")
+    assert(n("https://h.example/doc5?") == "https://h.example/doc5")
+    assert(n("https://h.example/doc5?a=1#f") == "https://h.example/doc5?a=1")
+    assert(n("https://h.example") == "https://h.example/")
+    assert(n("https://h.example?x=1") == "https://h.example/?x=1")
+    assert(n("relative/path") == "relative/path") // non-absolute untouched
+    // path/query case preserved; only scheme+authority fold
+    assert(n("HTTP://A.B/KeepCase?Q=V") == "http://a.b/KeepCase?Q=V")
+  }
+
+  test("normalizeUrls collapses all messy variants to one canonical") {
+    val s = spark
+    import s.implicits._
+    val docs = (0L until 60L).map(i => (i, "t")).toDF("doc_id", "text")
+    val out = WebGraph.normalizeUrls(WebGraph.messyUrls(docs)).collect()
+    assert(out.length == 60)
+    out.foreach { r =>
+      val id = r.getLong(0)
+      assert(r.getString(2) ==
+        s"https://host${id % 13}.example/doc$id", s"id=$id raw=${r.getString(1)}")
+    }
+    // non-vacuous: all six variant shapes occur and four are non-canonical
+    assert(out.count(r => r.getString(1) != r.getString(2)) == 50)
+  }
+
   // ---------------- graph kernels ----------------------------------
 
   private def edgeDf(rows: Seq[(String, String)]): DataFrame = {
