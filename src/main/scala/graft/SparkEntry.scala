@@ -646,6 +646,25 @@ object SparkEntry {
       val docs = t(s, dir, "documents")
       graft.ops.WebGraph.normalizeUrls(graft.ops.WebGraph.messyUrls(docs))
     }),
+    "web_anchor_text" -> ((s, dir) => {
+      // incoming anchor-text profile per target (web-search relevance
+      // signal): in-link count, distinct linking hosts, first-8 sorted
+      // distinct anchor texts — bounded BEFORE aggregation (rank ≤ 8)
+      val docs = t(s, dir, "documents")
+      graft.ops.WebGraph.anchorTextProfile(
+        graft.ops.WebGraph.extractAnchors(
+          graft.ops.WebGraph.syntheticWeb(docs, docs.count())))
+    }),
+    "web_robots" -> ((s, dir) => {
+      // RFC 9309 crawl-politeness gate: engine PARSES the synthetic
+      // robots.txt corpus (groups, wildcards, $-anchor, longest-match);
+      // oracle states the outcome per (host%4, variant) cell in closed
+      // form — cross-formulation like web_links
+      val docs = t(s, dir, "documents")
+      graft.ops.WebGraph.robotsFilter(
+        graft.ops.WebGraph.syntheticFrontier(docs),
+        graft.ops.WebGraph.syntheticRobots(s), agent = "graftbot")
+    }),
     "web_hostrank" -> ((s, dir) => {
       // Common-Crawl-style host-level rank: collapse page edges to
       // host edges (same regexp both sides), reuse the same kernel
@@ -992,6 +1011,9 @@ object SparkEntry {
         |FROM outd FULL OUTER JOIN ind ON outd.url = ind.url""".stripMargin
         .replace("%EDGES%", graft.ops.WebGraph.syntheticEdgesOracleSql),
     "web_url_normalize" -> graft.ops.WebGraph.messyUrlsOracleSql,
+    "web_anchor_text" -> graft.ops.WebGraph.anchorTextOracleSql(
+      graft.ops.WebGraph.syntheticEdgesOracleSql),
+    "web_robots" -> graft.ops.WebGraph.robotsOracleSql,
     "web_pagerank" -> graft.ops.WebGraph.pageRankOracleSql(
       graft.ops.WebGraph.syntheticEdgesOracleSql, iterations = 5),
     "web_hostrank" -> graft.ops.WebGraph.pageRankOracleSql(

@@ -1,6 +1,7 @@
 package graft.ops
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import scala.collection.mutable.ArrayBuffer
@@ -500,4 +501,303 @@ object WebGraph {
       | FROM d, nd)
       |SELECT src, dst, anchor, is_rel FROM abs_e
       |UNION ALL SELECT src, dst, anchor, is_rel FROM rel_e""".stripMargin
+
+  // ------------------------------------------------------------------
+  // Incoming anchor-text profile (web-search relevance signal)
+  // ------------------------------------------------------------------
+
+  /** Per-target anchor-text profile: for every linked-to url, the
+    * in-link count, the number of distinct linking hosts, and the
+    * first `maxAnchors` distinct anchor texts (sorted, joined with
+    * " | ") — the classic "anchor text describes the TARGET" signal
+    * used as a quality/relevance prior when selecting training pages.
+    *
+    * Scale shape (10^11 edges): counts are one partial-aggregated
+    * shuffle on dst (countDistinct expands to the standard two-phase
+    * plan); anchor texts are bounded BEFORE aggregation — distinct
+    * (url, anchor) pairs, rank ≤ maxAnchors via a window on url, THEN
+    * collect — so per-key aggregation state is ≤ maxAnchors strings
+    * even for a page with 10^7 in-links (an unbounded collect_set on a
+    * popular page is the OOM everyone hits here). Self-links dropped,
+    * consistent with [[degrees]]/[[pageRankInt]]. All exchanges hash on
+    * url/dst — co-located when the edge table is bucketed by dst. */
+  def anchorTextProfile(edges: DataFrame, maxAnchors: Int = 8): DataFrame = {
+    val base = edges.filter(col("src") =!= col("dst"))
+      .select(col("dst").as("url"), col("anchor"),
+        regexp_extract(col("src"), "^https://([^/]+)", 1).as("src_host"))
+    val counts = base.groupBy(col("url"))
+      .agg(count(lit(1)).as("in_links"),
+        countDistinct(col("src_host")).as("n_src_hosts"))
+    val topAnchors = base.select(col("url"), col("anchor")).distinct()
+      .withColumn("rn", row_number().over(
+        Window.partitionBy(col("url")).orderBy(col("anchor"))))
+      .filter(col("rn") <= maxAnchors)
+      .groupBy(col("url"))
+      .agg(array_join(array_sort(collect_list(col("anchor"))), " | ")
+        .as("anchor_texts"))
+    counts.join(topAnchors, Seq("url"))
+      .select(col("url"), col("in_links"), col("n_src_hosts"),
+        col("anchor_texts"))
+  }
+
+  /** DuckDB replica of [[anchorTextProfile]] over `edgesSql` (src,
+    * dst, anchor): identical rank-then-aggregate formulation; ASCII
+    * anchors make Spark's binary string sort and DuckDB's default
+    * collation agree. */
+  def anchorTextOracleSql(edgesSql: String, maxAnchors: Int = 8): String =
+    s"""WITH e0 AS (%EDGES%),
+       |e AS (SELECT * FROM e0 WHERE src <> dst),
+       |b AS (SELECT dst AS url, anchor,
+       |        regexp_extract(src, '^https://([^/]+)', 1) AS src_host
+       |      FROM e),
+       |cnt AS (SELECT url, CAST(count(*) AS BIGINT) AS in_links,
+       |         CAST(count(DISTINCT src_host) AS BIGINT) AS n_src_hosts
+       |        FROM b GROUP BY url),
+       |da AS (SELECT DISTINCT url, anchor FROM b),
+       |rk AS (SELECT url, anchor,
+       |         row_number() OVER (PARTITION BY url ORDER BY anchor) AS rn
+       |       FROM da),
+       |ta AS (SELECT url, string_agg(anchor, ' | ' ORDER BY anchor)
+       |         AS anchor_texts
+       |       FROM rk WHERE rn <= $maxAnchors GROUP BY url)
+       |SELECT cnt.url, in_links, n_src_hosts, anchor_texts
+       |FROM cnt JOIN ta ON cnt.url = ta.url""".stripMargin
+      .replace("%EDGES%", edgesSql)
+
+  // ------------------------------------------------------------------
+  // robots.txt (RFC 9309) — crawl-politeness frontier filter
+  // ------------------------------------------------------------------
+
+  /** One Allow/Disallow rule: the raw path pattern (may contain `*`
+    * wildcards and a trailing `$` end-anchor) and its polarity. */
+  final case class RobotRule(pattern: String, allow: Boolean)
+
+  /** Parse a robots.txt body and return the rule group that applies to
+    * `agent`, per RFC 9309:
+    *  - lines are `key: value`; keys case-insensitive; `#` starts a
+    *    comment; unparseable lines are skipped;
+    *  - consecutive `User-agent` lines open ONE group shared by all the
+    *    named agents; any other directive ends the user-agent run;
+    *  - if any group names `agent` (case-insensitive product-token
+    *    match), the union of those groups applies EXCLUSIVELY — the
+    *    `*` groups are ignored even if the specific group is empty
+    *    (an empty specific group means allow-everything);
+    *  - `Allow:`/`Disallow:` with an EMPTY value contributes no rule;
+    *  - other directives (Sitemap, Crawl-delay, …) are ignored but do
+    *    not close the group. */
+  def parseRobots(txt: String, agent: String): Vector[RobotRule] = {
+    val agentLc = agent.toLowerCase
+    val specific = Vector.newBuilder[RobotRule]
+    val generic = Vector.newBuilder[RobotRule]
+    var hasSpecific = false
+    var uaSpecific = false
+    var uaGeneric = false
+    var inUaRun = false
+    txt.split("\n", -1).foreach { raw =>
+      val hash = raw.indexOf('#')
+      val line = (if (hash < 0) raw else raw.substring(0, hash)).trim
+      if (line.nonEmpty) {
+        val ci = line.indexOf(':')
+        if (ci > 0) {
+          val key = line.substring(0, ci).trim.toLowerCase
+          val value = line.substring(ci + 1).trim
+          key match {
+            case "user-agent" =>
+              if (!inUaRun) { uaSpecific = false; uaGeneric = false; inUaRun = true }
+              val v = value.toLowerCase
+              if (v == agentLc) { uaSpecific = true; hasSpecific = true }
+              else if (v == "*") uaGeneric = true
+            case "allow" | "disallow" =>
+              inUaRun = false
+              if (value.nonEmpty) {
+                val rule = RobotRule(value, key == "allow")
+                if (uaSpecific) specific += rule
+                if (uaGeneric) generic += rule
+              }
+            case _ => inUaRun = false
+          }
+        }
+      }
+    }
+    if (hasSpecific) specific.result() else generic.result()
+  }
+
+  /** Does `pattern` match `path`? Pattern matches any PREFIX of the
+    * path starting at offset 0; `*` matches any run of characters; a
+    * trailing `$` anchors the match to the path's end. Middle segments
+    * use leftmost placement, which is exact here: an unanchored match
+    * only needs existence, and for anchored patterns the independent
+    * endsWith check is maximally permissive when the middle consumes
+    * the least. */
+  private[graft] def patternMatches(pattern: String, path: String): Boolean = {
+    val anchored = pattern.endsWith("$")
+    val p = if (anchored) pattern.substring(0, pattern.length - 1) else pattern
+    val segs = p.split("\\*", -1)
+    if (!path.startsWith(segs(0))) return false
+    var pos = segs(0).length
+    if (segs.length == 1) return !anchored || pos == path.length
+    var i = 1
+    while (i < segs.length - 1) {
+      val s = segs(i)
+      if (s.nonEmpty) {
+        val f = path.indexOf(s, pos)
+        if (f < 0) return false
+        pos = f + s.length
+      }
+      i += 1
+    }
+    val last = segs(segs.length - 1)
+    if (anchored)
+      path.length - last.length >= pos && path.endsWith(last)
+    else
+      last.isEmpty || path.indexOf(last, pos) >= 0
+  }
+
+  /** RFC 9309 precedence: the longest matching pattern wins; on a
+    * length tie, allow wins. Returns (allowed, winning pattern) —
+    * ("", true) when no rule matches (or the rule set is empty). */
+  private[graft] def evaluate(rules: Seq[RobotRule],
+                              path: String): (Boolean, String) = {
+    var bestLen = -1
+    var bestAllow = true
+    var bestPat = ""
+    rules.foreach { r =>
+      if (patternMatches(r.pattern, path)) {
+        val len = r.pattern.length
+        if (len > bestLen || (len == bestLen && r.allow && !bestAllow)) {
+          bestLen = len; bestAllow = r.allow; bestPat = r.pattern
+        }
+      }
+    }
+    if (bestLen < 0) (true, "") else (bestAllow, bestPat)
+  }
+
+  /** Path (+ query-less, fragment-less) component of an absolute url;
+    * "/" when the url has no path. Matching is on the path only — the
+    * synthetic corpora carry no query strings, and RFC 9309 leaves
+    * query handling to the implementation (documented choice). */
+  private[graft] def pathOf(url: String): String = {
+    val si = url.indexOf("://")
+    if (si < 0) return url
+    val slash = url.indexOf('/', si + 3)
+    if (slash < 0) "/"
+    else {
+      val h = url.indexOf('#', slash)
+      if (h < 0) url.substring(slash) else url.substring(slash, h)
+    }
+  }
+
+  /** Crawl-politeness filter: frontier (doc_id, url) × robots (host,
+    * robots_txt) → (doc_id, url, allowed, rule). Missing robots row →
+    * allowed (RFC 9309 §2.3.1.3: unreachable robots.txt means no
+    * restrictions), rule "".
+    *
+    * Scale shape: one equi-join on host — broadcast when the policy
+    * table is small, shuffle-on-host when it is crawl-sized (10^8
+    * hosts), where bucketing BOTH sides by host makes it co-located;
+    * rule parsing is cached per partition keyed by the policy's exact
+    * text (the FontCache lesson: exact-bytes keys, no collisions), so
+    * a partition full of one host's urls parses its policy once. The
+    * cache is bounded — crawl partitions hash-mix hosts, and an
+    * unbounded map would hold every policy seen by the partition. */
+  def robotsFilter(frontier: DataFrame, robots: DataFrame,
+                   agent: String, cacheCap: Int = 1024): DataFrame = {
+    val spark = frontier.sparkSession
+    import spark.implicits._
+    val withHost = frontier.select(
+      col("doc_id").cast("long"), col("url").cast("string"),
+      regexp_extract(col("url"), "^https?://([^/?#]+)", 1).as("host"))
+    withHost
+      .join(robots.select(col("host"), col("robots_txt")), Seq("host"), "left")
+      .select(col("doc_id"), col("url"), col("robots_txt"))
+      .as[(Long, String, Option[String])]
+      .mapPartitions { it =>
+        val cache = new java.util.HashMap[String, Vector[RobotRule]]()
+        it.map { case (id, url, txtOpt) =>
+          txtOpt match {
+            case None => (id, url, true, "")
+            case Some(txt) =>
+              var rules = cache.get(txt)
+              if (rules == null) {
+                if (cache.size >= cacheCap) cache.clear()
+                rules = parseRobots(txt, agent)
+                cache.put(txt, rules)
+              }
+              val (allowed, rule) = evaluate(rules, pathOf(url))
+              (id, url, allowed, rule)
+          }
+        }
+      }
+      .toDF("doc_id", "url", "allowed", "rule")
+  }
+
+  /** Deterministic robots.txt corpus over the 13 synthetic hosts, four
+    * policy shapes by host % 4 (each exercising a distinct parser /
+    * matcher feature the closed-form oracle then predicts):
+    *  0 — deny a subtree with a longer allow carve-out (longest-match);
+    *  1 — agent-specific group (mixed-case UA token) that OVERRIDES a
+    *      deny-all `*` group, with an allow/deny prefix pair decided by
+    *      the first digit of the doc id;
+    *  2 — wildcard + end-anchor rule (slash, star, ".bin", dollar —
+    *      spelled out because Scala comments nest), lowercase keys;
+    *  3 — comments only (no rules → allow all). */
+  def syntheticRobots(spark: SparkSession): DataFrame = {
+    val h = col("id")
+    val txt0 = "# corpus policy\nUser-Agent: *\nDisallow: /priv/\nAllow: /priv/pub/\n"
+    val txt1 = "User-agent: GraftBot\nDisallow: /doc\nAllow: /doc2\n\nUser-agent: *\nDisallow: /\n"
+    val txt2 = "user-agent: *\ndisallow: /*.bin$\n# trailing comment\n"
+    val txt3 = "# no rules here\n"
+    spark.range(0, 13).select(
+      concat(lit("host"), h.cast("string"), lit(".example")).as("host"),
+      when(h % 4 === 0, lit(txt0)).when(h % 4 === 1, lit(txt1))
+        .when(h % 4 === 2, lit(txt2)).otherwise(lit(txt3)).as("robots_txt"))
+  }
+
+  /** Deterministic crawl frontier over documents: doc d on host d%13,
+    * path variant d%5 ∈ { /doc{d}, /priv/doc{d}, /priv/pub/doc{d},
+    * /doc{d}.bin, /a/doc{d}.binx } — each variant probes one policy
+    * rule (incl. the `$`-anchor near-miss ".binx"). */
+  def syntheticFrontier(docs: DataFrame): DataFrame = {
+    val d = col("doc_id")
+    val ds = d.cast("string")
+    val host = concat(lit("host"), (d % 13).cast("string"), lit(".example"))
+    val path = when(d % 5 === 0, concat(lit("/doc"), ds))
+      .when(d % 5 === 1, concat(lit("/priv/doc"), ds))
+      .when(d % 5 === 2, concat(lit("/priv/pub/doc"), ds))
+      .when(d % 5 === 3, concat(lit("/doc"), ds, lit(".bin")))
+      .otherwise(concat(lit("/a/doc"), ds, lit(".binx")))
+    docs.select(d.as("doc_id"), concat(lit("https://"), host, path).as("url"))
+  }
+
+  /** Closed-form oracle for robotsFilter(syntheticFrontier(documents),
+    * syntheticRobots, "graftbot") — the oracle never parses robots.txt,
+    * it states the RFC 9309 outcome per (host%4, variant) cell:
+    * longest-match carve-out, agent-group override (first-digit test
+    * for the /doc vs /doc2 prefix pair), wildcard end-anchor, no-rules
+    * hosts. A cross-formulation check like the web_links oracle. */
+  def robotsOracleSql: String =
+    """WITH d AS (SELECT doc_id,
+      |  doc_id % 13 AS h, (doc_id % 13) % 4 AS hm, doc_id % 5 AS v,
+      |  CAST(doc_id AS VARCHAR) AS ds
+      | FROM documents),
+      |u AS (SELECT doc_id, hm, v, ds,
+      |  'https://host' || CAST(h AS VARCHAR) || '.example' ||
+      |  CASE v WHEN 0 THEN '/doc' || ds
+      |         WHEN 1 THEN '/priv/doc' || ds
+      |         WHEN 2 THEN '/priv/pub/doc' || ds
+      |         WHEN 3 THEN '/doc' || ds || '.bin'
+      |         ELSE '/a/doc' || ds || '.binx' END AS url
+      | FROM d)
+      |SELECT doc_id, url,
+      | CASE WHEN hm = 0 AND v = 1 THEN FALSE
+      |      WHEN hm = 1 AND v IN (0, 3) AND ds NOT LIKE '2%' THEN FALSE
+      |      WHEN hm = 2 AND v = 3 THEN FALSE
+      |      ELSE TRUE END AS allowed,
+      | CASE WHEN hm = 0 AND v = 1 THEN '/priv/'
+      |      WHEN hm = 0 AND v = 2 THEN '/priv/pub/'
+      |      WHEN hm = 1 AND v IN (0, 3) THEN
+      |        CASE WHEN ds LIKE '2%' THEN '/doc2' ELSE '/doc' END
+      |      WHEN hm = 2 AND v = 3 THEN '/*.bin$'
+      |      ELSE '' END AS rule
+      |FROM u""".stripMargin
 }

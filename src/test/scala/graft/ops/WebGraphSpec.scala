@@ -190,4 +190,127 @@ class WebGraphSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(got.exists(_._3 == "ref 2") && got.exists(_._3 == "ref 3"))
     assert(got.count(_._4) == n)
   }
+
+  // ---------------- anchor-text profile ----------------------------
+
+  test("anchorTextProfile: counts, distinct hosts, capped sorted anchors") {
+    val s = spark
+    import s.implicits._
+    val e = Seq(
+      ("https://a.x/1", "https://t.x/p", "zeta", false),
+      ("https://a.x/2", "https://t.x/p", "alpha", false),
+      ("https://a.x/2", "https://t.x/p", "alpha", false), // dup edge row
+      ("https://b.x/1", "https://t.x/p", "mid", false),
+      ("https://t.x/p", "https://t.x/p", "self", false), // self-loop: dropped
+      ("https://a.x/1", "https://u.x/q", "only", false))
+      .toDF("src", "dst", "anchor", "is_rel")
+    val out = WebGraph.anchorTextProfile(e, maxAnchors = 2).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getString(3)))
+      .toSet
+    // t.x/p: 4 in-links (dup rows count), 2 distinct hosts (a.x, b.x),
+    // anchors {alpha, mid, zeta} capped at 2 sorted → "alpha | mid"
+    assert(out == Set(
+      ("https://t.x/p", 4L, 2L, "alpha | mid"),
+      ("https://u.x/q", 1L, 1L, "only")))
+  }
+
+  // ---------------- robots.txt -------------------------------------
+
+  test("patternMatches: prefix, wildcard, end-anchor semantics") {
+    val m = WebGraph.patternMatches _
+    assert(m("/doc", "/doc5"))
+    assert(m("/doc", "/doc"))
+    assert(!m("/doc", "/d"))
+    assert(!m("/doc", "/a/doc")) // prefix match starts at 0
+    assert(m("/", "/anything"))
+    assert(m("/*.bin$", "/doc5.bin"))
+    assert(m("/*.bin$", "/a/b/c.bin"))
+    assert(!m("/*.bin$", "/a/doc5.binx")) // $ anchor near-miss
+    assert(!m("/*.bin$", "/.bi"))
+    assert(m("/a*c", "/abxc"))
+    assert(m("/a*c", "/ac"))
+    assert(!m("/a*c", "/ab"))
+    assert(m("/a*b*c", "/a-b-c-tail")) // unanchored prefix
+    assert(!m("/doc$", "/doc5")) // anchored exact
+    assert(m("/doc$", "/doc"))
+    assert(m("/*", "/x"))
+  }
+
+  test("parseRobots: group selection, case, comments, empty values") {
+    val txt = "# policy\nUser-Agent: Other\nDisallow: /x\n\n" +
+      "User-agent: GraftBot\nUser-agent: extra\nDisallow: /doc\nAllow: /doc2\n" +
+      "Crawl-delay: 5\nDisallow: /late\n\nUser-agent: *\nDisallow: /\n"
+    // specific group (case-insensitive) wins; the post-Crawl-delay rule
+    // still belongs to it (non-UA directives don't close the group)
+    assert(WebGraph.parseRobots(txt, "graftbot") == Vector(
+      WebGraph.RobotRule("/doc", false), WebGraph.RobotRule("/doc2", true),
+      WebGraph.RobotRule("/late", false)))
+    // unnamed agent falls back to the * group
+    assert(WebGraph.parseRobots(txt, "nobody") ==
+      Vector(WebGraph.RobotRule("/", false)))
+    // empty specific group exists → applies exclusively (allow all)
+    val txt2 = "User-agent: GraftBot\nDisallow:\n\nUser-agent: *\nDisallow: /\n"
+    assert(WebGraph.parseRobots(txt2, "graftbot").isEmpty)
+    // no groups at all
+    assert(WebGraph.parseRobots("# nothing\n", "graftbot").isEmpty)
+  }
+
+  test("evaluate: longest match wins, tie goes to allow, no match allows") {
+    val rules = Vector(WebGraph.RobotRule("/priv/", false),
+      WebGraph.RobotRule("/priv/pub/", true))
+    assert(WebGraph.evaluate(rules, "/priv/doc1") == (false, "/priv/"))
+    assert(WebGraph.evaluate(rules, "/priv/pub/doc1") == (true, "/priv/pub/"))
+    assert(WebGraph.evaluate(rules, "/open") == (true, ""))
+    val tie = Vector(WebGraph.RobotRule("/abc", false),
+      WebGraph.RobotRule("/ab*", true))
+    assert(WebGraph.evaluate(tie, "/abcd") == (true, "/ab*"))
+    assert(WebGraph.evaluate(Vector.empty, "/x") == (true, ""))
+  }
+
+  test("robotsFilter end-to-end incl. missing-policy host") {
+    val s = spark
+    import s.implicits._
+    val frontier = Seq(
+      (1L, "https://h0.x/priv/a"), (2L, "https://h0.x/priv/pub/a"),
+      (3L, "https://h0.x/open"), (4L, "https://nopolicy.x/a"))
+      .toDF("doc_id", "url")
+    val robots = Seq(
+      ("h0.x", "User-agent: *\nDisallow: /priv/\nAllow: /priv/pub/\n"))
+      .toDF("host", "robots_txt")
+    val out = WebGraph.robotsFilter(frontier, robots, "anybot").collect()
+      .map(r => (r.getLong(0), r.getBoolean(2), r.getString(3))).toSet
+    assert(out == Set((1L, false, "/priv/"), (2L, true, "/priv/pub/"),
+      (3L, true, ""), (4L, true, "")))
+  }
+
+  test("robotsFilter over the synthetic corpus matches the closed form") {
+    val s = spark
+    import s.implicits._
+    // 400 docs so the (hm=1, v∈{0,3}, id starts with '2') allow-carve
+    // cell is populated (first witness: doc 213)
+    val docs = (0L until 400L).map(i => (i, "t")).toDF("doc_id", "text")
+    val out = WebGraph.robotsFilter(WebGraph.syntheticFrontier(docs),
+      WebGraph.syntheticRobots(s), "graftbot").collect()
+      .map(r => r.getLong(0) -> ((r.getBoolean(2), r.getString(3)))).toMap
+    assert(out.size == 400)
+    (0L until 400L).foreach { d =>
+      val hm = (d % 13) % 4
+      val v = d % 5
+      val ds = d.toString
+      val expected =
+        if (hm == 0 && v == 1) (false, "/priv/")
+        else if (hm == 0 && v == 2) (true, "/priv/pub/")
+        else if (hm == 1 && (v == 0 || v == 3))
+          (if (ds.startsWith("2")) (true, "/doc2") else (false, "/doc"))
+        else if (hm == 2 && v == 3) (false, "/*.bin$")
+        else (true, "")
+      assert(out(d) == expected, s"doc_id=$d hm=$hm v=$v")
+    }
+    // non-vacuous: every outcome class occurs
+    assert(out.values.exists(_ == (false, "/priv/")))
+    assert(out.values.exists(_ == (true, "/priv/pub/")))
+    assert(out.values.exists(_ == (true, "/doc2")))
+    assert(out.values.exists(_ == (false, "/doc")))
+    assert(out.values.exists(_ == (false, "/*.bin$")))
+  }
 }
