@@ -451,6 +451,13 @@ object SparkEntry {
 
     // ---------------- deduplication ---------------------------------
     "dedup_exact" -> ((s, dir) => Dedup.exact(t(s, dir, "documents"))),
+    "dedup_lines" -> ((s, dir) => {
+      // CCNet-style cross-doc LINE dedup over a deterministic
+      // multi-line corpus; oracle is an independent SQL formulation
+      // (zip-unnest + HAVING threshold + ordered null-skip string_agg)
+      Dedup.dropBoilerplateLines(
+        Dedup.syntheticMultiline(t(s, dir, "documents")), minDocs = 5)
+    }),
     "dedup_exact_hash" -> ((s, dir) => Dedup.exactByHash(t(s, dir, "documents"))),
     "dedup_window" -> ((s, dir) => Dedup.windowSurvivors(t(s, dir, "documents"))),
     "dedup_jaccard" -> ((s, dir) =>
@@ -754,6 +761,7 @@ object SparkEntry {
       Seq("signup", "view", "click", "purchase"), where = "event_id % 7 = 0"),
     "dedup_exact" ->
       "SELECT min(doc_id) AS doc_id, count(*) AS n_copies FROM documents GROUP BY text",
+    "dedup_lines" -> Dedup.boilerplateLinesOracleSql(minDocs = 5),
     // same oracle as dedup_exact: the hash-shuffle variant must produce
     // identical results (collision-free at any test scale)
     "dedup_exact_hash" ->

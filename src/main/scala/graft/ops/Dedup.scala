@@ -528,4 +528,105 @@ object Dedup {
       .na.fill(0, Seq("in_capped"))
       .select(col("a_id"), col("b_id"), col("hamming"), col("in_capped"))
   }
+
+  // ------------------------------------------------------------------
+  // Cross-document LINE dedup (CCNet/RefinedWeb boilerplate removal)
+  // ------------------------------------------------------------------
+
+  /** Drop boilerplate LINES across the corpus: any line whose trimmed
+    * form occurs in ≥ `minDocs` DISTINCT documents (cookie banners,
+    * nav menus, footers — the dominant web-text noise CCNet §4.2 /
+    * RefinedWeb remove before doc-level dedup) is deleted from every
+    * document; each document keeps its surviving lines in original
+    * order. Blank (trim-empty) lines are structure, not boilerplate —
+    * never counted, never dropped.
+    *
+    * Returns (doc_id, text, n_lines, n_dropped).
+    *
+    * Scale shape (10^12 docs, ~10^14 lines):
+    *  - the line table is posexplode over the scan — no shuffle;
+    *  - the frequency pass is the irreducible cost: one two-phase
+    *    distinct on (key, doc_id) then a partial-aggregated count per
+    *    key (at extreme scale a CountMinSketch/bloom pre-filter can
+    *    shortlist candidate keys first — exactness traded, noted only);
+    *  - the boilerplate SET is small by construction (only lines
+    *    crossing the threshold survive the HAVING) → the tag join back
+    *    onto the line table broadcasts;
+    *  - re-assembly is one groupBy doc_id with per-key state bounded by
+    *    the document's own line count (collect_list of (idx, line),
+    *    null-skipped for dropped lines, array_sort on idx restores
+    *    order without a sort exchange). */
+  def dropBoilerplateLines(docs: DataFrame, minDocs: Long = 5): DataFrame = {
+    val lines = docs
+      .select(col("doc_id"),
+        posexplode(split(col("text"), "\n", -1)).as(Seq("idx", "line")))
+      .withColumn("key", trim(col("line")))
+    val boiler = lines.filter(col("key") =!= "")
+      .select(col("key"), col("doc_id")).distinct()
+      .groupBy(col("key")).agg(count(lit(1)).as("n_docs"))
+      .filter(col("n_docs") >= minDocs)
+      .select(col("key"), lit(true).as("is_boiler"))
+    lines.join(broadcast(boiler), Seq("key"), "left")
+      .groupBy(col("doc_id"))
+      .agg(
+        array_join(
+          transform(
+            array_sort(collect_list(when(col("is_boiler").isNull,
+              struct(col("idx"), col("line"))))),
+            x => x.getField("line")),
+          "\n").as("text"),
+        count(lit(1)).as("n_lines"),
+        sum(when(col("is_boiler").isNotNull, 1L).otherwise(0L))
+          .as("n_dropped"))
+      .select(col("doc_id"), col("text"), col("n_lines"), col("n_dropped"))
+  }
+
+  /** Deterministic multi-line corpus over `documents` (raw testdata
+    * text is single-line): per doc — a per-host banner (~n/13 docs,
+    * dropped), the unique original text (kept), a 3-doc shared line
+    * (below the minDocs=5 threshold → kept), a 5-doc shared line
+    * (exactly AT the threshold → dropped), a unique line (kept), and a
+    * corpus-wide footer (dropped). */
+  def syntheticMultiline(docs: DataFrame): DataFrame = {
+    val d = col("doc_id")
+    val nl = lit("\n")
+    docs.select(d.as("doc_id"),
+      concat(
+        lit("banner host"), (d % 13).cast("string"), nl,
+        col("text"), nl,
+        lit("tri "), expr("doc_id div 3").cast("string"), nl,
+        lit("quint "), expr("doc_id div 5").cast("string"), nl,
+        lit("rare "), d.cast("string"), nl,
+        lit("(c) example corp")).as("text"))
+  }
+
+  /** DuckDB replica of dropBoilerplateLines(syntheticMultiline(·)) —
+    * an independent SQL formulation (zip-unnest with ordinality,
+    * HAVING-thresholded distinct-doc counts, null-skipping ordered
+    * string_agg), not an engine transcript. */
+  def boilerplateLinesOracleSql(minDocs: Long = 5): String =
+    s"""WITH src AS (SELECT doc_id,
+       |  'banner host' || CAST(doc_id % 13 AS VARCHAR) || chr(10) ||
+       |  text || chr(10) ||
+       |  'tri ' || CAST(doc_id // 3 AS VARCHAR) || chr(10) ||
+       |  'quint ' || CAST(doc_id // 5 AS VARCHAR) || chr(10) ||
+       |  'rare ' || CAST(doc_id AS VARCHAR) || chr(10) ||
+       |  '(c) example corp' AS text
+       | FROM documents),
+       |l0 AS (SELECT doc_id, string_split(text, chr(10)) AS ls FROM src),
+       |l AS (SELECT doc_id, unnest(ls) AS line,
+       |        unnest(range(len(ls))) AS idx FROM l0),
+       |lk AS (SELECT doc_id, idx, line, trim(line) AS key FROM l),
+       |b AS (SELECT key FROM
+       |       (SELECT DISTINCT key, doc_id FROM lk WHERE key <> '')
+       |      GROUP BY key HAVING count(*) >= $minDocs),
+       |f AS (SELECT lk.doc_id, lk.idx, lk.line,
+       |        (b.key IS NOT NULL) AS is_b
+       |      FROM lk LEFT JOIN b ON lk.key = b.key)
+       |SELECT doc_id,
+       | coalesce(string_agg(CASE WHEN NOT is_b THEN line END,
+       |                     chr(10) ORDER BY idx), '') AS text,
+       | CAST(count(*) AS BIGINT) AS n_lines,
+       | CAST(sum(CASE WHEN is_b THEN 1 ELSE 0 END) AS BIGINT) AS n_dropped
+       |FROM f GROUP BY doc_id""".stripMargin
 }

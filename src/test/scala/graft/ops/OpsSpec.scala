@@ -551,6 +551,42 @@ class OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(out(4L) == (base.length - 2).toLong, out.toString)
   }
 
+  test("line dedup: threshold, order preservation, blank lines immune") {
+    val s = spark
+    import s.implicits._
+    // "nav menu" in 3 docs (>= minDocs=3 → dropped), "rare" lines
+    // unique (kept), blank line in every doc (kept — never counted),
+    // "duo" in 2 docs (< 3 → kept). Doc 4 has the boiler line TWICE —
+    // both occurrences drop, but it still counts as ONE distinct doc.
+    val d = Seq(
+      (1L, "nav menu\nalpha\n\nduo"),
+      (2L, "beta\nnav menu\n\nduo"),
+      (3L, "gamma\n\nnav menu"),
+      (4L, "nav menu\ndelta\nnav menu")).toDF("doc_id", "text")
+    val out = Dedup.dropBoilerplateLines(d, minDocs = 3).collect()
+      .map(r => r.getLong(0) -> ((r.getString(1), r.getLong(2), r.getLong(3))))
+      .toMap
+    assert(out(1L) == (("alpha\n\nduo", 4L, 1L)))
+    assert(out(2L) == (("beta\n\nduo", 4L, 1L)))
+    assert(out(3L) == (("gamma\n", 3L, 1L)))
+    assert(out(4L) == (("delta", 3L, 2L)))
+  }
+
+  test("line dedup: trimmed key matches padded variants; all-dropped doc yields empty text") {
+    val s = spark
+    import s.implicits._
+    val d = Seq(
+      (1L, "  promo  "), (2L, "promo"), (3L, "promo\nkeep me"))
+      .toDF("doc_id", "text")
+    val out = Dedup.dropBoilerplateLines(d, minDocs = 3).collect()
+      .map(r => r.getLong(0) -> ((r.getString(1), r.getLong(2), r.getLong(3))))
+      .toMap
+    // "  promo  " trims to the same key → 3 distinct docs → dropped
+    assert(out(1L) == (("", 1L, 1L)))
+    assert(out(2L) == (("", 1L, 1L)))
+    assert(out(3L) == (("keep me", 2L, 1L)))
+  }
+
   test("multimodal metadata sniffs pdf magic") {
     val s = spark
     import s.implicits._
