@@ -595,6 +595,16 @@ object SparkEntry {
       graft.ops.Sampling.mixReport(t(s, dir, "documents"))),
     "corpus_length_profile" -> ((s, dir) =>
       graft.ops.Sampling.lengthProfile(t(s, dir, "documents"))),
+    "corpus_host_split" -> ((s, dir) => {
+      // leakage-safe train/val split: host-keyed FNV bucket, docs of
+      // one host always land on one side; oracle folds the same FNV
+      // in HUGEINT mod 2^64
+      val docs = t(s, dir, "documents")
+      graft.ops.Sampling.hostDisjointSplit(
+        docs.select(col("doc_id"), concat(lit("host"),
+          (col("doc_id") % 13).cast("string"), lit(".example")).as("host")),
+        valPermille = 150)
+    }),
     // incremental crawl: two deterministic snapshot views of documents
     // (dropped urls, new urls, 1-in-3 content edits) classified by one
     // full-outer url join on md5 fingerprints (md5 = oracle-parity
@@ -1045,6 +1055,7 @@ object SparkEntry {
         |SELECT lang, source, CAST(count(*) AS BIGINT) AS n_docs,
         | CAST(sum(n_tokens) AS BIGINT) AS n_tokens, CAST(sum(n_chars) AS BIGINT) AS n_chars
         |FROM st GROUP BY lang, source""".stripMargin,
+    "corpus_host_split" -> graft.ops.Sampling.hostSplitOracleSql(150),
     // langId is pure column expressions; the oracle is generated from
     // the same marker table + fold order (single source of truth)
     "text_langid" -> graft.ops.TextAnalysis.langIdOracleSql(),

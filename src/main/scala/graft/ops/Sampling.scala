@@ -141,4 +141,57 @@ object Sampling {
       .agg(count(lit(1)).as("n_docs"),
         sum(col("n_tokens")).as("n_tokens"),
         sum(col("n_chars")).as("n_chars"))
+
+  /** Leakage-safe train/validation split: the split key is the HOST,
+    * not the document. An iid doc-level split leaks — intra-site
+    * near-duplicates (templated pages, syndicated articles) straddle
+    * the boundary and validation scores train-adjacent content; the
+    * standard fix is to split on the dedup unit, so every page of a
+    * host lands on ONE side. bucket = FNV-1a-64(host) mod 1000
+    * (unsigned); bucket < valPermille → 'val'. The hash is of the key
+    * STRING, so the assignment is stable across runs, engines and
+    * corpus growth (adding hosts never reassigns existing ones).
+    *
+    * Scale shape: pure per-row kernel map over the scan — no shuffle,
+    * no host table, no driver state; 10^12 docs cost one projection.
+    * expectation: valPermille/1000 of HOSTS (and of docs only insofar
+    * as host sizes average out — report the realized doc fraction from
+    * the output, don't assume it). */
+  def hostDisjointSplit(docs: DataFrame, valPermille: Int = 100): DataFrame = {
+    require(valPermille > 0 && valPermille < 1000,
+      "valPermille must split both ways")
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.select(col("doc_id").cast("long"), col("host").cast("string"))
+      .as[(Long, String)]
+      .map { case (id, host) =>
+        val bucket = java.lang.Long.remainderUnsigned(
+          Dedup.hash64(host, 0, host.length), 1000L)
+        (id, host, bucket, if (bucket < valPermille) "val" else "train")
+      }
+      .toDF("doc_id", "host", "bucket", "split")
+  }
+
+  /** DuckDB replica of [[hostDisjointSplit]] over hosts derived as
+    * host{doc_id % 13}.example (the corpus's synthetic host scheme):
+    * the FNV-1a fold runs in HUGEINT mod 2^64 via list_reduce — the
+    * MinhashOracle machinery on a new surface. */
+  def hostSplitOracleSql(valPermille: Int): String = {
+    val off = java.lang.Long.toUnsignedString(0xcbf29ce484222325L)
+    val fnvStep = SimhashOracle.mulmod(
+      SimhashOracle.xor64("h", "c"), "1099511628211")
+    s"""WITH d AS (SELECT doc_id,
+       |  'host' || CAST(doc_id % 13 AS VARCHAR) || '.example' AS host
+       | FROM documents),
+       |hb AS (SELECT doc_id, host,
+       |  CAST(list_reduce(
+       |    list_prepend(CAST('$off' AS HUGEINT),
+       |      list_transform(split(host, ''),
+       |        x -> CAST(unicode(x) AS HUGEINT))),
+       |    (h, c) -> $fnvStep) % 1000 AS BIGINT) AS bucket
+       | FROM d)
+       |SELECT doc_id, host, bucket,
+       | CASE WHEN bucket < $valPermille THEN 'val' ELSE 'train' END AS split
+       |FROM hb""".stripMargin
+  }
 }

@@ -142,4 +142,28 @@ class SamplingSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(out(("de", "a")) == ((1L, 3L, 5L)))
     assert(out(("en", "b")) == ((1L, 4L, 7L)))
   }
+
+  test("hostDisjointSplit: host-consistent, threshold-exact, hand-checked buckets") {
+    val s = spark
+    import s.implicits._
+    // independently computed (python FNV-1a mod 1000):
+    // host2.example → 11, host6.example → 7, host0.example → 997,
+    // host5.example → 838
+    val d = Seq(
+      (1L, "host2.example"), (2L, "host2.example"), (3L, "host6.example"),
+      (4L, "host0.example"), (5L, "host5.example"))
+      .toDF("doc_id", "host")
+    val out = Sampling.hostDisjointSplit(d, valPermille = 150).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(2), r.getString(3)))).toMap
+    assert(out(1L) == ((11L, "val")))
+    assert(out(2L) == ((11L, "val"))) // same host → same side, always
+    assert(out(3L) == ((7L, "val")))
+    assert(out(4L) == ((997L, "train")))
+    assert(out(5L) == ((838L, "train")))
+    // threshold exactness: bucket == valPermille-1 is val, == valPermille is train
+    val probe = Sampling.hostDisjointSplit(d, valPermille = 11).collect()
+      .map(r => r.getLong(0) -> r.getString(3)).toMap
+    assert(probe(3L) == "val")   // 7 < 11
+    assert(probe(1L) == "train") // 11 >= 11
+  }
 }
