@@ -682,6 +682,22 @@ object SparkEntry {
         graft.ops.WebGraph.syntheticFrontier(docs),
         graft.ops.WebGraph.syntheticRobots(s), agent = "graftbot")
     }),
+    "web_crawl_schedule" -> ((s, dir) => {
+      // composed politeness pipeline: robots gate → per-host priority
+      // rank → Crawl-delay spacing; oracle restates the allowed cells
+      // and delays in closed form and replicates the rank arithmetic
+      val docs = t(s, dir, "documents")
+      val robots = graft.ops.WebGraph.syntheticRobots(s)
+      val gated = graft.ops.WebGraph.robotsFilter(
+        graft.ops.WebGraph.syntheticFrontier(docs), robots, "graftbot")
+        .filter(col("allowed"))
+        .select(col("doc_id"), col("url"),
+          regexp_extract(col("url"), "^https?://([^/?#]+)", 1).as("host"),
+          (col("doc_id") % 100).as("priority"))
+      graft.ops.WebGraph.scheduleCrawl(gated,
+        graft.ops.WebGraph.robotsDelays(robots, "graftbot"),
+        defaultDelayMs = 1000L)
+    }),
     "web_hostrank" -> ((s, dir) => {
       // Common-Crawl-style host-level rank: collapse page edges to
       // host edges (same regexp both sides), reuse the same kernel
@@ -1032,6 +1048,7 @@ object SparkEntry {
     "web_anchor_text" -> graft.ops.WebGraph.anchorTextOracleSql(
       graft.ops.WebGraph.syntheticEdgesOracleSql),
     "web_robots" -> graft.ops.WebGraph.robotsOracleSql,
+    "web_crawl_schedule" -> graft.ops.WebGraph.crawlScheduleOracleSql(1000L),
     "web_pagerank" -> graft.ops.WebGraph.pageRankOracleSql(
       graft.ops.WebGraph.syntheticEdgesOracleSql, iterations = 5),
     "web_hostrank" -> graft.ops.WebGraph.pageRankOracleSql(

@@ -585,10 +585,22 @@ object WebGraph {
     *  - `Allow:`/`Disallow:` with an EMPTY value contributes no rule;
     *  - other directives (Sitemap, Crawl-delay, …) are ignored but do
     *    not close the group. */
-  def parseRobots(txt: String, agent: String): Vector[RobotRule] = {
+  def parseRobots(txt: String, agent: String): Vector[RobotRule] =
+    parseRobotsFull(txt, agent)._1
+
+  /** Full parse: the applicable rule group plus its `Crawl-delay`
+    * (milliseconds), under the same exclusive group selection —
+    * when a specific group exists its (possibly absent) delay applies
+    * and `*` delays are ignored; when several applicable groups
+    * declare delays, the smallest wins (conservative politeness).
+    * Unparseable delay values are skipped. */
+  def parseRobotsFull(txt: String,
+                      agent: String): (Vector[RobotRule], Option[Long]) = {
     val agentLc = agent.toLowerCase
     val specific = Vector.newBuilder[RobotRule]
     val generic = Vector.newBuilder[RobotRule]
+    var specDelay: Option[Long] = None
+    var genDelay: Option[Long] = None
     var hasSpecific = false
     var uaSpecific = false
     var uaGeneric = false
@@ -614,12 +626,24 @@ object WebGraph {
                 if (uaSpecific) specific += rule
                 if (uaGeneric) generic += rule
               }
+            case "crawl-delay" =>
+              inUaRun = false
+              val ms =
+                try Some(math.round(value.toDouble * 1000.0))
+                catch { case _: NumberFormatException => None }
+              ms.filter(_ >= 0).foreach { m =>
+                if (uaSpecific)
+                  specDelay = Some(specDelay.fold(m)(_ min m))
+                if (uaGeneric)
+                  genDelay = Some(genDelay.fold(m)(_ min m))
+              }
             case _ => inUaRun = false
           }
         }
       }
     }
-    if (hasSpecific) specific.result() else generic.result()
+    if (hasSpecific) (specific.result(), specDelay)
+    else (generic.result(), genDelay)
   }
 
   /** Does `pattern` match `path`? Pattern matches any PREFIX of the
@@ -731,6 +755,78 @@ object WebGraph {
       .toDF("doc_id", "url", "allowed", "rule")
   }
 
+  /** Per-host declared crawl delays for `agent`: (host, delay_ms) rows
+    * only for hosts whose applicable group declares one. Per-row parse
+    * over the (small relative to the corpus) policy table — the
+    * expensive side of the schedule join is the frontier, not this. */
+  def robotsDelays(robots: DataFrame, agent: String): DataFrame = {
+    val spark = robots.sparkSession
+    import spark.implicits._
+    robots.select(col("host").cast("string"), col("robots_txt").cast("string"))
+      .as[(String, String)]
+      .flatMap { case (host, txt) =>
+        parseRobotsFull(txt, agent)._2.map(d => (host, d))
+      }
+      .toDF("host", "delay_ms")
+  }
+
+  /** Politeness scheduler over an (allowed) frontier: within each
+    * host, urls are fetched in (priority desc, doc_id asc) order,
+    * spaced by the host's crawl delay — fetch_at_ms = (rank−1) ×
+    * delay_ms, where delay_ms is the host's declared Crawl-delay or
+    * `defaultDelayMs`. This is the map from "what to crawl" to "when",
+    * the last step before a fetch fleet consumes the frontier.
+    *
+    * Scale shape: ONE hash shuffle on host (the window partitioning —
+    * host is the natural crawl unit); the delay table joins broadcast
+    * (or co-located when both sides are bucketed by host). Rank is
+    * per-host, so no global sort; a mega-host is read-side skew only
+    * (the window emits one running integer per row). */
+  def scheduleCrawl(frontier: DataFrame, delays: DataFrame,
+                    defaultDelayMs: Long = 1000L): DataFrame = {
+    val w = Window.partitionBy(col("host"))
+      .orderBy(col("priority").desc, col("doc_id").asc)
+    frontier.join(delays, Seq("host"), "left")
+      .withColumn("delay_ms",
+        coalesce(col("delay_ms"), lit(defaultDelayMs)))
+      .withColumn("rn", row_number().over(w).cast("long"))
+      .select(col("doc_id"), col("host"), col("url"), col("rn"),
+        ((col("rn") - 1L) * col("delay_ms")).as("fetch_at_ms"))
+  }
+
+  /** Closed-form oracle for the composed schedule query (robots gate →
+    * priority rank per host → delay spacing): allowed set restated from
+    * [[robotsOracleSql]]'s cells; delay = 2000 ms for host%4==0 (the
+    * `*` group declares 2 s), 10000 ms for host%4==1 (the agent group
+    * declares 10 s), default elsewhere. */
+  def crawlScheduleOracleSql(defaultDelayMs: Long = 1000L): String =
+    s"""WITH d AS (SELECT doc_id,
+       |  doc_id % 13 AS h, (doc_id % 13) % 4 AS hm, doc_id % 5 AS v,
+       |  CAST(doc_id AS VARCHAR) AS ds
+       | FROM documents),
+       |u AS (SELECT doc_id, h, hm, v, ds,
+       |  'host' || CAST(h AS VARCHAR) || '.example' AS host,
+       |  'https://host' || CAST(h AS VARCHAR) || '.example' ||
+       |  CASE v WHEN 0 THEN '/doc' || ds
+       |         WHEN 1 THEN '/priv/doc' || ds
+       |         WHEN 2 THEN '/priv/pub/doc' || ds
+       |         WHEN 3 THEN '/doc' || ds || '.bin'
+       |         ELSE '/a/doc' || ds || '.binx' END AS url
+       | FROM d),
+       |a AS (SELECT * FROM u WHERE NOT (
+       |   (hm = 0 AND v = 1) OR
+       |   (hm = 1 AND v IN (0, 3) AND ds NOT LIKE '2%') OR
+       |   (hm = 2 AND v = 3))),
+       |r AS (SELECT doc_id, host, url,
+       |  CASE WHEN hm = 0 THEN 2000 WHEN hm = 1 THEN 10000
+       |       ELSE $defaultDelayMs END AS delay_ms,
+       |  CAST(row_number() OVER (PARTITION BY host
+       |    ORDER BY doc_id % 100 DESC, doc_id ASC) AS BIGINT) AS rn
+       | FROM a)
+       |SELECT doc_id, host, url, rn,
+       | CAST((rn - 1) * delay_ms AS BIGINT) AS fetch_at_ms
+       |FROM r""".stripMargin
+
   /** Deterministic robots.txt corpus over the 13 synthetic hosts, four
     * policy shapes by host % 4 (each exercising a distinct parser /
     * matcher feature the closed-form oracle then predicts):
@@ -743,8 +839,8 @@ object WebGraph {
     *  3 — comments only (no rules → allow all). */
   def syntheticRobots(spark: SparkSession): DataFrame = {
     val h = col("id")
-    val txt0 = "# corpus policy\nUser-Agent: *\nDisallow: /priv/\nAllow: /priv/pub/\n"
-    val txt1 = "User-agent: GraftBot\nDisallow: /doc\nAllow: /doc2\n\nUser-agent: *\nDisallow: /\n"
+    val txt0 = "# corpus policy\nUser-Agent: *\nDisallow: /priv/\nAllow: /priv/pub/\nCrawl-delay: 2\n"
+    val txt1 = "User-agent: GraftBot\nDisallow: /doc\nAllow: /doc2\nCrawl-delay: 10\n\nUser-agent: *\nDisallow: /\nCrawl-delay: 60\n"
     val txt2 = "user-agent: *\ndisallow: /*.bin$\n# trailing comment\n"
     val txt3 = "# no rules here\n"
     spark.range(0, 13).select(

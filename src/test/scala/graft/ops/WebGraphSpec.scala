@@ -267,6 +267,40 @@ class WebGraphSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(WebGraph.evaluate(Vector.empty, "/x") == (true, ""))
   }
 
+  test("parseRobotsFull: crawl-delay group exclusivity, min-wins, bad values") {
+    val txt = "User-agent: GraftBot\nDisallow: /doc\nCrawl-delay: 10\n\n" +
+      "User-agent: *\nDisallow: /\nCrawl-delay: 60\n"
+    // specific group's delay applies exclusively; * delay ignored
+    assert(WebGraph.parseRobotsFull(txt, "graftbot")._2 == Some(10000L))
+    assert(WebGraph.parseRobotsFull(txt, "nobody")._2 == Some(60000L))
+    // specific group exists but declares no delay → None (exclusive)
+    val noDelay = "User-agent: GraftBot\nDisallow: /x\n\nUser-agent: *\nCrawl-delay: 5\n"
+    assert(WebGraph.parseRobotsFull(noDelay, "graftbot")._2.isEmpty)
+    // two applicable groups → min; fractional seconds; junk skipped
+    val multi = "User-agent: a\nCrawl-delay: 2.5\n\nUser-agent: a\nCrawl-delay: 1.25\n" +
+      "\nUser-agent: b\nCrawl-delay: soon\n"
+    assert(WebGraph.parseRobotsFull(multi, "a")._2 == Some(1250L))
+    assert(WebGraph.parseRobotsFull(multi, "b")._2.isEmpty)
+  }
+
+  test("scheduleCrawl: per-host priority order, delay spacing, default fill") {
+    val s = spark
+    import s.implicits._
+    val frontier = Seq(
+      (1L, "https://h1.x/a", "h1.x", 5L),
+      (2L, "https://h1.x/b", "h1.x", 9L),
+      (3L, "https://h1.x/c", "h1.x", 9L), // priority tie → doc_id asc
+      (4L, "https://h2.x/a", "h2.x", 1L))
+      .toDF("doc_id", "url", "host", "priority")
+    val delays = Seq(("h1.x", 2000L)).toDF("host", "delay_ms")
+    val out = WebGraph.scheduleCrawl(frontier, delays, defaultDelayMs = 500L)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(3), r.getLong(4)))).toMap
+    assert(out(2L) == ((1L, 0L)))    // highest priority fetches first
+    assert(out(3L) == ((2L, 2000L))) // tie broken by doc_id
+    assert(out(1L) == ((3L, 4000L)))
+    assert(out(4L) == ((1L, 0L)))    // default delay host, rank restarts
+  }
+
   test("robotsFilter end-to-end incl. missing-policy host") {
     val s = spark
     import s.implicits._
