@@ -682,6 +682,14 @@ object SparkEntry {
         graft.ops.WebGraph.syntheticFrontier(docs),
         graft.ops.WebGraph.syntheticRobots(s), agent = "graftbot")
     }),
+    "web_redirects" -> ((s, dir) => {
+      // redirect-chain canonicalization: pointer doubling resolves
+      // chains of length 0..5 in <= 3 rounds; oracle is an independent
+      // recursive walk (step-by-step, not doubled)
+      val docs = t(s, dir, "documents")
+      graft.ops.WebGraph.resolveRedirects(
+        graft.ops.WebGraph.syntheticRedirects(docs))
+    }),
     "web_crawl_schedule" -> ((s, dir) => {
       // composed politeness pipeline: robots gate → per-host priority
       // rank → Crawl-delay spacing; oracle restates the allowed cells
@@ -1049,6 +1057,7 @@ object SparkEntry {
       graft.ops.WebGraph.syntheticEdgesOracleSql),
     "web_robots" -> graft.ops.WebGraph.robotsOracleSql,
     "web_crawl_schedule" -> graft.ops.WebGraph.crawlScheduleOracleSql(1000L),
+    "web_redirects" -> graft.ops.WebGraph.redirectsOracleSql,
     "web_pagerank" -> graft.ops.WebGraph.pageRankOracleSql(
       graft.ops.WebGraph.syntheticEdgesOracleSql, iterations = 5),
     "web_hostrank" -> graft.ops.WebGraph.pageRankOracleSql(

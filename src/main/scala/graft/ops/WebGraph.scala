@@ -503,6 +503,98 @@ object WebGraph {
       |UNION ALL SELECT src, dst, anchor, is_rel FROM rel_e""".stripMargin
 
   // ------------------------------------------------------------------
+  // Redirect-chain resolution (url aliasing, pre-dedup canonical step)
+  // ------------------------------------------------------------------
+
+  /** Resolve HTTP-redirect chains (a→b→…→t) to their terminal url by
+    * POINTER DOUBLING: each round substitutes every mapping's target
+    * with that target's own mapping — after k rounds every source sees
+    * 2^k hops ahead, so a chain of length L resolves in ⌈log2 L⌉
+    * rounds, NOT L rounds (the difference between 20 and 10^6 shuffles
+    * on crawl-scale alias chains). The standard canonicalization step
+    * before url-keyed dedup: without it, a page and its redirect alias
+    * count as two documents.
+    *
+    * Input (src, dst); duplicate srcs collapse to min(dst) for
+    * determinism (HTTP allows one Location; crawl tables sometimes
+    * disagree across fetches). Output (src, final_dst, hops,
+    * is_cycle):
+    *  - acyclic rows: final_dst is terminal (never itself a source),
+    *    hops = exact chain length;
+    *  - rows on/into a redirect LOOP never terminate — after
+    *    `maxRounds` they are flagged is_cycle=true with the (still
+    *    deterministic: function composition is partitioning-
+    *    independent) capped state. maxRounds=20 covers chains of 10^6
+    *    hops; anything longer is operationally a loop.
+    *
+    * Scale shape: one self-equi-join (dst = src) + localCheckpoint per
+    * round — O(log L) shuffles total, lineage constant-size (the
+    * components/pageRank discipline); convergence is one cheap
+    * any-row-advanced probe per round. */
+  def resolveRedirects(redirects: DataFrame,
+                       maxRounds: Int = 20): DataFrame = {
+    var m = redirects.groupBy(col("src"))
+      .agg(min(col("dst")).as("dst"))
+      .select(col("src"), col("dst"), lit(1L).as("hops"))
+      .localCheckpoint(true)
+    var round = 0
+    var done = false
+    while (round < maxRounds && !done) {
+      val b = m.select(col("src").as("b_src"), col("dst").as("b_dst"),
+        col("hops").as("b_hops"))
+      val m2 = m.join(b, m("dst") === b("b_src"), "left")
+        .select(m("src"),
+          coalesce(col("b_dst"), m("dst")).as("dst"),
+          (m("hops") + coalesce(col("b_hops"), lit(0L))).as("hops"),
+          col("b_src").isNotNull.as("advanced"))
+        .localCheckpoint(true)
+      done = m2.filter(col("advanced")).limit(1).count() == 0L
+      m = m2.select(col("src"), col("dst"), col("hops"))
+        .localCheckpoint(true)
+      round += 1
+    }
+    val srcs = m.select(col("src").as("cyc_key")).distinct()
+    m.join(srcs, m("dst") === srcs("cyc_key"), "left")
+      .select(col("src"), col("dst").as("final_dst"), col("hops"),
+        col("cyc_key").isNotNull.as("is_cycle"))
+  }
+
+  /** Deterministic acyclic redirect corpus over documents: in each
+    * 8-doc block b, the first (b % 6) docs chain forward one step —
+    * doc d redirects to doc d+1 when (d mod 8) < (d div 8 mod 6) — so
+    * chain lengths 0..5 all occur and terminals are never sources.
+    * (Loops are covered by unit specs; the oracle stays a plain
+    * recursive walk.) */
+  def syntheticRedirects(docs: DataFrame): DataFrame = {
+    val d = col("doc_id")
+    def urlOf(id: Column): Column =
+      concat(lit("https://host"), (id % 13).cast("string"),
+        lit(".example/doc"), id.cast("string"))
+    docs.filter((d % 8) < expr("doc_id div 8") % 6)
+      .select(urlOf(d).as("src"), urlOf(d + 1).as("dst"))
+  }
+
+  /** DuckDB oracle: recursive walk over the same closed-form redirect
+    * set; per src the deepest step is the terminal (acyclic corpus),
+    * selected via QUALIFY on hops. */
+  def redirectsOracleSql: String =
+    """WITH RECURSIVE r AS (
+      | SELECT
+      |  'https://host' || CAST(doc_id % 13 AS VARCHAR) || '.example/doc'
+      |    || CAST(doc_id AS VARCHAR) AS src,
+      |  'https://host' || CAST((doc_id + 1) % 13 AS VARCHAR)
+      |    || '.example/doc' || CAST(doc_id + 1 AS VARCHAR) AS dst
+      | FROM documents WHERE (doc_id % 8) < ((doc_id // 8) % 6)),
+      |walk(src, cur, hops) AS (
+      | SELECT src, dst, 1 FROM r
+      | UNION ALL
+      | SELECT w.src, r.dst, w.hops + 1 FROM walk w JOIN r ON w.cur = r.src)
+      |SELECT src, cur AS final_dst, CAST(hops AS BIGINT) AS hops,
+      |       false AS is_cycle
+      |FROM walk
+      |QUALIFY row_number() OVER (PARTITION BY src ORDER BY hops DESC) = 1""".stripMargin
+
+  // ------------------------------------------------------------------
   // Incoming anchor-text profile (web-search relevance signal)
   // ------------------------------------------------------------------
 

@@ -191,6 +191,50 @@ class WebGraphSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(got.count(_._4) == n)
   }
 
+  // ---------------- redirect resolution ----------------------------
+
+  test("resolveRedirects: chains to terminal with exact hops; dup src folds") {
+    val s = spark
+    import s.implicits._
+    // a→b→c→d (len 3), e→f (len 1), g→b (joins mid-chain),
+    // h has TWO rows (→z and →a): min(dst) = a wins deterministically
+    val r = Seq(("a", "b"), ("b", "c"), ("c", "d"), ("e", "f"),
+      ("g", "b"), ("h", "z"), ("h", "a")).toDF("src", "dst")
+    val out = WebGraph.resolveRedirects(r).collect()
+      .map(x => x.getString(0) ->
+        ((x.getString(1), x.getLong(2), x.getBoolean(3)))).toMap
+    assert(out("a") == (("d", 3L, false)))
+    assert(out("b") == (("d", 2L, false)))
+    assert(out("c") == (("d", 1L, false)))
+    assert(out("e") == (("f", 1L, false)))
+    assert(out("g") == (("d", 3L, false)))
+    assert(out("h") == (("d", 4L, false))) // h→a→b→c→d
+  }
+
+  test("resolveRedirects: loops flagged, loop-feeders flagged, acyclic untouched") {
+    val s = spark
+    import s.implicits._
+    val r = Seq(("p", "q"), ("q", "p"), ("in", "p"), ("ok", "t"))
+      .toDF("src", "dst")
+    val out = WebGraph.resolveRedirects(r, maxRounds = 6).collect()
+      .map(x => x.getString(0) -> x.getBoolean(3)).toMap
+    assert(out("p") && out("q") && out("in"))
+    assert(!out("ok"))
+  }
+
+  test("resolveRedirects: 100-hop chain resolves within 8 doubling rounds") {
+    val s = spark
+    import s.implicits._
+    val r = (0 until 100).map(i => (s"u$i", s"u${i + 1}")).toDF("src", "dst")
+    // 2^7 = 128 ≥ 100 → 7 doubling rounds + 1 convergence probe round
+    val out = WebGraph.resolveRedirects(r, maxRounds = 8).collect()
+      .map(x => x.getString(0) ->
+        ((x.getString(1), x.getLong(2), x.getBoolean(3)))).toMap
+    assert(out("u0") == (("u100", 100L, false)))
+    assert(out("u99") == (("u100", 1L, false)))
+    assert(out.valuesIterator.forall(!_._3))
+  }
+
   // ---------------- anchor-text profile ----------------------------
 
   test("anchorTextProfile: counts, distinct hosts, capped sorted anchors") {
