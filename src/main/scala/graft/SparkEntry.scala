@@ -682,6 +682,13 @@ object SparkEntry {
         graft.ops.WebGraph.syntheticFrontier(docs),
         graft.ops.WebGraph.syntheticRobots(s), agent = "graftbot")
     }),
+    "web_head_meta" -> ((s, dir) => {
+      // head metadata: title / rel=canonical (resolved, self-default) /
+      // meta-robots flags; engine scans real markup variants, oracle
+      // states each variant's outcome in closed form
+      val docs = t(s, dir, "documents")
+      graft.ops.PageMeta.extract(graft.ops.PageMeta.syntheticHeads(docs))
+    }),
     "web_redirects" -> ((s, dir) => {
       // redirect-chain canonicalization: pointer doubling resolves
       // chains of length 0..5 in <= 3 rounds; oracle is an independent
@@ -1058,6 +1065,7 @@ object SparkEntry {
     "web_robots" -> graft.ops.WebGraph.robotsOracleSql,
     "web_crawl_schedule" -> graft.ops.WebGraph.crawlScheduleOracleSql(1000L),
     "web_redirects" -> graft.ops.WebGraph.redirectsOracleSql,
+    "web_head_meta" -> graft.ops.PageMeta.headsOracleSql,
     "web_pagerank" -> graft.ops.WebGraph.pageRankOracleSql(
       graft.ops.WebGraph.syntheticEdgesOracleSql, iterations = 5),
     "web_hostrank" -> graft.ops.WebGraph.pageRankOracleSql(

@@ -100,14 +100,23 @@ object WebGraph {
 
   /** Find the href attribute value inside `[from, to)` (the attribute
     * region of an open tag); null when absent. */
-  private def findHref(html: String, from: Int, to: Int): String = {
+  private def findHref(html: String, from: Int, to: Int): String =
+    attrValue(html, from, to, "href")
+
+  /** Generalized attribute-value scan inside `[from, to)` (an open
+    * tag's attribute region): `name` matched case-insensitively at an
+    * attribute boundary; the value may be double-quoted, single-quoted
+    * or unquoted (terminated by whitespace / region end); null when
+    * the attribute is absent. */
+  private[ops] def attrValue(html: String, from: Int, to: Int,
+                             name: String): String = {
+    val n = name.length
     var i = from
-    while (i + 4 <= to) {
-      // match "href" case-insensitively at a word boundary
-      if ((html.charAt(i) | 0x20) == 'h' && (html.charAt(i + 1) | 0x20) == 'r' &&
-          (html.charAt(i + 2) | 0x20) == 'e' && (html.charAt(i + 3) | 0x20) == 'f' &&
-          (i == from || isAttrBoundary(html.charAt(i - 1)))) {
-        var j = i + 4
+    while (i + n <= to) {
+      var k = 0
+      while (k < n && (html.charAt(i + k) | 0x20) == name.charAt(k)) k += 1
+      if (k == n && (i == from || isAttrBoundary(html.charAt(i - 1)))) {
+        var j = i + n
         while (j < to && isWs(html.charAt(j))) j += 1
         if (j < to && html.charAt(j) == '=') {
           j += 1
@@ -130,7 +139,7 @@ object WebGraph {
     null
   }
 
-  private def isWs(c: Char): Boolean =
+  private[ops] def isWs(c: Char): Boolean =
     c == ' ' || c == '\t' || c == '\n' || c == '\r'
 
   private def isAttrBoundary(c: Char): Boolean = isWs(c)
@@ -152,7 +161,7 @@ object WebGraph {
 
   /** Inner text of `[from, to)`: nested tags dropped, whitespace runs
     * collapsed to one space, trimmed. */
-  private def innerText(html: String, from: Int, to: Int): String = {
+  private[ops] def innerText(html: String, from: Int, to: Int): String = {
     val sb = new java.lang.StringBuilder(to - from)
     var i = from
     var inTag = false
@@ -172,7 +181,7 @@ object WebGraph {
   }
 
   /** Resolve `href` against `base` (scheme://host/path...). */
-  private def resolve(base: String, href: String): String = {
+  private[ops] def resolve(base: String, href: String): String = {
     if (href.contains("://")) return href
     val schemeEnd = base.indexOf("://")
     if (schemeEnd < 0) return href // base not absolute: keep as-is

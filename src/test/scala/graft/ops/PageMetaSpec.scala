@@ -1,0 +1,72 @@
+package graft.ops
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Head-metadata scanner vectors — hand-written markup, hand-computed
+  * expectations (not engine-generated). */
+class PageMetaSpec extends AnyFunSuite {
+
+  private val base = "https://h.example/dir/page.html"
+  private def m(html: String) = PageMeta.headMeta(base, html)
+
+  test("title: first wins, case-insensitive tag, whitespace collapsed") {
+    assert(m("<title>A  B\n C</title>").title == "A B C")
+    assert(m("<TITLE>Up</TITLE><title>second</title>").title == "Up")
+    assert(m("<body>no title</body>").title == "")
+    // <titlex> must not match; unterminated title swallows to EOF
+    assert(m("<titlex>nope</titlex>").title == "")
+    assert(m("<title>open ended").title == "open ended")
+  }
+
+  test("canonical: quote styles, attr order, resolution, self default") {
+    assert(m("""<link rel="canonical" href="https://c.x/p">""").canonical
+      == "https://c.x/p")
+    assert(m("""<link href='https://c.x/q' rel='canonical'>""").canonical
+      == "https://c.x/q")
+    // root-relative and path-relative resolve like anchors
+    assert(m("""<link rel=canonical href=/root>""").canonical
+      == "https://h.example/root")
+    assert(m("""<link rel="canonical" href="sib.html">""").canonical
+      == "https://h.example/dir/sib.html")
+    // non-canonical links skipped; absent → self
+    assert(m("""<link rel="stylesheet" href="/s.css">""").canonical == base)
+    assert(m("<p>x</p>").canonical == base)
+    // first canonical wins
+    assert(m("""<link rel="canonical" href="https://c.x/1">""" +
+      """<link rel="canonical" href="https://c.x/2">""").canonical
+      == "https://c.x/1")
+  }
+
+  test("robots meta: token split, case, OR across metas, decoys ignored") {
+    val r1 = m("""<meta name="robots" content="noindex, follow">""")
+    assert(r1.noindex && !r1.nofollow)
+    val r2 = m("<META NAME=robots CONTENT=NOFOLLOW>")
+    assert(!r2.noindex && r2.nofollow)
+    val r3 = m("<meta name=robots content=noindex,nofollow>")
+    assert(r3.noindex && r3.nofollow)
+    // OR across multiple metas
+    val r4 = m("""<meta name="robots" content="noindex">""" +
+      """<meta name="robots" content="nofollow">""")
+    assert(r4.noindex && r4.nofollow)
+    // decoys: other meta names, <metadata> tag, unrelated tokens
+    val r5 = m("""<meta name="viewport" content="noindex">""" +
+      """<metadata name="robots" content="noindex"></metadata>""" +
+      """<meta name="robots" content="index, follow">""")
+    assert(!r5.noindex && !r5.nofollow)
+  }
+
+  test("syntheticHeads variants round-trip the closed form") {
+    // representative doc ids, one per variant class (hand-resolved)
+    val h0 = PageMeta.headMeta("https://host5.example/doc5",
+      "<head><title>Doc 5</title></head><body>b</body>")
+    assert(h0 == PageMeta.HeadMeta("Doc 5",
+      "https://host5.example/doc5", false, false))
+    // v=2 (doc 7): relative canonical /doc22 resolves on host7
+    val h2 = PageMeta.headMeta("https://host7.example/doc7",
+      "<head><title>Doc   7  x</title><link rel='canonical' " +
+        "href='/doc22'><meta name=\"robots\" " +
+        "content=\"noindex, follow\"></head><body>b</body>")
+    assert(h2 == PageMeta.HeadMeta("Doc 7 x",
+      "https://host7.example/doc22", true, false))
+  }
+}
