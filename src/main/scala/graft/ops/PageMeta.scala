@@ -145,7 +145,7 @@ object PageMeta {
     val head = when(d % 5 === 0,
         concat(lit("<head><title>Doc "), ds, lit("</title></head>")))
       .when(d % 5 === 1,
-        concat(lit("<head><TITLE>Doc "), ds, lit("</TITLE>"),
+        concat(lit("<head><TITLE>Doc &amp;&#32;&#120; "), ds, lit("</TITLE>"),
           lit("<link rel=\"canonical\" href=\""), urlOf(canonTarget),
           lit("\"></head>")))
       .when(d % 5 === 2,
@@ -186,6 +186,7 @@ object PageMeta {
       |SELECT url,
       | CASE WHEN v = 3 THEN ''
       |      WHEN v = 2 THEN 'Doc ' || ds || ' x'
+      |      WHEN v = 1 THEN 'Doc & x ' || ds
       |      ELSE 'Doc ' || ds END AS title,
       | CASE WHEN v = 1 OR v = 3 THEN canon_abs
       |      WHEN v = 2 THEN canon_rel

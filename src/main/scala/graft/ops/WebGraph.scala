@@ -160,24 +160,66 @@ object WebGraph {
   }
 
   /** Inner text of `[from, to)`: nested tags dropped, whitespace runs
-    * collapsed to one space, trimmed. */
+    * collapsed to one space, trimmed, character entities decoded
+    * (named: amp/lt/gt/quot/apos + nbsp-as-whitespace; numeric:
+    * decimal and hex, incl. supplementary planes via surrogate pairs).
+    * A decoded '<' is literal text, never re-parsed as markup; an
+    * unrecognized or unterminated entity stays verbatim (crawl HTML is
+    * full of bare ampersands). */
   private[ops] def innerText(html: String, from: Int, to: Int): String = {
     val sb = new java.lang.StringBuilder(to - from)
     var i = from
     var inTag = false
     var pendingWs = false
+    def emit(s: String): Unit = {
+      if (pendingWs) { sb.append(' '); pendingWs = false }
+      sb.append(s)
+    }
     while (i < to) {
       val c = html.charAt(i)
-      if (inTag) { if (c == '>') inTag = false }
-      else if (c == '<') inTag = true
-      else if (isWs(c)) { if (sb.length > 0) pendingWs = true }
-      else {
-        if (pendingWs) { sb.append(' '); pendingWs = false }
-        sb.append(c)
-      }
-      i += 1
+      if (inTag) { if (c == '>') inTag = false; i += 1 }
+      else if (c == '<') { inTag = true; i += 1 }
+      else if (isWs(c)) { if (sb.length > 0) pendingWs = true; i += 1 }
+      else if (c == '&') {
+        val semi = {
+          var j = i + 1
+          val lim = math.min(to, i + 11)
+          while (j < lim && html.charAt(j) != ';') j += 1
+          if (j < lim && j > i + 1) j else -1
+        }
+        val dec = if (semi < 0) null
+                  else decodeEntity(html.substring(i + 1, semi))
+        if (dec == null) { emit("&"); i += 1 }
+        else {
+          if (dec == " ") { if (sb.length > 0) pendingWs = true }
+          else emit(dec)
+          i = semi + 1
+        }
+      } else { emit(String.valueOf(c)); i += 1 }
     }
     sb.toString
+  }
+
+  /** Decode one entity NAME (no '&'/';'): the five XML-named entities
+    * + nbsp, and numeric forms; null when unrecognized/invalid. */
+  private[ops] def decodeEntity(name: String): String = name match {
+    case "amp"  => "&"
+    case "lt"   => "<"
+    case "gt"   => ">"
+    case "quot" => "\""
+    case "apos" => "'"
+    case "nbsp" => " "
+    case _ if name.length > 1 && name.charAt(0) == '#' =>
+      try {
+        val cp =
+          if (name.charAt(1) == 'x' || name.charAt(1) == 'X')
+            Integer.parseInt(name.substring(2), 16)
+          else Integer.parseInt(name.substring(1), 10)
+        if (cp <= 0 || cp > 0x10ffff ||
+            (cp >= 0xd800 && cp <= 0xdfff)) null
+        else new String(Character.toChars(cp))
+      } catch { case _: NumberFormatException => null }
+    case _ => null
   }
 
   /** Resolve `href` against `base` (scheme://host/path...). */

@@ -55,6 +55,31 @@ class PageMetaSpec extends AnyFunSuite {
     assert(!r5.noindex && !r5.nofollow)
   }
 
+  test("entity decoding: named, numeric, nbsp-as-ws, invalid verbatim") {
+    assert(m("<title>A &amp; B</title>").title == "A & B")
+    assert(m("<title>&lt;tag&gt; &quot;q&quot; &apos;a&apos;</title>").title
+      == "<tag> \"q\" 'a'")
+    assert(m("<title>x&nbsp;&nbsp;y</title>").title == "x y") // nbsp collapses
+    assert(m("<title>&#72;&#105;</title>").title == "Hi")
+    assert(m("<title>&#x48;&#X69;</title>").title == "Hi")
+    assert(m("<title>&#128512;</title>").title
+      == new String(Character.toChars(128512))) // supplementary plane
+    // invalid forms stay verbatim: bare &, unknown name, bad number,
+    // unterminated, surrogate code point
+    assert(m("<title>a & b</title>").title == "a & b")
+    assert(m("<title>&bogus; &#xZZ; &#55296;</title>").title
+      == "&bogus; &#xZZ; &#55296;")
+    assert(m("<title>tail&amp</title>").title == "tail&amp")
+    // decoded '<' is literal text, not markup
+    assert(m("<title>a &lt;b&gt; c</title>").title == "a <b> c")
+  }
+
+  test("anchor text decodes entities too (shared innerText)") {
+    val es = WebGraph.anchors("https://h.example/p",
+      """<a href="https://t.x/1">A &amp;&nbsp;B</a>""")
+    assert(es.map(_.anchor) == Seq("A & B"))
+  }
+
   test("syntheticHeads variants round-trip the closed form") {
     // representative doc ids, one per variant class (hand-resolved)
     val h0 = PageMeta.headMeta("https://host5.example/doc5",
