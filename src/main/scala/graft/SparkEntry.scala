@@ -697,6 +697,26 @@ object SparkEntry {
       graft.ops.WebGraph.resolveRedirects(
         graft.ops.WebGraph.syntheticRedirects(docs))
     }),
+    "web_canonical_map" -> ((s, dir) => {
+      // composed canonicalization: redirect collapse (pointer doubling)
+      // then ONE hop of the terminal page's declared rel=canonical;
+      // oracle is built from the same closed-form CTEs the component
+      // oracles use, so the composition itself is what's checked
+      val docs = t(s, dir, "documents")
+      graft.ops.PageMeta.canonicalMap(
+        graft.ops.PageMeta.extract(graft.ops.PageMeta.syntheticHeads(docs)),
+        graft.ops.WebGraph.syntheticRedirects(docs))
+    }),
+    "web_canonical_clusters" -> ((s, dir) => {
+      // canonical-cluster dedup summary: size, declared-arrival count,
+      // representative = the canonical itself when fetched else min url
+      val docs = t(s, dir, "documents")
+      val meta = graft.ops.PageMeta.extract(
+        graft.ops.PageMeta.syntheticHeads(docs))
+      graft.ops.PageMeta.canonicalClusters(
+        graft.ops.PageMeta.canonicalMap(meta,
+          graft.ops.WebGraph.syntheticRedirects(docs)), meta)
+    }),
     "web_crawl_schedule" -> ((s, dir) => {
       // composed politeness pipeline: robots gate → per-host priority
       // rank → Crawl-delay spacing; oracle restates the allowed cells
@@ -1066,6 +1086,9 @@ object SparkEntry {
     "web_crawl_schedule" -> graft.ops.WebGraph.crawlScheduleOracleSql(1000L),
     "web_redirects" -> graft.ops.WebGraph.redirectsOracleSql,
     "web_head_meta" -> graft.ops.PageMeta.headsOracleSql,
+    "web_canonical_map" -> graft.ops.PageMeta.canonicalMapOracleSql,
+    "web_canonical_clusters" ->
+      graft.ops.PageMeta.canonicalClustersOracleSql,
     "web_pagerank" -> graft.ops.WebGraph.pageRankOracleSql(
       graft.ops.WebGraph.syntheticEdgesOracleSql, iterations = 5),
     "web_hostrank" -> graft.ops.WebGraph.pageRankOracleSql(

@@ -625,11 +625,14 @@ object WebGraph {
       .select(urlOf(d).as("src"), urlOf(d + 1).as("dst"))
   }
 
-  /** DuckDB oracle: recursive walk over the same closed-form redirect
-    * set; per src the deepest step is the terminal (acyclic corpus),
-    * selected via QUALIFY on hops. */
-  def redirectsOracleSql: String =
-    """WITH RECURSIVE r AS (
+  /** Recursive-walk CTE over the same closed-form redirect set; `term`
+    * holds (src, t, hops) with t the terminal url per src (deepest step
+    * of the walk — acyclic corpus). Shared by [[redirectsOracleSql]]
+    * and the composed canonical-consolidation oracle
+    * ([[PageMeta.canonicalMapOracleSql]]); callers must place it under
+    * `WITH RECURSIVE`. */
+  private[ops] val redirectWalkCte: String =
+    """r AS (
       | SELECT
       |  'https://host' || CAST(doc_id % 13 AS VARCHAR) || '.example/doc'
       |    || CAST(doc_id AS VARCHAR) AS src,
@@ -639,11 +642,21 @@ object WebGraph {
       |walk(src, cur, hops) AS (
       | SELECT src, dst, 1 FROM r
       | UNION ALL
-      | SELECT w.src, r.dst, w.hops + 1 FROM walk w JOIN r ON w.cur = r.src)
-      |SELECT src, cur AS final_dst, CAST(hops AS BIGINT) AS hops,
-      |       false AS is_cycle
-      |FROM walk
-      |QUALIFY row_number() OVER (PARTITION BY src ORDER BY hops DESC) = 1""".stripMargin
+      | SELECT w.src, r.dst, w.hops + 1 FROM walk w JOIN r ON w.cur = r.src),
+      |term AS (
+      | SELECT src, cur AS t, hops FROM walk
+      | QUALIFY row_number() OVER (PARTITION BY src ORDER BY hops DESC) = 1)""".stripMargin
+
+  /** DuckDB oracle: recursive walk over the same closed-form redirect
+    * set; per src the deepest step is the terminal (acyclic corpus),
+    * selected via QUALIFY on hops. */
+  def redirectsOracleSql: String =
+    // concatenation, NOT s"...".stripMargin: the interpolated CTE's own
+    // lines contain leading `||` SQL concats that stripMargin would eat
+    "WITH RECURSIVE " + redirectWalkCte + "\n" +
+      """SELECT src, t AS final_dst, CAST(hops AS BIGINT) AS hops,
+        |       false AS is_cycle
+        |FROM term""".stripMargin
 
   // ------------------------------------------------------------------
   // Incoming anchor-text profile (web-search relevance signal)

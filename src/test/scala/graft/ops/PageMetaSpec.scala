@@ -95,3 +95,82 @@ class PageMetaSpec extends AnyFunSuite {
       "https://host7.example/doc22", true, false))
   }
 }
+
+/** Canonical consolidation over hand-built tables — hand-computed
+  * expectations for every branch: redirect-chain collapse, declared
+  * canonical applied at the TERMINAL (one hop only), out-of-corpus
+  * terminal, redirect loop, and the cluster-representative rule. */
+class CanonicalMapSpec extends org.scalatest.funsuite.AnyFunSuite
+    with org.scalatest.BeforeAndAfterAll {
+  import org.apache.spark.sql.SparkSession
+
+  private var spark: SparkSession = _
+
+  override def beforeAll(): Unit = {
+    spark = SparkSession.builder()
+      .master("local[4]")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+  }
+  override def afterAll(): Unit = if (spark != null) spark.stop()
+
+  // pages: a→b→c chain; c declares canonical k; k self-canonical;
+  // d declares canonical m (m not fetched); e redirects OUT of corpus;
+  // f↔g redirect loop (f even declares a canonical — must be IGNORED,
+  // loops have no trustworthy canonical); h plain self-canonical page.
+  private def meta() = {
+    val s = spark; import s.implicits._
+    Seq(
+      ("u:a", "u:a"), ("u:b", "u:b"), ("u:c", "u:k"), ("u:k", "u:k"),
+      ("u:d", "u:m"), ("u:e", "u:e"), ("u:f", "u:z"), ("u:g", "u:g"),
+      ("u:h", "u:h")
+    ).toDF("url", "canonical")
+  }
+  private def redirects() = {
+    val s = spark; import s.implicits._
+    Seq(("u:a", "u:b"), ("u:b", "u:c"), ("u:e", "u:out"),
+      ("u:f", "u:g"), ("u:g", "u:f")).toDF("src", "dst")
+  }
+
+  test("canonicalMap: chain collapse + one-hop declared canonical") {
+    val rows = PageMeta.canonicalMap(meta(), redirects())
+      .collect().map(r => (r.getString(0),
+        (r.getString(1), r.getLong(2), r.getBoolean(3), r.getBoolean(4))))
+      .toMap
+    assert(rows("u:a") == (("u:k", 2L, true, false)))  // a→b→c, c declares k
+    assert(rows("u:b") == (("u:k", 1L, true, false)))
+    assert(rows("u:c") == (("u:k", 0L, true, false)))  // no redirect, declared
+    assert(rows("u:k") == (("u:k", 0L, false, false))) // self-canonical
+    // d declares m; m has NO meta row but declaration still applies
+    // (declared = terminal page exists and declares something else)
+    assert(rows("u:d") == (("u:m", 0L, true, false)))
+    // e's terminal u:out is unfetched → canonical = terminal, not declared
+    assert(rows("u:e") == (("u:out", 1L, false, false)))
+    // loop members keep themselves, flagged — even u:f's own declared
+    // canonical (u:z) is ignored on a loop
+    assert(rows("u:f") == (("u:f", 0L, false, true)))
+    assert(rows("u:g") == (("u:g", 0L, false, true)))
+    assert(rows("u:h") == (("u:h", 0L, false, false)))
+    assert(rows.size == 9)
+  }
+
+  test("canonicalClusters: size, declared count, representative rule") {
+    val mm = meta()
+    val cl = PageMeta.canonicalClusters(
+      PageMeta.canonicalMap(mm, redirects()), mm)
+      .collect().map(r => (r.getString(0),
+        (r.getString(1), r.getLong(2), r.getLong(3)))).toMap
+    // k's cluster: a,b,c,k — rep is k itself (fetched), 3 declared
+    assert(cl("u:k") == (("u:k", 4L, 3L)))
+    // m unfetched → rep falls back to min member (u:d)
+    assert(cl("u:m") == (("u:d", 1L, 1L)))
+    // out unfetched → rep u:e
+    assert(cl("u:out") == (("u:e", 1L, 0L)))
+    assert(cl("u:f") == (("u:f", 1L, 0L)))
+    assert(cl("u:g") == (("u:g", 1L, 0L)))
+    assert(cl("u:h") == (("u:h", 1L, 0L)))
+    assert(cl.size == 6)
+  }
+}
