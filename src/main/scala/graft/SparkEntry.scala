@@ -656,6 +656,35 @@ object SparkEntry {
           graft.ops.WebGraph.syntheticWeb(docs, docs.count())),
         iterations = 5)
     }),
+    "web_bm25" -> ((s, dir) => {
+      // inverted-index ranked retrieval: self-retrieval workload
+      // (first-4-distinct-token queries from docs 0..4), BM25 scoring
+      // with the rational odds-ratio idf — all-IEEE +,-,*,/ in a
+      // documented step order + term-ordered fold, so the DuckDB
+      // first-principles replica hash-matches the doubles exactly
+      val docs = t(s, dir, "documents")
+      graft.ops.Search.bm25TopK(docs,
+        graft.ops.Search.syntheticQueries(docs, nQueries = 5),
+        nDocs = docs.count(), k = 10)
+    }),
+    "web_host_profile" -> ((s, dir) => {
+      // domain-level reputation rollup (C4/RefinedWeb-style host gate):
+      // exact integer signals + one IEEE division; flags bind both ways
+      // on the host-differentiated synthetic corpus (thin host 3,
+      // parked host 7)
+      graft.ops.HostProfile.hostProfile(
+        graft.ops.HostProfile.syntheticHostPages(t(s, dir, "documents")))
+    }),
+    "web_hits" -> ((s, dir) => {
+      // Kleinberg hubs/authorities over the same parsed edge set —
+      // integer L1-renormalized fixed point, oracle unrolls the
+      // identical update order over the closed-form edges
+      val docs = t(s, dir, "documents")
+      graft.ops.WebGraph.hitsInt(
+        graft.ops.WebGraph.extractAnchors(
+          graft.ops.WebGraph.syntheticWeb(docs, docs.count())),
+        iterations = 5)
+    }),
     "web_url_normalize" -> ((s, dir) => {
       // crawl-frontier canonicalization: engine runs the real RFC-3986
       // normalizer over deterministic messy variants; oracle states
@@ -1091,6 +1120,10 @@ object SparkEntry {
       graft.ops.PageMeta.canonicalClustersOracleSql,
     "web_pagerank" -> graft.ops.WebGraph.pageRankOracleSql(
       graft.ops.WebGraph.syntheticEdgesOracleSql, iterations = 5),
+    "web_hits" -> graft.ops.WebGraph.hitsOracleSql(
+      graft.ops.WebGraph.syntheticEdgesOracleSql, iterations = 5),
+    "web_host_profile" -> graft.ops.HostProfile.hostProfileOracleSql,
+    "web_bm25" -> graft.ops.Search.bm25OracleSql(nQueries = 5, k = 10),
     "web_hostrank" -> graft.ops.WebGraph.pageRankOracleSql(
       """SELECT regexp_extract(src, '^https://([^/]+)', 1) AS src,
         |       regexp_extract(dst, '^https://([^/]+)', 1) AS dst

@@ -491,6 +491,120 @@ object WebGraph {
   }
 
   // ------------------------------------------------------------------
+  // HITS hubs/authorities (Kleinberg) — integer fixed point
+  // ------------------------------------------------------------------
+
+  /** Integer HITS (Kleinberg hubs-and-authorities) over the (src, dst)
+    * edge table — the classic complement to PageRank for web-search
+    * link analysis: a good HUB links to good authorities, a good
+    * AUTHORITY is linked from good hubs.
+    *
+    * Semantics (fixed-point, replicated bit-exactly by
+    * [[hitsOracleSql]]):
+    *  - self-loops dropped, multi-edges collapsed (DISTINCT); node set
+    *    = union of srcs and dsts;
+    *  - scores are Long micro-units; init a0 = h0 = scale div n;
+    *  - iteration i: h_raw(u) = Σ_{(u,v)∈E} a_{i−1}(v), then L1
+    *    renormalize h_i = h_raw * scale div Σ h_raw; a_raw(v) =
+    *    Σ_{(u,v)∈E} h_i(u) (the FRESH hubs — standard alternating
+    *    update), then a_i = a_raw * scale div Σ a_raw;
+    *  - nodes with no out-edges get hub 0, no in-edges get auth 0
+    *    (left join, coalesce). The L1 norm replaces the textbook L2
+    *    (irrational) so the fixed point stays in exact integer
+    *    arithmetic — relative ranking is what HITS is for.
+    *
+    * Truncating integer division and commutative Long sums make the
+    * result independent of partitioning and visit order. Overflow
+    * guard: pre-norm values are ≤ d_max·scale and the renorm multiply
+    * is (d_max·scale)·scale, so `scale` must satisfy
+    * d_max·scale² < Long.MaxValue — the default 1e8 is safe to
+    * in/out-degrees of ~900 at web scale; the require below enforces
+    * the caller's stated bound.
+    *
+    * Shape per iteration (same as [[pageRankInt]]): two equi-joins
+    * edges⋈scores and two partial-aggregated shuffles, plus a 1-row
+    * broadcast for each L1 sum; lineage truncated per round via
+    * localCheckpoint. */
+  def hitsInt(edges: DataFrame, iterations: Int,
+              scale: Long = 100000000L, maxDegree: Long = 900L): DataFrame = {
+    require(iterations >= 1, "iterations must be >= 1")
+    require(scale > 0 && maxDegree > 0 &&
+      scale <= Long.MaxValue / scale / maxDegree,
+      "scale must keep maxDegree*scale^2 within Long")
+    val e = distinctEdges(edges).localCheckpoint(true)
+    val nodes = e.select(col("src").as("url"))
+      .union(e.select(col("dst").as("url"))).distinct()
+      .localCheckpoint(true)
+    val n = nodes.count()
+    val init = scale / n
+    var scores = nodes.select(col("url"), lit(init).as("hub"),
+      lit(init).as("auth"))
+    var i = 0
+    while (i < iterations) {
+      val hRaw = e.join(
+        scores.select(col("url").as("dst"), col("auth")), Seq("dst"))
+        .groupBy(col("src").as("url")).agg(sum(col("auth")).as("raw"))
+      val h = renormL1(nodes, hRaw, scale).withColumnRenamed("s", "hub")
+        .localCheckpoint(true)
+      val aRaw = e.join(
+        h.select(col("url").as("src"), col("hub")), Seq("src"))
+        .groupBy(col("dst").as("url")).agg(sum(col("hub")).as("raw"))
+      val a = renormL1(nodes, aRaw, scale).withColumnRenamed("s", "auth")
+      scores = h.join(a, Seq("url")).localCheckpoint(true)
+      i += 1
+    }
+    scores.select(col("url"), col("hub"), col("auth"))
+  }
+
+  /** L1-renormalize a sparse (url, raw) score table onto the full node
+    * set: s = raw * scale div Σ raw (0 when the table is empty). The
+    * Σ is a 1-row aggregate cross-joined in — a broadcast, never a
+    * shuffle of the node table. */
+  private def renormL1(nodes: DataFrame, raw: DataFrame,
+                       scale: Long): DataFrame = {
+    val tot = raw.agg(sum(col("raw")).as("tot"))
+    nodes.join(raw, Seq("url"), "left").crossJoin(broadcast(tot))
+      .select(col("url"),
+        when(col("tot").isNull || col("tot") === 0L, lit(0L))
+          .otherwise(expr(s"(coalesce(raw, 0L) * ${scale}L) div tot"))
+          .as("s"))
+  }
+
+  /** DuckDB replica of [[hitsInt]] as flat unrolled CTE stages —
+    * scalar-subquery L1 sums, `//` truncating division, identical
+    * update order. */
+  def hitsOracleSql(edgesSql: String, iterations: Int,
+                    scale: Long = 100000000L): String = {
+    val head =
+      s"""WITH raw_e AS MATERIALIZED (%EDGES%),
+         |e AS MATERIALIZED (SELECT DISTINCT src, dst FROM raw_e WHERE src <> dst),
+         |nodes AS MATERIALIZED (SELECT src AS url FROM e UNION SELECT dst FROM e),
+         |nn AS MATERIALIZED (SELECT CAST(count(*) AS BIGINT) AS n FROM nodes),
+         |s0 AS MATERIALIZED (SELECT url,
+         |   (SELECT CAST($scale // n AS BIGINT) FROM nn) AS hub,
+         |   (SELECT CAST($scale // n AS BIGINT) FROM nn) AS auth
+         |  FROM nodes)""".stripMargin.replace("%EDGES%", edgesSql)
+    val iters = (1 to iterations).map { i =>
+      s"""hr$i AS MATERIALIZED (SELECT e.src AS url, CAST(sum(s.auth) AS BIGINT) AS raw
+         | FROM e JOIN s${i - 1} s ON e.dst = s.url GROUP BY e.src),
+         |h$i AS MATERIALIZED (SELECT nodes.url,
+         |  CASE WHEN (SELECT coalesce(sum(raw), 0) FROM hr$i) = 0 THEN 0
+         |   ELSE CAST(coalesce(hr$i.raw, 0) * $scale
+         |     // (SELECT sum(raw) FROM hr$i) AS BIGINT) END AS hub
+         | FROM nodes LEFT JOIN hr$i ON nodes.url = hr$i.url),
+         |ar$i AS MATERIALIZED (SELECT e.dst AS url, CAST(sum(h.hub) AS BIGINT) AS raw
+         | FROM e JOIN h$i h ON e.src = h.url GROUP BY e.dst),
+         |s$i AS MATERIALIZED (SELECT h$i.url, h$i.hub,
+         |  CASE WHEN (SELECT coalesce(sum(raw), 0) FROM ar$i) = 0 THEN 0
+         |   ELSE CAST(coalesce(ar$i.raw, 0) * $scale
+         |     // (SELECT sum(raw) FROM ar$i) AS BIGINT) END AS auth
+         | FROM h$i LEFT JOIN ar$i ON h$i.url = ar$i.url)""".stripMargin
+    }
+    (head +: iters).mkString(",\n") +
+      s"\nSELECT url, hub, auth FROM s$iterations"
+  }
+
+  // ------------------------------------------------------------------
   // Deterministic synthetic web (driver corpus; no external data)
   // ------------------------------------------------------------------
 

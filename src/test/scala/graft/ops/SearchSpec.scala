@@ -1,0 +1,128 @@
+package graft.ops
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.BeforeAndAfterAll
+import org.scalatest.funsuite.AnyFunSuite
+
+/** BM25 retrieval — expected scores computed INDEPENDENTLY in plain
+  * Scala doubles following the documented step order (r1..r4, idf,
+  * term-ordered fold), so the column-expression engine is checked
+  * bit-for-bit against a second implementation; plus exact-value spot
+  * checks where the arithmetic is clean, rank/tie determinism, and
+  * partitioning invariance. */
+class SearchSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  private var spark: SparkSession = _
+
+  override def beforeAll(): Unit = {
+    spark = SparkSession.builder()
+      .master("local[4]")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+  }
+  override def afterAll(): Unit = if (spark != null) spark.stop()
+
+  // the documented step order, in plain doubles
+  private def score(tf: Long, dl: Long, df: Long, n: Long,
+                    avgdl: Double): Double = {
+    val r1 = dl.toDouble / avgdl
+    val r2 = 0.25 + 0.75 * r1
+    val r3 = tf.toDouble + 1.5 * r2
+    val r4 = (tf.toDouble * 2.5) / r3
+    val idf = ((n.toDouble - df.toDouble) + 0.5) / (df.toDouble + 0.5)
+    idf * r4
+  }
+
+  private def corpus() = {
+    val s = spark; import s.implicits._
+    Seq(
+      (1L, "apple banana apple"),
+      (2L, "apple cherry"),
+      (3L, "banana banana banana cherry")
+    ).toDF("doc_id", "text")
+  }
+
+  test("postings: per (term, doc) term frequency") {
+    val p = Search.postings(corpus()).collect()
+      .map(r => ((r.getString(0), r.getLong(1)), r.getLong(2))).toMap
+    assert(p == Map(
+      ("apple", 1L) -> 2L, ("banana", 1L) -> 1L,
+      ("apple", 2L) -> 1L, ("cherry", 2L) -> 1L,
+      ("banana", 3L) -> 3L, ("cherry", 3L) -> 1L))
+  }
+
+  test("bm25TopK matches the independent double-precision replica") {
+    val s = spark; import s.implicits._
+    val queries = Seq((0L, "apple"), (0L, "banana"), (1L, "cherry"))
+      .toDF("query_id", "term")
+    // N = 3, dl = (3, 2, 4), avgdl = 3.0, df = 2 for every term
+    val avgdl = 9.0 / 3.0
+    val exp = Map(
+      (0L, 1L) -> (score(2, 3, 2, 3, avgdl) + score(1, 3, 2, 3, avgdl)),
+      (0L, 2L) -> score(1, 2, 2, 3, avgdl),
+      (0L, 3L) -> score(3, 4, 2, 3, avgdl),
+      (1L, 2L) -> score(1, 2, 2, 3, avgdl),
+      (1L, 3L) -> score(1, 4, 2, 3, avgdl))
+    val got = Search.bm25TopK(corpus(), queries, nDocs = 3L, k = 10)
+      .collect()
+      .map(r => ((r.getLong(0), r.getLong(1)),
+        (r.getDouble(2), r.getLong(3), r.getLong(4)))).toMap
+    assert(got.keySet == exp.keySet)
+    for ((key, expScore) <- exp)
+      assert(got(key)._1 == expScore, s"score mismatch at $key")
+    // exact spot check: idf = 1.5/2.5 = 0.6 exact; doc1/banana tf=1,
+    // dl=3 -> r1=1, r2=1, r3=2.5, r4=1.0 -> s=0.6 exact; doc1/apple
+    // tf=2 -> r3=3.5, r4=5.0/3.5; fold order apple then banana
+    assert(got((0L, 1L))._1 == 0.6 * (5.0 / 3.5) + 0.6)
+    // n_hits: doc1 matched both query-0 terms
+    assert(got((0L, 1L))._2 == 2L)
+    assert(got((0L, 2L))._2 == 1L)
+    // ranks for query 0: doc1 (1.457..) > doc3 (0.92..) > doc2 (0.70..)
+    assert(got((0L, 1L))._3 == 1L)
+    assert(got((0L, 3L))._3 == 2L)
+    assert(got((0L, 2L))._3 == 3L)
+    // query 1: equal tf/df, shorter doc wins; tie-break never needed
+    assert(got((1L, 2L))._3 == 1L)
+    assert(got((1L, 3L))._3 == 2L)
+  }
+
+  test("bm25TopK: k truncates; equal scores tie-break by doc_id") {
+    val s = spark; import s.implicits._
+    // two docs with IDENTICAL stats -> bit-equal scores -> doc_id order
+    val docs = Seq((5L, "kiwi mango"), (4L, "kiwi mango"),
+      (6L, "kiwi kiwi kiwi")).toDF("doc_id", "text")
+    val q = Seq((9L, "kiwi")).toDF("query_id", "term")
+    val top = Search.bm25TopK(docs, q, nDocs = 3L, k = 2).collect()
+      .map(r => (r.getLong(1), r.getLong(4))).sortBy(_._2)
+    assert(top.length == 2)
+    // doc6 (tf=3) ranks 1; of the tied pair only doc 4 survives k=2
+    assert(top(0) == ((6L, 1L)))
+    assert(top(1) == ((4L, 2L)))
+  }
+
+  test("bm25TopK is bit-identical across partitioning") {
+    val s = spark; import s.implicits._
+    val docs = (0L until 60L).map(i =>
+      (i, s"w${i % 7} w${(i * 3) % 11} w${(i * 5) % 11} common"))
+      .toDF("doc_id", "text")
+    val q = Seq((0L, "w3"), (0L, "common"), (1L, "w5")).toDF("query_id", "term")
+    def run(parts: Int) =
+      Search.bm25TopK(docs.repartition(parts), q, nDocs = 60L, k = 7)
+        .collect()
+        .map(r => ((r.getLong(0), r.getLong(1)),
+          (r.getDouble(2), r.getLong(3), r.getLong(4)))).toMap
+    assert(run(1) == run(13))
+  }
+
+  test("syntheticQueries: first 4 distinct tokens, first-occurrence order") {
+    val s = spark; import s.implicits._
+    val docs = Seq((0L, "b a b c a d e"), (1L, "x y"), (7L, "zzz"))
+      .toDF("doc_id", "text")
+    val q = Search.syntheticQueries(docs, nQueries = 5).collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    assert(q.toSeq.sorted == Seq((0L, "a"), (0L, "b"), (0L, "c"),
+      (0L, "d"), (1L, "x"), (1L, "y")))
+  }
+}

@@ -147,6 +147,46 @@ class WebGraphSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(r2 == Map("A" -> 212914L, "B" -> 191665L, "C" -> 191665L))
   }
 
+  test("hitsInt matches hand-computed integer fixed point") {
+    // A -> B, A -> C, B -> C, D -> C. scale = 1000, n = 4, init = 250.
+    // iter1: h_raw = (A 500, B 250, D 250), sum 1000
+    //        h1    = (A 500, B 250, D 250, C 0)
+    //        a_raw = (B 500, C 500+250+250 = 1000), sum 1500
+    //        a1    = (B 500000//1500 = 333, C 1000000//1500 = 666)
+    // iter2: h_raw = (A 333+666 = 999, B 666, D 666), sum 2331
+    //        h2    = (A 999000//2331 = 428, B 285, D 285)
+    //        a_raw = (B 428, C 428+285+285 = 998), sum 1426
+    //        a2    = (B 428000//1426 = 300, C 998000//1426 = 699)
+    val e = edgeDf(Seq(("A", "B"), ("A", "C"), ("B", "C"), ("D", "C")))
+    val r1 = WebGraph.hitsInt(e, iterations = 1, scale = 1000L)
+      .collect().map(r => (r.getString(0), (r.getLong(1), r.getLong(2))))
+      .toMap
+    assert(r1 == Map("A" -> ((500L, 0L)), "B" -> ((250L, 333L)),
+      "C" -> ((0L, 666L)), "D" -> ((250L, 0L))))
+    val r2 = WebGraph.hitsInt(e, iterations = 2, scale = 1000L)
+      .collect().map(r => (r.getString(0), (r.getLong(1), r.getLong(2))))
+      .toMap
+    assert(r2 == Map("A" -> ((428L, 0L)), "B" -> ((285L, 300L)),
+      "C" -> ((0L, 699L)), "D" -> ((285L, 0L))))
+  }
+
+  test("hitsInt is bit-identical across partitioning/parallelism") {
+    val rows = (0 until 200).flatMap { i =>
+      Seq((s"n${i % 37}", s"n${(i * 7 + 3) % 37}"),
+        (s"n${i % 37}", s"n${(i * 11 + 5) % 37}"))
+    }
+    val a = WebGraph.hitsInt(edgeDf(rows).repartition(1), 4)
+      .collect().map(r => (r.getString(0), (r.getLong(1), r.getLong(2))))
+      .toMap
+    val b = WebGraph.hitsInt(edgeDf(rows).repartition(16), 4)
+      .collect().map(r => (r.getString(0), (r.getLong(1), r.getLong(2))))
+      .toMap
+    assert(a == b)
+    // L1 renorm sanity: each score family totals at most `scale`
+    assert(a.values.map(_._1).sum <= 100000000L)
+    assert(a.values.map(_._2).sum <= 100000000L)
+  }
+
   test("pageRankInt is bit-identical across partitioning/parallelism") {
     val rows = (0 until 200).flatMap { i =>
       Seq((s"n${i % 37}", s"n${(i * 7 + 3) % 37}"),
