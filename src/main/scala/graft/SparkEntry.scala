@@ -656,6 +656,14 @@ object SparkEntry {
           graft.ops.WebGraph.syntheticWeb(docs, docs.count())),
         iterations = 5)
     }),
+    "dedup_ngram_spans" -> ((s, dir) => {
+      // Lee-et-al-style exact-substring dedup at 15-token windows:
+      // per-doc duplicated-window starts, union-of-intervals token
+      // count, and merged span count — engine keys windows by xxhash64
+      // fingerprint, the oracle by the gram string (equal absent
+      // 64-bit collisions; G < 1e6 here)
+      graft.ops.Dedup.duplicateSpans(t(s, dir, "documents"), w = 15)
+    }),
     "web_bm25" -> ((s, dir) => {
       // inverted-index ranked retrieval: self-retrieval workload
       // (first-4-distinct-token queries from docs 0..4), BM25 scoring
@@ -1124,6 +1132,7 @@ object SparkEntry {
       graft.ops.WebGraph.syntheticEdgesOracleSql, iterations = 5),
     "web_host_profile" -> graft.ops.HostProfile.hostProfileOracleSql,
     "web_bm25" -> graft.ops.Search.bm25OracleSql(nQueries = 5, k = 10),
+    "dedup_ngram_spans" -> graft.ops.Dedup.duplicateSpansOracleSql(w = 15),
     "web_hostrank" -> graft.ops.WebGraph.pageRankOracleSql(
       """SELECT regexp_extract(src, '^https://([^/]+)', 1) AS src,
         |       regexp_extract(dst, '^https://([^/]+)', 1) AS dst

@@ -629,4 +629,97 @@ object Dedup {
        | CAST(count(*) AS BIGINT) AS n_lines,
        | CAST(sum(CASE WHEN is_b THEN 1 ELSE 0 END) AS BIGINT) AS n_dropped
        |FROM f GROUP BY doc_id""".stripMargin
+
+  // ------------------------------------------------------------------
+  // Span-level exact-substring dedup (Lee et al. 2021 style)
+  // ------------------------------------------------------------------
+
+  /** Per-document duplicated-span summary at token-w-gram granularity —
+    * the span-level complement to the doc-level dedup family: a w-token
+    * window is DUPLICATED when the identical token sequence occurs
+    * anywhere else in the corpus (another doc, or a second time in the
+    * same doc — self-repetition is memorizable too). This is the
+    * "exact substring" dedup of Lee et al., Deduplicating Training Data
+    * Makes Language Models Better (2021), at fixed window width rather
+    * than via a suffix array — the standard distributed realization.
+    *
+    * Output, one row per document that has at least one duplicated
+    * window: `n_dup_grams` (duplicated window starts), `dup_tokens`
+    * (size of the UNION of the [pos, pos+w) intervals — equal-width
+    * intervals make this closed-form: the first window contributes w,
+    * each next sorted start contributes min(w, gap)), `n_spans`
+    * (maximal merged runs; adjacent windows — gap exactly w — merge,
+    * since their token ranges are contiguous).
+    *
+    * Windows are keyed by xxhash64 of the space-joined tokens (tokens
+    * never contain whitespace, so the join is injective): at corpus
+    * scale the shuffle moves 8-byte fingerprints, never w-token
+    * strings. A 64-bit fingerprint collides with probability ~G²/2⁶⁴
+    * for G distinct grams — for the oracle's corpus G < 10⁶, so the
+    * string-keyed DuckDB replica is exact in practice; at 10¹² docs
+    * you'd accept the ~10⁻⁴ per-pair false-merge or widen to 128-bit.
+    *
+    * Scale shape: one explode inside codegen (rows = token count, the
+    * irreducible unit of this op), ONE exchange on the fingerprint for
+    * the occurrence-census window, then ONE exchange on doc_id that
+    * the lag-window and the final aggregate share — two shuffles
+    * total, each moving (doc_id, pos, 8-byte fingerprint) triples. */
+  def duplicateSpans(docs: DataFrame, w: Int = 15): DataFrame = {
+    require(w >= 2, "window width must be >= 2")
+    val grams = docs
+      .select(col("doc_id"), TextAnalysis.tokens(col("text")).as("ts"))
+      .filter(size(col("ts")) >= w)
+      .select(col("doc_id"), explode(transform(
+        sequence(lit(0), size(col("ts")) - w),
+        i => struct(i.as("pos"),
+          xxhash64(concat_ws(" ", slice(col("ts"), i + 1, lit(w))))
+            .as("g"))))
+        .as("pg"))
+      .select(col("doc_id"), col("pg.pos").as("pos"), col("pg.g").as("g"))
+    // occurrence census as a window count over the fingerprint — ONE
+    // exchange and one pass, where a groupBy+join-back formulation
+    // would re-explode the corpus for each side (the oracle keeps the
+    // HAVING/join formulation: a cross-formulation check)
+    val dupPos = grams
+      .withColumn("n", count(lit(1)).over(Window.partitionBy(col("g"))))
+      .filter(col("n") > 1)
+    val byDoc = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+    dupPos
+      .withColumn("gap", col("pos") - lag(col("pos"), 1).over(byDoc))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_dup_grams"),
+        sum(when(col("gap").isNull, lit(w))
+          .otherwise(least(lit(w), col("gap"))).cast("long"))
+          .as("dup_tokens"),
+        sum(when(col("gap").isNull || col("gap") > w, 1L).otherwise(0L))
+          .as("n_spans"))
+  }
+
+  /** First-principles DuckDB replica of [[duplicateSpans]] over the
+    * raw `documents` table — windows keyed by the gram STRING (see the
+    * fingerprint note above), same lag/least interval math. */
+  def duplicateSpansOracleSql(w: Int = 15): String =
+    s"""WITH toks AS (
+       | SELECT doc_id,
+       |  list_filter(string_split_regex(lower(text), '[\\s\\x0b]+'),
+       |    x -> len(x) > 0) AS ts
+       | FROM documents),
+       |g AS (
+       | SELECT doc_id, i AS pos,
+       |  array_to_string(list_slice(ts, i + 1, i + $w), ' ') AS gram
+       | FROM toks, unnest(range(0, len(ts) - $w + 1)) AS t(i)
+       | WHERE len(ts) >= $w),
+       |dup AS (SELECT gram FROM g GROUP BY gram HAVING count(*) > 1),
+       |p AS (
+       | SELECT g.doc_id, g.pos,
+       |  g.pos - lag(g.pos) OVER (PARTITION BY g.doc_id ORDER BY g.pos)
+       |    AS gap
+       | FROM g JOIN dup USING (gram))
+       |SELECT doc_id,
+       | CAST(count(*) AS BIGINT) AS n_dup_grams,
+       | CAST(sum(CASE WHEN gap IS NULL THEN $w
+       |               ELSE least($w, gap) END) AS BIGINT) AS dup_tokens,
+       | CAST(sum(CASE WHEN gap IS NULL OR gap > $w THEN 1
+       |               ELSE 0 END) AS BIGINT) AS n_spans
+       |FROM p GROUP BY doc_id""".stripMargin
 }
