@@ -659,11 +659,12 @@ object Dedup {
     * string-keyed DuckDB replica is exact in practice; at 10¹² docs
     * you'd accept the ~10⁻⁴ per-pair false-merge or widen to 128-bit.
     *
-    * Scale shape: one explode inside codegen (rows = token count, the
-    * irreducible unit of this op), ONE exchange on the fingerprint for
-    * the occurrence-census window, then ONE exchange on doc_id that
-    * the lag-window and the final aggregate share — two shuffles
-    * total, each moving (doc_id, pos, 8-byte fingerprint) triples. */
+    * Scale shape: explodes inside codegen (rows = token count, the
+    * irreducible unit of this op); the census is a partial-aggregated
+    * groupBy on the fingerprint (hot boilerplate grams collapse
+    * map-side); the dup filter joins back on the fingerprint (skew-
+    * splittable equi-join — see the inline note); then ONE exchange on
+    * doc_id that the lag-window and the final aggregate share. */
   def duplicateSpans(docs: DataFrame, w: Int = 15): DataFrame = {
     require(w >= 2, "window width must be >= 2")
     val grams = docs
@@ -676,13 +677,19 @@ object Dedup {
             .as("g"))))
         .as("pg"))
       .select(col("doc_id"), col("pg.pos").as("pos"), col("pg.g").as("g"))
-    // occurrence census as a window count over the fingerprint — ONE
-    // exchange and one pass, where a groupBy+join-back formulation
-    // would re-explode the corpus for each side (the oracle keeps the
-    // HAVING/join formulation: a cross-formulation check)
-    val dupPos = grams
-      .withColumn("n", count(lit(1)).over(Window.partitionBy(col("g"))))
-      .filter(col("n") > 1)
+    // Occurrence census via groupBy + join-back, NOT a window count:
+    // a universal boilerplate gram ("click here to subscribe …" in
+    // every page) is a guaranteed hot key at corpus scale, and a
+    // window over g would pin ALL its occurrences into one reducer
+    // with no remedy (AQE cannot split window partitions). The
+    // groupBy's partial aggregation collapses the hot gram to one row
+    // per map task before the shuffle, and the join-back is a plain
+    // equi-join AQE's skew-join splitting can cut. The gram explode is
+    // recomputed for each side — at 10^12 docs recompute IS the plan
+    // (persisting the exploded corpus is not).
+    val dupG = grams.groupBy(col("g")).agg(count(lit(1)).as("n"))
+      .filter(col("n") > 1).select(col("g"))
+    val dupPos = grams.join(dupG, Seq("g"))
     val byDoc = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
     dupPos
       .withColumn("gap", col("pos") - lag(col("pos"), 1).over(byDoc))

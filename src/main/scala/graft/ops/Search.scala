@@ -68,6 +68,8 @@ object Search {
     * per-query exchange. */
   def bm25TopK(docs: DataFrame, queries: DataFrame, nDocs: Long,
                k: Int = 10): DataFrame = {
+    require(nDocs > 0, "bm25TopK: nDocs must be positive")
+    require(k >= 1, "bm25TopK: k must be >= 1")
     val post = postings(docs)
     val dl = docs.select(col("doc_id"),
       size(TextAnalysis.tokens(col("text"))).cast("long").as("dl"))
@@ -77,8 +79,10 @@ object Search {
     // restrict df to the query vocabulary FIRST (broadcast the tiny
     // query table into the df aggregate), so the full term dictionary
     // never shuffles against the postings
+    // distinct guards against duplicate (query_id, term) rows, which
+    // would otherwise double-count that term's partial score
     val qdf = df.join(broadcast(queries.select(col("query_id"),
-      col("term"))), Seq("term"))
+      col("term")).distinct()), Seq("term"))
     val matched = post.join(broadcast(qdf), Seq("term"))
       .join(dl, Seq("doc_id"))
       .crossJoin(broadcast(sumDl))

@@ -536,6 +536,7 @@ object WebGraph {
       .union(e.select(col("dst").as("url"))).distinct()
       .localCheckpoint(true)
     val n = nodes.count()
+    require(n > 0, "hitsInt: empty edge set (no nodes to score)")
     val init = scale / n
     var scores = nodes.select(col("url"), lit(init).as("hub"),
       lit(init).as("auth"))
