@@ -770,6 +770,18 @@ object SparkEntry {
         graft.ops.WebGraph.robotsDelays(robots, "graftbot"),
         defaultDelayMs = 1000L)
     }),
+    "web_trustrank" -> ((s, dir) => {
+      // seeded PageRank (TrustRank family): teleport mass restricted
+      // to the seed set (docs ≡ 0 mod 17) — the spam-demotion
+      // complement to web_pagerank; same bit-exact integer recursion,
+      // oracle replays it with the closed-form seed set
+      val docs = t(s, dir, "documents")
+      graft.ops.WebGraph.pageRankSeeded(
+        graft.ops.WebGraph.extractAnchors(
+          graft.ops.WebGraph.syntheticWeb(docs, docs.count())),
+        graft.ops.WebGraph.syntheticSeeds(docs, mod = 17),
+        iterations = 5)
+    }),
     "web_hostrank" -> ((s, dir) => {
       // Common-Crawl-style host-level rank: collapse page edges to
       // host edges (same regexp both sides), reuse the same kernel
@@ -1133,6 +1145,9 @@ object SparkEntry {
     "web_host_profile" -> graft.ops.HostProfile.hostProfileOracleSql,
     "web_bm25" -> graft.ops.Search.bm25OracleSql(nQueries = 5, k = 10),
     "dedup_ngram_spans" -> graft.ops.Dedup.duplicateSpansOracleSql(w = 15),
+    "web_trustrank" -> graft.ops.WebGraph.trustRankOracleSql(
+      graft.ops.WebGraph.syntheticEdgesOracleSql,
+      graft.ops.WebGraph.syntheticSeedsSql(17), iterations = 5),
     "web_hostrank" -> graft.ops.WebGraph.pageRankOracleSql(
       """SELECT regexp_extract(src, '^https://([^/]+)', 1) AS src,
         |       regexp_extract(dst, '^https://([^/]+)', 1) AS dst

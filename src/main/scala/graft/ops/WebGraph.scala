@@ -491,6 +491,132 @@ object WebGraph {
   }
 
   // ------------------------------------------------------------------
+  // Seeded PageRank (TrustRank-style) — integer fixed point
+  // ------------------------------------------------------------------
+
+  /** Seeded PageRank (the TrustRank family, Gyöngyi et al. VLDB'04):
+    * identical recursion to [[pageRankInt]] except the teleport mass
+    * lands ONLY on the seed set — trust flows out from hand-picked
+    * reputable hosts, so link farms far from any seed decay to ~0
+    * instead of collecting the uniform teleport floor. This is the
+    * standard spam-demotion complement to the global rank.
+    *
+    * Semantics (bit-exactly replicated by [[trustRankOracleSql]]):
+    *  - edge cleanup and node universe as in [[pageRankInt]];
+    *  - seeds = DISTINCT input urls ∩ node universe (absent seeds are
+    *    ignored; at least one must survive);
+    *  - init r0 = scale div nSeeds on seeds, 0 elsewhere;
+    *  - per iteration r' = seedBase + (85 * Σ in-contribs) div 100,
+    *    where seedBase = (15*(scale div nSeeds)) div 100 on seeds and
+    *    0 elsewhere; contributions are r div outdeg per out-edge;
+    *  - dangling mass leaks, exactly as the global kernel.
+    *
+    * With seeds == the full node universe this reduces term-for-term
+    * to [[pageRankInt]] (asserted in WebGraphSpec). All arithmetic is
+    * truncating Long division + commutative Long sums → bit-exact at
+    * any parallelism. Per-iteration shape matches [[pageRankInt]] plus
+    * one broadcast-sized left join against the seed flag. */
+  def pageRankSeeded(edges: DataFrame, seeds: DataFrame, iterations: Int,
+                     scale: Long = 1000000000000L): DataFrame = {
+    require(iterations >= 1, "iterations must be >= 1")
+    require(scale > 0 && scale <= Long.MaxValue / 85,
+      "scale must keep 85*rank within Long")
+    val e = distinctEdges(edges).localCheckpoint(true)
+    val nodes = e.select(col("src").as("url"))
+      .union(e.select(col("dst").as("url"))).distinct()
+      .localCheckpoint(true)
+    val sd = seeds.select(col("url")).distinct()
+      .join(nodes, Seq("url")).localCheckpoint(true)
+    val nS = sd.count()
+    require(nS > 0, "no seed url is present in the edge set's node universe")
+    val init = scale / nS
+    val base = 15L * init / 100L
+    // seed flag joined once; the per-iteration base is a column, not a
+    // constant — otherwise identical to the global kernel's iterate()
+    val flagged = nodes
+      .join(sd.select(col("url"), lit(true).as("is_seed")), Seq("url"), "left")
+      .select(col("url"),
+        when(col("is_seed"), lit(base)).otherwise(lit(0L)).as("base"),
+        when(col("is_seed"), lit(init)).otherwise(lit(0L)).as("init"))
+      .localCheckpoint(true)
+    val outdeg = e.groupBy(col("src"))
+      .agg(count(lit(1)).as("outdeg")).localCheckpoint(true)
+    var ranks = flagged.select(col("url"), col("init").as("trust"))
+    var i = 0
+    while (i < iterations) {
+      val contribs = e
+        .join(ranks.withColumnRenamed("url", "src"), Seq("src"))
+        .join(outdeg, Seq("src"))
+        .select(col("dst").as("url"), expr("trust div outdeg").as("c"))
+        .groupBy(col("url")).agg(sum(col("c")).as("contrib"))
+      ranks = flagged.join(contribs, Seq("url"), "left")
+        .select(col("url"),
+          (col("base") +
+            expr("(85 * coalesce(contrib, 0L)) div 100")).as("trust"))
+        .localCheckpoint(true)
+      i += 1
+    }
+    ranks
+  }
+
+  /** DuckDB replica of [[pageRankSeeded]] (staged flat CTEs). `edgesSql`
+    * yields (src, dst); `seedsSql` yields (url). */
+  def trustRankOracleSql(edgesSql: String, seedsSql: String,
+                         iterations: Int,
+                         scale: Long = 1000000000000L): String = {
+    val head =
+      s"""WITH raw_e AS (%EDGES%),
+         |e AS (SELECT DISTINCT src, dst FROM raw_e WHERE src <> dst),
+         |nodes AS (SELECT src AS url FROM e UNION SELECT dst FROM e),
+         |raw_s AS (%SEEDS%),
+         |sd AS (SELECT DISTINCT raw_s.url FROM raw_s
+         |       JOIN nodes ON raw_s.url = nodes.url),
+         |ns AS (SELECT CAST(count(*) AS BIGINT) AS n FROM sd),
+         |od AS (SELECT src, CAST(count(*) AS BIGINT) AS outdeg
+         |       FROM e GROUP BY src),
+         |fl AS (SELECT nodes.url,
+         |  CASE WHEN sd.url IS NOT NULL
+         |   THEN (SELECT (15 * ($scale // n)) // 100 FROM ns)
+         |   ELSE 0 END AS base,
+         |  sd.url IS NOT NULL AS is_seed
+         | FROM nodes LEFT JOIN sd ON nodes.url = sd.url),
+         |r0 AS (SELECT url,
+         |  CASE WHEN is_seed THEN (SELECT $scale // n FROM ns)
+         |   ELSE 0 END AS trust
+         | FROM fl)""".stripMargin
+        .replace("%EDGES%", edgesSql).replace("%SEEDS%", seedsSql)
+    val iters = (1 to iterations).map { i =>
+      s"""c$i AS (SELECT e.dst AS url,
+         |  CAST(sum(r${i - 1}.trust // od.outdeg) AS BIGINT) AS contrib
+         | FROM e JOIN r${i - 1} ON e.src = r${i - 1}.url
+         |        JOIN od ON e.src = od.src
+         | GROUP BY e.dst),
+         |r$i AS (SELECT fl.url,
+         |  CAST(fl.base + (85 * coalesce(c$i.contrib, 0)) // 100
+         |   AS BIGINT) AS trust
+         | FROM fl LEFT JOIN c$i ON fl.url = c$i.url)""".stripMargin
+    }
+    (head +: iters).mkString(",\n") +
+      s"\nSELECT url, trust FROM r$iterations"
+  }
+
+  /** Deterministic seed set over the synthetic web: every doc with
+    * doc_id % mod == 0 (its canonical url). The driver's TrustRank row
+    * seeds on these; [[syntheticSeedsSql]] states the same set. */
+  def syntheticSeeds(docs: DataFrame, mod: Long): DataFrame = {
+    val d = col("doc_id")
+    docs.filter(d % mod === 0)
+      .select(concat(lit("https://host"), (d % 13).cast("string"),
+        lit(".example/doc"), d.cast("string")).as("url"))
+  }
+
+  /** Closed-form SQL for [[syntheticSeeds]]. */
+  def syntheticSeedsSql(mod: Long): String =
+    s"""SELECT 'https://host' || CAST(doc_id % 13 AS VARCHAR)
+       |  || '.example/doc' || CAST(doc_id AS VARCHAR) AS url
+       | FROM documents WHERE doc_id % $mod = 0""".stripMargin
+
+  // ------------------------------------------------------------------
   // HITS hubs/authorities (Kleinberg) — integer fixed point
   // ------------------------------------------------------------------
 

@@ -201,6 +201,42 @@ class WebGraphSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(a.values.sum <= 1000000000000L)
   }
 
+  test("pageRankSeeded matches hand-computed fixed point; absent seeds ignored") {
+    // A -> B -> C -> A, D -> A; seeds = {A} (+ absent Z, ignored).
+    // scale = 1e6, nS = 1: init = 1,000,000, base = 150,000.
+    // iter1: A = 150000 (no in-mass: C and D hold 0)
+    //        B = (85 * 1e6) / 100 = 850000; C = D = 0
+    // iter2: A = 150000; B = (85*150000)/100 = 127500
+    //        C = (85*850000)/100 = 722500; D = 0
+    val sp = spark; import sp.implicits._
+    val e = edgeDf(Seq(("A", "B"), ("B", "C"), ("C", "A"), ("D", "A")))
+    val seeds = Seq("A", "Z").toDF("url")
+    val r2 = WebGraph.pageRankSeeded(e, seeds, iterations = 2,
+      scale = 1000000L)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toMap
+    assert(r2 == Map("A" -> 150000L, "B" -> 127500L, "C" -> 722500L,
+      "D" -> 0L))
+  }
+
+  test("pageRankSeeded with full-universe seeds equals pageRankInt; partition-invariant") {
+    val sp = spark; import sp.implicits._
+    val rows = (0 until 200).flatMap { i =>
+      Seq((s"n${i % 37}", s"n${(i * 7 + 3) % 37}"),
+        (s"n${i % 37}", s"n${(i * 11 + 5) % 37}"))
+    }
+    val allUrls = rows.flatMap(p => Seq(p._1, p._2)).distinct.toDF("url")
+    val global = WebGraph.pageRankInt(edgeDf(rows), 4)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toMap
+    val seeded = WebGraph.pageRankSeeded(edgeDf(rows).repartition(1),
+      allUrls, 4)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toMap
+    val seeded16 = WebGraph.pageRankSeeded(edgeDf(rows).repartition(16),
+      allUrls.repartition(3), 4)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toMap
+    assert(seeded == global) // term-for-term reduction to the global kernel
+    assert(seeded16 == seeded)
+  }
+
   // ---------------- synthetic web round-trip ------------------------
 
   test("extractAnchors(syntheticWeb) equals the closed-form edge set") {
