@@ -770,6 +770,14 @@ object SparkEntry {
         graft.ops.WebGraph.robotsDelays(robots, "graftbot"),
         defaultDelayMs = 1000L)
     }),
+    "web_components" -> ((s, dir) => {
+      // weakly connected components of the url link graph (mirror/
+      // walled-garden clustering): sparse block-permutation edges give
+      // 7 non-trivial components per 25-doc block; labels are min-url,
+      // oracle is an independent recursive-reachability formulation
+      graft.ops.WebGraph.weaklyConnected(
+        graft.ops.WebGraph.syntheticBlockEdges(t(s, dir, "documents")))
+    }),
     "web_trustrank" -> ((s, dir) => {
       // seeded PageRank (TrustRank family): teleport mass restricted
       // to the seed set (docs ≡ 0 mod 17) — the spam-demotion
@@ -1145,6 +1153,8 @@ object SparkEntry {
     "web_host_profile" -> graft.ops.HostProfile.hostProfileOracleSql,
     "web_bm25" -> graft.ops.Search.bm25OracleSql(nQueries = 5, k = 10),
     "dedup_ngram_spans" -> graft.ops.Dedup.duplicateSpansOracleSql(w = 15),
+    "web_components" -> graft.ops.WebGraph.weaklyConnectedOracleSql(
+      graft.ops.WebGraph.blockEdgesOracleSql()),
     "web_trustrank" -> graft.ops.WebGraph.trustRankOracleSql(
       graft.ops.WebGraph.syntheticEdgesOracleSql,
       graft.ops.WebGraph.syntheticSeedsSql(17), iterations = 5),

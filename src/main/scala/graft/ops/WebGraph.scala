@@ -617,6 +617,95 @@ object WebGraph {
        | FROM documents WHERE doc_id % $mod = 0""".stripMargin
 
   // ------------------------------------------------------------------
+  // Weakly connected components of the url link graph
+  // ------------------------------------------------------------------
+
+  /** Weakly connected components over the (src, dst) url edge table —
+    * the standard crawl-analytics grouping (mirror clusters, walled
+    * gardens, the web's bow-tie structure). Every url that appears in
+    * any edge (self-loops included) comes back labeled with the
+    * LEXICOGRAPHIC MIN url of its component.
+    *
+    * Implementation: deterministic dictionary encode — urls sorted,
+    * dense ids assigned in url order via zipWithIndex (distributed; a
+    * window row_number would single-partition) — then the pinned
+    * star-contraction kernel [[Dedup.components]] (O(log n) rounds,
+    * per-round localCheckpoint, size-gated driver union-find), then
+    * ids map back. Sorted assignment makes the kernel's min-ID label
+    * exactly the min-URL label, so output is independent of
+    * partitioning and needs no hash replication in the oracle.
+    *
+    * Scale note: the dictionary encode costs one sort exchange over
+    * the vertex set + two hash joins over edges — the same shape every
+    * production WCC (GraphFrames, GraphX bridge) pays to densify ids;
+    * at 10^12 edges you'd bucket both tables by url first. */
+  def weaklyConnected(edges: DataFrame, maxIter: Int = 50,
+                      driverSolveMaxEdges: Long = 200000L): DataFrame = {
+    val spark = edges.sparkSession
+    val e = edges.select(col("src"), col("dst")).localCheckpoint(true)
+    val verts = e.select(col("src").as("url"))
+      .union(e.select(col("dst").as("url"))).distinct()
+    val ids = spark.createDataFrame(
+      verts.orderBy("url").select("url").rdd
+        .map(_.getString(0)).zipWithIndex()
+    ).toDF("url", "id").localCheckpoint(true)
+    val pairs = e
+      .join(ids.select(col("url").as("src"), col("id").as("a_id")), Seq("src"))
+      .join(ids.select(col("url").as("dst"), col("id").as("b_id")), Seq("dst"))
+      .select(col("a_id"), col("b_id"))
+    val comp = Dedup.components(pairs, maxIter, driverSolveMaxEdges)
+    comp
+      .join(ids.select(col("id"), col("url")), Seq("id"))
+      .join(ids.select(col("id").as("comp"), col("url").as("comp_url")),
+        Seq("comp"))
+      .select(col("url"), col("comp_url").as("comp"))
+  }
+
+  /** Sparse deterministic block graph over documents: doc d links to
+    * doc (d div B)*B + (d*7 + 3) % B inside its own B-doc block. With
+    * B = 25 the in-block map x → 7x+3 (mod 25) is an affine
+    * permutation (gcd(7,25)=1) of order 4 with one fixed point, so
+    * each full block splits into 6 four-cycles + 1 self-loop — 7
+    * components per block, non-trivial at every SF. The fixed point's
+    * self-loop also pins the "vertex with only a self-loop still gets
+    * labeled" contract. [[blockEdgesOracleSql]] states the same edges. */
+  def syntheticBlockEdges(docs: DataFrame, block: Int = 25): DataFrame = {
+    val d = col("doc_id")
+    def urlOf(id: Column): Column =
+      concat(lit("https://host"), (id % 13).cast("string"),
+        lit(".example/doc"), id.cast("string"))
+    val tgt = (d - d % block) + (d * 7 + 3) % block // blockStart + perm(d)
+    docs.select(urlOf(d).as("src"), urlOf(tgt).as("dst"))
+  }
+
+  /** Closed-form SQL for [[syntheticBlockEdges]]. */
+  def blockEdgesOracleSql(block: Int = 25): String =
+    s"""SELECT 'https://host' || CAST(doc_id % 13 AS VARCHAR)
+       |    || '.example/doc' || CAST(doc_id AS VARCHAR) AS src,
+       |  'https://host'
+       |    || CAST(((doc_id - doc_id % $block)
+       |             + (doc_id * 7 + 3) % $block) % 13 AS VARCHAR)
+       |    || '.example/doc'
+       |    || CAST((doc_id - doc_id % $block)
+       |            + (doc_id * 7 + 3) % $block AS VARCHAR) AS dst
+       | FROM documents""".stripMargin
+
+  /** DuckDB replica of [[weaklyConnected]]: recursive min-url
+    * reachability over the symmetric closure. `edgesSql` yields
+    * (src, dst). */
+  def weaklyConnectedOracleSql(edgesSql: String): String =
+    """WITH RECURSIVE raw_e AS (%EDGES%),
+      |edges AS (SELECT src, dst FROM raw_e
+      |          UNION SELECT dst, src FROM raw_e),
+      |reach(id, r) AS (
+      | SELECT src, src FROM edges
+      | UNION
+      | SELECT e.src, reach.r FROM edges e JOIN reach ON e.dst = reach.id),
+      |comp AS (SELECT id, min(r) AS rep FROM reach GROUP BY id)
+      |SELECT id AS url, rep AS comp FROM comp""".stripMargin
+      .replace("%EDGES%", edgesSql)
+
+  // ------------------------------------------------------------------
   // HITS hubs/authorities (Kleinberg) — integer fixed point
   // ------------------------------------------------------------------
 

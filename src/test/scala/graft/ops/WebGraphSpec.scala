@@ -237,6 +237,35 @@ class WebGraphSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(seeded16 == seeded)
   }
 
+  test("weaklyConnected: min-url labels, self-loop-only vertex labeled") {
+    // {A,B,C} one component (min A), {X,Y} another, S only self-loops
+    val e = edgeDf(Seq(("C", "B"), ("B", "A"), ("Y", "X"), ("S", "S")))
+    val got = WebGraph.weaklyConnected(e).collect()
+      .map(r => (r.getString(0), r.getString(1))).toMap
+    assert(got == Map("A" -> "A", "B" -> "A", "C" -> "A",
+      "X" -> "X", "Y" -> "X", "S" -> "S"))
+  }
+
+  test("weaklyConnected: distributed star-contraction arm agrees with driver arm") {
+    // 4 blocks of the affine permutation x -> 7x+3 (mod 25): expected
+    // 7 components per block (six 4-cycles + the fixed point 12)
+    val rows = (0L until 100L).map { d =>
+      (s"u${d}", s"u${d - d % 25 + (d * 7 + 3) % 25}")
+    }
+    val viaDriver = WebGraph.weaklyConnected(edgeDf(rows)).collect()
+      .map(r => (r.getString(0), r.getString(1))).toMap
+    val viaStar = WebGraph.weaklyConnected(edgeDf(rows).repartition(16),
+      driverSolveMaxEdges = 0L).collect()
+      .map(r => (r.getString(0), r.getString(1))).toMap
+    assert(viaDriver == viaStar)
+    assert(viaDriver.values.toSet.size == 28) // 7 per block × 4 blocks
+    assert(viaDriver.size == 100)
+    // every label is the lexicographic min of its member set
+    viaDriver.groupBy(_._2).foreach { case (lbl, members) =>
+      assert(members.keys.min == lbl)
+    }
+  }
+
   // ---------------- synthetic web round-trip ------------------------
 
   test("extractAnchors(syntheticWeb) equals the closed-form edge set") {
