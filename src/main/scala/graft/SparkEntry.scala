@@ -770,6 +770,25 @@ object SparkEntry {
         graft.ops.WebGraph.robotsDelays(robots, "graftbot"),
         defaultDelayMs = 1000L)
     }),
+    "web_cocitation" -> ((s, dir) => {
+      // Small'73 co-citation ("related pages"): pairs cited together,
+      // out-degree cap BINDS (3 < max out-degree 4) so the skew guard
+      // itself is oracle-checked, not just present
+      val docs = t(s, dir, "documents")
+      graft.ops.WebGraph.coCitation(
+        graft.ops.WebGraph.extractAnchors(
+          graft.ops.WebGraph.syntheticWeb(docs, docs.count())),
+        minCount = 1, maxOutDegree = 3)
+    }),
+    "web_bibcoupling" -> ((s, dir) => {
+      // Kessler'63 bibliographic coupling: pairs citing the same
+      // targets; in-degree cap 6 censors the popular-target tail
+      val docs = t(s, dir, "documents")
+      graft.ops.WebGraph.bibCoupling(
+        graft.ops.WebGraph.extractAnchors(
+          graft.ops.WebGraph.syntheticWeb(docs, docs.count())),
+        minCount = 2, maxInDegree = 6)
+    }),
     "web_components" -> ((s, dir) => {
       // weakly connected components of the url link graph (mirror/
       // walled-garden clustering): sparse block-permutation edges give
@@ -1153,6 +1172,12 @@ object SparkEntry {
     "web_host_profile" -> graft.ops.HostProfile.hostProfileOracleSql,
     "web_bm25" -> graft.ops.Search.bm25OracleSql(nQueries = 5, k = 10),
     "dedup_ngram_spans" -> graft.ops.Dedup.duplicateSpansOracleSql(w = 15),
+    "web_cocitation" -> graft.ops.WebGraph.pairCountsOracleSql(
+      graft.ops.WebGraph.syntheticEdgesOracleSql,
+      "src", "dst", "cocite", minCount = 1, maxDegree = 3),
+    "web_bibcoupling" -> graft.ops.WebGraph.pairCountsOracleSql(
+      graft.ops.WebGraph.syntheticEdgesOracleSql,
+      "dst", "src", "coupling", minCount = 2, maxDegree = 6),
     "web_components" -> graft.ops.WebGraph.weaklyConnectedOracleSql(
       graft.ops.WebGraph.blockEdgesOracleSql()),
     "web_trustrank" -> graft.ops.WebGraph.trustRankOracleSql(

@@ -617,6 +617,68 @@ object WebGraph {
        | FROM documents WHERE doc_id % $mod = 0""".stripMargin
 
   // ------------------------------------------------------------------
+  // Co-citation / bibliographic coupling (Small 1973, Kessler 1963)
+  // ------------------------------------------------------------------
+
+  /** Shared pair-mining core: for each group key, emit ordered value
+    * pairs and count groups per pair. Groups larger than `maxDegree`
+    * are DROPPED ENTIRELY before the pair join — the skew guard that
+    * makes this safe at crawl scale: pair fan-out is quadratic in
+    * group size, so one 100k-link hub page (or one url cited by every
+    * page of a mirror farm) would otherwise emit 5·10^9 rows from a
+    * single key. Dropping (rather than sampling) keeps the semantics
+    * exact and oracle-stateable: "pairs among keys of degree ≤ cap". */
+  private def pairCounts(edges: DataFrame, key: String, value: String,
+                         minCount: Long, maxDegree: Long): DataFrame = {
+    val e = distinctEdges(edges)
+      .select(col(key).as("k"), col(value).as("v"))
+    val ok = e.groupBy(col("k")).agg(count(lit(1)).as("deg"))
+      .filter(col("deg") <= maxDegree).select(col("k"))
+    val kept = e.join(ok, Seq("k")) // degree cap BEFORE the quadratic join
+    kept.as("x").join(kept.as("y"), Seq("k"))
+      .filter(col("x.v") < col("y.v"))
+      .groupBy(col("x.v").as("a"), col("y.v").as("b"))
+      .agg(count(lit(1)).as("n"))
+      .filter(col("n") >= minCount)
+  }
+
+  /** Co-citation strength (Small 1973): how many distinct pages cite
+    * BOTH a and b — the classic "related pages" signal; pages
+    * co-cited often are topically close even with no direct link.
+    * Output (a, b, cocite) with a < b, cocite ≥ `minCount`; citing
+    * pages with out-degree > `maxOutDegree` are excluded (skew guard,
+    * see [[pairCounts]]). Self-loops and duplicate edges dropped. */
+  def coCitation(edges: DataFrame, minCount: Long = 2,
+                 maxOutDegree: Long = 64): DataFrame =
+    pairCounts(edges, "src", "dst", minCount, maxOutDegree)
+      .withColumnRenamed("n", "cocite")
+
+  /** Bibliographic coupling (Kessler 1963): how many distinct pages
+    * a and b BOTH cite — the out-link mirror of co-citation, strong
+    * for clustering near-duplicate/boilerplate-heavy sites that link
+    * to the same resources. Output (a, b, coupling) with a < b;
+    * targets with in-degree > `maxInDegree` are excluded. */
+  def bibCoupling(edges: DataFrame, minCount: Long = 2,
+                  maxInDegree: Long = 64): DataFrame =
+    pairCounts(edges, "dst", "src", minCount, maxInDegree)
+      .withColumnRenamed("n", "coupling")
+
+  /** DuckDB replica of [[coCitation]] / [[bibCoupling]] over `edgesSql`
+    * (src, dst): same cleanup, cap, ordered-pair count. */
+  def pairCountsOracleSql(edgesSql: String, key: String, value: String,
+                          outCol: String, minCount: Long,
+                          maxDegree: Long): String =
+    s"""WITH raw_e AS (%EDGES%),
+       |e AS (SELECT DISTINCT $key AS k, $value AS v FROM raw_e
+       |      WHERE src <> dst),
+       |ok AS (SELECT k FROM e GROUP BY k HAVING count(*) <= $maxDegree),
+       |kept AS (SELECT e.k, e.v FROM e JOIN ok ON e.k = ok.k)
+       |SELECT x.v AS a, y.v AS b, CAST(count(*) AS BIGINT) AS $outCol
+       |FROM kept x JOIN kept y ON x.k = y.k AND x.v < y.v
+       |GROUP BY 1, 2 HAVING count(*) >= $minCount""".stripMargin
+      .replace("%EDGES%", edgesSql)
+
+  // ------------------------------------------------------------------
   // Weakly connected components of the url link graph
   // ------------------------------------------------------------------
 

@@ -237,6 +237,38 @@ class WebGraphSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(seeded16 == seeded)
   }
 
+  test("coCitation: hand-computed counts, dup edges/self-loops dropped, cap binds") {
+    // S1→{A,B,C}, S2→{A,B} (A twice), S3→{A,B}, H→{A,B,C,D};
+    // self-loop A→A ignored. With maxOutDegree=3, H (degree 4) is out:
+    // AB co-cited by S1,S2,S3 = 3; AC/BC only by S1 → below minCount 2.
+    val e = edgeDf(Seq(("S1", "A"), ("S1", "B"), ("S1", "C"),
+      ("S2", "A"), ("S2", "A"), ("S2", "B"), ("S3", "A"), ("S3", "B"),
+      ("H", "A"), ("H", "B"), ("H", "C"), ("H", "D"), ("A", "A")))
+    val got = WebGraph.coCitation(e, minCount = 2, maxOutDegree = 3)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+    assert(got.toSeq == Seq(("A", "B", 3L)))
+    // uncapped: H participates, AB rises to 4 and AC/BC reach 2
+    val unc = WebGraph.coCitation(e, minCount = 2, maxOutDegree = 64)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+      .toSet
+    assert(unc == Set(("A", "B", 4L), ("A", "C", 2L), ("B", "C", 2L)))
+  }
+
+  test("bibCoupling: in-degree cap excludes popular targets") {
+    val e = edgeDf(Seq(("S1", "A"), ("S1", "B"), ("S1", "C"),
+      ("S2", "A"), ("S2", "B"), ("S3", "A"), ("S3", "B"),
+      ("H", "A"), ("H", "B"), ("H", "C"), ("H", "D")))
+    // in-degrees: A 4, B 4, C 2, D 1. Cap 10: pairs via A,B (+C for H,S1)
+    val all = WebGraph.bibCoupling(e, minCount = 2, maxInDegree = 10)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+      .toSet
+    assert(all == Set(("H", "S1", 3L), ("H", "S2", 2L), ("H", "S3", 2L),
+      ("S1", "S2", 2L), ("S1", "S3", 2L), ("S2", "S3", 2L)))
+    // cap 3 removes A and B; only C is shared (H,S1 once) → under min 2
+    assert(WebGraph.bibCoupling(e, minCount = 2, maxInDegree = 3)
+      .collect().isEmpty)
+  }
+
   test("weaklyConnected: min-url labels, self-loop-only vertex labeled") {
     // {A,B,C} one component (min A), {X,Y} another, S only self-loops
     val e = edgeDf(Seq(("C", "B"), ("B", "A"), ("Y", "X"), ("S", "S")))
