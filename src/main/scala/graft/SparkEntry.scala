@@ -544,6 +544,14 @@ object SparkEntry {
     "text_repetition" -> ((s, dir) => TextAnalysis.repetitionSignals(t(s, dir, "documents"))),
     "text_pii_scrub" -> ((s, dir) => TextAnalysis.piiScrub(t(s, dir, "documents"))),
     "text_rare_trigrams" -> ((s, dir) => TextAnalysis.rareTrigramSignals(t(s, dir, "documents"))),
+    "text_normalize" -> ((s, dir) => {
+      // Unicode hygiene pass (control strip + NFC) over a deterministic
+      // mixed-normalization corpus; the oracle states each variant's
+      // normalized form in CLOSED FORM (hand-derived UAX #15 ground
+      // truth), independent of both engines' normalizers.
+      TextAnalysis.normalizeText(
+        TextAnalysis.syntheticMessyText(t(s, dir, "documents")))
+    }),
     "text_decontaminate" -> ((s, dir) => {
       val docs = t(s, dir, "documents")
       TextAnalysis.contamination(
@@ -809,6 +817,32 @@ object SparkEntry {
         graft.ops.WebGraph.syntheticSeeds(docs, mod = 17),
         iterations = 5)
     }),
+    "web_reciprocity" -> ((s, dir) => {
+      // per-host link reciprocity (link-farm/webspam feature): the
+      // organic anchor graph unioned with a planted mutual-link ring
+      // on farm.example — the farm scores exactly 10^6 ppm, organic
+      // hosts near zero. Engine = semi-join on the reversed composite
+      // key; oracle = INTERSECT set algebra (independent wording).
+      val docs = t(s, dir, "documents")
+      graft.ops.WebGraph.reciprocity(
+        graft.ops.WebGraph.extractAnchors(
+          graft.ops.WebGraph.syntheticWeb(docs, docs.count()))
+          .select(col("src"), col("dst"))
+          .union(graft.ops.WebGraph.syntheticFarmEdges(docs)))
+    }),
+    "web_crawl_depth" -> ((s, dir) => {
+      // BFS crawl depth from the mod-29 seed set over the anchor
+      // graph (frontier planning: what's reachable within k hops).
+      // Engine = frontier BFS with per-level checkpoints + early
+      // exhaustion exit; oracle = recursive min-over-all-walks CTE —
+      // two independent formulations of shortest hop count.
+      val docs = t(s, dir, "documents")
+      graft.ops.WebGraph.crawlDepth(
+        graft.ops.WebGraph.extractAnchors(
+          graft.ops.WebGraph.syntheticWeb(docs, docs.count())),
+        graft.ops.WebGraph.syntheticSeeds(docs, mod = 29),
+        maxDepth = 10)
+    }),
     "web_hostrank" -> ((s, dir) => {
       // Common-Crawl-style host-level rank: collapse page edges to
       // host edges (same regexp both sides), reuse the same kernel
@@ -1062,6 +1096,10 @@ object SparkEntry {
         | CAST(sum(CASE WHEN rare.t IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_rare
         |FROM tri LEFT JOIN rare ON tri.t = rare.t
         |GROUP BY tri.doc_id""".stripMargin,
+    // closed-form UAX #15 ground truth: the oracle never calls a
+    // normalizer — each variant's NFC form + codepoint lengths are
+    // hand-derived constants (see TextAnalysis.normalizeOracleSql)
+    "text_normalize" -> TextAnalysis.normalizeOracleSql,
     "text_decontaminate" -> decontaminateSql,
     // composed pipeline: same component SQL, parameterized on the
     // non-benchmark corpus subquery (single source of truth with the
@@ -1183,6 +1221,12 @@ object SparkEntry {
     "web_trustrank" -> graft.ops.WebGraph.trustRankOracleSql(
       graft.ops.WebGraph.syntheticEdgesOracleSql,
       graft.ops.WebGraph.syntheticSeedsSql(17), iterations = 5),
+    "web_reciprocity" -> graft.ops.WebGraph.reciprocityOracleSql(
+      "SELECT src, dst FROM (" + graft.ops.WebGraph.syntheticEdgesOracleSql +
+        ")\nUNION ALL\n" + graft.ops.WebGraph.farmEdgesOracleSql()),
+    "web_crawl_depth" -> graft.ops.WebGraph.crawlDepthOracleSql(
+      graft.ops.WebGraph.syntheticEdgesOracleSql,
+      graft.ops.WebGraph.syntheticSeedsSql(29), maxDepth = 10),
     "web_hostrank" -> graft.ops.WebGraph.pageRankOracleSql(
       """SELECT regexp_extract(src, '^https://([^/]+)', 1) AS src,
         |       regexp_extract(dst, '^https://([^/]+)', 1) AS dst

@@ -356,4 +356,99 @@ object TextAnalysis {
     docs.select(col("doc_id"),
       graft.spark.DocFingerprint.of(
         coalesce(col("text"), lit(""))).as("fingerprint"))
+
+  // ------------------------------------------------------------------
+  // Unicode normalization (corpus hygiene)
+  // ------------------------------------------------------------------
+
+  /** Unicode hygiene pass every crawl corpus needs before dedup or
+    * tokenization: the same word arrives both precomposed (é) and
+    * decomposed (e + U+0301) from different sites, so exact-dup and
+    * shingle hashes silently miss equal text. Semantics, in order:
+    *  1. strip C0 controls except \t \n \r, plus DEL (U+007F) —
+    *     crawl payloads carry NUL/BEL from broken transcoders;
+    *  2. NFC canonical composition (java.text.Normalizer, UAX #15).
+    * Strip-then-compose is deliberate: a base letter and its combining
+    * mark separated by a stray control must still compose.
+    *
+    * Output per doc: text_norm, changed (norm ≠ raw), len_raw/len_norm
+    * in CODEPOINTS (not UTF-16 units — astral-safe, and the unit
+    * DuckDB's length() counts). Per-row kernel, zero shuffle;
+    * normalization is idempotent (spec-pinned), so re-running the
+    * pass on already-clean shards is a no-op. */
+  def normalizeText(docs: DataFrame): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.select(col("doc_id").cast("long"),
+        coalesce(col("text"), lit("")).cast("string"))
+      .as[(Long, String)]
+      .mapPartitions(_.map { case (id, raw) =>
+        val norm = normalizeString(raw)
+        (id, norm, norm != raw,
+          raw.codePointCount(0, raw.length),
+          norm.codePointCount(0, norm.length))
+      })
+      .toDF("doc_id", "text_norm", "changed", "len_raw", "len_norm")
+  }
+
+  /** Scalar kernel of [[normalizeText]]: control strip, then NFC. */
+  private[ops] def normalizeString(s: String): String = {
+    val stripped = stripControls(s)
+    if (java.text.Normalizer.isNormalized(stripped,
+        java.text.Normalizer.Form.NFC)) stripped // common-case zero-copy
+    else java.text.Normalizer.normalize(stripped,
+      java.text.Normalizer.Form.NFC)
+  }
+
+  private def isStrippedControl(c: Char): Boolean =
+    (c < 0x20 && c != '\t' && c != '\n' && c != '\r') || c == 0x7f
+
+  private def stripControls(s: String): String = {
+    var i = 0
+    while (i < s.length && !isStrippedControl(s.charAt(i))) i += 1
+    if (i == s.length) return s // fast path: clean string, zero-copy
+    val sb = new java.lang.StringBuilder(s.length)
+    sb.append(s, 0, i)
+    while (i < s.length) {
+      val c = s.charAt(i)
+      if (!isStrippedControl(c)) sb.append(c)
+      i += 1
+    }
+    sb.toString
+  }
+
+  /** Deterministic mixed-normalization corpus over documents: variant
+    * v = d%5 appends one hazard to an ASCII base — decomposed accent,
+    * ring+diaeresis word, combining-reorder pair (U+1E0B U+0323, whose
+    * NFC form swaps to U+1E0D U+0307), or embedded C0 controls.
+    * [[normalizeOracleSql]] states each variant's normalized form in
+    * CLOSED FORM — hand-derived UAX #15 ground truth, independent of
+    * both engines' normalizers. */
+  def syntheticMessyText(docs: DataFrame): DataFrame = {
+    val d = col("doc_id")
+    val base = substring(col("text"), 1, 20)
+    val frag = when(d % 5 === 1, lit("Café"))
+      .when(d % 5 === 2, lit("Ångström"))
+      .when(d % 5 === 3, lit("ḍ̇"))
+      .when(d % 5 === 4, lit("abcd ef"))
+      .otherwise(lit(""))
+    docs.select(d.as("doc_id"), concat(base, frag).as("text"))
+  }
+
+  /** Closed-form oracle for normalizeText(syntheticMessyText(docs)). */
+  def normalizeOracleSql: String =
+    """WITH v AS (SELECT doc_id, substr(text, 1, 20) AS b,
+      |                  doc_id % 5 AS m FROM documents)
+      |SELECT doc_id,
+      | CASE m WHEN 1 THEN b || 'Café'
+      |        WHEN 2 THEN b || 'Ångström'
+      |        WHEN 3 THEN b || 'ḍ̇'
+      |        WHEN 4 THEN b || 'abcdef'
+      |        ELSE b END AS text_norm,
+      | m <> 0 AS changed,
+      | CAST(length(b) + CASE m WHEN 1 THEN 5 WHEN 2 THEN 10
+      |   WHEN 3 THEN 2 WHEN 4 THEN 8 ELSE 0 END AS INT) AS len_raw,
+      | CAST(length(b) + CASE m WHEN 1 THEN 4 WHEN 2 THEN 8
+      |   WHEN 3 THEN 2 WHEN 4 THEN 6 ELSE 0 END AS INT) AS len_norm
+      |FROM v""".stripMargin
 }

@@ -768,6 +768,163 @@ object WebGraph {
       .replace("%EDGES%", edgesSql)
 
   // ------------------------------------------------------------------
+  // Link reciprocity per source host (link-farm / webspam signal)
+  // ------------------------------------------------------------------
+
+  /** Per-source-host link reciprocity: of a host's distinct non-self
+    * page-level out-edges, how many are reciprocated (the reversed
+    * edge dst→src also exists)? Link farms and mutual-admiration rings
+    * show reciprocity far above the organic web's, so this is a
+    * classic webspam demotion feature (TrustRank-era link-spam
+    * literature). Output per host: n_edges, n_recip, recip_ppm =
+    * (n_recip·10^6) div n_edges — integer arithmetic end to end, so
+    * the oracle can restate it exactly.
+    *
+    * Implementation: dedup edges, then ONE self-equi-join on the
+    * composite (src, dst) = (dst, src) key (left_semi — only
+    * membership matters), then a host rollup. Both join sides shuffle
+    * on the same composite key (co-located when the edge table is
+    * bucketed on it); counts partial-aggregate below their Exchange.
+    * No driver state, no cartesian; hub skew is AQE-splittable
+    * because the join key is the full edge, not a single vertex. */
+  def reciprocity(edges: DataFrame): DataFrame = {
+    // checkpoint the deduped edge set: it feeds BOTH the total rollup
+    // and both sides of the semi-join — without the barrier the whole
+    // upstream (anchor extraction at corpus scale) runs three times
+    val e = edges.select(col("src"), col("dst"))
+      .filter(col("src") =!= col("dst")).distinct().localCheckpoint(true)
+    val recip = e.join(
+      e.select(col("dst").as("src"), col("src").as("dst")),
+      Seq("src", "dst"), "left_semi")
+    val host = regexp_extract(col("src"), "^https://([^/]+)", 1)
+    val tot = e.groupBy(host.as("host"))
+      .agg(count(lit(1)).as("n_edges"))
+    val rec = recip.groupBy(host.as("host"))
+      .agg(count(lit(1)).as("n_recip"))
+    tot.join(rec, Seq("host"), "left")
+      .select(col("host"), col("n_edges"),
+        coalesce(col("n_recip"), lit(0L)).as("n_recip"),
+        expr("coalesce(n_recip, 0L) * 1000000L div n_edges")
+          .as("recip_ppm"))
+  }
+
+  /** Deterministic planted link farm: docs 0..ring-1 map to pages on
+    * the single host farm.example arranged in a MUTUAL ring — every
+    * edge p_d → p_{(d+1) mod ring} exists in both directions. Unioned
+    * with the organic synthetic web it gives [[reciprocity]] a
+    * positive class: farm.example scores exactly 10^6 ppm while
+    * organic hosts sit near zero. [[farmEdgesOracleSql]] states the
+    * same edges in closed form. */
+  def syntheticFarmEdges(docs: DataFrame, ring: Int = 12): DataFrame = {
+    val d = col("doc_id")
+    def u(id: Column): Column =
+      concat(lit("https://farm.example/p"), id.cast("string"))
+    val fwd = docs.filter(d < ring)
+      .select(u(d).as("src"), u((d + 1) % ring).as("dst"))
+    val bwd = docs.filter(d < ring)
+      .select(u((d + 1) % ring).as("src"), u(d).as("dst"))
+    fwd.union(bwd)
+  }
+
+  /** Closed-form SQL for [[syntheticFarmEdges]]. */
+  def farmEdgesOracleSql(ring: Int = 12): String =
+    s"""SELECT 'https://farm.example/p' || CAST(doc_id AS VARCHAR) AS src,
+       |  'https://farm.example/p' || CAST((doc_id + 1) % $ring AS VARCHAR) AS dst
+       | FROM documents WHERE doc_id < $ring
+       |UNION ALL
+       |SELECT 'https://farm.example/p' || CAST((doc_id + 1) % $ring AS VARCHAR) AS src,
+       |  'https://farm.example/p' || CAST(doc_id AS VARCHAR) AS dst
+       | FROM documents WHERE doc_id < $ring""".stripMargin
+
+  /** DuckDB replica of [[reciprocity]] over `edgesSql` — INTERSECT
+    * formulation of the reciprocated set (vs the engine's semi-join):
+    * independent wording of the same set algebra. */
+  def reciprocityOracleSql(edgesSql: String): String =
+    """WITH raw_e AS (%EDGES%),
+      |e AS (SELECT DISTINCT src, dst FROM raw_e WHERE src <> dst),
+      |r AS (SELECT src, dst FROM e
+      |      INTERSECT SELECT dst, src FROM e),
+      |tot AS (SELECT regexp_extract(src, '^https://([^/]+)', 1) AS host,
+      |        CAST(count(*) AS BIGINT) AS n_edges FROM e GROUP BY 1),
+      |rec AS (SELECT regexp_extract(src, '^https://([^/]+)', 1) AS host,
+      |        CAST(count(*) AS BIGINT) AS n_recip FROM r GROUP BY 1)
+      |SELECT tot.host, tot.n_edges,
+      |  coalesce(rec.n_recip, 0) AS n_recip,
+      |  coalesce(rec.n_recip, 0) * 1000000 // tot.n_edges AS recip_ppm
+      |FROM tot LEFT JOIN rec ON tot.host = rec.host""".stripMargin
+      .replace("%EDGES%", edgesSql)
+
+  // ------------------------------------------------------------------
+  // BFS crawl depth from a seed set (frontier planning)
+  // ------------------------------------------------------------------
+
+  /** Minimum crawl depth of every url reachable from a seed set over
+    * the directed link graph — the crawl-frontier planning view: how
+    * deep must a breadth-first crawler go, which pages sit beyond
+    * depth k, where does the frontier exhaust. Seeds are depth 0
+    * (whether or not they appear in any edge); a url reachable along
+    * several paths gets the SHORTEST one; urls beyond `maxDepth` (or
+    * unreachable) are absent from the output.
+    *
+    * Implementation: Pregel-style frontier BFS. Each round joins the
+    * edge table against the CURRENT FRONTIER ONLY (not the full
+    * visited set), then anti-joins against everything already visited
+    * — so round cost is proportional to the newly discovered rim, and
+    * the loop exits as soon as a frontier comes back empty. Every
+    * frontier is localCheckpoint-ed (plan truncation — an iterative
+    * loop otherwise doubles its logical plan per round); the visited
+    * set is a lazy union of those checkpointed leaves, never
+    * re-materialized. Rounds are bounded by graph diameter (the web's
+    * is ~tens); at 10^12 edges you'd bucket the edge table by src so
+    * each round's join is co-partitioned and shuffle-free on the big
+    * side. Oracle: [[crawlDepthOracleSql]], an independent
+    * recursive-CTE min-over-all-walks formulation. */
+  def crawlDepth(edges: DataFrame, seeds: DataFrame,
+                 maxDepth: Int = 10): DataFrame = {
+    val e = edges.select(col("src"), col("dst")).distinct()
+      .localCheckpoint(true)
+    val seed0 = seeds.select(col("url")).distinct()
+      .select(col("url"), lit(0).as("depth")).localCheckpoint(true)
+    var levels = List(seed0) // one checkpointed leaf per BFS level
+    var frontier = seed0
+    var d = 0
+    var exhausted = false
+    while (d < maxDepth && !exhausted) {
+      d += 1
+      val visited = levels.map(_.select("url")).reduce(_ union _)
+      val next = e
+        .join(frontier.select(col("url").as("src")), Seq("src"))
+        .select(col("dst").as("url")).distinct()
+        .join(visited, Seq("url"), "left_anti")
+        .select(col("url"), lit(d).as("depth"))
+        .localCheckpoint(true)
+      if (next.isEmpty) exhausted = true
+      else { levels ::= next; frontier = next }
+    }
+    levels.reduce(_ union _)
+  }
+
+  /** DuckDB replica of [[crawlDepth]] — a DIFFERENT formulation
+    * (cross-check, not an engine replay): enumerate ALL walks from
+    * the seed set up to `maxDepth` hops with a recursive CTE, then
+    * take min depth per url. BFS minimality falls out of the min;
+    * the depth cap on the recursion matches the engine's round cap. */
+  def crawlDepthOracleSql(edgesSql: String, seedsSql: String,
+                          maxDepth: Int = 10): String =
+    s"""WITH raw_e AS (%EDGES%),
+       |e AS (SELECT DISTINCT src, dst FROM raw_e),
+       |raw_s AS (%SEEDS%),
+       |dist AS (
+       |  WITH RECURSIVE walk(url, d) AS (
+       |    SELECT DISTINCT url, 0 FROM raw_s
+       |    UNION
+       |    SELECT e.dst, walk.d + 1 FROM e JOIN walk ON e.src = walk.url
+       |     WHERE walk.d < $maxDepth)
+       |  SELECT url, CAST(min(d) AS INT) AS depth FROM walk GROUP BY url)
+       |SELECT url, depth FROM dist""".stripMargin
+      .replace("%EDGES%", edgesSql).replace("%SEEDS%", seedsSql)
+
+  // ------------------------------------------------------------------
   // HITS hubs/authorities (Kleinberg) — integer fixed point
   // ------------------------------------------------------------------
 

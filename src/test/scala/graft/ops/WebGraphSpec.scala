@@ -528,4 +528,102 @@ class WebGraphSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(out.values.exists(_ == (false, "/doc")))
     assert(out.values.exists(_ == (false, "/*.bin$")))
   }
+
+  // ---------------- BFS crawl depth --------------------------------
+
+  private def seedDf(urls: String*): DataFrame = {
+    val sp = spark
+    import sp.implicits._
+    urls.toSeq.toDF("url")
+  }
+
+  private def depths(e: DataFrame, sd: DataFrame, cap: Int = 10): Map[String, Int] =
+    WebGraph.crawlDepth(e, sd, cap).collect()
+      .map(r => r.getString(0) -> r.getInt(1)).toMap
+
+  test("crawlDepth: min depth wins when a url is reachable two ways") {
+    // s -> a -> b -> c and s -> c directly: c must be depth 1, not 3
+    val e = edgeDf(Seq("s" -> "a", "a" -> "b", "b" -> "c", "s" -> "c"))
+    assert(depths(e, seedDf("s")) ==
+      Map("s" -> 0, "a" -> 1, "b" -> 2, "c" -> 1))
+  }
+
+  test("crawlDepth: cycles terminate via early frontier exhaustion") {
+    val e = edgeDf(Seq("a" -> "b", "b" -> "c", "c" -> "a"))
+    assert(depths(e, seedDf("a"), cap = 50) ==
+      Map("a" -> 0, "b" -> 1, "c" -> 2))
+  }
+
+  test("crawlDepth: unreachable urls absent; isolated seed still depth 0") {
+    val e = edgeDf(Seq("a" -> "b", "x" -> "y"))
+    assert(depths(e, seedDf("a", "lonely")) ==
+      Map("a" -> 0, "lonely" -> 0, "b" -> 1))
+  }
+
+  test("crawlDepth: depth cap truncates a long chain") {
+    val e = edgeDf(Seq("n0" -> "n1", "n1" -> "n2", "n2" -> "n3", "n3" -> "n4"))
+    assert(depths(e, seedDf("n0"), cap = 2) ==
+      Map("n0" -> 0, "n1" -> 1, "n2" -> 2))
+  }
+
+  test("crawlDepth: two seeds race, closest wins; duplicate edges collapse") {
+    val e = edgeDf(Seq("s1" -> "m", "s2" -> "m", "m" -> "t", "m" -> "t", "t" -> "s1"))
+    assert(depths(e, seedDf("s1", "s2")) ==
+      Map("s1" -> 0, "s2" -> 0, "m" -> 1, "t" -> 2))
+  }
+
+  test("crawlDepth: deterministic under repartitioning") {
+    val e = edgeDf(Seq("s" -> "a", "a" -> "b", "s" -> "b", "b" -> "c"))
+    val base = depths(e, seedDf("s"))
+    val shuffled = depths(e.repartition(7), seedDf("s").repartition(3))
+    assert(base == shuffled && base("b") == 1 && base("c") == 2)
+  }
+
+  // ---------------- link reciprocity -------------------------------
+
+  private def recipMap(e: DataFrame): Map[String, (Long, Long, Long)] =
+    WebGraph.reciprocity(e).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+
+  test("reciprocity: mutual ring scores 10^6 ppm, one-way chain zero") {
+    val e = edgeDf(Seq(
+      "https://farm.x/1" -> "https://farm.x/2",
+      "https://farm.x/2" -> "https://farm.x/1",
+      "https://org.x/a" -> "https://org.x/b",
+      "https://org.x/b" -> "https://org.x/c"))
+    assert(recipMap(e) == Map(
+      "farm.x" -> ((2L, 2L, 1000000L)),
+      "org.x" -> ((2L, 0L, 0L))))
+  }
+
+  test("reciprocity: self-loops and duplicate edges are discarded first") {
+    val e = edgeDf(Seq(
+      "https://h.x/a" -> "https://h.x/a",   // self-loop: dropped
+      "https://h.x/a" -> "https://h.x/b",   // duplicated below
+      "https://h.x/a" -> "https://h.x/b",
+      "https://h.x/b" -> "https://h.x/a"))
+    assert(recipMap(e) == Map("h.x" -> ((2L, 2L, 1000000L))))
+  }
+
+  test("reciprocity: cross-host edges attribute to the SOURCE host") {
+    // a->b reciprocated across hosts: each side's host gets 1 recip of 1
+    val e = edgeDf(Seq(
+      "https://h1.x/a" -> "https://h2.x/b",
+      "https://h2.x/b" -> "https://h1.x/a",
+      "https://h1.x/a" -> "https://h3.x/c"))
+    assert(recipMap(e) == Map(
+      "h1.x" -> ((2L, 1L, 500000L)),
+      "h2.x" -> ((1L, 1L, 1000000L))))
+  }
+
+  test("reciprocity: integer ppm floors, never rounds") {
+    // h1 has 1 of 3 reciprocated (the return edge lives on h2, so it
+    // doesn't inflate h1's counts): 1000000 div 3 = 333333 (floor)
+    val e = edgeDf(Seq(
+      "https://h1.x/a" -> "https://h2.x/b",
+      "https://h2.x/b" -> "https://h1.x/a",
+      "https://h1.x/a" -> "https://h1.x/c",
+      "https://h1.x/a" -> "https://h1.x/d"))
+    assert(recipMap(e)("h1.x") == ((3L, 1L, 333333L)))
+  }
 }
