@@ -601,6 +601,12 @@ object SparkEntry {
       graft.ops.Sampling.vocabulary(t(s, dir, "documents"), n = 30)),
     "corpus_mix_report" -> ((s, dir) =>
       graft.ops.Sampling.mixReport(t(s, dir, "documents"))),
+    "corpus_chunks" -> ((s, dir) =>
+      // overlapping context-window chunks (64-token windows, 16-token
+      // overlap): pure per-row codegen fan-out, zero Exchange; oracle
+      // restates the closed-form chunk-count arithmetic + slicing
+      graft.ops.Sampling.chunk(t(s, dir, "documents"),
+        chunkTokens = 64, overlap = 16)),
     "corpus_length_profile" -> ((s, dir) =>
       graft.ops.Sampling.lengthProfile(t(s, dir, "documents"))),
     "corpus_host_split" -> ((s, dir) => {
@@ -1132,6 +1138,8 @@ object SparkEntry {
         |FROM c WHERE cum_tokens <= 150""".stripMargin,
     // exact discrete quantiles via rank arithmetic (value at row
     // ceil(p*n)) — integer-deterministic on both engines, unlike
+    "corpus_chunks" -> graft.ops.Sampling.chunkOracleSql(
+      chunkTokens = 64, overlap = 16),
     // percentile_approx / quantile sketches
     "corpus_length_profile" ->
       """WITH r AS (

@@ -194,4 +194,66 @@ object Sampling {
        | CASE WHEN bucket < $valPermille THEN 'val' ELSE 'train' END AS split
        |FROM hb""".stripMargin
   }
+
+  /** Overlapping passage chunks — the context-window chunker every
+    * training/RAG pipeline runs after filtering: split each doc into
+    * windows of `chunkTokens` whitespace tokens advancing by
+    * stride = chunkTokens - overlap, so consecutive chunks share
+    * `overlap` tokens and no token is lost. Exact edge semantics
+    * (stated so the oracle can restate them): docs with zero tokens
+    * produce no chunks; n <= chunkTokens produces exactly one chunk;
+    * otherwise nChunks = 1 + ceil((n - chunkTokens)/stride) — the
+    * last chunk may be shorter but never empty. chunk_text re-joins
+    * the token slice with single spaces (tokenization is lossy by
+    * design; chunks feed a tokenizer, not a renderer).
+    *
+    * Scale shape: pure per-row compute — split, integer arithmetic,
+    * sequence+explode fan-out (~n/stride rows per doc), slice +
+    * array_join — all built-in codegen expressions, ZERO Exchange;
+    * shards embarrassingly at any corpus size. */
+  def chunk(docs: DataFrame, chunkTokens: Int = 64,
+            overlap: Int = 16): DataFrame = {
+    require(overlap >= 0 && overlap < chunkTokens,
+      s"overlap must be in [0, chunkTokens): $overlap vs $chunkTokens")
+    val stride = chunkTokens - overlap
+    docs
+      .select(col("doc_id"), TextAnalysis.tokens(col("text")).as("toks"))
+      .withColumn("n", size(col("toks")))
+      .filter(col("n") > 0)
+      .withColumn("n_chunks", expr(
+        s"CASE WHEN n <= $chunkTokens THEN 1 " +
+        s"ELSE 1 + ((n - $chunkTokens + ${stride - 1}) div $stride) END"))
+      .select(col("doc_id"), col("toks"),
+        explode(sequence(lit(0), col("n_chunks") - 1)).as("chunk_id"))
+      .select(col("doc_id"), col("chunk_id"),
+        slice(col("toks"), col("chunk_id") * stride + 1, lit(chunkTokens))
+          .as("sl"))
+      .select(col("doc_id"), col("chunk_id").cast("int").as("chunk_id"),
+        size(col("sl")).as("n_chunk_tokens"),
+        array_join(col("sl"), " ").as("chunk_text"))
+  }
+
+  /** DuckDB replica of [[chunk]] — same closed-form chunk-count
+    * arithmetic, DuckDB 1-based inclusive list slicing. */
+  def chunkOracleSql(chunkTokens: Int = 64, overlap: Int = 16): String = {
+    val s = chunkTokens - overlap
+    s"""WITH t AS (SELECT doc_id,
+       |  list_filter(string_split_regex(lower(text), '[\\s\\x0b]+'),
+       |              x -> len(x) > 0) AS toks
+       | FROM documents),
+       |n AS (SELECT doc_id, toks, len(toks) AS n FROM t WHERE len(toks) > 0),
+       |c AS (SELECT doc_id, toks,
+       |  CASE WHEN n <= $chunkTokens THEN 1
+       |   ELSE 1 + (n - $chunkTokens + ${s - 1}) // $s END AS n_chunks
+       | FROM n),
+       |x AS (SELECT doc_id, toks,
+       |  unnest(generate_series(0, n_chunks - 1)) AS chunk_id FROM c),
+       |sl AS (SELECT doc_id, chunk_id,
+       |  toks[chunk_id * $s + 1 : chunk_id * $s + $chunkTokens] AS sl
+       | FROM x)
+       |SELECT doc_id, CAST(chunk_id AS INT) AS chunk_id,
+       |  CAST(len(sl) AS INT) AS n_chunk_tokens,
+       |  array_to_string(sl, ' ') AS chunk_text
+       |FROM sl""".stripMargin
+  }
 }

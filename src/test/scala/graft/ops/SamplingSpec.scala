@@ -166,4 +166,68 @@ class SamplingSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(probe(3L) == "val")   // 7 < 11
     assert(probe(1L) == "train") // 11 >= 11
   }
+
+  // ---------------- passage chunking -------------------------------
+
+  private def chunksOf(text: String, c: Int, o: Int): Seq[(Int, Int, String)] = {
+    val sp = spark
+    import sp.implicits._
+    Sampling.chunk(Seq((1L, text)).toDF("doc_id", "text"), c, o)
+      .orderBy("chunk_id").collect()
+      .map(r => (r.getInt(1), r.getInt(2), r.getString(3))).toSeq
+  }
+
+  test("chunk: short doc yields exactly one full-text chunk") {
+    assert(chunksOf("a b c", 4, 1) == Seq((0, 3, "a b c")))
+    assert(chunksOf("a b c d", 4, 1) == Seq((0, 4, "a b c d")))
+  }
+
+  test("chunk: stride advance, overlap shared, short tail kept") {
+    // 6 tokens, C=4, overlap=2 -> stride 2: [t0..t3], [t2..t5] (exact cover)
+    assert(chunksOf("t0 t1 t2 t3 t4 t5", 4, 2) ==
+      Seq((0, 4, "t0 t1 t2 t3"), (1, 4, "t2 t3 t4 t5")))
+    // 7 tokens: ceil((7-4)/2)=2 extra chunks, last is the 1-token tail
+    assert(chunksOf("t0 t1 t2 t3 t4 t5 t6", 4, 2) ==
+      Seq((0, 4, "t0 t1 t2 t3"), (1, 4, "t2 t3 t4 t5"), (2, 3, "t4 t5 t6")))
+  }
+
+  test("chunk: zero overlap partitions exactly; every token appears") {
+    val out = chunksOf("a b c d e f g", 3, 0)
+    assert(out == Seq((0, 3, "a b c"), (1, 3, "d e f"), (2, 1, "g")))
+  }
+
+  test("chunk: whitespace runs collapse, VT splits, text lowercases") {
+    // Java \s includes VT (U+000B) — the oracle spells it [\s\x0b]+
+    // because RE2's \s does NOT; this pin keeps the two aligned
+    assert(chunksOf("  A\u000bB   c ", 2, 0) ==
+      Seq((0, 2, "a b"), (1, 1, "c")))
+  }
+
+  test("chunk: empty and whitespace-only docs produce no chunks") {
+    assert(chunksOf("", 4, 1).isEmpty)
+    assert(chunksOf("   ", 4, 1).isEmpty)
+  }
+
+  test("chunk: overlap bounds validated") {
+    intercept[IllegalArgumentException](chunksOf("a b", 4, 4))
+    intercept[IllegalArgumentException](chunksOf("a b", 4, -1))
+  }
+
+  test("chunk: no token lost at any (n, C, o) combination (cover property)") {
+    val sp = spark
+    import sp.implicits._
+    for (n <- Seq(1, 4, 5, 9, 64, 65, 100); c <- Seq(4, 64); o <- Seq(0, 1, c / 2)) {
+      val words = (0 until n).map(i => s"w$i")
+      val out = Sampling.chunk(Seq((1L, words.mkString(" "))).toDF("doc_id", "text"), c, o)
+        .orderBy("chunk_id").collect()
+      val stride = c - o
+      // reassemble: first chunk whole, then the non-overlapping suffix of each
+      val rebuilt = out.head.getString(3).split(" ").toSeq ++
+        out.tail.toSeq.flatMap(_.getString(3).split(" ").drop(o).toSeq)
+      assert(rebuilt == words, s"n=$n c=$c o=$o")
+      // chunk starts advance by stride
+      out.zipWithIndex.foreach { case (r, i) => assert(r.getInt(1) == i) }
+      assert(out.forall(_.getInt(2) <= c))
+    }
+  }
 }
