@@ -634,6 +634,12 @@ object SparkEntry {
           concat(col("text"), lit(" v2"))).otherwise(col("text"))).as("fp"))
       graft.ops.Crawl.delta(prev, cur)
     }),
+    "corpus_snapshot_collapse" -> ((s, dir) =>
+      // CDX-style collapse of a raw re-crawl log to one row per url
+      // (latest fp, version count, churn); engine = single-pass
+      // struct-max aggregate, oracle = join-back-on-max-ts wording
+      graft.ops.Crawl.collapse(
+        graft.ops.Crawl.syntheticFetchLog(t(s, dir, "documents")))),
     "corpus_crawl_delta_summary" -> ((s, dir) => {
       val docs = t(s, dir, "documents").withColumn("url",
         concat(lit("https://"), col("source"), lit("/doc"),
@@ -1154,6 +1160,8 @@ object SparkEntry {
         | max(n_chars) AS max_chars,
         | CAST(count(*) AS BIGINT) AS n_docs
         |FROM r GROUP BY source""".stripMargin,
+    "corpus_snapshot_collapse" -> graft.ops.Crawl.collapseOracleSql(
+      graft.ops.Crawl.fetchLogOracleSql),
     "corpus_crawl_delta" ->
       """WITH d AS (
         | SELECT doc_id, text,

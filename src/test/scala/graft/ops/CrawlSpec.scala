@@ -66,4 +66,42 @@ class CrawlSpec extends AnyFunSuite with BeforeAndAfterAll {
       .map(r => r.getString(0) -> r.getLong(1)).toMap
     assert(m == Map("removed" -> 2L, "added" -> 1L))
   }
+
+  // ---------------- snapshot collapse ------------------------------
+
+  private def collapseMap(rows: Seq[(String, Long, String)]) = {
+    val sp = spark
+    import sp.implicits._
+    Crawl.collapse(rows.toDF("url", "warc_ts", "fp")).collect()
+      .map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4),
+          r.getString(5), r.getBoolean(6)))).toMap
+  }
+
+  test("collapse: counts, version dedup, first/last ts, latest fp, churn") {
+    val out = collapseMap(Seq(
+      ("u1", 100L, "A"), ("u1", 200L, "A"), ("u1", 300L, "B"), // refetch then edit
+      ("u2", 50L, "X"),                                        // single fetch
+      ("u3", 10L, "P"), ("u3", 20L, "P")))                     // stable refetch
+    assert(out("u1") == ((3L, 2L, 100L, 300L, "B", true)))
+    assert(out("u2") == ((1L, 1L, 50L, 50L, "X", false)))
+    assert(out("u3") == ((2L, 1L, 10L, 20L, "P", false)))
+  }
+
+  test("collapse: same-second fetches tie-break latest_fp on max fp") {
+    val out = collapseMap(Seq(("u", 100L, "aaa"), ("u", 100L, "zzz")))
+    assert(out("u") == ((2L, 2L, 100L, 100L, "zzz", true)))
+  }
+
+  test("collapse: deterministic under repartitioning") {
+    val sp = spark
+    import sp.implicits._
+    val rows = (0 until 200).map(i =>
+      (s"u${i % 40}", (1000 + i).toLong, s"fp${i % 3}"))
+    val a = Crawl.collapse(rows.toDF("url", "warc_ts", "fp")).collect()
+      .map(_.toString).sorted.toSeq
+    val b = Crawl.collapse(rows.toDF("url", "warc_ts", "fp").repartition(13))
+      .collect().map(_.toString).sorted.toSeq
+    assert(a == b && a.size == 40)
+  }
 }
