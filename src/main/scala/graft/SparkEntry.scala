@@ -829,6 +829,15 @@ object SparkEntry {
         graft.ops.WebGraph.syntheticSeeds(docs, mod = 17),
         iterations = 5)
     }),
+    "web_phrase_search" -> ((s, dir) => {
+      // exact-phrase retrieval over a positional inverted index:
+      // engine = postings ⋈ broadcast query terms + anchor votes;
+      // oracle = brute-force token-window scan (independent wording).
+      // Queries are 3-token phrases drawn from the corpus itself.
+      val docs = t(s, dir, "documents")
+      graft.ops.Search.phraseSearch(docs,
+        graft.ops.Search.syntheticPhrases(docs))
+    }),
     "web_reciprocity" -> ((s, dir) => {
       // per-host link reciprocity (link-farm/webspam feature): the
       // organic anchor graph unioned with a planted mutual-link ring
@@ -1237,6 +1246,7 @@ object SparkEntry {
     "web_trustrank" -> graft.ops.WebGraph.trustRankOracleSql(
       graft.ops.WebGraph.syntheticEdgesOracleSql,
       graft.ops.WebGraph.syntheticSeedsSql(17), iterations = 5),
+    "web_phrase_search" -> graft.ops.Search.phraseSearchOracleSql(),
     "web_reciprocity" -> graft.ops.WebGraph.reciprocityOracleSql(
       "SELECT src, dst FROM (" + graft.ops.WebGraph.syntheticEdgesOracleSql +
         ")\nUNION ALL\n" + graft.ops.WebGraph.farmEdgesOracleSql()),

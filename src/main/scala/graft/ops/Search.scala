@@ -162,4 +162,93 @@ object Search {
        |   ORDER BY score DESC, doc_id ASC) AS BIGINT) AS rank
        |FROM agg
        |QUALIFY rank <= $k""".stripMargin
+
+  // ------------------------------------------------------------------
+  // Exact-phrase retrieval (positional inverted index)
+  // ------------------------------------------------------------------
+
+  /** Exact-phrase search over a positional inverted index — the
+    * second retrieval primitive next to [[bm25TopK]] (and the shape
+    * decontamination uses to find verbatim benchmark strings): return
+    * every (query, doc) pair where the query's token sequence occurs
+    * contiguously, with the OVERLAP-COUNTING occurrence count.
+    *
+    * Formulation: positional postings (doc_id, term, pos) join the
+    * (tiny, broadcast by contract) exploded query terms (query_id,
+    * idx, term); each match row votes for the anchor pos − idx; an
+    * anchor where all qlen distinct idx values appear is a full
+    * contiguous occurrence (idx ∈ [0, qlen) so count(distinct) = qlen
+    * ⟺ all present — repeated phrase terms work because the SAME
+    * posting row matches every idx of that term separately).
+    *
+    * Scale shape: the corpus side never moves more than the postings
+    * of the QUERY terms (the broadcast join filters map-side before
+    * any Exchange); the anchor aggregate shuffles only those match
+    * votes on (query_id, doc_id, anchor); countDistinct over the
+    * small idx domain is the standard two-level expand. Stopword-heavy
+    * phrases inflate the matched postings — the classic positional-
+    * index cost — but never the unmatched corpus. */
+  def phraseSearch(docs: DataFrame, phrases: DataFrame): DataFrame = {
+    val p = docs.select(col("doc_id"),
+      posexplode(TextAnalysis.tokens(col("text"))).as(Seq("pos", "term")))
+    val q = phrases.select(col("query_id"),
+      posexplode(col("terms")).as(Seq("idx", "term")))
+    val qLen = phrases.select(col("query_id"),
+      size(col("terms")).as("qlen"))
+    p.join(broadcast(q), Seq("term"))
+      .select(col("query_id"), col("doc_id"),
+        (col("pos") - col("idx")).as("anchor"), col("idx"))
+      .groupBy(col("query_id"), col("doc_id"), col("anchor"))
+      .agg(countDistinct(col("idx")).as("n_idx"))
+      .join(broadcast(qLen), Seq("query_id"))
+      .filter(col("n_idx") === col("qlen").cast("long"))
+      .groupBy(col("query_id"), col("doc_id"))
+      .agg(count(lit(1)).as("n_hits"))
+  }
+
+  /** Deterministic query phrases drawn FROM the corpus so every query
+    * has at least its source doc as a hit: query q (q < nQueries) is
+    * tokens [4, 4+span) of doc 37q (1-based), skipping docs shorter
+    * than 3+span tokens. [[phraseQueriesSql]] states the same set. */
+  def syntheticPhrases(docs: DataFrame, nQueries: Int = 5,
+                       span: Int = 3): DataFrame = {
+    val toks = TextAnalysis.tokens(col("text"))
+    docs.filter(col("doc_id") % 37 === 0 &&
+        col("doc_id") < 37L * nQueries)
+      .select((col("doc_id") / 37).cast("long").as("query_id"),
+        slice(toks, 4, span).as("terms"))
+      .filter(size(col("terms")) === span)
+  }
+
+  /** Closed-form SQL for [[syntheticPhrases]]. */
+  def phraseQueriesSql(nQueries: Int = 5, span: Int = 3): String =
+    s"""SELECT doc_id // 37 AS query_id,
+       |  toks[4 : ${3 + span}] AS ph
+       |FROM (SELECT doc_id,
+       |   list_filter(string_split_regex(lower(text), '[\\s\\x0b]+'),
+       |               x -> len(x) > 0) AS toks
+       |  FROM documents
+       |  WHERE doc_id % 37 = 0 AND doc_id < ${37L * nQueries})
+       |WHERE len(toks) >= ${3 + span}""".stripMargin
+
+  /** DuckDB replica of phraseSearch(docs, syntheticPhrases(docs)) —
+    * an INDEPENDENT formulation (cross-check, not an engine replay):
+    * brute-force token-window scan with list-slice equality, instead
+    * of the engine's postings-join anchor votes. */
+  def phraseSearchOracleSql(nQueries: Int = 5, span: Int = 3): String =
+    s"""WITH t AS (SELECT doc_id,
+       |   list_filter(string_split_regex(lower(text), '[\\s\\x0b]+'),
+       |               x -> len(x) > 0) AS toks
+       |  FROM documents),
+       |q AS (%QUERIES%),
+       |j AS (SELECT t.doc_id, q.query_id, t.toks, q.ph
+       |  FROM t, q WHERE len(t.toks) >= len(q.ph)),
+       |starts AS (SELECT doc_id, query_id, toks, ph,
+       |   unnest(generate_series(0, len(toks) - len(ph))) AS s0
+       |  FROM j),
+       |hits AS (SELECT doc_id, query_id FROM starts
+       |         WHERE toks[s0 + 1 : s0 + len(ph)] = ph)
+       |SELECT query_id, doc_id, CAST(count(*) AS BIGINT) AS n_hits
+       |FROM hits GROUP BY query_id, doc_id""".stripMargin
+      .replace("%QUERIES%", phraseQueriesSql(nQueries, span))
 }

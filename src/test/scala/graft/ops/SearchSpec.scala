@@ -125,4 +125,64 @@ class SearchSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(q.toSeq.sorted == Seq((0L, "a"), (0L, "b"), (0L, "c"),
       (0L, "d"), (1L, "x"), (1L, "y")))
   }
+
+  // ---------------- exact-phrase retrieval -------------------------
+
+  private def phraseHits(docs: Seq[(Long, String)],
+                         qs: Seq[(Long, Seq[String])]): Map[(Long, Long), Long] = {
+    val sp = spark
+    import sp.implicits._
+    Search.phraseSearch(docs.toDF("doc_id", "text"),
+        qs.toDF("query_id", "terms"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+  }
+
+  test("phraseSearch: contiguity required, single and multi hits") {
+    val docs = Seq(
+      1L -> "the quick brown fox",        // hit at pos 1
+      2L -> "quick brown and quick brown",// 2 hits
+      3L -> "quick red brown",            // terms present, NOT contiguous
+      4L -> "brown quick")                // reversed: no hit
+    val qs = Seq(0L -> Seq("quick", "brown"))
+    assert(phraseHits(docs, qs) == Map((0L, 1L) -> 1L, (0L, 2L) -> 2L))
+  }
+
+  test("phraseSearch: overlapping occurrences all count") {
+    // "a a a" contains "a a" at anchors 0 and 1
+    assert(phraseHits(Seq(1L -> "a a a"), Seq(0L -> Seq("a", "a"))) ==
+      Map((0L, 1L) -> 2L))
+  }
+
+  test("phraseSearch: repeated phrase term must match twice, gap rejects") {
+    val qs = Seq(0L -> Seq("x", "y", "x"))
+    assert(phraseHits(Seq(1L -> "z x y x z"), qs) == Map((0L, 1L) -> 1L))
+    assert(phraseHits(Seq(1L -> "x y z x"), qs) == Map.empty[(Long, Long), Long])
+  }
+
+  test("phraseSearch: multiple queries, case folding, repartition-stable") {
+    val sp = spark
+    import sp.implicits._
+    val docs = Seq(1L -> "Alpha Beta gamma", 2L -> "beta GAMMA alpha")
+    val qs = Seq(0L -> Seq("alpha", "beta"), 1L -> Seq("beta", "gamma"))
+    val base = phraseHits(docs, qs)
+    assert(base == Map((0L, 1L) -> 1L, (1L, 1L) -> 1L, (1L, 2L) -> 1L))
+    val shuffled = Search.phraseSearch(
+        docs.toDF("doc_id", "text").repartition(7),
+        qs.toDF("query_id", "terms").repartition(2))
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(shuffled == base)
+  }
+
+  test("syntheticPhrases: tokens 4..6 of every 37th doc, short docs skipped") {
+    val sp = spark
+    import sp.implicits._
+    val docs = Seq(
+      (0L, "t0 t1 t2 t3 t4 t5 t6"),
+      (37L, "a b c"),                  // too short: skipped
+      (74L, "p q r s T u"),
+      (185L, "x y z w v u"))           // >= 37*5: out of range
+    val out = Search.syntheticPhrases(docs.toDF("doc_id", "text"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[String](1).toList).toMap
+    assert(out == Map(0L -> List("t3", "t4", "t5"), 2L -> List("s", "t", "u")))
+  }
 }
