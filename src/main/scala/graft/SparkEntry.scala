@@ -544,6 +544,13 @@ object SparkEntry {
     "text_repetition" -> ((s, dir) => TextAnalysis.repetitionSignals(t(s, dir, "documents"))),
     "text_pii_scrub" -> ((s, dir) => TextAnalysis.piiScrub(t(s, dir, "documents"))),
     "text_rare_trigrams" -> ((s, dir) => TextAnalysis.rareTrigramSignals(t(s, dir, "documents"))),
+    "text_keywords" -> ((s, dir) => {
+      // per-doc top-3 keywords by tf·idf (RSJ odds, transcendental-
+      // free → bit-identical doubles); WindowGroupLimit prunes to k
+      // per doc map-side; oracle replicates the exact step order
+      val docs = t(s, dir, "documents")
+      graft.ops.Search.keywords(docs, docs.count(), k = 3)
+    }),
     "text_normalize" -> ((s, dir) => {
       // Unicode hygiene pass (control strip + NFC) over a deterministic
       // mixed-normalization corpus; the oracle states each variant's
@@ -1117,6 +1124,7 @@ object SparkEntry {
         | CAST(sum(CASE WHEN rare.t IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_rare
         |FROM tri LEFT JOIN rare ON tri.t = rare.t
         |GROUP BY tri.doc_id""".stripMargin,
+    "text_keywords" -> graft.ops.Search.keywordsOracleSql(k = 3),
     // closed-form UAX #15 ground truth: the oracle never calls a
     // normalizer — each variant's NFC form + codepoint lengths are
     // hand-derived constants (see TextAnalysis.normalizeOracleSql)

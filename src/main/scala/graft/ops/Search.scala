@@ -251,4 +251,65 @@ object Search {
        |SELECT query_id, doc_id, CAST(count(*) AS BIGINT) AS n_hits
        |FROM hits GROUP BY query_id, doc_id""".stripMargin
       .replace("%QUERIES%", phraseQueriesSql(nQueries, span))
+
+  // ------------------------------------------------------------------
+  // Per-document keyword extraction (tf-idf top-k)
+  // ------------------------------------------------------------------
+
+  /** Top-k keywords per document by tf·idf — the tagging/labeling
+    * primitive next to retrieval (and the quick "what is this page
+    * about" signal a corpus browser shows). Same transcendental-free
+    * RSJ-odds idf as [[bm25TopK]] so scores are bit-identical across
+    * engines: idf = ((N − df) + 0.5)/(df + 0.5), s = tf · idf, in
+    * exactly that operation order. Rank orders by (score DESC, term
+    * ASC) — the term tie-break makes equal scores deterministic.
+    *
+    * Scale shape: postings and df are partial-aggregated term-keyed
+    * shuffles (postings is recomputed rather than materialized — the
+    * same deliberate choice as [[bm25TopK]]: a tokens×docs checkpoint
+    * costs more storage than one extra codegen'd tokenize pass); the
+    * score join is term-co-partitioned; the per-doc top-k plans as
+    * WindowGroupLimit, pruning to k rows per doc map-side BEFORE the
+    * doc_id exchange. */
+  def keywords(docs: DataFrame, nDocs: Long, k: Int = 3): DataFrame = {
+    require(nDocs > 0, "keywords: nDocs must be positive")
+    require(k >= 1, "keywords: k must be >= 1")
+    val post = postings(docs)
+    val df = post.groupBy(col("term"))
+      .agg(count(lit(1)).cast("long").as("df"))
+    val idf = ((lit(nDocs.toDouble) - col("df").cast("double")) + lit(0.5)) /
+      (col("df").cast("double") + lit(0.5))
+    val scored = post.join(df, Seq("term"))
+      .select(col("doc_id"), col("term"),
+        (col("tf").cast("double") * idf).as("score"))
+    val w = Window.partitionBy(col("doc_id"))
+      .orderBy(col("score").desc, col("term").asc)
+    scored.withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+  }
+
+  /** DuckDB replica of [[keywords]] — same step order, so doubles are
+    * bit-identical; the window replicates the (score DESC, term ASC)
+    * rank. */
+  def keywordsOracleSql(k: Int = 3): String =
+    s"""WITH t AS (SELECT doc_id,
+       |   list_filter(string_split_regex(lower(text), '[\\s\\x0b]+'),
+       |               x -> len(x) > 0) AS toks
+       |  FROM documents),
+       |tok AS (SELECT doc_id, unnest(toks) AS term FROM t),
+       |post AS (SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf
+       |         FROM tok GROUP BY doc_id, term),
+       |df AS (SELECT term, CAST(count(*) AS BIGINT) AS df
+       |       FROM post GROUP BY term),
+       |nd AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM documents),
+       |sc AS (SELECT doc_id, term,
+       |   CAST(tf AS DOUBLE) *
+       |     ((((SELECT n FROM nd) - CAST(df AS DOUBLE)) + 0.5)
+       |      / (CAST(df AS DOUBLE) + 0.5)) AS score
+       |  FROM post JOIN df USING (term)),
+       |r AS (SELECT doc_id, term, score,
+       |   CAST(row_number() OVER (PARTITION BY doc_id
+       |        ORDER BY score DESC, term ASC) AS BIGINT) AS rank
+       |  FROM sc)
+       |SELECT doc_id, term, score, rank FROM r WHERE rank <= $k""".stripMargin
 }

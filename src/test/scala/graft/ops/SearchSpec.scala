@@ -185,4 +185,63 @@ class SearchSpec extends AnyFunSuite with BeforeAndAfterAll {
       .collect().map(r => r.getLong(0) -> r.getSeq[String](1).toList).toMap
     assert(out == Map(0L -> List("t3", "t4", "t5"), 2L -> List("s", "t", "u")))
   }
+
+  // ---------------- tf-idf keywords --------------------------------
+
+  private def kw(docs: Seq[(Long, String)], k: Int = 3): Seq[(Long, String, Long)] = {
+    val sp = spark
+    import sp.implicits._
+    val d = docs.toDF("doc_id", "text")
+    Search.keywords(d, docs.size.toLong, k)
+      .orderBy("doc_id", "rank").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(3))).toSeq
+  }
+
+  test("keywords: distinctive terms beat ubiquitous ones") {
+    // "the" appears in all 3 docs (idf small); each doc's unique term wins
+    val docs = Seq(
+      1L -> "the zebra the the",
+      2L -> "the quark",
+      3L -> "the nebula nebula")
+    val out = kw(docs, k = 1)
+    assert(out == Seq((1L, "zebra", 1L), (2L, "quark", 1L), (3L, "nebula", 1L)))
+  }
+
+  test("keywords: equal scores tie-break on term asc; rank caps at k") {
+    // two unique singleton terms in one doc: same tf, same df -> same
+    // score; "alpha" < "beta" must rank first
+    val docs = Seq(1L -> "beta alpha", 2L -> "filler words here")
+    val out = kw(docs, k = 2).filter(_._1 == 1L)
+    assert(out == Seq((1L, "alpha", 1L), (1L, "beta", 2L)))
+    // k caps: doc 2 has 3 terms but k=2 keeps 2
+    assert(kw(docs, k = 2).count(_._1 == 2L) == 2)
+  }
+
+  test("keywords: scores match an independent plain-Scala computation") {
+    val docs = Seq(
+      1L -> "apple apple banana",
+      2L -> "banana cherry",
+      3L -> "cherry cherry cherry apple")
+    val n = 3.0
+    def idf(df: Long): Double = ((n - df.toDouble) + 0.5) / (df.toDouble + 0.5)
+    // df: apple 2, banana 2, cherry 2
+    val expect1 = Map("apple" -> 2.0 * idf(2), "banana" -> 1.0 * idf(2))
+    val sp = spark
+    import sp.implicits._
+    val out = Search.keywords(docs.toDF("doc_id", "text"), 3L, 3)
+      .filter(org.apache.spark.sql.functions.col("doc_id") === 1L)
+      .collect().map(r => r.getString(1) -> r.getDouble(2)).toMap
+    assert(out == expect1)
+  }
+
+  test("keywords: repartition-stable") {
+    val sp = spark
+    import sp.implicits._
+    val docs = (0L until 50L).map(i => i -> s"w${i % 7} w${i % 11} w${i % 13} common")
+    val a = Search.keywords(docs.toDF("doc_id", "text"), 50L, 3)
+      .collect().map(_.toString).sorted.toSeq
+    val b = Search.keywords(docs.toDF("doc_id", "text").repartition(9), 50L, 3)
+      .collect().map(_.toString).sorted.toSeq
+    assert(a == b && a.nonEmpty)
+  }
 }
