@@ -641,6 +641,15 @@ object SparkEntry {
           concat(col("text"), lit(" v2"))).otherwise(col("text"))).as("fp"))
       graft.ops.Crawl.delta(prev, cur)
     }),
+    "corpus_url_cardinality" -> ((s, dir) =>
+      // HyperLogLog distinct-url estimate over the RAW fetch log
+      // (duplicates prove register idempotence): fixed 256-register
+      // state vs a distinct shuffle that grows with the answer;
+      // exact_distinct rides along as the audit arm. Bit-exact oracle
+      // (HUGEINT FNV+splitmix replay, register-ordered dyadic fold).
+      graft.ops.Cardinality.urlCardinality(
+        graft.ops.Crawl.syntheticFetchLog(t(s, dir, "documents"))
+          .select(col("url")), p = 8)),
     "corpus_snapshot_collapse" -> ((s, dir) =>
       // CDX-style collapse of a raw re-crawl log to one row per url
       // (latest fp, version count, churn); engine = single-pass
@@ -1179,6 +1188,8 @@ object SparkEntry {
         |FROM r GROUP BY source""".stripMargin,
     "corpus_snapshot_collapse" -> graft.ops.Crawl.collapseOracleSql(
       graft.ops.Crawl.fetchLogOracleSql),
+    "corpus_url_cardinality" -> graft.ops.Cardinality.oracleSql(
+      "SELECT url FROM (" + graft.ops.Crawl.fetchLogOracleSql + ")", p = 8),
     "corpus_crawl_delta" ->
       """WITH d AS (
         | SELECT doc_id, text,

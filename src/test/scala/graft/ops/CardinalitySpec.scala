@@ -1,0 +1,86 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.scalatest.BeforeAndAfterAll
+import org.scalatest.funsuite.AnyFunSuite
+
+/** HyperLogLog cardinality: register/rank kernel pinned against an
+  * independent bit-twiddling reimplementation, duplicate idempotence
+  * (the property HLL exists for), partitioning invariance, and
+  * loose-band sanity of the raw estimate vs the exact audit column. */
+class CardinalitySpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  private var spark: SparkSession = _
+
+  override def beforeAll(): Unit = {
+    spark = SparkSession.builder()
+      .master("local[4]")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+  }
+  override def afterAll(): Unit = if (spark != null) spark.stop()
+
+  private def urls(us: Seq[String]): DataFrame = {
+    val s = spark
+    import s.implicits._
+    us.toDF("url")
+  }
+
+  private def run(us: Seq[String], p: Int = 8) =
+    Cardinality.urlCardinality(urls(us), p).collect().head
+
+  test("regRank matches an independent reimplementation") {
+    // reference: same published FNV-1a/splitmix constants, written
+    // with different bit idioms (mask-and-test instead of nlz)
+    def ref(u: String, p: Int): (Int, Int) = {
+      var h = 0xcbf29ce484222325L
+      u.foreach(c => h = (h ^ c) * 1099511628211L)
+      var z = h + 0x9e3779b97f4a7c15L
+      z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L
+      z = (z ^ (z >>> 27)) * 0x94d049bb133111ebL
+      z = z ^ (z >>> 31)
+      val reg = ((z >>> (64 - p)) & ((1L << p) - 1)).toInt
+      var rank = 1
+      var bit = 63 - p
+      while (bit >= 0 && ((z >> bit) & 1L) == 0L) { rank += 1; bit -= 1 }
+      (reg, rank)
+    }
+    for (u <- Seq("https://a.example/x", "", "doc", "https://src0/doc123");
+         p <- Seq(4, 8, 12)) {
+      assert(Cardinality.regRank(u, p) == ref(u, p), s"url=$u p=$p")
+    }
+  }
+
+  test("duplicates never change the output row") {
+    val base = (0 until 300).map(i => s"https://h${i % 7}.example/p$i")
+    val a = run(base)
+    val b = run(base ++ base ++ base.take(50))
+    assert(a == b)
+  }
+
+  test("repartition-invariant") {
+    val s = spark
+    import s.implicits._
+    val us = (0 until 400).map(i => s"https://x.example/$i")
+    val a = Cardinality.urlCardinality(us.toDF("url"), 8).collect().head
+    val b = Cardinality.urlCardinality(us.toDF("url").repartition(11), 8)
+      .collect().head
+    assert(a == b)
+  }
+
+  test("estimate lands in a loose band around exact; audit column is exact") {
+    val out = run((0 until 500).map(i => s"https://h${i % 13}.example/doc$i"))
+    val est = out.getDouble(2)
+    assert(out.getLong(3) == 500L)
+    assert(est > 300 && est < 800, s"estimate $est implausible for 500")
+    assert(out.getLong(0) == 256L)
+  }
+
+  test("tiny input: most registers zero, exact matches") {
+    val out = run(Seq("a", "b", "c"))
+    assert(out.getLong(3) == 3L)
+    assert(out.getLong(1) >= 253L) // >= m - 3 zero registers
+  }
+}
