@@ -641,6 +641,12 @@ object SparkEntry {
           concat(col("text"), lit(" v2"))).otherwise(col("text"))).as("fp"))
       graft.ops.Crawl.delta(prev, cur)
     }),
+    "corpus_term_sketch" -> ((s, dir) =>
+      // Count-Min heavy hitters: exact top-10 terms with their CMS
+      // estimates (4×256 counter grid — mergeable fixed state; the
+      // overcount column IS the audit). All-integer, full oracle replay.
+      graft.ops.CountMin.topKWithEstimates(t(s, dir, "documents"),
+        d = 4, p = 8, k = 10)),
     "corpus_url_cardinality" -> ((s, dir) =>
       // HyperLogLog distinct-url estimate over the RAW fetch log
       // (duplicates prove register idempotence): fixed 256-register
@@ -1188,6 +1194,7 @@ object SparkEntry {
         |FROM r GROUP BY source""".stripMargin,
     "corpus_snapshot_collapse" -> graft.ops.Crawl.collapseOracleSql(
       graft.ops.Crawl.fetchLogOracleSql),
+    "corpus_term_sketch" -> graft.ops.CountMin.oracleSql(d = 4, p = 8, k = 10),
     "corpus_url_cardinality" -> graft.ops.Cardinality.oracleSql(
       "SELECT url FROM (" + graft.ops.Crawl.fetchLogOracleSql + ")", p = 8),
     "corpus_crawl_delta" ->

@@ -139,3 +139,120 @@ object Cardinality {
       .replace("%URLS%", urlsSql)
   }
 }
+
+/** Count-Min frequency sketch — the heavy-hitter complement to
+  * [[Cardinality]]: term frequencies estimated from a fixed d×w
+  * counter grid instead of the full term dictionary. Every counter is
+  * an exact integer sum, so the DuckDB oracle replays the whole
+  * pipeline bit for bit (no IEEE subtleties at all here).
+  *
+  * Hash family: col_j(term) = top-log2(w) bits of
+  * splitmix64(FNV-1a(term) + j·GOLD) — the same j·GOLD row-seed
+  * derivation the minhash permutations use, already cross-verified in
+  * HUGEINT ([[MinhashOracle]]).
+  *
+  * The driver row reports the exact top-k terms (count DESC, term ASC
+  * — deterministic) with their CMS estimates: estimate ≥ exact always
+  * (counters only ever over-count collisions), and the gap IS the
+  * audit. Scale shape: the sketch build partial-aggregates below one
+  * Exchange that moves AT MOST d·w rows per map task regardless of
+  * corpus size (the sketch is mergeable state, exactly what a
+  * 1000-executor fleet combines); the exact top-k audit arm is the
+  * only answer-sized aggregate and plans its top-k as
+  * WindowGroupLimit. */
+object CountMin {
+
+  private val GOLD = 0xc2b2ae3d27d4eb4fL
+
+  /** (row j, column) cells of one term, p = log2(width). */
+  private[ops] def cells(term: String, d: Int, p: Int): Seq[(Int, Int)] = {
+    val h = Dedup.hash64(term, 0, term.length)
+    (0 until d).map(j => (j, (Dedup.mix64(h + j * GOLD) >>> (64 - p)).toInt))
+  }
+
+  /** Exact top-k terms with their Count-Min estimates:
+    * (term, exact_count, cms_estimate, overcount). d rows of 2^p
+    * counters. */
+  def topKWithEstimates(docs: DataFrame, d: Int = 4, p: Int = 8,
+                        k: Int = 10): DataFrame = {
+    require(d >= 1 && d <= 8 && p >= 4 && p <= 16, s"bad d=$d p=$p")
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val toks = docs.select(
+      explode(TextAnalysis.tokens(col("text"))).as("term"))
+    val sketch = toks.as[String]
+      .mapPartitions(_.flatMap(t => cells(t, d, p).iterator))
+      .toDF("row", "col")
+      .groupBy(col("row"), col("col"))
+      .agg(count(lit(1)).as("cnt"))
+      .localCheckpoint(true) // sketch state: at most d*2^p rows
+    val exact = toks.groupBy(col("term"))
+      .agg(count(lit(1)).as("exact_count"))
+    // global top-k via orderBy+limit → TakeOrderedAndProject (each map
+    // task keeps k rows) — NOT a partitionless window, which would drag
+    // the whole term dictionary into one reducer at corpus scale
+    val top = exact.orderBy(col("exact_count").desc, col("term").asc)
+      .limit(k)
+      .localCheckpoint(true) // k rows
+    val topCells = top.select(col("term")).as[String]
+      .mapPartitions(_.flatMap(t =>
+        cells(t, d, p).iterator.map { case (j, c) => (t, j, c) }))
+      .toDF("term", "row", "col")
+    val est = topCells
+      .join(sketch, Seq("row", "col"))
+      .groupBy(col("term"))
+      .agg(min(col("cnt")).as("cms_estimate"))
+    top.join(est, Seq("term"))
+      .select(col("term"), col("exact_count"), col("cms_estimate"),
+        (col("cms_estimate") - col("exact_count")).as("overcount"))
+  }
+
+  /** DuckDB oracle for [[topKWithEstimates]] — full integer replay of
+    * the FNV + splitmix + top-bits column derivation in HUGEINT,
+    * sketch build, exact top-k, and min-over-rows estimate. */
+  def oracleSql(d: Int = 4, p: Int = 8, k: Int = 10): String = {
+    val M = "18446744073709551616"
+    val SM1 = java.lang.Long.toUnsignedString(0x9e3779b97f4a7c15L)
+    val SM2 = java.lang.Long.toUnsignedString(0xbf58476d1ce4e5b9L)
+    val SM3 = java.lang.Long.toUnsignedString(0x94d049bb133111ebL)
+    val FNV_OFF = java.lang.Long.toUnsignedString(0xcbf29ce484222325L)
+    val jRows = (0 until d).map { j =>
+      s"($j, CAST('${(BigInt(j) * BigInt(java.lang.Long.toUnsignedString(GOLD))) % (BigInt(1) << 64)}' AS HUGEINT))"
+    }.mkString(", ")
+    def mm(a: String, b: String) = SimhashOracle.mulmod(a, b)
+    def xr(a: String, b: String) = SimhashOracle.xor64(a, b)
+    s"""WITH t AS (SELECT doc_id,
+       |   list_filter(string_split_regex(lower(text), '[\\s\\x0b]+'),
+       |               x -> len(x) > 0) AS toks
+       |  FROM documents),
+       |tok AS (SELECT unnest(toks) AS term FROM t),
+       |th AS (SELECT term,
+       |  list_reduce(list_prepend(CAST($FNV_OFF AS HUGEINT),
+       |    list_transform(split(term, ''), x -> CAST(unicode(x) AS HUGEINT))),
+       |    (h, c) -> ${mm(xr("h", "c"), "1099511628211")}) AS h
+       | FROM tok),
+       |js(j, jadd) AS (VALUES $jRows),
+       |m0 AS (SELECT term, j, (h + jadd + $SM1) % $M AS z FROM th, js),
+       |m1 AS (SELECT term, j, ${mm(xr("z", s"z // ${1L << 30}"), SM2)} AS z FROM m0),
+       |m2 AS (SELECT term, j, ${mm(xr("z", s"z // ${1L << 27}"), SM3)} AS z FROM m1),
+       |m3 AS (SELECT term, j AS row,
+       |  CAST(${xr("z", s"z // ${1L << 31}")} // ${BigInt(1) << (64 - p)} AS INT) AS col
+       | FROM m2),
+       |sketch AS (SELECT row, col, CAST(count(*) AS BIGINT) AS cnt
+       |           FROM m3 GROUP BY row, col),
+       |exact AS (SELECT term, CAST(count(*) AS BIGINT) AS exact_count
+       |          FROM tok GROUP BY term),
+       |top AS (SELECT term, exact_count FROM (
+       |   SELECT term, exact_count,
+       |     row_number() OVER (ORDER BY exact_count DESC, term ASC) AS rk
+       |   FROM exact) WHERE rk <= $k),
+       |est AS (SELECT m3.term, min(sketch.cnt) AS cms_estimate
+       |  FROM (SELECT DISTINCT term, row, col FROM m3) m3
+       |  JOIN top ON m3.term = top.term
+       |  JOIN sketch ON m3.row = sketch.row AND m3.col = sketch.col
+       |  GROUP BY m3.term)
+       |SELECT top.term, top.exact_count, est.cms_estimate,
+       |  est.cms_estimate - top.exact_count AS overcount
+       |FROM top JOIN est ON top.term = est.term""".stripMargin
+  }
+}

@@ -83,4 +83,53 @@ class CardinalitySpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(out.getLong(3) == 3L)
     assert(out.getLong(1) >= 253L) // >= m - 3 zero registers
   }
+
+  // ---------------- Count-Min sketch -------------------------------
+
+  private def docsDf(texts: Seq[String]): DataFrame = {
+    val s = spark
+    import s.implicits._
+    texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }.toDF("doc_id", "text")
+  }
+
+  test("countmin: estimates are exact when the grid is collision-free") {
+    val out = CountMin.topKWithEstimates(
+      docsDf(Seq("aa bb aa cc", "bb aa dd")), d = 4, p = 8, k = 10)
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(out("aa") == ((3L, 3L, 0L)))
+    assert(out("bb") == ((2L, 2L, 0L)))
+    assert(out.size == 4 && out.values.forall(_._3 == 0L))
+  }
+
+  test("countmin: estimate >= exact always; tiny grid forces overcount") {
+    // p=4 -> 16 columns x d=1 row over 40 distinct terms: pigeonhole
+    // guarantees collisions, so SOME top term must overcount
+    val words = (0 until 40).map(i => s"w$i")
+    val text = (words ++ words.take(5)).mkString(" ") // top-5 have count 2
+    val rows = CountMin.topKWithEstimates(docsDf(Seq(text)), d = 1, p = 4, k = 40)
+      .collect()
+    assert(rows.forall(r => r.getLong(2) >= r.getLong(1)))
+    assert(rows.exists(r => r.getLong(3) > 0L), "no collision in 40->16 pigeonhole")
+  }
+
+  test("countmin: top-k order is (count desc, term asc) and caps at k") {
+    val out = CountMin.topKWithEstimates(
+      docsDf(Seq("z z y y x w")), d = 4, p = 8, k = 2)
+      .collect().map(_.getString(0)).toSet
+    assert(out == Set("y", "z")) // both count 2; x/w (count 1) cut by k
+  }
+
+  test("countmin: repartition-invariant") {
+    val s = spark
+    import s.implicits._
+    val texts = (0 until 60).map(i => s"common w${i % 9} w${i % 4}")
+    val base = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+      .toDF("doc_id", "text")
+    val a = CountMin.topKWithEstimates(base, 4, 8, 5)
+      .collect().map(_.toString).sorted.toSeq
+    val b = CountMin.topKWithEstimates(base.repartition(13), 4, 8, 5)
+      .collect().map(_.toString).sorted.toSeq
+    assert(a == b && a.size == 5)
+  }
 }
