@@ -860,6 +860,17 @@ object SparkEntry {
       graft.ops.Search.phraseSearch(docs,
         graft.ops.Search.syntheticPhrases(docs))
     }),
+    "web_host_overlap" -> ((s, dir) => {
+      // host-level content overlap via mergeable minhash union (mirror
+      // detection): a planted full mirror of src0 scores 1000 permille
+      // against its original; organic host pairs sit at 31-109. Hosts
+      // meet only where a signature lane coincides — never all-pairs.
+      val docs = t(s, dir, "documents")
+      val mirrored = docs.filter(col("source") === "src0")
+        .withColumn("source", lit("mirror0"))
+      graft.ops.Dedup.hostOverlap(docs.unionByName(mirrored),
+        minMatches = 2)
+    }),
     "web_reciprocity" -> ((s, dir) => {
       // per-host link reciprocity (link-farm/webspam feature): the
       // organic anchor graph unioned with a planted mutual-link ring
@@ -1272,6 +1283,11 @@ object SparkEntry {
     "web_trustrank" -> graft.ops.WebGraph.trustRankOracleSql(
       graft.ops.WebGraph.syntheticEdgesOracleSql,
       graft.ops.WebGraph.syntheticSeedsSql(17), iterations = 5),
+    "web_host_overlap" -> graft.ops.MinhashOracle.hostOverlapSql(
+      k = 64, minMatches = 2,
+      docSrc = "(SELECT doc_id, text, source FROM documents UNION ALL " +
+        "SELECT doc_id, text, 'mirror0' AS source FROM documents " +
+        "WHERE source = 'src0')"),
     "web_phrase_search" -> graft.ops.Search.phraseSearchOracleSql(),
     "web_reciprocity" -> graft.ops.WebGraph.reciprocityOracleSql(
       "SELECT src, dst FROM (" + graft.ops.WebGraph.syntheticEdgesOracleSql +

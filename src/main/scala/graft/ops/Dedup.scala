@@ -84,31 +84,82 @@ object Dedup {
     import spark.implicits._
     docs.select(col("doc_id").cast("long"), lower(col("text")))
       .as[(Long, String)]
-      .mapPartitions { iter =>
-        iter.map { case (id, text) =>
-          val toks = text.split("\\s+").filter(_.nonEmpty)
-          val sig = Array.fill(k)(Long.MaxValue)
-          val n = math.max(1, toks.length - shingleWidth + 1)
-          var i = 0
-          while (i < n) {
-            // base hash of the w-gram (chained FNV over tokens)
-            var h = 0xcbf29ce484222325L
-            var w = 0
-            while (w < shingleWidth && i + w < toks.length) {
-              h = (h ^ hash64(toks(i + w), 0, toks(i + w).length)) * 1099511628211L
-              w += 1
-            }
-            var j = 0
-            while (j < k) {
-              val hj = mix64(h + j * 0xc2b2ae3d27d4eb4fL)
-              if (hj < sig(j)) sig(j) = hj
-              j += 1
-            }
-            i += 1
-          }
-          (id, sig)
-        }
-      }.toDF("doc_id", "sig")
+      .mapPartitions(_.map { case (id, text) =>
+        (id, sigKernel(text, k, shingleWidth))
+      }).toDF("doc_id", "sig")
+  }
+
+  /** Scalar signature kernel shared by [[minhashSignatures]] and
+    * [[hostOverlap]]: k signed-min lanes over chained-FNV 3-gram
+    * hashes, permutations derived by splitmix64 remixing. Expects
+    * already-lowercased text. */
+  private[ops] def sigKernel(text: String, k: Int,
+                             shingleWidth: Int): Array[Long] = {
+    val toks = text.split("\\s+").filter(_.nonEmpty)
+    val sig = Array.fill(k)(Long.MaxValue)
+    val n = math.max(1, toks.length - shingleWidth + 1)
+    var i = 0
+    while (i < n) {
+      // base hash of the w-gram (chained FNV over tokens)
+      var h = 0xcbf29ce484222325L
+      var w = 0
+      while (w < shingleWidth && i + w < toks.length) {
+        h = (h ^ hash64(toks(i + w), 0, toks(i + w).length)) * 1099511628211L
+        w += 1
+      }
+      var j = 0
+      while (j < k) {
+        val hj = mix64(h + j * 0xc2b2ae3d27d4eb4fL)
+        if (hj < sig(j)) sig(j) = hj
+        j += 1
+      }
+      i += 1
+    }
+    sig
+  }
+
+  /** Host-level content overlap via MERGEABLE minhash union — the
+    * mirror-detection rollup: the minhash signature of a UNION of
+    * shingle sets is the elementwise (signed) min of the members'
+    * signatures, so a host's signature folds over its pages in one
+    * partial-aggregated pass, and lane-equality counts between host
+    * pairs estimate the Jaccard overlap of the hosts' ENTIRE content
+    * — exactly how mirror farms are found at crawl scale without
+    * comparing any page pair.
+    *
+    * Output per host pair (a_host < b_host, ≥ minMatches equal
+    * lanes): matches of k, est_permille = matches·1000 div k.
+    *
+    * Scale shape: per-page signatures (the documented mapPartitions
+    * kernel) explode to (host, lane, value) and fold by ONE
+    * partial-aggregated groupBy(host, lane) — ≤ |hosts|·k rows
+    * shuffle; the pair generation is an equi-join on (lane, value) —
+    * hosts meet ONLY where a lane value coincides (LSH-style), never
+    * all-pairs; the final rollup groups the (bounded) matching lane
+    * rows. Duplicate doc_ids (e.g. a planted mirror) are harmless:
+    * min is idempotent. */
+  def hostOverlap(docs: DataFrame, k: Int = 64, shingleWidth: Int = 3,
+                  minMatches: Int = 1): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val hostSig = docs.select(col("source").cast("string"),
+        lower(col("text")))
+      .as[(String, String)]
+      .mapPartitions(_.flatMap { case (host, text) =>
+        val sig = sigKernel(text, k, shingleWidth)
+        Iterator.tabulate(k)(j => (host, j, sig(j)))
+      }).toDF("host", "j", "s")
+      .groupBy(col("host"), col("j")).agg(min(col("s")).as("s"))
+      .localCheckpoint(true) // |hosts| x k rows
+    val a = hostSig.select(col("host").as("a_host"), col("j"), col("s"))
+    val b = hostSig.select(col("host").as("b_host"), col("j"), col("s"))
+    a.join(b, Seq("j", "s"))
+      .filter(col("a_host") < col("b_host"))
+      .groupBy(col("a_host"), col("b_host"))
+      .agg(count(lit(1)).as("matches"))
+      .filter(col("matches") >= minMatches)
+      .select(col("a_host"), col("b_host"), col("matches"),
+        expr(s"matches * 1000L div ${k}L").as("est_permille"))
   }
 
   /** MinHash + LSH banding: signatures → (band, bandHash) buckets →

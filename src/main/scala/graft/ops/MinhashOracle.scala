@@ -45,18 +45,17 @@ object MinhashOracle {
 
   /** WITH-clause stages ending in `est(a_id, b_id, est_jaccard)` over
     * table `documents` (no threshold applied yet). */
-  private def pipeline(k: Int, bands: Int, bucketCap: Int): String = {
-    val r = k / bands
+  /** Stages toklist..sig(doc_id, j, s): per-doc k-perm signatures over
+    * 3-token shingles (signed-min lanes) — shared by the LSH pipeline
+    * and the host-overlap rollup. */
+  private def sigStages(k: Int, docSrc: String = "documents"): String = {
     val seedRows = (0 until k).map { j =>
       s"($j, CAST('${(BigInt(j) * GOLD) % (BigInt(1) << 64)}' AS HUGEINT))"
-    }.mkString(", ")
-    val bandRows = (0 until bands).map { b =>
-      s"($b, CAST('${java.lang.Long.toUnsignedString(0xcbf29ce484222325L ^ b)}' AS HUGEINT))"
     }.mkString(", ")
     val off = s"CAST($FNV_OFF AS HUGEINT)"
     s"""toklist AS (
        |  SELECT doc_id, list_filter(string_split_regex(lower(text), '[\\s\\x0b]+'), x -> len(x) > 0) AS ts
-       |  FROM documents),
+       |  FROM $docSrc),
        |docn AS (SELECT doc_id, ts, len(ts) AS tl, greatest(1, len(ts) - 2) AS n FROM toklist),
        |spos AS (SELECT doc_id, ts, tl, unnest(generate_series(1, n)) AS i FROM docn),
        |sh1 AS (SELECT doc_id, ts, tl, i,
@@ -73,7 +72,15 @@ object MinhashOracle {
        |mh4 AS (SELECT doc_id, j, ${xor64("z", s"z // ${1L << 31}")} AS z FROM mh3),
        |sig AS (SELECT doc_id, j,
        |  min(CAST(CASE WHEN z >= 9223372036854775808 THEN z - $M ELSE z END AS BIGINT)) AS s
-       |  FROM mh4 GROUP BY doc_id, j),
+       |  FROM mh4 GROUP BY doc_id, j)""".stripMargin
+  }
+
+  private def pipeline(k: Int, bands: Int, bucketCap: Int): String = {
+    val r = k / bands
+    val bandRows = (0 until bands).map { b =>
+      s"($b, CAST('${java.lang.Long.toUnsignedString(0xcbf29ce484222325L ^ b)}' AS HUGEINT))"
+    }.mkString(", ")
+    s"""${sigStages(k)},
        |bands(b, bstart) AS (VALUES $bandRows),
        |bh AS (SELECT doc_id, b,
        |  list_reduce(list_prepend(any_value(bstart),
@@ -112,4 +119,24 @@ object MinhashOracle {
        |  JOIN dtoks tb ON tb.doc_id = e.b_id
        |  WHERE e.est_jaccard >= $estThreshold)
        |SELECT a_id, b_id, jaccard FROM ver WHERE jaccard >= $exactThreshold""".stripMargin
+
+  /** Oracle for `Dedup.hostOverlap(documents)` — host-level minhash
+    * union (elementwise signed min across the host's docs: the
+    * signature of a UNION of shingle sets) and per-lane equality
+    * counts between host pairs. */
+  def hostOverlapSql(k: Int = 64, minMatches: Int = 1,
+                     docSrc: String = "documents"): String =
+    s"""WITH ${sigStages(k, docSrc)},
+       |hmap AS (SELECT DISTINCT doc_id, source AS host FROM $docSrc),
+       |hsig AS (SELECT h.host, s.j, min(s.s) AS s
+       |  FROM sig s JOIN hmap h ON s.doc_id = h.doc_id
+       |  GROUP BY h.host, s.j),
+       |pairs AS (SELECT a.host AS a_host, b.host AS b_host,
+       |  CAST(count(*) AS BIGINT) AS matches
+       |  FROM hsig a JOIN hsig b
+       |    ON a.j = b.j AND a.s = b.s AND a.host < b.host
+       |  GROUP BY a.host, b.host)
+       |SELECT a_host, b_host, matches,
+       |  matches * 1000 // $k AS est_permille
+       |FROM pairs WHERE matches >= $minMatches""".stripMargin
 }

@@ -597,4 +597,46 @@ class OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     val m = Multimodal.metadata(d).collect().map(r => r.getLong(0) -> r.getString(3)).toMap
     assert(m == Map(1L -> "pdf", 2L -> "png", 3L -> "unknown"))
   }
+
+  // ---------------- host-level minhash overlap ---------------------
+
+  private def hostDocs(rows: (String, String)*): DataFrame = {
+    val s = spark
+    import s.implicits._
+    rows.toSeq.zipWithIndex.map { case ((src, t), i) => (i.toLong, t, src) }
+      .toDF("doc_id", "text", "source")
+  }
+
+  test("hostOverlap: identical content = 1000 permille, disjoint absent") {
+    val t1 = "the quick brown fox jumps over the lazy dog tonight"
+    val t2 = "completely different words about columnar storage engines and formats"
+    val d = hostDocs("a" -> t1, "mirror" -> t1, "b" -> t2)
+    val out = Dedup.hostOverlap(d, minMatches = 2).collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getLong(3)).toMap
+    assert(out == Map(("a", "mirror") -> 1000L))
+  }
+
+  test("hostOverlap: union merge — host sig is min over its pages") {
+    // host "ab" holds both texts; overlap(ab, a-only) must be HIGH
+    // (every a-shingle is in ab's union) even though ab also has b
+    val t1 = "the quick brown fox jumps over the lazy dog tonight"
+    val t2 = "completely different words about columnar storage engines and formats"
+    val d = hostDocs("ab" -> t1, "ab" -> t2, "a" -> t1)
+    val out = Dedup.hostOverlap(d, minMatches = 1).collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    // min-of-union: expected match share ~ |A|/|A∪B| (~half the lanes)
+    assert(out(("a", "ab")) >= 16L)
+  }
+
+  test("hostOverlap: duplicate pages are idempotent; repartition-stable") {
+    val t1 = "the quick brown fox jumps over the lazy dog tonight"
+    val t2 = "some shared middle content plus the quick brown fox appears here"
+    val d = hostDocs("x" -> t1, "y" -> t2)
+    val dup = hostDocs("x" -> t1, "x" -> t1, "y" -> t2, "y" -> t2)
+    val base = Dedup.hostOverlap(d, minMatches = 1).collect().map(_.toString).sorted.toSeq
+    val dd = Dedup.hostOverlap(dup, minMatches = 1).collect().map(_.toString).sorted.toSeq
+    val rp = Dedup.hostOverlap(d.repartition(7), minMatches = 1)
+      .collect().map(_.toString).sorted.toSeq
+    assert(base == dd && base == rp)
+  }
 }
