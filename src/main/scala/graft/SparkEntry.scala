@@ -641,6 +641,12 @@ object SparkEntry {
           concat(col("text"), lit(" v2"))).otherwise(col("text"))).as("fp"))
       graft.ops.Crawl.delta(prev, cur)
     }),
+    "corpus_crawl_budget" -> ((s, dir) =>
+      // exact integer crawl-slot apportionment (Hamilton / largest
+      // remainder): sum(quota) == budget always; 997 is prime so the
+      // remainder round genuinely binds at every SF
+      graft.ops.Sampling.crawlBudget(t(s, dir, "documents"),
+        budget = 997L)),
     "corpus_term_sketch" -> ((s, dir) =>
       // Count-Min heavy hitters: exact top-10 terms with their CMS
       // estimates (4×256 counter grid — mergeable fixed state; the
@@ -1205,6 +1211,7 @@ object SparkEntry {
         |FROM r GROUP BY source""".stripMargin,
     "corpus_snapshot_collapse" -> graft.ops.Crawl.collapseOracleSql(
       graft.ops.Crawl.fetchLogOracleSql),
+    "corpus_crawl_budget" -> graft.ops.Sampling.crawlBudgetOracleSql(997L),
     "corpus_term_sketch" -> graft.ops.CountMin.oracleSql(d = 4, p = 8, k = 10),
     "corpus_url_cardinality" -> graft.ops.Cardinality.oracleSql(
       "SELECT url FROM (" + graft.ops.Crawl.fetchLogOracleSql + ")", p = 8),

@@ -256,4 +256,66 @@ object Sampling {
        |  array_to_string(sl, ' ') AS chunk_text
        |FROM sl""".stripMargin
   }
+
+  /** Crawl-budget apportionment by the largest-remainder (Hamilton)
+    * method: divide an integer budget of B crawl slots across hosts
+    * proportionally to their token mass, EXACTLY — sum(quota) == B
+    * always, no float rounding drift. base_h = (B·w_h) div W;
+    * the R = B − Σbase leftover slots go to the R largest remainders
+    * ((B·w_h) mod W, ties broken host-asc) — deterministic integer
+    * arithmetic end to end, so the oracle restates it verbatim.
+    *
+    * Scale shape: one partial-aggregated host rollup; W and R are two
+    * driver-read SCALARS (a 1-row aggregate — never data); the top-R
+    * remainder selection is orderBy+limit (TakeOrderedAndProject —
+    * each map task keeps R rows) + one broadcast semi-join, NOT a
+    * partitionless window over all hosts. Overflow note: B·w_h must
+    * fit a Long — at 10^12-token corpora pre-scale w to kilotokens.
+    */
+  def crawlBudget(docs: DataFrame, budget: Long): DataFrame = {
+    require(budget > 0, "budget must be positive")
+    val w = docs.groupBy(col("source").as("host"))
+      .agg(sum(size(TextAnalysis.tokens(col("text"))).cast("long"))
+        .as("tokens_w"))
+      .localCheckpoint(true) // |hosts| rows
+    val totW = w.agg(sum(col("tokens_w"))).collect()(0).getLong(0)
+    require(totW > 0, "corpus has no tokens")
+    val based = w.select(col("host"), col("tokens_w"),
+      expr(s"tokens_w * ${budget}L div ${totW}L").as("base"),
+      expr(s"(tokens_w * ${budget}L) % ${totW}L").as("rem"))
+      .localCheckpoint(true)
+    val sumBase = based.agg(sum(col("base"))).collect()(0).getLong(0)
+    val r = (budget - sumBase).toInt
+    val topR = based.orderBy(col("rem").desc, col("host").asc)
+      .limit(r).select(col("host"))
+    based.join(broadcast(topR.withColumn("extra", lit(1L))),
+        Seq("host"), "left")
+      .select(col("host"), col("tokens_w"), col("base"),
+        coalesce(col("extra"), lit(0L)).as("extra"),
+        (col("base") + coalesce(col("extra"), lit(0L))).as("quota"))
+  }
+
+  /** DuckDB replica of [[crawlBudget]] — the driver-scalar R becomes
+    * a scalar subquery; the top-R selection is the rank formulation
+    * (independent wording of the same largest-remainder rule). */
+  def crawlBudgetOracleSql(budget: Long): String =
+    s"""WITH w AS (SELECT source AS host,
+       |  CAST(sum(len(list_filter(
+       |    string_split_regex(lower(text), '[\\s\\x0b]+'),
+       |    x -> len(x) > 0))) AS BIGINT) AS tokens_w
+       | FROM documents GROUP BY source),
+       |tw AS (SELECT CAST(sum(tokens_w) AS BIGINT) AS totw FROM w),
+       |b AS (SELECT host, tokens_w,
+       |  tokens_w * $budget // (SELECT totw FROM tw) AS base,
+       |  (tokens_w * $budget) % (SELECT totw FROM tw) AS rem
+       | FROM w),
+       |r AS (SELECT $budget - CAST(sum(base) AS BIGINT) AS r FROM b),
+       |rk AS (SELECT host, row_number()
+       |    OVER (ORDER BY rem DESC, host ASC) AS rk FROM b)
+       |SELECT b.host, b.tokens_w, CAST(b.base AS BIGINT) AS base,
+       |  CAST(CASE WHEN rk.rk <= (SELECT r FROM r) THEN 1 ELSE 0 END
+       |       AS BIGINT) AS extra,
+       |  CAST(b.base + CASE WHEN rk.rk <= (SELECT r FROM r)
+       |       THEN 1 ELSE 0 END AS BIGINT) AS quota
+       |FROM b JOIN rk ON b.host = rk.host""".stripMargin
 }

@@ -230,4 +230,41 @@ class SamplingSpec extends AnyFunSuite with BeforeAndAfterAll {
       assert(out.forall(_.getInt(2) <= c))
     }
   }
+
+  // ---------------- crawl-budget apportionment ---------------------
+
+  test("crawlBudget: quotas sum EXACTLY to the budget; proportional") {
+    val d = corpus(60, Seq("en"), Seq("a.com", "b.com", "c.com"))
+    for (b <- Seq(7L, 97L, 1000L)) {
+      val out = Sampling.crawlBudget(d, b).collect()
+      assert(out.map(_.getLong(4)).sum == b, s"budget $b")
+      assert(out.forall(r => r.getLong(3) == 0L || r.getLong(3) == 1L))
+      // quota within 1 of the exact proportional share
+      val totW = out.map(_.getLong(1)).sum.toDouble
+      out.foreach { r =>
+        val ideal = b * r.getLong(1) / totW
+        assert(math.abs(r.getLong(4) - ideal) <= 1.0, s"$r vs $ideal")
+      }
+    }
+  }
+
+  test("crawlBudget: largest remainders win; host-asc tie-break") {
+    val s2 = spark
+    import s2.implicits._
+    // 3 hosts with weights 1,1,1 and budget 4: base 1 each, R=1 extra
+    // goes to the smallest host name on the all-equal remainder tie
+    val d = Seq((1L, "w w", "h-b"), (2L, "w w", "h-a"), (3L, "w w", "h-c"))
+      .toDF("doc_id", "text", "source")
+    val out = Sampling.crawlBudget(d, 4L).collect()
+      .map(r => r.getString(0) -> r.getLong(4)).toMap
+    assert(out == Map("h-a" -> 2L, "h-b" -> 1L, "h-c" -> 1L))
+  }
+
+  test("crawlBudget: repartition-invariant") {
+    val d = corpus(80, Seq("en", "de"), Seq("a", "b", "c", "d", "e"))
+    val x = Sampling.crawlBudget(d, 131L).collect().map(_.toString).sorted.toSeq
+    val y = Sampling.crawlBudget(d.repartition(13), 131L)
+      .collect().map(_.toString).sorted.toSeq
+    assert(x == y)
+  }
 }
