@@ -449,6 +449,14 @@ object SparkEntry {
         t(s, dir, "events").filter(col("event_id") % 7 === 0),
         steps = Seq("signup", "view", "click", "purchase"))),
 
+    "q9_retention" -> ((s, dir) =>
+      // weekly cohort retention over a 1-in-11 event sample (the full
+      // stream is dense enough that every user is active every week —
+      // the sample makes decay real); weeks anchored at the global min
+      // event time so only timestamp differences matter
+      graft.ops.Events.retention(
+        t(s, dir, "events").filter(col("event_id") % 11 === 0))),
+
     // ---------------- deduplication ---------------------------------
     "dedup_exact" -> ((s, dir) => Dedup.exact(t(s, dir, "documents"))),
     "dedup_lines" -> ((s, dir) => {
@@ -988,6 +996,8 @@ object SparkEntry {
         | count(DISTINCT l_suppkey) AS n_supps, count(*) AS n_rows
         |FROM lineitem""".stripMargin,
     "q7_sessionize" -> graft.ops.Events.sessionizeOracleSql(21600L * 1000000L),
+    "q9_retention" -> graft.ops.Events.retentionOracleSql(
+      eventsSrc = "(SELECT * FROM events WHERE event_id % 11 = 0)"),
     "q8_funnel" -> graft.ops.Events.funnelOracleSql(
       Seq("signup", "view", "click", "purchase"), where = "event_id % 7 = 0"),
     "dedup_exact" ->

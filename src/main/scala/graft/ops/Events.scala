@@ -159,4 +159,50 @@ object Events {
        |$stages
        |$rows""".stripMargin
   }
+
+  /** Cohort retention matrix — the third classic event-analytics view
+    * next to [[sessionize]] and [[funnel]]: users bucketed by their
+    * FIRST active week (cohort), counted in every later week they
+    * return. Output: (cohort_week, week_offset, n_users).
+    *
+    * Weeks are anchored at the GLOBAL minimum event time, so — like
+    * sessionize — only timestamp differences matter and the result is
+    * invariant to the engines' epoch/timezone reading of the parquet
+    * timestamps. All integers.
+    *
+    * Scale shape: the anchor is a 1-row broadcast; (user, week)
+    * de-dup and the cohort min are partial-aggregated user-keyed
+    * shuffles; the final matrix groups the already-distinct
+    * (user, week) rows, so count(*) IS the distinct-user count —
+    * no expensive countDistinct at the matrix stage. */
+  def retention(events: DataFrame,
+                weekUs: Long = 7L * 86400L * 1000000L): DataFrame = {
+    val us = unix_micros(col("ts")
+      .cast(org.apache.spark.sql.types.TimestampType))
+    val ev = events.select(col("user_id"), us.as("us"))
+    val anchor = ev.agg(min(col("us")).as("t0"))
+    val weeks = ev.crossJoin(broadcast(anchor))
+      .select(col("user_id"), expr(s"(us - t0) div ${weekUs}L").as("wk"))
+      .distinct()
+    val cohort = weeks.groupBy(col("user_id"))
+      .agg(min(col("wk")).as("cohort"))
+    weeks.join(cohort, Seq("user_id"))
+      .groupBy(col("cohort").as("cohort_week"),
+        (col("wk") - col("cohort")).as("week_offset"))
+      .agg(count(lit(1)).as("n_users"))
+  }
+
+  /** DuckDB replica of [[retention]]. */
+  def retentionOracleSql(weekUs: Long = 7L * 86400L * 1000000L,
+                         eventsSrc: String = "events"): String =
+    s"""WITH ev AS (SELECT user_id, epoch_us(ts) AS us FROM $eventsSrc),
+       |t0 AS (SELECT min(us) AS t0 FROM ev),
+       |wk AS (SELECT DISTINCT user_id,
+       |  (us - (SELECT t0 FROM t0)) // $weekUs AS wk FROM ev),
+       |ch AS (SELECT user_id, min(wk) AS cohort FROM wk GROUP BY user_id)
+       |SELECT ch.cohort AS cohort_week,
+       |  wk.wk - ch.cohort AS week_offset,
+       |  CAST(count(*) AS BIGINT) AS n_users
+       |FROM wk JOIN ch ON wk.user_id = ch.user_id
+       |GROUP BY 1, 2""".stripMargin
 }

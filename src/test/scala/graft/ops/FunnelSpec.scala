@@ -71,4 +71,42 @@ class FunnelSpec extends AnyFunSuite with BeforeAndAfterAll {
       .map(_.toSeq).sortBy(_.toString)
     assert(a.toSeq == b.toSeq)
   }
+
+  // ---------------- cohort retention -------------------------------
+
+  private val DAY = 86400000L
+
+  private def retMap(d: DataFrame): Map[(Long, Long), Long] =
+    Events.retention(d).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+
+  test("retention: cohorts by first week, offsets count returning users") {
+    val d = events(
+      // user 1: weeks 0, 1, 3 (cohort 0)
+      (1L, 0L, 1L, "view"), (2L, 8 * DAY, 1L, "view"), (3L, 22 * DAY, 1L, "view"),
+      // user 2: weeks 0, 1 (cohort 0); two events in week 0 dedup
+      (4L, 1 * DAY, 2L, "view"), (5L, 2 * DAY, 2L, "view"), (6L, 9 * DAY, 2L, "view"),
+      // user 3: week 1 only (cohort 1)
+      (7L, 10 * DAY, 3L, "view"))
+    assert(retMap(d) == Map(
+      (0L, 0L) -> 2L, (0L, 1L) -> 2L, (0L, 3L) -> 1L,
+      (1L, 0L) -> 1L))
+  }
+
+  test("retention: anchor is the global min — weeks are relative") {
+    // identical shape shifted by 1000 days must give the same matrix
+    val base = Seq((1L, 0L, 1L, "v"), (2L, 8 * DAY, 1L, "v"), (3L, 10 * DAY, 2L, "v"))
+    val shifted = base.map { case (e, ms, u, t) => (e, ms + 1000 * DAY, u, t) }
+    assert(retMap(events(base: _*)) == retMap(events(shifted: _*)))
+  }
+
+  test("retention: repartition-invariant") {
+    val rows = (0 until 200).map { i =>
+      (i.toLong, (i % 28).toLong * DAY, (i % 17).toLong, "v")
+    }
+    val a = retMap(events(rows: _*))
+    val b = Events.retention(events(rows: _*).repartition(9)).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(a == b && a.nonEmpty)
+  }
 }
