@@ -676,6 +676,20 @@ object SparkEntry {
       // struct-max aggregate, oracle = join-back-on-max-ts wording
       graft.ops.Crawl.collapse(
         graft.ops.Crawl.syntheticFetchLog(t(s, dir, "documents")))),
+    "corpus_merge_upsert" -> ((s, dir) => {
+      // CDC MERGE (Iceberg MERGE INTO semantics): apply a synthetic
+      // change batch (updates, stale late-arrivals, deletes — some
+      // outvoted inside the batch — inserts, delete-of-absent no-ops)
+      // to the collapsed crawl snapshot; batch collapse + one
+      // full-outer url join, late-arrival guard on warc_ts
+      val docs = t(s, dir, "documents")
+      val base = graft.ops.Crawl.collapse(
+        graft.ops.Crawl.syntheticFetchLog(docs))
+        .select(col("url"), col("last_ts").as("warc_ts"),
+          col("latest_fp").as("fp"))
+      graft.ops.Crawl.mergeUpsert(base,
+        graft.ops.Crawl.syntheticChangeBatch(docs))
+    }),
     "corpus_crawl_delta_summary" -> ((s, dir) => {
       val docs = t(s, dir, "documents").withColumn("url",
         concat(lit("https://"), col("source"), lit("/doc"),
@@ -1221,6 +1235,11 @@ object SparkEntry {
         |FROM r GROUP BY source""".stripMargin,
     "corpus_snapshot_collapse" -> graft.ops.Crawl.collapseOracleSql(
       graft.ops.Crawl.fetchLogOracleSql),
+    "corpus_merge_upsert" -> graft.ops.Crawl.mergeUpsertOracleSql(
+      "SELECT url, last_ts AS warc_ts, latest_fp AS fp FROM (" +
+        graft.ops.Crawl.collapseOracleSql(
+          graft.ops.Crawl.fetchLogOracleSql) + ")",
+      graft.ops.Crawl.changeBatchOracleSql),
     "corpus_crawl_budget" -> graft.ops.Sampling.crawlBudgetOracleSql(997L),
     "corpus_term_sketch" -> graft.ops.CountMin.oracleSql(d = 4, p = 8, k = 10),
     "corpus_url_cardinality" -> graft.ops.Cardinality.oracleSql(

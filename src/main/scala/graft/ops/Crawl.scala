@@ -124,6 +124,169 @@ object Crawl {
       |      THEN text || ' v' || CAST(k AS VARCHAR) ELSE text END) AS fp
       |FROM f""".stripMargin
 
+  /** CDC MERGE (Iceberg `MERGE INTO` / Delta upsert semantics over a
+    * url-unique snapshot): apply a change batch to the base snapshot
+    * and return the new snapshot plus a per-row audit action.
+    *
+    * Inputs:
+    *  - `base`:    (url, warc_ts, fp)      — one row per url, the
+    *    current latest-state snapshot ([[collapse]]'s output shape);
+    *  - `changes`: (url, warc_ts, op, fp)  — a CDC batch, op IN
+    *    ('upsert','delete'); the batch MAY carry several changes per
+    *    url (a day's crawl touches hot urls repeatedly).
+    *
+    * Semantics (all deterministic, all stated in the oracle too):
+    *  1. The batch is first collapsed to ONE winning change per url:
+    *     max (warc_ts, op, fp) lexicographically — so a same-timestamp
+    *     upsert beats a same-timestamp delete ('u' > 'd'), and
+    *     same-(ts,op) ties break on fp. Packed-string max, exactly the
+    *     [[collapse]] trick (fixed-width 19-digit ts + fixed 6-char op).
+    *  2. LATE-ARRIVAL GUARD: a winning change only applies when its
+    *     warc_ts >= the base row's warc_ts — a delayed partition of an
+    *     old crawl must never regress published state. Equal ts: the
+    *     change wins (re-publishing the same fetch is idempotent).
+    *  3. Actions: base-only → 'kept'; stale change → 'kept_late';
+    *     applied upsert over existing → 'updated'; upsert of an absent
+    *     url → 'inserted'; applied delete → row absent from output;
+    *     delete of an absent url → no-op (absent).
+    *
+    * Output: (url, warc_ts, fp, action), url-unique.
+    *
+    * Scale shape: one partial-aggregated hash shuffle to collapse the
+    * batch (all buffers the packed-max — see the [[collapse]] plan
+    * note) + one full-outer equi-join on url. On the bucketed-by-
+    * url-hash layout ExtractJob writes, BOTH sides are storage-
+    * partitioned on the join key, so at 10^12 rows this is the
+    * bucket-local merge Iceberg's copy-on-write MERGE performs —
+    * only the change batch (small) ever moves. No window over the
+    * base table, no driver state. */
+  def mergeUpsert(base: DataFrame, changes: DataFrame): DataFrame = {
+    val packed = concat(lpad(col("warc_ts").cast("string"), 19, "0"),
+      col("op"), coalesce(col("fp"), lit("")))
+    val win = changes
+      .groupBy(col("url")).agg(max(packed).as("_w"))
+      .select(col("url"),
+        expr("substr(_w, 1, 19)").cast("long").as("__c_ts"),
+        expr("substr(_w, 20, 6)").as("__c_op"),
+        // fp was coalesced into the pack; an empty tail means the
+        // winning change carried NULL fp (delete rows usually do)
+        when(length(expr("substr(_w, 26)")) > 0, expr("substr(_w, 26)"))
+          .as("__c_fp"))
+    val b = base.select(col("url"), col("warc_ts").as("__b_ts"),
+      col("fp").as("__b_fp"), lit(true).as("__in_base"))
+    b.join(win, Seq("url"), "full_outer")
+      .select(col("url"),
+        when(col("__in_base").isNull,
+          when(col("__c_op") === "upsert", "inserted"))       // delete-of-absent → NULL
+          .when(col("__c_op").isNull, "kept")                 // base-only
+          .when(col("__c_ts") < col("__b_ts"), "kept_late")   // stale change
+          .when(col("__c_op") === "upsert", "updated")
+          .as("action"),                                      // applied delete → NULL
+        col("__b_ts"), col("__b_fp"), col("__c_ts"), col("__c_fp"))
+      .filter(col("action").isNotNull)
+      .select(col("url"),
+        when(col("action").isin("inserted", "updated"), col("__c_ts"))
+          .otherwise(col("__b_ts")).as("warc_ts"),
+        when(col("action").isin("inserted", "updated"), col("__c_fp"))
+          .otherwise(col("__b_fp")).as("fp"),
+        col("action"))
+  }
+
+  /** Deterministic synthetic CDC batch over documents, exercising
+    * every [[mergeUpsert]] path against the [[collapse]]d snapshot of
+    * [[syntheticFetchLog]] (base warc_ts live around 1.7e9):
+    *  - d%3==1 → fresh upsert at ts 19e8+d (applies: 'updated');
+    *  - d%3==2 → STALE upsert at ts 1e6+d (ignored: 'kept_late');
+    *  - d%5==0 → delete at ts 189e7+d (applies unless outvoted);
+    *    for d%15 ∈ {10, 5·(3k+1)} the SAME url also carries the
+    *    fresh upsert, whose higher ts wins the batch collapse — a
+    *    delete outvoted inside the batch;
+    *  - d%7==0 → second upsert at ts 191e7+d (outvotes everything);
+    *  - d%11==0 → upsert of a NEW url on new.example ('inserted');
+    *  - d%13==0 → delete of an absent ghost.example url (no-op). */
+  def syntheticChangeBatch(docs: DataFrame): DataFrame = {
+    val d = col("doc_id")
+    val url = concat(lit("https://"), col("source"), lit("/doc"),
+      d.cast("string"))
+    val up1 = docs.filter(d % 3 === 1).select(url.as("url"),
+      (lit(1900000000L) + d).as("warc_ts"), lit("upsert").as("op"),
+      md5(concat(col("text"), lit(" v9"))).as("fp"))
+    val stale = docs.filter(d % 3 === 2).select(url.as("url"),
+      (lit(1000000L) + d).as("warc_ts"), lit("upsert").as("op"),
+      md5(concat(col("text"), lit(" old"))).as("fp"))
+    val del = docs.filter(d % 5 === 0).select(url.as("url"),
+      (lit(1890000000L) + d).as("warc_ts"), lit("delete").as("op"),
+      lit(null: String).as("fp"))
+    val up2 = docs.filter(d % 7 === 0).select(url.as("url"),
+      (lit(1910000000L) + d).as("warc_ts"), lit("upsert").as("op"),
+      md5(concat(col("text"), lit(" v10"))).as("fp"))
+    val ins = docs.filter(d % 11 === 0).select(
+      concat(lit("https://new.example/doc"), d.cast("string")).as("url"),
+      (lit(1800000000L) + d).as("warc_ts"), lit("upsert").as("op"),
+      md5(concat(col("text"), lit(" new"))).as("fp"))
+    val ghost = docs.filter(d % 13 === 0).select(
+      concat(lit("https://ghost.example/doc"), d.cast("string")).as("url"),
+      (lit(1800000000L) + d).as("warc_ts"), lit("delete").as("op"),
+      lit(null: String).as("fp"))
+    up1.unionAll(stale).unionAll(del).unionAll(up2).unionAll(ins)
+      .unionAll(ghost)
+  }
+
+  /** Closed-form SQL for [[syntheticChangeBatch]]. */
+  def changeBatchOracleSql: String =
+    """SELECT 'https://' || source || '/doc' || CAST(doc_id AS VARCHAR) AS url,
+      |  1900000000 + doc_id AS warc_ts, 'upsert' AS op, md5(text || ' v9') AS fp
+      | FROM documents WHERE doc_id % 3 = 1
+      |UNION ALL
+      |SELECT 'https://' || source || '/doc' || CAST(doc_id AS VARCHAR),
+      |  1000000 + doc_id, 'upsert', md5(text || ' old')
+      | FROM documents WHERE doc_id % 3 = 2
+      |UNION ALL
+      |SELECT 'https://' || source || '/doc' || CAST(doc_id AS VARCHAR),
+      |  1890000000 + doc_id, 'delete', NULL
+      | FROM documents WHERE doc_id % 5 = 0
+      |UNION ALL
+      |SELECT 'https://' || source || '/doc' || CAST(doc_id AS VARCHAR),
+      |  1910000000 + doc_id, 'upsert', md5(text || ' v10')
+      | FROM documents WHERE doc_id % 7 = 0
+      |UNION ALL
+      |SELECT 'https://new.example/doc' || CAST(doc_id AS VARCHAR),
+      |  1800000000 + doc_id, 'upsert', md5(text || ' new')
+      | FROM documents WHERE doc_id % 11 = 0
+      |UNION ALL
+      |SELECT 'https://ghost.example/doc' || CAST(doc_id AS VARCHAR),
+      |  1800000000 + doc_id, 'delete', NULL
+      | FROM documents WHERE doc_id % 13 = 0""".stripMargin
+
+  /** DuckDB replica of [[mergeUpsert]] over `baseSql`/`batchSql`.
+    * Independent wording: the batch collapse is a row_number window
+    * (ORDER BY warc_ts DESC, op DESC, fp DESC NULLS LAST) instead of
+    * the engine's packed-string max — same total order, different
+    * machinery — and the merge is a CASE over a FULL OUTER join. */
+  def mergeUpsertOracleSql(baseSql: String, batchSql: String): String =
+    """WITH base AS (%BASE%), batch AS (%BATCH%),
+      |win AS (
+      | SELECT url, warc_ts AS c_ts, op AS c_op, fp AS c_fp FROM (
+      |  SELECT *, row_number() OVER (PARTITION BY url
+      |    ORDER BY warc_ts DESC, op DESC, fp DESC NULLS LAST) AS rn
+      |  FROM batch) WHERE rn = 1),
+      |merged AS (
+      | SELECT coalesce(base.url, win.url) AS url,
+      |  base.warc_ts AS b_ts, base.fp AS b_fp, win.c_ts, win.c_op, win.c_fp,
+      |  CASE WHEN base.url IS NULL THEN
+      |         CASE WHEN win.c_op = 'upsert' THEN 'inserted' END
+      |       WHEN win.c_op IS NULL THEN 'kept'
+      |       WHEN win.c_ts < base.warc_ts THEN 'kept_late'
+      |       WHEN win.c_op = 'upsert' THEN 'updated'
+      |  END AS action
+      | FROM base FULL OUTER JOIN win ON base.url = win.url)
+      |SELECT url,
+      |  CASE WHEN action IN ('inserted','updated') THEN c_ts ELSE b_ts END AS warc_ts,
+      |  CASE WHEN action IN ('inserted','updated') THEN c_fp ELSE b_fp END AS fp,
+      |  action
+      |FROM merged WHERE action IS NOT NULL""".stripMargin
+      .replace("%BASE%", baseSql).replace("%BATCH%", batchSql)
+
   /** DuckDB replica of [[collapse]] over `logSql` — the latest fetch
     * is restated as max(fp) among max-warc_ts rows (join-back
     * formulation) vs the engine's single-pass struct-max: independent

@@ -56,6 +56,81 @@ class CrawlSpec extends AnyFunSuite with BeforeAndAfterAll {
                           // fp-nullness-as-presence misread this as 'added'
   }
 
+  test("mergeUpsert: every action path on a hand-built base + batch") {
+    val s = spark
+    import s.implicits._
+    // base: one row per url at ts 100
+    val base = Seq(
+      ("kept", 100L, "f0"),        // untouched
+      ("upd", 100L, "f1"),         // fresh upsert applies
+      ("late", 100L, "f2"),        // stale upsert ignored
+      ("gone", 100L, "f3"),        // fresh delete applies
+      ("lateDel", 100L, "f4"),     // stale delete ignored
+      ("outvoted", 100L, "f5"),    // delete outvoted by newer upsert in batch
+      ("eqTs", 100L, "f6"))        // equal-ts upsert wins (idempotent republish)
+      .toDF("url", "warc_ts", "fp")
+    val batch = Seq(
+      ("upd", 200L, "upsert", Option("g1")),
+      ("late", 50L, "upsert", Option("g2")),
+      ("gone", 200L, "delete", None),
+      ("lateDel", 50L, "delete", None),
+      ("outvoted", 150L, "delete", None),
+      ("outvoted", 200L, "upsert", Option("g5")),
+      ("eqTs", 100L, "upsert", Option("g6")),
+      ("fresh", 200L, "upsert", Option("g7")),   // insert
+      ("ghost", 200L, "delete", None))           // delete-of-absent no-op
+      .toDF("url", "warc_ts", "op", "fp")
+    val out = Crawl.mergeUpsert(base, batch).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getString(2), r.getString(3))))
+      .toMap
+    assert(out == Map(
+      "kept" -> ((100L, "f0", "kept")),
+      "upd" -> ((200L, "g1", "updated")),
+      "late" -> ((100L, "f2", "kept_late")),
+      "lateDel" -> ((100L, "f4", "kept_late")),
+      "outvoted" -> ((200L, "g5", "updated")),
+      "eqTs" -> ((100L, "g6", "updated")),
+      "fresh" -> ((200L, "g7", "inserted"))))
+    // 'gone' deleted, 'ghost' never existed
+    assert(!out.contains("gone") && !out.contains("ghost"))
+  }
+
+  test("mergeUpsert batch collapse: same-ts upsert outvotes delete; fp breaks final tie") {
+    val s = spark
+    import s.implicits._
+    val base = Seq(("u", 100L, "f")).toDF("url", "warc_ts", "fp")
+    val batch = Seq(
+      ("u", 200L, "delete", None: Option[String]),
+      ("u", 200L, "upsert", Option("ga")),
+      ("u", 200L, "upsert", Option("gb")))
+      .toDF("url", "warc_ts", "op", "fp")
+    val out = Crawl.mergeUpsert(base, batch).collect()
+    assert(out.length == 1)
+    val r = out.head
+    // 'upsert' > 'delete' at equal ts; 'gb' > 'ga' at equal (ts, op)
+    assert(r.getString(2) == "gb" && r.getString(3) == "updated")
+  }
+
+  test("mergeUpsert is idempotent: re-applying the same batch changes nothing") {
+    val s = spark
+    import s.implicits._
+    val base = Seq(("a", 100L, "f1"), ("b", 100L, "f2")).toDF("url", "warc_ts", "fp")
+    val batch = Seq(
+      ("a", 200L, "upsert", Option("g1")),
+      ("b", 200L, "delete", None: Option[String]),
+      ("c", 200L, "upsert", Option("g3")))
+      .toDF("url", "warc_ts", "op", "fp")
+    val once = Crawl.mergeUpsert(base, batch)
+      .select("url", "warc_ts", "fp")
+    val twice = Crawl.mergeUpsert(once, batch)
+    // second application: a/c equal-ts republish → 'updated' with the
+    // SAME state; b stays absent
+    val snap = (df: org.apache.spark.sql.DataFrame) =>
+      df.select("url", "warc_ts", "fp").collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getString(2))).toSet
+    assert(snap(twice) == snap(once.toDF()))
+  }
+
   test("identical snapshots are all unchanged; disjoint are added+removed") {
     val s = spark
     import s.implicits._
