@@ -456,6 +456,32 @@ object SparkEntry {
       // event time so only timestamp differences matter
       graft.ops.Events.retention(
         t(s, dir, "events").filter(col("event_id") % 11 === 0))),
+    "stream_sessionize" -> ((s, dir) =>
+      // the q7 semantics computed by Structured Streaming's native
+      // session_window state store (Append mode, 0-delay watermark,
+      // far-future flush sentinel, AvailableNow) — pinned against the
+      // SAME batch oracle: state-store window merge vs sorted
+      // lag/running-sum must land on identical sessions
+      graft.ops.Events.sessionizeStream(s, t(s, dir, "events"),
+        gapUs = 21600L * 1000000L)),
+    "corpus_shard_assign" -> ((s, dir) =>
+      // global shuffle-order enumeration WITHOUT a partitionless
+      // window: range-partition + per-partition counts (P-row driver
+      // collect) + broadcast prefix offsets — the zipWithIndex
+      // pattern; oracle states the spec as one row_number
+      graft.ops.Sampling.shardAssign(t(s, dir, "documents"),
+        shardSize = 64L)),
+    "corpus_bpe_merges" -> ((s, dir) =>
+      // BPE tokenizer training: 8 merge rules learned on-cluster;
+      // one corpus shuffle, then vocabulary-sized rounds (sentinel-
+      // wrapped symbol strings, literal-replace fusion) — oracle
+      // unrolls the 8 rounds as chained CTEs
+      graft.ops.Bpe.merges(t(s, dir, "documents"), n = 8)),
+    "text_collocations" -> ((s, dir) =>
+      // PMI collocation mining: top-20 adjacent bigrams by lift,
+      // single-IEEE-division comparator (no transcendental), integer
+      // output; TakeOrderedAndProject, never a global sort
+      graft.ops.TextAnalysis.pmiCollocations(t(s, dir, "documents"))),
 
     // ---------------- deduplication ---------------------------------
     "dedup_exact" -> ((s, dir) => Dedup.exact(t(s, dir, "documents"))),
@@ -1010,6 +1036,14 @@ object SparkEntry {
         | count(DISTINCT l_suppkey) AS n_supps, count(*) AS n_rows
         |FROM lineitem""".stripMargin,
     "q7_sessionize" -> graft.ops.Events.sessionizeOracleSql(21600L * 1000000L),
+    // deliberately the SAME oracle as q7: the streaming session_window
+    // state store must reproduce the batch sessions exactly (the
+    // exact-gap boundary MERGES on both sides — pinned in FunnelSpec,
+    // so one oracle covers both formulations unconditionally)
+    "stream_sessionize" -> graft.ops.Events.sessionizeOracleSql(21600L * 1000000L),
+    "corpus_shard_assign" -> graft.ops.Sampling.shardAssignOracleSql(64L),
+    "corpus_bpe_merges" -> graft.ops.Bpe.mergesOracleSql(8),
+    "text_collocations" -> graft.ops.TextAnalysis.pmiOracleSql(),
     "q9_retention" -> graft.ops.Events.retentionOracleSql(
       eventsSrc = "(SELECT * FROM events WHERE event_id % 11 = 0)"),
     "q8_funnel" -> graft.ops.Events.funnelOracleSql(

@@ -205,4 +205,69 @@ object Events {
        |  CAST(count(*) AS BIGINT) AS n_users
        |FROM wk JOIN ch ON wk.user_id = ch.user_id
        |GROUP BY 1, 2""".stripMargin
+
+  /** STREAMING gap sessionization: the same session semantics as
+    * [[sessionize]], computed by Structured Streaming's native
+    * `session_window` state store instead of a batch window — the
+    * form this runs in production, where events arrive continuously
+    * and sessions must close incrementally as the watermark advances.
+    *
+    * Mechanics: stage the events (plus one far-future FLUSH sentinel
+    * row, user_id = -1) to a file source, run an Append-mode
+    * session_window aggregation with a 0-delay event-time watermark
+    * under Trigger.AvailableNow, and read the parquet sink back. A
+    * session window only emits once the watermark passes its END
+    * (last event + gap) — without the sentinel the final session of
+    * every user sits in the state store forever, because the
+    * watermark stops at the max observed event time, short of any
+    * window end. The sentinel is the streaming-native flush idiom
+    * (a punctuation event); its own session stays unemitted and is
+    * additionally excluded by user_id >= 0.
+    *
+    * Boundary note: session_window MERGES an event at exactly
+    * last + gap into the session (inclusive window end — pinned in
+    * FunnelSpec), which is the batch formulation's "break only on
+    * diff > gap" rule exactly, so this op shares the batch query's
+    * oracle with no boundary caveat — a genuine cross-machinery
+    * check: per-key sorted lag/running-sum vs the state store's
+    * window merge must land on identical sessions.
+    *
+    * Scale shape: state is per-(user, open-session) aggregates —
+    * min event_id, count, min/max event time — merged by the session
+    * state store; closed sessions leave state as the watermark
+    * passes. One stateful shuffle on user_id, exactly-once via the
+    * streaming checkpoint; no batch-side global sort anywhere. */
+  def sessionizeStream(spark: org.apache.spark.sql.SparkSession,
+                       events: DataFrame, gapUs: Long): DataFrame = {
+    import org.apache.spark.sql.streaming.Trigger
+    import org.apache.spark.sql.types.TimestampType
+    val base = java.nio.file.Files.createTempDirectory("graft_sess").toString
+    val src = events.select(col("event_id").cast("long"),
+      col("ts").cast(TimestampType).as("ts"), col("user_id").cast("long"))
+    val flushTs = src.agg((max(unix_micros(col("ts"))) +
+      lit(10L) * gapUs).as("f")).collect()(0).getLong(0)
+    src.unionAll(src.sparkSession.range(1).select(
+        lit(-1L).as("event_id"),
+        timestamp_micros(lit(flushTs)).as("ts"), lit(-1L).as("user_id")))
+      .write.parquet(s"$base/in")
+    val stream = spark.readStream.schema(src.schema).parquet(s"$base/in")
+      .withWatermark("ts", "0 seconds")
+      .withColumn("us", unix_micros(col("ts")))
+    val q = stream
+      .groupBy(col("user_id"),
+        session_window(col("ts"), s"$gapUs microseconds"))
+      .agg(min(col("event_id")).as("session_start"),
+        count(lit(1)).as("n_events"),
+        (max(col("us")) - min(col("us"))).as("duration_us"))
+      .select(col("user_id"), col("session_start"), col("n_events"),
+        col("duration_us"))
+      .writeStream.format("parquet")
+      .option("path", s"$base/out")
+      .option("checkpointLocation", s"$base/ckpt")
+      .outputMode("append")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    spark.read.parquet(s"$base/out").filter(col("user_id") >= 0)
+  }
 }

@@ -318,4 +318,82 @@ object Sampling {
        |  CAST(b.base + CASE WHEN rk.rk <= (SELECT r FROM r)
        |       THEN 1 ELSE 0 END AS BIGINT) AS quota
        |FROM b JOIN rk ON b.host = rk.host""".stripMargin
+
+  /** Training-export shard assignment: give every doc a GLOBAL
+    * position in the deterministic shuffle order ([[shuffleKey]],
+    * doc_id) and cut the sequence into fixed-size shards — the
+    * "shuffle once, then shard" step that materializes a training
+    * set as numbered files with a reproducible read order.
+    *
+    * The whole point is HOW the global position is computed at
+    * 10^12 rows: never `row_number() OVER (ORDER BY ...)` — a
+    * partitionless window moves the corpus through ONE task. This is
+    * the two-pass zipWithIndex pattern restated over Dataset:
+    *  1. range-partition + in-partition sort on (k, doc_id) — the
+    *     one real exchange, partitions are globally ordered;
+    *  2. count rows per partition (a P-row aggregate collected to
+    *     the driver — partition COUNTS, never data);
+    *  3. prefix-sum the counts into per-partition offsets, broadcast
+    *     the tiny array, assign pos = offset(pid) + local index in a
+    *     partition-local map.
+    * The range partitioner samples its bounds, so PARTITION SIZES
+    * vary run to run — but concatenating sorted range partitions in
+    * partition order is the same total order regardless of where the
+    * cuts fell, so (pos, shard) are exactly reproducible.
+    *
+    * Output: (doc_id, k, pos, shard, pos_in_shard); positions
+    * 0-based, shard = pos div shardSize. */
+  def shardAssign(docs: DataFrame, shardSize: Long,
+                  nPartitions: Int = 32): DataFrame = {
+    require(shardSize > 0, "shardSize must be positive")
+    val spark = docs.sparkSession
+    import spark.implicits._
+    // The partition id is FROZEN INTO THE DATA at checkpoint time, not
+    // read from TaskContext in the assign pass. TaskContext
+    // .getPartitionId() is the TASK's id: if a consumer pipelines a
+    // coalesce() above this operator, one task computes many parent
+    // partitions (each with a fresh closure) and every one of them
+    // would read the coalesced id — all offsets resolve to
+    // offsets(0) = 0 and positions silently restart per partition.
+    // spark_partition_id() evaluated DURING localCheckpoint
+    // materialization is the real range-partition index (materialize
+    // runs one task per partition), and a data column survives any
+    // downstream re-partitioning.
+    val sorted = docs
+      .select(col("doc_id").cast("long"), shuffleKey(col("doc_id")).as("k"))
+      .repartitionByRange(nPartitions, col("k"), col("doc_id"))
+      .sortWithinPartitions(col("k"), col("doc_id"))
+      .withColumn("pid", spark_partition_id())
+      .localCheckpoint(true) // pin layout: both passes must see ONE layout
+    val counts = sorted.groupBy(col("pid"))
+      .agg(count(lit(1)).as("c"))
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    val offsets = (0 until nPartitions)
+      .scanLeft(0L)((acc, p) => acc + counts.getOrElse(p, 0L)).toArray
+    val bc = spark.sparkContext.broadcast(offsets)
+    sorted.as[(Long, Long, Int)].mapPartitions { it =>
+      val buf = it.buffered
+      if (!buf.hasNext) Iterator.empty
+      else {
+        var pos = bc.value(buf.head._3) // all rows here share one pid
+        buf.map { case (id, k, _) =>
+          val p = pos; pos += 1
+          (id, k, p, p / shardSize, p % shardSize)
+        }
+      }
+    }.toDF("doc_id", "k", "pos", "shard", "pos_in_shard")
+  }
+
+  /** DuckDB replica of [[shardAssign]] — the oracle states the SPEC
+    * (a global row_number over the shuffle order), the engine proves
+    * its distributed two-pass computes the same function. */
+  def shardAssignOracleSql(shardSize: Long): String =
+    s"""WITH d AS (SELECT doc_id,
+       |  ((doc_id % 2147483648) * 2654435761) % 4294967296 AS k
+       | FROM documents),
+       |p AS (SELECT doc_id, k,
+       |  row_number() OVER (ORDER BY k, doc_id) - 1 AS pos FROM d)
+       |SELECT doc_id, k, pos, pos // $shardSize AS shard,
+       |  pos % $shardSize AS pos_in_shard
+       |FROM p""".stripMargin
 }

@@ -451,4 +451,73 @@ object TextAnalysis {
       | CAST(length(b) + CASE m WHEN 1 THEN 4 WHEN 2 THEN 8
       |   WHEN 3 THEN 2 WHEN 4 THEN 6 ELSE 0 END AS INT) AS len_norm
       |FROM v""".stripMargin
+
+  /** PMI collocation mining: the top-`k` adjacent-token bigrams by
+    * pointwise mutual information — the classic phrase/collocation
+    * detector (Church & Hanks 1990) a tokenizer pipeline runs to
+    * decide multi-word vocabulary entries. PMI = log of the lift
+    * c_xy·N / (c_x·c_y); since log is monotone, RANKING by the lift
+    * ratio is ranking by PMI, and the ratio of two exactly-
+    * representable longs is ONE IEEE division — bit-identical in
+    * Spark and DuckDB (no transcendental in the comparator). Ties
+    * (identical ratio) break (a asc, b asc). `minCount` floors c_xy:
+    * hapax bigrams have degenerate infinite-ish PMI and are noise.
+    *
+    * Integer-only output: (a, b, c_xy, c_x, c_y, n_tokens); the
+    * consumer divides. Overflow bound: c_xy·N must fit a Long AND
+    * stay exact in a double (< 2^53) — at 10^12-token corpora count
+    * in kilotoken units first (same caveat as crawlBudget).
+    *
+    * Scale shape: two partial-aggregated hash shuffles (bigram and
+    * unigram counts — both collapse map-side), two equi-joins of the
+    * bigram table against the vocabulary-sized unigram table (AQE
+    * broadcasts the small side), a 1-row N scalar broadcast via
+    * crossJoin, and a TakeOrderedAndProject top-k — per-map-task
+    * k-row heaps, never a global sort or a partitionless window. */
+  def pmiCollocations(docs: DataFrame, minCount: Long = 5L,
+                      k: Int = 20): DataFrame = {
+    val toks = docs.select(tokens(col("text")).as("toks"))
+      .filter(size(col("toks")) >= 2)
+      .withColumn("l", slice(col("toks"), lit(1), size(col("toks")) - 1))
+      .withColumn("r", expr("slice(toks, 2, size(toks) - 1)"))
+    val bi = toks
+      .select(explode(arrays_zip(col("l"), col("r"))).as("p"))
+      .select(col("p.l").as("a"), col("p.r").as("b"))
+      .groupBy(col("a"), col("b")).agg(count(lit(1)).as("c_xy"))
+      .filter(col("c_xy") >= minCount)
+    val uni = docs.select(explode(tokens(col("text"))).as("t"))
+      .groupBy(col("t")).agg(count(lit(1)).as("c"))
+    val n = uni.agg(sum(col("c")).as("n_tokens"))
+    bi.join(uni.select(col("t").as("a"), col("c").as("c_x")), Seq("a"))
+      .join(uni.select(col("t").as("b"), col("c").as("c_y")), Seq("b"))
+      .crossJoin(broadcast(n))
+      .orderBy(((col("c_xy") * col("n_tokens")).cast("double") /
+                (col("c_x") * col("c_y")).cast("double")).desc,
+        col("a").asc, col("b").asc)
+      .limit(k)
+      .select(col("a"), col("b"), col("c_xy"), col("c_x"), col("c_y"),
+        col("n_tokens"))
+  }
+
+  /** DuckDB replica of [[pmiCollocations]] — list_zip pair
+    * extraction instead of the engine's slice+arrays_zip, same
+    * single-division comparator. */
+  def pmiOracleSql(minCount: Long = 5L, k: Int = 20): String =
+    s"""WITH t AS (SELECT list_filter(
+       |    string_split_regex(lower(text), '[\\s\\x0b]+'),
+       |    x -> len(x) > 0) AS toks FROM documents),
+       |bi AS (
+       | SELECT z[1] AS a, z[2] AS b, CAST(count(*) AS BIGINT) AS c_xy
+       | FROM (SELECT unnest(list_zip(toks[1:-2], toks[2:-1])) AS z
+       |       FROM t WHERE len(toks) >= 2)
+       | GROUP BY a, b HAVING count(*) >= $minCount),
+       |uni AS (SELECT unnest(toks) AS tok FROM t),
+       |u AS (SELECT tok, CAST(count(*) AS BIGINT) AS c FROM uni GROUP BY tok),
+       |n AS (SELECT CAST(sum(c) AS BIGINT) AS n_tokens FROM u)
+       |SELECT bi.a, bi.b, bi.c_xy, ua.c AS c_x, ub.c AS c_y, n.n_tokens
+       |FROM bi JOIN u ua ON bi.a = ua.tok JOIN u ub ON bi.b = ub.tok
+       |     CROSS JOIN n
+       |ORDER BY CAST(bi.c_xy * n.n_tokens AS DOUBLE) /
+       |         CAST(ua.c * ub.c AS DOUBLE) DESC, bi.a, bi.b
+       |LIMIT $k""".stripMargin
 }

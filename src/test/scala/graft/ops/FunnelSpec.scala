@@ -109,4 +109,41 @@ class FunnelSpec extends AnyFunSuite with BeforeAndAfterAll {
       .map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
     assert(a == b && a.nonEmpty)
   }
+
+  private def sessSet(df: DataFrame) = df.collect()
+    .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    .toSet
+
+  test("sessionizeStream equals batch sessionize (no exact-gap diffs)") {
+    // 3 users, multiple sessions each, out-of-order event ids, a
+    // same-timestamp pair — none of the inter-event gaps lands on the
+    // boundary, so the state-store result must equal the batch window
+    // formulation exactly
+    val gapMs = 10000L
+    val d = events(
+      (1L, 1000L, 1L, "a"), (2L, 2500L, 1L, "a"),   // user1 session A
+      (3L, 20000L, 1L, "a"),                        // user1 session B
+      (7L, 5000L, 2L, "a"), (6L, 5000L, 2L, "a"),   // user2: ts tie
+      (8L, 40000L, 2L, "a"),                        // user2 session B
+      (9L, 100L, 3L, "a"))                          // singleton
+    val batch = sessSet(Events.sessionize(d, gapUs = gapMs * 1000L))
+    val stream = sessSet(Events.sessionizeStream(spark, d,
+      gapUs = gapMs * 1000L))
+    assert(stream == batch && batch.size == 5)
+  }
+
+  test("session_window boundary: an event at EXACTLY last+gap MERGES (batch-identical)") {
+    // pins that Spark's session_window treats the window end as
+    // inclusive for merging — an event at exactly last+gap joins the
+    // session, the same "break only on diff > gap" rule the batch
+    // formulation uses, so the two share one oracle with NO
+    // data-dependent boundary caveat
+    val gapMs = 10000L
+    val d = events((1L, 0L, 1L, "a"), (2L, gapMs, 1L, "a"))
+    val stream = sessSet(Events.sessionizeStream(spark, d,
+      gapUs = gapMs * 1000L))
+    val batch = sessSet(Events.sessionize(d, gapUs = gapMs * 1000L))
+    val merged = Set((1L, 1L, 2L, gapMs * 1000L))
+    assert(stream == merged && batch == merged)
+  }
 }

@@ -639,4 +639,35 @@ class OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
       .collect().map(_.toString).sorted.toSeq
     assert(base == dd && base == rp)
   }
+
+  test("pmiCollocations: lift ordering and exact counts by hand") {
+    val s = spark
+    import s.implicits._
+    // tokens: a b a b a b c c c c — bigrams (a,b):3 (b,a):2 (b,c):1
+    // (c,c):3; N=10, c_a=3 c_b=3 c_c=4; lifts 30/9, 20/9, 10/12, 30/16
+    val d = Seq((1L, "a b a b a b c c c c")).toDF("doc_id", "text")
+    val out = TextAnalysis.pmiCollocations(d, minCount = 1L, k = 10)
+      .collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getLong(5))).toSeq
+    assert(out == Seq(
+      ("a", "b", 3L, 3L, 3L, 10L),
+      ("b", "a", 2L, 3L, 3L, 10L),
+      ("c", "c", 3L, 4L, 4L, 10L),
+      ("b", "c", 1L, 3L, 4L, 10L)))
+  }
+
+  test("pmiCollocations: minCount floors hapax bigrams; tie breaks (a,b)") {
+    val s = spark
+    import s.implicits._
+    // 'x y' and 'y x' both occur twice with identical lift — tie must
+    // break on (a asc); 'q r' occurs once and is floored out
+    val d = Seq((1L, "x y x y"), (2L, "y x y x"), (3L, "q r"))
+      .toDF("doc_id", "text")
+    val out = TextAnalysis.pmiCollocations(d, minCount = 2L, k = 10)
+      .collect().map(r => (r.getString(0), r.getString(1))).toSeq
+    assert(!out.contains(("q", "r")))
+    val xy = out.indexOf(("x", "y")); val yx = out.indexOf(("y", "x"))
+    assert(xy >= 0 && yx >= 0 && xy < yx)
+  }
 }

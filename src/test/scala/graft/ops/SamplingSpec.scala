@@ -267,4 +267,50 @@ class SamplingSpec extends AnyFunSuite with BeforeAndAfterAll {
       .collect().map(_.toString).sorted.toSeq
     assert(x == y)
   }
+
+  private def shardRows(df: org.apache.spark.sql.DataFrame) =
+    df.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+      r.getLong(3), r.getLong(4))).sortBy(_._1).toSeq
+
+  test("shardAssign: positions are the global (k, doc_id) rank") {
+    val s = spark
+    import s.implicits._
+    val d = (0L until 300L).map(i => Tuple1(i)).toDF("doc_id")
+    val out = shardRows(Sampling.shardAssign(d, shardSize = 64L, nPartitions = 8))
+    // independent local computation of the spec
+    val expectPos = (0L until 300L)
+      .map(id => id -> ((id % 2147483648L) * 2654435761L) % 4294967296L)
+      .sortBy { case (id, k) => (k, id) }
+      .zipWithIndex.map { case ((id, k), p) => id -> ((k, p.toLong)) }.toMap
+    assert(out.size == 300)
+    out.foreach { case (id, k, pos, shard, pis) =>
+      val (ek, ep) = expectPos(id)
+      assert(k == ek && pos == ep && shard == ep / 64 && pis == ep % 64,
+        s"doc $id")
+    }
+  }
+
+  test("shardAssign: coalesce(1) downstream must not corrupt offsets") {
+    // regression: a consumer pipelining coalesce() above the assign
+    // pass makes TaskContext.getPartitionId() the COALESCED task id —
+    // if the operator relied on it, every range partition would
+    // restart numbering at offsets(0). The pid is frozen into the
+    // checkpointed rows instead, so this must be byte-identical.
+    val s = spark
+    import s.implicits._
+    val d = (0L until 257L).map(i => Tuple1(i)).toDF("doc_id")
+    val plain = shardRows(Sampling.shardAssign(d, 32L, 8))
+    val coalesced = shardRows(Sampling.shardAssign(d, 32L, 8).coalesce(1))
+    assert(plain == coalesced)
+    // and positions really are a permutation of 0..n-1
+    assert(plain.map(_._3).sorted == (0L until 257L))
+  }
+
+  test("shardAssign: partition-count-invariant (range cuts don't matter)") {
+    val s = spark
+    import s.implicits._
+    val d = (0L until 300L).map(i => Tuple1(i)).toDF("doc_id")
+    assert(shardRows(Sampling.shardAssign(d, 50L, 4)) ==
+      shardRows(Sampling.shardAssign(d.repartition(11), 50L, 9)))
+  }
 }
