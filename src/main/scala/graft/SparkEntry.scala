@@ -477,6 +477,10 @@ object SparkEntry {
       // wrapped symbol strings, literal-replace fusion) — oracle
       // unrolls the 8 rounds as chained CTEs
       graft.ops.Bpe.merges(t(s, dir, "documents"), n = 8)),
+    "corpus_bpe_encode" -> ((s, dir) =>
+      // the apply side: per-doc BPE unit counts under the 8 learned
+      // merges — explode + broadcast vocab join + partial-agg groupBy
+      graft.ops.Bpe.encode(t(s, dir, "documents"), n = 8)),
     "text_collocations" -> ((s, dir) =>
       // PMI collocation mining: top-20 adjacent bigrams by lift,
       // single-IEEE-division comparator (no transcendental), integer
@@ -498,6 +502,19 @@ object SparkEntry {
       Dedup.jaccardPairs(t(s, dir, "documents"), threshold = 0.95)),
     "dedup_minhash_lsh" -> ((s, dir) =>
       Dedup.minhashLsh(t(s, dir, "documents"), k = 64, bands = 16, threshold = 0.5)),
+    "dedup_incremental_lsh" -> ((s, dir) => {
+      // incremental crawl-batch dedup: docs >= 400 arrive as the
+      // delta; the base's signature table is MATERIALIZED first
+      // (localCheckpoint = the persisted side table production reads)
+      // and its text is never touched again. Oracle = full pipeline
+      // restricted to delta-touching pairs — the incremental contract
+      val docs = t(s, dir, "documents")
+      val baseSig = Dedup.minhashSignatures(
+        docs.filter(col("doc_id") < 400), k = 64, shingleWidth = 3)
+        .localCheckpoint(true)
+      Dedup.minhashLshIncremental(baseSig,
+        docs.filter(col("doc_id") >= 400))
+    }),
     "dedup_minhash_verified" -> ((s, dir) =>
       Dedup.minhashVerified(t(s, dir, "documents"))),
     "dedup_simhash" -> ((s, dir) => Dedup.simhash(t(s, dir, "documents"))),
@@ -596,6 +613,14 @@ object SparkEntry {
     "text_decontaminate" -> ((s, dir) => {
       val docs = t(s, dir, "documents")
       TextAnalysis.contamination(
+        docs.filter(col("doc_id") >= 20), docs.filter(col("doc_id") < 20), w = 5)
+    }),
+    "corpus_bloom_decontaminate" -> ((s, dir) => {
+      // sketch-only decision path + FP audit: ONLY the 8192-bit
+      // bitmap is broadcast; the exact join exists to QUANTIFY the
+      // bloom's deterministic false positives (n_false_pos column)
+      val docs = t(s, dir, "documents")
+      TextAnalysis.bloomDecontaminate(
         docs.filter(col("doc_id") >= 20), docs.filter(col("doc_id") < 20), w = 5)
     }),
     // The composed pipeline the individual ops exist FOR: materialize a
@@ -1043,6 +1068,7 @@ object SparkEntry {
     "stream_sessionize" -> graft.ops.Events.sessionizeOracleSql(21600L * 1000000L),
     "corpus_shard_assign" -> graft.ops.Sampling.shardAssignOracleSql(64L),
     "corpus_bpe_merges" -> graft.ops.Bpe.mergesOracleSql(8),
+    "corpus_bpe_encode" -> graft.ops.Bpe.encodeOracleSql(8),
     "text_collocations" -> graft.ops.TextAnalysis.pmiOracleSql(),
     "q9_retention" -> graft.ops.Events.retentionOracleSql(
       eventsSrc = "(SELECT * FROM events WHERE event_id % 11 = 0)"),
@@ -1220,6 +1246,7 @@ object SparkEntry {
     // hand-derived constants (see TextAnalysis.normalizeOracleSql)
     "text_normalize" -> TextAnalysis.normalizeOracleSql,
     "text_decontaminate" -> decontaminateSql,
+    "corpus_bloom_decontaminate" -> graft.ops.TextAnalysis.bloomOracleSql(),
     // composed pipeline: same component SQL, parameterized on the
     // non-benchmark corpus subquery (single source of truth with the
     // standalone rows — the components can't drift from the pipeline)
@@ -1403,6 +1430,7 @@ object SparkEntry {
     // FNV token/shingle hashing, splitmix64 permutations with signed
     // mins, band hashes, bucket join, est/exact thresholds
     "dedup_minhash_lsh" -> graft.ops.MinhashOracle.lshSql(),
+    "dedup_incremental_lsh" -> graft.ops.MinhashOracle.lshIncrementalSql(400L),
     "dedup_minhash_verified" -> graft.ops.MinhashOracle.verifiedSql(),
     // content-signature features replicated exactly (recursive-CTE FNV
     // chain + exact dyadic accumulator sums; Multimodal scaladoc)

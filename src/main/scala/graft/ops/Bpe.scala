@@ -45,10 +45,14 @@ import org.apache.spark.sql.functions._
   * Output: one row per learned rule — (step, lhs, rhs, freq). */
 object Bpe {
 
-  def merges(docs: DataFrame, n: Int): DataFrame = {
+  /** Run the merge-learning loop; returns the learned rules AND the
+    * final (w, sym, cnt) vocabulary table with every rule applied —
+    * the encoder's lookup table. (w -> sym is injective throughout:
+    * a sym string uniquely encodes its underlying char sequence, so
+    * distinct words can never collapse.) */
+  private def learn(docs: DataFrame, n: Int)
+      : (Seq[(Int, String, String, Long)], DataFrame) = {
     require(n > 0, "need at least one merge")
-    val spark = docs.sparkSession
-    import spark.implicits._
     var words = docs
       .select(explode(TextAnalysis.tokens(col("text"))).as("w"))
       .groupBy(col("w")).agg(count(lit(1)).cast("long").as("cnt"))
@@ -57,7 +61,8 @@ object Bpe {
       // zero-width (?!^) match produces at end-of-input — filter it,
       // or every word grows a phantom '' symbol (DuckDB's
       // string_split(w, '') yields chars only)
-      .select(concat(lit("~"),
+      .select(col("w"),
+        concat(lit("~"),
           array_join(filter(split(col("w"), "(?!^)"),
             c => length(c) > 0), "~~"),
           lit("~~</w>~")).as("sym"),
@@ -86,32 +91,61 @@ object Bpe {
         // symbols never contain quotes (lowercased [a-z]+ plus </w>),
         // so inlining them into the replace literal is safe
         words = words
-          .select(expr(s"replace(sym, '~$a~~$b~', '~$a$b~')").as("sym"),
+          .select(col("w"),
+            expr(s"replace(sym, '~$a~~$b~', '~$a$b~')").as("sym"),
             col("cnt"))
-          .groupBy(col("sym")).agg(sum(col("cnt")).as("cnt"))
           .localCheckpoint(true)
         step += 1
       }
     }
-    spark.createDataFrame(rules.result())
+    (rules.result(), words)
+  }
+
+  def merges(docs: DataFrame, n: Int): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    spark.createDataFrame(learn(docs, n)._1)
       .toDF("step", "lhs", "rhs", "freq")
   }
 
-  /** DuckDB replica of [[merges]] — `rounds` UNROLLED as flat chained
-    * CTEs (w0 -> p1 -> t1 -> w1 -> p2 -> ...): same pair counting,
-    * same (freq desc, lhs, rhs) argmax, same sentinel replace. The
-    * oracle assumes `rounds` merges exist (true for any corpus with
-    * >= rounds distinct adjacent pairs — trivially true here). */
-  def mergesOracleSql(rounds: Int): String = {
+  /** ENCODE with the learned merges: per-doc BPE unit counts — the
+    * apply side of the tokenizer (train on the corpus, then measure
+    * what it buys: n_units/n_tokens is the compression the merge
+    * table achieves). Unit count per word = symbols remaining in its
+    * fully-merged sym string.
+    *
+    * Scale shape: the corpus pays one explode + a broadcast hash join
+    * against the VOCABULARY-sized (w -> n_units) table + one partial-
+    * aggregated groupBy(doc_id) (map-side combine collapses each
+    * doc's tokens before the exchange). Training cost is the [[learn]]
+    * loop — shared, vocabulary-sized rounds. */
+  def encode(docs: DataFrame, n: Int): DataFrame = {
+    val units = learn(docs, n)._2
+      .select(col("w"),
+        size(split(expr("substring(sym, 2, length(sym) - 2)"), "~~"))
+          .cast("long").as("n_units"))
+    docs.select(col("doc_id"),
+        explode(TextAnalysis.tokens(col("text"))).as("w"))
+      .join(broadcast(units), Seq("w"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_tokens"), sum(col("n_units")).as("n_units"))
+  }
+
+  /** The `rounds`-deep learning chain, UNROLLED as flat chained CTEs
+    * (w0 -> p1 -> t1 -> w1 -> p2 -> ...): same pair counting, same
+    * (freq desc, lhs, rhs) argmax, same sentinel replace as [[learn]].
+    * The word string `w` rides along so the final w{rounds} doubles as
+    * the encoder table. */
+  private def chainSql(rounds: Int): String = {
     val w0 =
       """w0 AS (
-        | SELECT '~' || array_to_string(string_split(w, ''), '~~')
+        | SELECT w, '~' || array_to_string(string_split(w, ''), '~~')
         |          || '~~</w>~' AS sym,
         |        CAST(count(*) AS BIGINT) AS cnt
         | FROM (SELECT unnest(list_filter(
         |         string_split_regex(lower(text), '[\s\x0b]+'),
         |         x -> len(x) > 0)) AS w FROM documents)
-        | GROUP BY 1)""".stripMargin
+        | GROUP BY w)""".stripMargin
     val perRound = (1 to rounds).map { i =>
       s"""p$i AS (
          | SELECT z[1] AS a, z[2] AS b, CAST(sum(cnt) AS BIGINT) AS freq
@@ -122,14 +156,39 @@ object Bpe {
          |t$i AS (SELECT a, b, freq FROM p$i
          |        ORDER BY freq DESC, a, b LIMIT 1),
          |w$i AS (
-         | SELECT replace(w${i - 1}.sym, '~' || t$i.a || '~~' || t$i.b || '~',
-         |                '~' || t$i.a || t$i.b || '~') AS sym,
-         |        CAST(sum(cnt) AS BIGINT) AS cnt
-         | FROM w${i - 1} CROSS JOIN t$i GROUP BY 1)""".stripMargin
+         | SELECT w, replace(w${i - 1}.sym, '~' || t$i.a || '~~' || t$i.b || '~',
+         |                '~' || t$i.a || t$i.b || '~') AS sym, cnt
+         | FROM w${i - 1} CROSS JOIN t$i)""".stripMargin
     }.mkString(",\n")
+    s"$w0,\n$perRound"
+  }
+
+  /** DuckDB replica of [[merges]]. Assumes `rounds` merges exist
+    * (true for any corpus with >= rounds distinct adjacent pairs —
+    * trivially true here). */
+  def mergesOracleSql(rounds: Int): String = {
     val out = (1 to rounds)
       .map(i => s"SELECT $i AS step, a AS lhs, b AS rhs, freq FROM t$i")
       .mkString("\nUNION ALL ")
-    s"WITH $w0,\n$perRound\n$out"
+    s"WITH ${chainSql(rounds)}\n$out"
+  }
+
+  /** DuckDB replica of [[encode]] — the same chain, then unit counts
+    * from the final vocabulary joined back onto every token.
+    * NB: the tail is stripped BEFORE interpolation — an outer
+    * stripMargin would eat the first `|` of `||` continuation lines
+    * inside the already-stripped chain. */
+  def encodeOracleSql(rounds: Int): String = {
+    val tail =
+      s"""units AS (SELECT w,
+         |  CAST(len(string_split(sym[2:-2], '~~')) AS BIGINT) AS u
+         | FROM w$rounds),
+         |tok AS (SELECT doc_id, unnest(list_filter(
+         |    string_split_regex(lower(text), '[\\s\\x0b]+'),
+         |    x -> len(x) > 0)) AS w FROM documents)
+         |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+         |  CAST(sum(u) AS BIGINT) AS n_units
+         |FROM tok JOIN units USING (w) GROUP BY doc_id""".stripMargin
+    s"WITH ${chainSql(rounds)},\n$tail"
   }
 }

@@ -175,6 +175,21 @@ object Dedup {
     * `spark.catalog.clearCache()` (or track the table) once the result
     * is materialized — long-lived sessions otherwise accumulate cached
     * blocks until eviction. Same contract for `simhashNearDups`. */
+  /** (doc_id, band, bh) rows: per-band FNV fold of the signature
+    * lanes — shared by the batch and incremental LSH paths. */
+  private def bandSignatures(sig: DataFrame, bands: Int, r: Int): DataFrame = {
+    val spark = sig.sparkSession
+    import spark.implicits._
+    sig.as[(Long, Array[Long])].flatMap { case (id, s) =>
+      (0 until bands).map { b =>
+        var h = 0xcbf29ce484222325L ^ b
+        var i = b * r
+        while (i < (b + 1) * r) { h = (h ^ s(i)) * 1099511628211L; i += 1 }
+        (id, b, h)
+      }
+    }.toDF("doc_id", "band", "bh")
+  }
+
   def minhashLsh(docs: DataFrame, k: Int = 64, bands: Int = 16,
                  threshold: Double = 0.5, shingleWidth: Int = 3,
                  bucketCap: Int = 1000): DataFrame = {
@@ -189,14 +204,7 @@ object Dedup {
     val sig = minhashSignatures(docs, k, shingleWidth)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     locally {
-      val banded = sig.as[(Long, Array[Long])].flatMap { case (id, s) =>
-        (0 until bands).map { b =>
-          var h = 0xcbf29ce484222325L ^ b
-          var i = b * r
-          while (i < (b + 1) * r) { h = (h ^ s(i)) * 1099511628211L; i += 1 }
-          (id, b, h)
-        }
-      }.toDF("doc_id", "band", "bh")
+      val banded = bandSignatures(sig, bands, r)
       val capped = banded
         .withColumn("bsz", count(lit(1)).over(
           org.apache.spark.sql.expressions.Window.partitionBy(col("band"), col("bh"))))
@@ -219,6 +227,64 @@ object Dedup {
             .cast("double") / k).as("est_jaccard"))
         .filter(col("est_jaccard") >= threshold)
     }
+  }
+
+  /** INCREMENTAL LSH near-dup: find the near-duplicate pairs a crawl
+    * DELTA introduces against an already-deduped BASE — without ever
+    * re-shingling the base. This is how minhash dedup actually runs in
+    * production: signatures (and their band table) are a persisted,
+    * append-only side table maintained across crawl increments; each
+    * new batch computes signatures for ITS docs only, bands them, and
+    * joins its bands against the full band table. Cost per increment ∝
+    * |delta| × bucket occupancy, not |corpus|.
+    *
+    * Exact contract (spec-tested and oracle-checked): the result
+    * equals the FULL-corpus [[minhashLsh]] run restricted to pairs
+    * with at least one delta side. That requires cap semantics on the
+    * UNION band table (a bucket's size counts base + delta members —
+    * in production the per-bucket count is itself a maintained
+    * aggregate, incremented as batches append).
+    *
+    * `baseSig` stands in for the persisted signature table: pass the
+    * stored (doc_id, sig) DataFrame; this function never looks at base
+    * text. Pairs are emitted (a_id < b_id), delta-delta pairs
+    * included once. */
+  def minhashLshIncremental(baseSig: DataFrame, delta: DataFrame,
+                            k: Int = 64, bands: Int = 16,
+                            threshold: Double = 0.5, shingleWidth: Int = 3,
+                            bucketCap: Int = 1000): DataFrame = {
+    val r = k / bands
+    val deltaSig = minhashSignatures(delta, k, shingleWidth)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val allSig = baseSig.toDF("doc_id", "sig").unionAll(deltaSig)
+    val allBands = bandSignatures(baseSig.toDF("doc_id", "sig"), bands, r)
+      .withColumn("is_delta", lit(false))
+      .unionAll(bandSignatures(deltaSig, bands, r)
+        .withColumn("is_delta", lit(true)))
+    // surviving buckets that matter: under the cap AND touched by the
+    // delta — the base-only buckets (the overwhelming majority at
+    // scale) never reach the self-join
+    val buckets = allBands.groupBy(col("band"), col("bh"))
+      .agg(count(lit(1)).as("bsz"),
+        max(col("is_delta")).as("touched"))
+      .filter(col("bsz") <= bucketCap && col("touched"))
+      .select(col("band"), col("bh"))
+    val inBuckets = allBands.join(buckets, Seq("band", "bh"))
+    val d = inBuckets.filter(col("is_delta"))
+      .select(col("band"), col("bh"), col("doc_id").as("d_id"))
+    val o = inBuckets.select(col("band"), col("bh"), col("doc_id").as("o_id"))
+    val pairs = d.join(o, Seq("band", "bh"))
+      .filter(col("d_id") =!= col("o_id"))
+      .select(least(col("d_id"), col("o_id")).as("a_id"),
+        greatest(col("d_id"), col("o_id")).as("b_id"))
+      .distinct()
+    pairs
+      .join(allSig.toDF("a_id", "a_sig"), "a_id")
+      .join(allSig.toDF("b_id", "b_sig"), "b_id")
+      .select(col("a_id"), col("b_id"),
+        (size(filter(zip_with(col("a_sig"), col("b_sig"),
+          (x, y) => x === y), v => v)).cast("double") / k).as("est_jaccard"))
+      .filter(col("est_jaccard") >= threshold)
   }
 
   /** Candidate-generate-then-verify pipeline: MinHash/LSH candidates

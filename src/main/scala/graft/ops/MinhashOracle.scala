@@ -103,6 +103,21 @@ object MinhashOracle {
     s"""WITH ${pipeline(k, bands, bucketCap)}
        |SELECT a_id, b_id, est_jaccard FROM est WHERE est_jaccard >= $threshold""".stripMargin
 
+  /** Oracle for `Dedup.minhashLshIncremental(base = doc_id < split,
+    * delta = doc_id >= split)` — the incremental path's contract IS
+    * "the full-corpus pipeline restricted to delta-touching pairs",
+    * so the oracle states exactly that: the complete replica plus the
+    * restriction. An engine that quietly recomputed the base, capped
+    * buckets on the delta alone, or lost delta-delta pairs diverges
+    * from this. */
+  def lshIncrementalSql(split: Long, k: Int = 64, bands: Int = 16,
+                        threshold: Double = 0.5,
+                        bucketCap: Int = 1000): String =
+    s"""WITH ${pipeline(k, bands, bucketCap)}
+       |SELECT a_id, b_id, est_jaccard FROM est
+       |WHERE est_jaccard >= $threshold
+       |  AND (a_id >= $split OR b_id >= $split)""".stripMargin
+
   /** Oracle for `Dedup.minhashVerified(documents)` — LSH candidates at
     * estThreshold, re-checked with exact distinct-token-set Jaccard. */
   def verifiedSql(k: Int = 64, bands: Int = 16, estThreshold: Double = 0.35,

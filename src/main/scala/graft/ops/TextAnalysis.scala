@@ -280,6 +280,157 @@ object TextAnalysis {
       .agg(countDistinct(col("g")).as("n_contaminated_grams"))
   }
 
+  private val BloomGold = 0xc2b2ae3d27d4eb4fL
+
+  /** Both bloom bit positions of a gram. Object-level on purpose — a
+    * LOCAL def called from a closure lifts into the enclosing frame
+    * and drags it (non-serializable) into the lambda. */
+  @inline private[ops] def bloomPositions(g: String, m: Long): (Long, Long) = {
+    val h = Dedup.hash64(g, 0, g.length)
+    (java.lang.Long.remainderUnsigned(Dedup.mix64(h), m),
+      java.lang.Long.remainderUnsigned(Dedup.mix64(h + BloomGold), m))
+  }
+
+  /** PURE-SKETCH decontamination with a built-in false-positive
+    * audit: a hand-rolled 2-hash Bloom filter over the benchmark's
+    * w-gram set, probed per corpus gram — plus the exact join, so the
+    * output separates true hits from the filter's (deterministic!)
+    * false positives. [[contamination]] uses a bloom only as a
+    * prefilter before exact verification; this operator is the other
+    * production shape — when the benchmark gram set is too large to
+    * ship, ONLY the `mBits`-bit bitmap is broadcast and the sketch's
+    * answer is the decision. The audit columns quantify what that
+    * buys: n_false_pos/n_grams IS the realized FP rate.
+    *
+    * Everything is deterministic and engine-exact: positions are
+    * p_i = unsigned(mix64(FNV1a64(gram) + i·GOLD)) mod mBits, so the
+    * DuckDB oracle replays the exact bit set via HUGEINT arithmetic —
+    * restated as a position SEMI-JOIN (gram passes iff BOTH its
+    * positions are in the set-bit set), no bit arithmetic on the
+    * oracle side at all.
+    *
+    * Scale shape: bitmap build is gram-explode → (word, bit_or) — a
+    * ≤ mBits/64-row rollup collected and broadcast (a KB, never
+    * data); the corpus pays one fused kernel pass (tokenize + slide +
+    * probe inline) and the audit join only carries bloom-positive
+    * grams. Docs with < w tokens contribute their single all-token
+    * gram (Dedup.shingles semantics; every testdata doc has >= w
+    * tokens, which the oracle's generate_series formulation relies
+    * on — same caveat as text_decontaminate). */
+  def bloomDecontaminate(corpus: DataFrame, benchmark: DataFrame,
+                         w: Int = 5, mBits: Int = 8192): DataFrame = {
+    require(mBits % 64 == 0, "mBits must pack into longs")
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val m = mBits.toLong
+    val bench = benchmark
+      .select(explode(Dedup.shingles(col("text"), w)).as("g"))
+      .distinct().localCheckpoint(true)
+    val words = bench.as[String]
+      .flatMap { g =>
+        val (p0, p1) = bloomPositions(g, m)
+        Seq(p0, p1)
+      }
+      .toDF("p")
+      .select((col("p") / 64).cast("int").as("word"),
+        expr("shiftleft(CAST(1 AS BIGINT), CAST(p % 64 AS INT))").as("mask"))
+      .groupBy(col("word")).agg(expr("bit_or(mask)").as("m"))
+      .collect()
+    val bitmap = new Array[Long](mBits / 64)
+    words.foreach(r => bitmap(r.getInt(0)) = r.getLong(1))
+    val bitsB = spark.sparkContext.broadcast(bitmap)
+    val perDoc = corpus
+      .select(col("doc_id").cast("long"), lower(col("text")))
+      .as[(Long, String)]
+      .mapPartitions { it =>
+        val bits = bitsB.value
+        it.map { case (id, text) =>
+          val toks = text.split("\\s+").filter(_.nonEmpty)
+          val seen = new java.util.HashSet[String]()
+          val hits = List.newBuilder[String]
+          val sb = new java.lang.StringBuilder
+          val n = if (toks.length < w) 1 else toks.length - w + 1
+          var i = 0
+          while (i < n) {
+            sb.setLength(0)
+            var j = 0
+            while (j < w && i + j < toks.length) {
+              if (j > 0) sb.append(' ')
+              sb.append(toks(i + j))
+              j += 1
+            }
+            val g = sb.toString
+            if (seen.add(g)) {
+              val (p0, p1) = bloomPositions(g, m)
+              if ((bits((p0 >> 6).toInt) & (1L << (p0 & 63))) != 0 &&
+                  (bits((p1 >> 6).toInt) & (1L << (p1 & 63))) != 0)
+                hits += g
+            }
+            i += 1
+          }
+          (id, seen.size.toLong, hits.result())
+        }
+      }.toDF("doc_id", "n_grams", "suspects")
+    perDoc
+      .select(col("doc_id"), col("n_grams"),
+        explode_outer(col("suspects")).as("g"))
+      .join(broadcast(bench.withColumn("hit", lit(1L))), Seq("g"), "left")
+      .groupBy(col("doc_id"))
+      .agg(max(col("n_grams")).as("n_grams"),
+        count(col("g")).as("n_bloom_hits"),
+        count(col("hit")).as("n_true_hits"))
+      .select(col("doc_id"), col("n_grams"), col("n_bloom_hits"),
+        col("n_true_hits"),
+        (col("n_bloom_hits") - col("n_true_hits")).as("n_false_pos"))
+  }
+
+  /** DuckDB replica of [[bloomDecontaminate]] over the
+    * text_decontaminate split (bench = doc_id < 20): HUGEINT replay
+    * of FNV1a + splitmix64, bit membership restated as a position
+    * semi-join against the benchmark's set-bit set. */
+  def bloomOracleSql(mBits: Int = 8192): String = {
+    import SimhashOracle.{mulmod, xor64}
+    val M = "18446744073709551616"
+    val gold = java.lang.Long.toUnsignedString(BloomGold)
+    val sm1 = java.lang.Long.toUnsignedString(0x9e3779b97f4a7c15L)
+    val sm2 = java.lang.Long.toUnsignedString(0xbf58476d1ce4e5b9L)
+    val sm3 = java.lang.Long.toUnsignedString(0x94d049bb133111ebL)
+    val off = java.lang.Long.toUnsignedString(0xcbf29ce484222325L)
+    val fnvStep = mulmod(xor64("h", "c"), "1099511628211")
+    s"""WITH toks AS (
+       | SELECT doc_id, list_filter(string_split_regex(lower(text), '[\\s\\x0b]+'), x -> len(x) > 0) AS t
+       | FROM documents),
+       |grams AS (
+       | SELECT doc_id,
+       |  unnest(list_distinct(list_transform(generate_series(1, len(t) - 4),
+       |    i -> array_to_string(t[i:i+4], ' ')))) AS g
+       | FROM toks),
+       |bench AS (SELECT DISTINCT g FROM grams WHERE doc_id < 20),
+       |allg AS (SELECT DISTINCT g FROM grams),
+       |gh AS (SELECT g,
+       |  list_reduce(list_prepend(CAST('$off' AS HUGEINT),
+       |      list_transform(string_split(g, ''),
+       |        x -> CAST(unicode(x) AS HUGEINT))),
+       |    (h, c) -> $fnvStep) AS h
+       | FROM allg),
+       |gi AS (SELECT g, unnest([0, 1]) AS i, h FROM gh),
+       |z0 AS (SELECT g, i, (h + i * CAST('$gold' AS HUGEINT) + CAST('$sm1' AS HUGEINT)) % $M AS z FROM gi),
+       |z1 AS (SELECT g, i, ${mulmod(xor64("z", s"z // ${1L << 30}"), sm2)} AS z FROM z0),
+       |z2 AS (SELECT g, i, ${mulmod(xor64("z", s"z // ${1L << 27}"), sm3)} AS z FROM z1),
+       |pos AS (SELECT g, i, ${xor64("z", s"z // ${1L << 31}")} % $mBits AS p FROM z2),
+       |sbits AS (SELECT DISTINCT p FROM pos JOIN bench USING (g)),
+       |gpass AS (SELECT pos.g FROM pos LEFT JOIN sbits USING (p)
+       |          GROUP BY pos.g HAVING count(sbits.p) = 2),
+       |cg AS (SELECT doc_id, g FROM grams WHERE doc_id >= 20)
+       |SELECT cg.doc_id, CAST(count(*) AS BIGINT) AS n_grams,
+       |  CAST(count(bp.g) AS BIGINT) AS n_bloom_hits,
+       |  CAST(count(be.g) AS BIGINT) AS n_true_hits,
+       |  CAST(count(bp.g) - count(be.g) AS BIGINT) AS n_false_pos
+       |FROM cg LEFT JOIN gpass bp ON cg.g = bp.g
+       |        LEFT JOIN bench be ON cg.g = be.g
+       |GROUP BY cg.doc_id""".stripMargin
+  }
+
   /** Corpus-statistics quality signal (CCNet-style fit-then-score,
     * Wenzek et al. 2019): pass 1 aggregates a global character-trigram
     * frequency table; pass 2 scores each document by how many of its

@@ -66,6 +66,18 @@ class BpeSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(out == Seq((1, "a", "b", 2L), (2, "ab", "</w>", 2L)))
   }
 
+  test("encode: per-doc unit counts under the learned merges, by hand") {
+    // after the six Sennrich merges: low -> [low </w>] (2 units),
+    // lower -> [low e r </w>] (4), newest -> [n ew est</w>] (3),
+    // widest -> [w i d est</w>] (4)
+    val d = docs(
+      (Seq.fill(5)("low") ++ Seq.fill(2)("lower") ++
+       Seq.fill(6)("newest") ++ Seq.fill(3)("widest")).mkString(" "))
+    val out = Bpe.encode(d, 6).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(out == Seq((0L, 16L, 5L * 2 + 2 * 4 + 6 * 3 + 3 * 4)))
+  }
+
   test("repartition-invariant") {
     val d = docs("the quick brown fox", "the quick red fox",
       "the slow brown dog", "a quick brown cat and the fox")

@@ -640,6 +640,63 @@ class OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(base == dd && base == rp)
   }
 
+  test("minhashLshIncremental == full minhashLsh restricted to delta-touching pairs") {
+    val s = spark
+    import s.implicits._
+    // base: two planted near-dup families + noise; delta: a near-dup
+    // of base doc 1, an exact dup of base doc 3, a delta-delta pair,
+    // and an unrelated doc
+    val mk = (id: Long, t: String) => (id, t)
+    val base = Seq(
+      mk(1, "alpha beta gamma delta epsilon zeta eta theta iota kappa"),
+      mk(2, "alpha beta gamma delta epsilon zeta eta theta iota lambda"),
+      mk(3, "one two three four five six seven eight nine ten"),
+      mk(4, "completely different content about nothing shared at all okay"))
+      .toDF("doc_id", "text")
+    val delta = Seq(
+      mk(10, "alpha beta gamma delta epsilon zeta eta theta iota mu"),
+      mk(11, "one two three four five six seven eight nine ten"),
+      mk(12, "red orange yellow green blue indigo violet pink brown black"),
+      mk(13, "red orange yellow green blue indigo violet pink brown white"),
+      mk(14, "nothing like anything else in the whole corpus here truly"))
+      .toDF("doc_id", "text")
+    val pairSet = (df: org.apache.spark.sql.DataFrame) => df.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val inc = pairSet(Dedup.minhashLshIncremental(
+      Dedup.minhashSignatures(base, 64, 3).localCheckpoint(true), delta,
+      threshold = 0.3))
+    val full = pairSet(Dedup.minhashLsh(base.unionAll(delta),
+      threshold = 0.3).filter(
+        org.apache.spark.sql.functions.col("a_id") >= 10 ||
+        org.apache.spark.sql.functions.col("b_id") >= 10))
+    assert(inc == full && inc.nonEmpty)
+    // must include a base-delta pair AND the delta-delta pair
+    assert(inc.exists { case (a, b, _) => a < 10 && b >= 10 })
+    assert(inc.exists { case (a, b, _) => a >= 10 && b >= 10 })
+    spark.catalog.clearCache()
+  }
+
+  test("bloomDecontaminate: true hits subset of bloom hits; planted contamination found") {
+    val s = spark
+    import s.implicits._
+    // doc 100 shares a full 5-gram with the benchmark; doc 101 none
+    val bench = Seq((0L, "secret eval question about physics here"))
+      .toDF("doc_id", "text")
+    val corpus = Seq(
+      (100L, "intro words then secret eval question about physics and more"),
+      (101L, "entirely unrelated text with no overlap whatsoever present today"))
+      .toDF("doc_id", "text")
+    val out = TextAnalysis.bloomDecontaminate(corpus, bench, w = 5)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+    val (g100, bl100, tr100, fp100) = out(100L)
+    // "secret eval question about physics" is one of doc 100's grams
+    assert(tr100 == 1L && bl100 >= tr100 && fp100 == bl100 - tr100)
+    assert(g100 == 6L) // 10 tokens -> 6 sliding 5-grams
+    val (_, bl101, tr101, _) = out(101L)
+    assert(tr101 == 0L && bl101 >= 0L)
+  }
+
   test("pmiCollocations: lift ordering and exact counts by hand") {
     val s = spark
     import s.implicits._
