@@ -502,6 +502,11 @@ object SparkEntry {
       Dedup.jaccardPairs(t(s, dir, "documents"), threshold = 0.95)),
     "dedup_minhash_lsh" -> ((s, dir) =>
       Dedup.minhashLsh(t(s, dir, "documents"), k = 64, bands = 16, threshold = 0.5)),
+    "dedup_winnow" -> ((s, dir) =>
+      // MOSS winnowing: rightmost-min-of-window fingerprint selection
+      // via ONE packed-long window min; local-overlap pairs through a
+      // df-capped fingerprint equi-join (stop-gram guard)
+      graft.ops.Winnow.matches(t(s, dir, "documents"))),
     "dedup_incremental_lsh" -> ((s, dir) => {
       // incremental crawl-batch dedup: docs >= 400 arrive as the
       // delta; the base's signature table is MATERIALIZED first
@@ -1431,6 +1436,7 @@ object SparkEntry {
     // mins, band hashes, bucket join, est/exact thresholds
     "dedup_minhash_lsh" -> graft.ops.MinhashOracle.lshSql(),
     "dedup_incremental_lsh" -> graft.ops.MinhashOracle.lshIncrementalSql(400L),
+    "dedup_winnow" -> graft.ops.Winnow.matchesOracleSql(),
     "dedup_minhash_verified" -> graft.ops.MinhashOracle.verifiedSql(),
     // content-signature features replicated exactly (recursive-CTE FNV
     // chain + exact dyadic accumulator sums; Multimodal scaladoc)
