@@ -765,6 +765,19 @@ object SparkEntry {
     // without ever touching html — a construct+parse round-trip
     // cross-check (q8_funnel pattern). PageRank is integer micro-units
     // end to end, so the iterative ranks are bit-exact on both engines.
+    "web_communities" -> ((s, dir) =>
+      // synchronous label propagation, 3 rounds: most-frequent
+      // neighbor label, lexicographic tie — deterministic (the async
+      // variant is run-order-dependent); coarser than components
+      graft.ops.WebGraph.communities(graft.ops.WebGraph.extractAnchors(
+        graft.ops.WebGraph.syntheticWeb(t(s, dir, "documents"),
+          t(s, dir, "documents").count())))),
+    "web_crawl_traps" -> ((s, dir) =>
+      // URL template mining: digit runs -> {n}, one (host, template)
+      // rollup; parameterized templates with exploding cardinality
+      // flag as traps (planted host4 calendar), /doc{n} paths don't
+      graft.ops.WebGraph.crawlTraps(
+        graft.ops.WebGraph.syntheticTrapFrontier(t(s, dir, "documents")))),
     "web_links" -> ((s, dir) => {
       val docs = t(s, dir, "documents")
       graft.ops.WebGraph.extractAnchors(
@@ -1343,6 +1356,9 @@ object SparkEntry {
     // web graph: closed-form edge derivation (the engine parses real
     // html; the oracle never does) + staged integer-PageRank replica
     "web_links" -> graft.ops.WebGraph.syntheticEdgesOracleSql,
+    "web_crawl_traps" -> graft.ops.WebGraph.crawlTrapsOracleSql(),
+    "web_communities" -> graft.ops.WebGraph.communitiesOracleSql()
+      .replace("%EDGES%", graft.ops.WebGraph.syntheticEdgesOracleSql),
     // edges SQL substituted AFTER stripMargin — its lines can begin
     // with `||`, which an outer stripMargin would eat one pipe of
     "web_degrees" ->

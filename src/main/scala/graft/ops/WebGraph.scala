@@ -395,6 +395,77 @@ object WebGraph {
     edges.select(col("src"), col("dst"))
       .filter(col("src") =!= col("dst")).distinct()
 
+  /** SYNCHRONOUS label propagation (Raghavan et al. 2007) for
+    * community detection — the coarser cousin of connected components:
+    * labels start as the vertex id; each round every vertex adopts its
+    * neighbors' MOST FREQUENT label (tie: lexicographically smallest),
+    * all vertices updating simultaneously from the previous round's
+    * labels. Synchronous + total tie order = fully deterministic (the
+    * async variant is run-order dependent and un-oracle-able), at the
+    * cost of possible 2-cycles — `rounds` is a fixed hyperparameter,
+    * not a convergence loop. Isolated vertices keep their own label.
+    *
+    * Scale shape per round: one join of the undirected edge table
+    * against the (vertex, label) table + one partial-aggregated count
+    * + one per-vertex window argmax — all on the same vertex
+    * partitioning; labels localCheckpoint per round (the persist()
+    * plan-growth trap). O(rounds) passes, never materializing
+    * anything bigger than the edge list. */
+  def communities(edges: DataFrame, rounds: Int = 3): DataFrame = {
+    val e = distinctEdges(edges)
+    val und = e.unionAll(e.select(col("dst").as("src"), col("src").as("dst")))
+      .distinct()
+      .toDF("v", "nb")
+      .localCheckpoint(true)
+    val nodes = und.select(col("v").as("url")).distinct()
+      .localCheckpoint(true)
+    var labels = nodes.select(col("url"), col("url").as("lbl"))
+      .localCheckpoint(true)
+    val byV = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("v"))
+      .orderBy(col("c").desc, col("lbl").asc)
+    for (_ <- 1 to rounds) {
+      val winner = und
+        .join(labels.select(col("url").as("nb"), col("lbl")), Seq("nb"))
+        .groupBy(col("v"), col("lbl")).agg(count(lit(1)).as("c"))
+        .withColumn("rn", row_number().over(byV))
+        .filter(col("rn") === 1)
+        .select(col("v").as("url"), col("lbl").as("wlbl"))
+      labels = labels
+        .join(winner, Seq("url"), "left")
+        .select(col("url"), coalesce(col("wlbl"), col("lbl")).as("lbl"))
+        .localCheckpoint(true)
+    }
+    labels.toDF("url", "community")
+  }
+
+  /** DuckDB replica of [[communities]] — `rounds` UNROLLED as chained
+    * CTEs over the closed-form edge list (substitute %EDGES%). */
+  def communitiesOracleSql(rounds: Int = 3): String = {
+    val head =
+      """e0 AS (SELECT DISTINCT src, dst FROM (%EDGES%) WHERE src <> dst),
+        |und AS (SELECT DISTINCT v, nb FROM (
+        |  SELECT src AS v, dst AS nb FROM e0
+        |  UNION ALL SELECT dst, src FROM e0)),
+        |nodes AS (SELECT DISTINCT v AS url FROM und),
+        |l0 AS (SELECT url, url AS lbl FROM nodes)""".stripMargin
+    val iters = (1 to rounds).map { i =>
+      s"""c$i AS MATERIALIZED (
+         | SELECT und.v, l.lbl, count(*) AS c
+         | FROM und JOIN l${i - 1} l ON und.nb = l.url GROUP BY 1, 2),
+         |w$i AS (SELECT v, lbl FROM (
+         |  SELECT v, lbl, row_number() OVER (PARTITION BY v
+         |    ORDER BY c DESC, lbl ASC) AS rn FROM c$i) WHERE rn = 1),
+         |l$i AS MATERIALIZED (
+         | SELECT n.url, coalesce(w$i.lbl, p.lbl) AS lbl
+         | FROM nodes n
+         | LEFT JOIN w$i ON n.url = w$i.v
+         | JOIN l${i - 1} p ON n.url = p.url)""".stripMargin
+    }.mkString(",\n")
+    s"WITH $head,\n$iters\n" +
+      s"SELECT url, lbl AS community FROM l$rounds"
+  }
+
   /** Integer PageRank over the (src, dst) edge table.
     *
     * Semantics (fixed-point, replicated bit-exactly by
@@ -1601,4 +1672,80 @@ object WebGraph {
       |      WHEN hm = 2 AND v = 3 THEN '/*.bin$'
       |      ELSE '' END AS rule
       |FROM u""".stripMargin
+
+  // ------------------------------------------------------------------
+  // Crawl-trap detection (URL template mining)
+  // ------------------------------------------------------------------
+
+  /** Crawl-trap detection by URL TEMPLATE mining — the frontier-side
+    * guard every crawler needs: collapse each url to its template
+    * (digit runs -> `{n}`), count distinct urls per (host, template),
+    * and flag PARAMETERIZED templates whose cardinality explodes. The
+    * signature of a trap (calendar pages, session ids, faceted
+    * search) is a `?`-carrying template generating unboundedly many
+    * distinct urls; high-cardinality PATH templates (`/doc{n}`) are
+    * normal content and stay unflagged.
+    *
+    * Output: (host, template, n_urls, has_params, flagged) where
+    * flagged = has_params AND n_urls >= threshold.
+    *
+    * Scale shape: a per-row regexp projection + ONE partial-aggregated
+    * hash shuffle on (host, template) — template cardinality is
+    * tiny compared to the frontier, so the rollup collapses map-side;
+    * the report is template-sized. At 10^12 urls this runs where the
+    * frontier lives, no joins at all. */
+  def crawlTraps(frontier: DataFrame, threshold: Long = 100L): DataFrame =
+    frontier
+      .select(regexp_extract(col("url"), "^https?://([^/]+)", 1).as("host"),
+        regexp_replace(col("url"), "[0-9]+", "{n}").as("template"),
+        col("url"))
+      .groupBy(col("host"), col("template"))
+      .agg(countDistinct(col("url")).as("n_urls"))
+      .withColumn("has_params", col("template").contains("?"))
+      .withColumn("flagged", col("has_params") && col("n_urls") >= threshold)
+
+  /** Deterministic trap-corpus over documents: every doc contributes
+    * its organic page, every 4th doc a /about page (static, cardinality
+    * 1 per host), and every doc a url inside host4's calendar trap —
+    * `?y=&m=&p=` where p carries doc_id so every trap url is distinct
+    * (the infinite-space signature). */
+  def syntheticTrapFrontier(docs: DataFrame): DataFrame = {
+    val d = col("doc_id")
+    val ds = d.cast("string")
+    val host = concat(lit("https://host"), (d % 13).cast("string"),
+      lit(".example"))
+    val organic = docs.select(concat(host, lit("/doc"), ds).as("url"))
+    val about = docs.filter(d % 4 === 0)
+      .select(concat(host, lit("/about")).as("url"))
+    val trap = docs.select(concat(lit("https://host4.example/cal?y="),
+      (lit(1990) + d % 40).cast("string"), lit("&m="),
+      (lit(1) + d % 12).cast("string"), lit("&p="), ds).as("url"))
+    organic.unionAll(about).unionAll(trap)
+  }
+
+  /** DuckDB replica of crawlTraps(syntheticTrapFrontier(documents)) —
+    * the same digit-run regexp (RE2 and Java agree on `[0-9]+`) over
+    * the closed-form frontier. */
+  def crawlTrapsOracleSql(threshold: Long = 100L): String =
+    """WITH f AS (
+      | SELECT 'https://host' || CAST(doc_id % 13 AS VARCHAR)
+      |   || '.example/doc' || CAST(doc_id AS VARCHAR) AS url
+      | FROM documents
+      | UNION ALL
+      | SELECT 'https://host' || CAST(doc_id % 13 AS VARCHAR)
+      |   || '.example/about' FROM documents WHERE doc_id % 4 = 0
+      | UNION ALL
+      | SELECT 'https://host4.example/cal?y='
+      |   || CAST(1990 + doc_id % 40 AS VARCHAR)
+      |   || '&m=' || CAST(1 + doc_id % 12 AS VARCHAR)
+      |   || '&p=' || CAST(doc_id AS VARCHAR) FROM documents),
+      |t AS (SELECT regexp_extract(url, '^https?://([^/]+)', 1) AS host,
+      |             regexp_replace(url, '[0-9]+', '{n}', 'g') AS template,
+      |             url
+      |      FROM f)
+      |SELECT host, template, CAST(count(DISTINCT url) AS BIGINT) AS n_urls,
+      |  contains(template, '?') AS has_params,
+      |  contains(template, '?') AND count(DISTINCT url) >= %T% AS flagged
+      |FROM t GROUP BY host, template""".stripMargin
+      .replace("%T%", threshold.toString)
 }

@@ -626,4 +626,45 @@ class WebGraphSpec extends AnyFunSuite with BeforeAndAfterAll {
       "https://h1.x/a" -> "https://h1.x/d"))
     assert(recipMap(e)("h1.x") == ((3L, 1L, 333333L)))
   }
+
+  test("communities: two triangles with a bridge resolve to two uniform labels") {
+    val e = edgeDf(Seq(
+      ("a", "b"), ("b", "c"), ("c", "a"),   // triangle 1
+      ("x", "y"), ("y", "z"), ("z", "x"),   // triangle 2
+      ("c", "x")))                          // bridge
+    val out = WebGraph.communities(e, rounds = 3).collect()
+      .map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(Set(out("a"), out("b"), out("c")).size == 1)
+    assert(Set(out("x"), out("y"), out("z")).size == 1)
+    assert(out("a") != out("x"))
+  }
+
+  test("communities: isolated-pair tie takes the smaller label; repartition-invariant") {
+    val e = edgeDf(Seq(("q", "p")))
+    val out = WebGraph.communities(e, rounds = 3).collect()
+      .map(r => r.getString(0) -> r.getString(1)).toMap
+    // p<->q swap labels each round; round 3 leaves both holding the
+    // OTHER's original label or their own depending on parity — the
+    // point is determinism, pinned here: after odd rounds each holds
+    // the neighbor's label
+    assert(out == Map("p" -> "q", "q" -> "p"))
+    val rp = WebGraph.communities(e.repartition(5), rounds = 3).collect()
+      .map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(rp == out)
+  }
+
+  test("crawlTraps: parameterized explosion flags, path templates don't") {
+    val s = spark
+    import s.implicits._
+    val f = ((0 until 150).map(i => s"https://h1.x/cal?p=$i") ++
+      (0 until 150).map(i => s"https://h1.x/page$i") ++
+      Seq("https://h2.x/about")).toDF("url")
+    val out = WebGraph.crawlTraps(f, threshold = 100).collect()
+      .map(r => (r.getString(1), r.getLong(2), r.getBoolean(3), r.getBoolean(4)))
+      .toSet
+    assert(out == Set(
+      ("https://h{n}.x/cal?p={n}", 150L, true, true),
+      ("https://h{n}.x/page{n}", 150L, false, false),
+      ("https://h{n}.x/about", 1L, false, false)))
+  }
 }
