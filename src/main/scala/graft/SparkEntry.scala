@@ -456,6 +456,12 @@ object SparkEntry {
       // event time so only timestamp differences matter
       graft.ops.Events.retention(
         t(s, dir, "events").filter(col("event_id") % 11 === 0))),
+    "stream_attribution" -> ((s, dir) =>
+      // stream-stream inner join with event-time range bound (1h
+      // click->purchase attribution); inner joins emit eagerly, so
+      // AvailableNow equals the batch join — which IS the oracle
+      graft.ops.Events.attributionStream(s, t(s, dir, "events"),
+        windowUs = 3600L * 1000000L)),
     "stream_sessionize" -> ((s, dir) =>
       // the q7 semantics computed by Structured Streaming's native
       // session_window state store (Append mode, 0-delay watermark,
@@ -1084,6 +1090,7 @@ object SparkEntry {
     // exact-gap boundary MERGES on both sides — pinned in FunnelSpec,
     // so one oracle covers both formulations unconditionally)
     "stream_sessionize" -> graft.ops.Events.sessionizeOracleSql(21600L * 1000000L),
+    "stream_attribution" -> graft.ops.Events.attributionOracleSql(3600L * 1000000L),
     "corpus_shard_assign" -> graft.ops.Sampling.shardAssignOracleSql(64L),
     "corpus_bpe_merges" -> graft.ops.Bpe.mergesOracleSql(8),
     "corpus_bpe_encode" -> graft.ops.Bpe.encodeOracleSql(8),

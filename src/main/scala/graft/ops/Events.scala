@@ -270,4 +270,73 @@ object Events {
     q.awaitTermination()
     spark.read.parquet(s"$base/out").filter(col("user_id") >= 0)
   }
+
+  /** STREAM-STREAM attribution join — the remaining stateful
+    * Structured Streaming surface (the others: windowed aggs, session
+    * windows, flatMapGroupsWithState dedup): join each user's 'click'
+    * events to their 'purchase' events arriving within `windowUs`
+    * after the click, both sides unbounded streams. The time-RANGE
+    * predicate plus per-side event-time watermarks is what lets the
+    * state store evict: a buffered click older than the watermark
+    * minus the window can never match a future purchase and is
+    * dropped — without the range bound the join state grows forever.
+    *
+    * Inner stream-stream joins emit matches EAGERLY (in the
+    * micro-batch where both sides are present), so an AvailableNow
+    * run needs no flush sentinel — batch equivalence is exact by
+    * construction, and the oracle is the plain batch join restated.
+    * Boundary semantics (both inclusive): click.ts <= purchase.ts <=
+    * click.ts + window.
+    *
+    * Scale shape: one stateful shuffle on user_id for both sides;
+    * state = per-user buffered rows bounded by the watermark-window
+    * arithmetic; output (click_id, purchase_id, lag_us) integers. */
+  def attributionStream(spark: org.apache.spark.sql.SparkSession,
+                        events: DataFrame, windowUs: Long): DataFrame = {
+    import org.apache.spark.sql.streaming.Trigger
+    import org.apache.spark.sql.types.TimestampType
+    val base = java.nio.file.Files.createTempDirectory("graft_attr").toString
+    events.select(col("event_id").cast("long"),
+        col("ts").cast(TimestampType).as("ts"), col("user_id").cast("long"),
+        col("event_type").cast("string"))
+      .write.parquet(s"$base/in")
+    val src = spark.readStream
+      .schema(spark.read.parquet(s"$base/in").schema)
+      .parquet(s"$base/in")
+    val clicks = src.filter(col("event_type") === "click")
+      .select(col("event_id").as("click_id"), col("user_id"),
+        col("ts").as("c_ts"))
+      .withWatermark("c_ts", "0 seconds")
+    val purchases = src.filter(col("event_type") === "purchase")
+      .select(col("event_id").as("purchase_id"),
+        col("user_id").as("p_user"), col("ts").as("p_ts"))
+      .withWatermark("p_ts", "0 seconds")
+    // the bound is written as interval arithmetic on the event-time
+    // columns — the shape Spark's streaming analyzer recognizes to
+    // derive state-eviction thresholds from the watermarks
+    val q = clicks.join(purchases,
+        col("user_id") === col("p_user") &&
+        col("p_ts") >= col("c_ts") &&
+        col("p_ts") <= expr(s"c_ts + INTERVAL $windowUs MICROSECOND"))
+      .select(col("click_id"), col("purchase_id"),
+        (unix_micros(col("p_ts")) - unix_micros(col("c_ts"))).as("lag_us"))
+      .writeStream.format("parquet")
+      .option("path", s"$base/out")
+      .option("checkpointLocation", s"$base/ckpt")
+      .outputMode("append")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    spark.read.parquet(s"$base/out")
+  }
+
+  /** DuckDB replica of [[attributionStream]] — the batch join the
+    * streaming state machine must reproduce exactly. */
+  def attributionOracleSql(windowUs: Long): String =
+    s"""SELECT c.event_id AS click_id, p.event_id AS purchase_id,
+       |  epoch_us(p.ts) - epoch_us(c.ts) AS lag_us
+       |FROM events c JOIN events p ON c.user_id = p.user_id
+       |WHERE c.event_type = 'click' AND p.event_type = 'purchase'
+       |  AND p.ts >= c.ts
+       |  AND epoch_us(p.ts) - epoch_us(c.ts) <= $windowUs""".stripMargin
 }

@@ -132,6 +132,24 @@ class FunnelSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(stream == batch && batch.size == 5)
   }
 
+  test("attributionStream: inclusive boundaries, user scoping, no backwards matches") {
+    val winMs = 10000L
+    val d = events(
+      (1L, 5000L, 1L, "click"),
+      (2L, 5000L, 1L, "purchase"),           // lag 0 — included
+      (3L, 5000L + winMs, 1L, "purchase"),   // lag == window — included
+      (4L, 5000L + winMs + 1, 1L, "purchase"), // 1ms past — excluded
+      (5L, 4000L, 1L, "purchase"),           // BEFORE the click — excluded
+      (6L, 6000L, 2L, "purchase"),           // other user — excluded
+      (7L, 6000L, 2L, "click"))              // matches event 6 (same user)
+    val out = Events.attributionStream(spark, d, windowUs = winMs * 1000L)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(out == Set(
+      (1L, 2L, 0L),
+      (1L, 3L, winMs * 1000L),
+      (7L, 6L, 0L)))
+  }
+
   test("session_window boundary: an event at EXACTLY last+gap MERGES (batch-identical)") {
     // pins that Spark's session_window treats the window end as
     // inclusive for merging — an event at exactly last+gap joins the
