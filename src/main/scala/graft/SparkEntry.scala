@@ -738,6 +738,14 @@ object SparkEntry {
       // struct-max aggregate, oracle = join-back-on-max-ts wording
       graft.ops.Crawl.collapse(
         graft.ops.Crawl.syntheticFetchLog(t(s, dir, "documents")))),
+    "corpus_manifest" -> ((s, dir) =>
+      // replication integrity: per-bucket order-independent two-lane
+      // xor fingerprints of the collapsed snapshot — diff manifests,
+      // not corpora; xor cannot overflow (ANSI-safe fold)
+      graft.ops.Crawl.manifest(
+        graft.ops.Crawl.collapse(
+          graft.ops.Crawl.syntheticFetchLog(t(s, dir, "documents")))
+          .select(col("url"), col("latest_fp").as("fp")))),
     "corpus_merge_upsert" -> ((s, dir) => {
       // CDC MERGE (Iceberg MERGE INTO semantics): apply a synthetic
       // change batch (updates, stale late-arrivals, deletes — some
@@ -1321,6 +1329,10 @@ object SparkEntry {
         |FROM r GROUP BY source""".stripMargin,
     "corpus_snapshot_collapse" -> graft.ops.Crawl.collapseOracleSql(
       graft.ops.Crawl.fetchLogOracleSql),
+    "corpus_manifest" -> graft.ops.Crawl.manifestOracleSql(
+      "SELECT url, latest_fp AS fp FROM (" +
+        graft.ops.Crawl.collapseOracleSql(
+          graft.ops.Crawl.fetchLogOracleSql) + ")"),
     "corpus_merge_upsert" -> graft.ops.Crawl.mergeUpsertOracleSql(
       "SELECT url, last_ts AS warc_ts, latest_fp AS fp FROM (" +
         graft.ops.Crawl.collapseOracleSql(

@@ -124,6 +124,87 @@ object Crawl {
       |      THEN text || ' v' || CAST(k AS VARCHAR) ELSE text END) AS fp
       |FROM f""".stripMargin
 
+  /** Content-addressed corpus MANIFEST: per-bucket order-independent
+    * fingerprints of a url-unique snapshot — the integrity check two
+    * clusters (or a cluster and its replica/backup) compare to verify
+    * a 10^12-row table replicated byte-exactly WITHOUT moving data:
+    * ship the |buckets|-row manifest, not the corpus, and diff.
+    *
+    * Per row: two independent 64-bit hashes of `url NUL fp`
+    * (FNV-1a → splitmix64, second lane offset by the golden ratio —
+    * the bloomPositions construction). Per bucket (FNV(url) mod
+    * nBuckets — the ExtractJob layout convention): row count + the
+    * BIT-XOR of each lane. XOR is commutative/associative, so the
+    * fold is partitioning- and order-independent by construction —
+    * and it cannot overflow, which matters under ANSI mode where a
+    * wrap-around SUM fold would throw. Two independent lanes because
+    * a single 64-bit xor can be cancelled by coordinated row pairs;
+    * colliding both lanes simultaneously requires breaking the mixer.
+    *
+    * Scale shape: one per-row kernel projection + ONE partial-agg
+    * shuffle on bucket (xor combines map-side); output is
+    * nBuckets rows. */
+  def manifest(snapshot: DataFrame, nBuckets: Int = 64): DataFrame = {
+    val spark = snapshot.sparkSession
+    import spark.implicits._
+    snapshot.select(col("url").cast("string"), col("fp").cast("string"))
+      .as[(String, String)]
+      .mapPartitions(_.map { case (url, fp) =>
+        val b = java.lang.Long.remainderUnsigned(
+          Dedup.hash64(url, 0, url.length), nBuckets).toInt
+        val s = url + "\u0000" + fp
+        val h = Dedup.hash64(s, 0, s.length)
+        (b, Dedup.mix64(h), Dedup.mix64(h + ManifestGold))
+      })
+      .toDF("bucket", "h1", "h2")
+      .groupBy(col("bucket"))
+      .agg(count(lit(1)).as("n_rows"),
+        expr("bit_xor(h1)").as("xor1"),
+        expr("bit_xor(h2)").as("xor2"))
+  }
+
+  private[ops] val ManifestGold = 0xc2b2ae3d27d4eb4fL
+
+  /** DuckDB replica of [[manifest]] over `snapSql` (url, fp rows):
+    * HUGEINT FNV+splitmix replay per lane, signed-BIGINT bit_xor. */
+  def manifestOracleSql(snapSql: String, nBuckets: Int = 64): String = {
+    import SimhashOracle.{mulmod, xor64}
+    val M = "18446744073709551616"
+    val off = java.lang.Long.toUnsignedString(0xcbf29ce484222325L)
+    val gold = java.lang.Long.toUnsignedString(ManifestGold)
+    val sm1 = java.lang.Long.toUnsignedString(0x9e3779b97f4a7c15L)
+    val sm2 = java.lang.Long.toUnsignedString(0xbf58476d1ce4e5b9L)
+    val sm3 = java.lang.Long.toUnsignedString(0x94d049bb133111ebL)
+    val fnvStep = mulmod(xor64("h", "c"), "1099511628211")
+    def fnv(expr: String) =
+      s"""list_reduce(list_prepend(CAST('$off' AS HUGEINT),
+         |      list_transform(string_split($expr, ''),
+         |        x -> CAST(unicode(x) AS HUGEINT))),
+         |    (h, c) -> $fnvStep)""".stripMargin
+    val tail =
+      s"""rh AS (SELECT
+         |  CAST(${fnv("url")} % $nBuckets AS INT) AS bucket,
+         |  ${fnv("url || chr(0) || fp")} AS h
+         | FROM snap),
+         |lanes AS (SELECT bucket, unnest([0, 1]) AS i, h FROM rh),
+         |z0 AS (SELECT bucket, i,
+         |  (h + i * CAST('$gold' AS HUGEINT) + CAST('$sm1' AS HUGEINT)) % $M AS z
+         | FROM lanes),
+         |z1 AS (SELECT bucket, i, ${mulmod(xor64("z", s"z // ${1L << 30}"), sm2)} AS z FROM z0),
+         |z2 AS (SELECT bucket, i, ${mulmod(xor64("z", s"z // ${1L << 27}"), sm3)} AS z FROM z1),
+         |zf AS (SELECT bucket, i,
+         |  CAST(CASE WHEN ${xor64("z", s"z // ${1L << 31}")} >= 9223372036854775808
+         |       THEN ${xor64("z", s"z // ${1L << 31}")} - $M
+         |       ELSE ${xor64("z", s"z // ${1L << 31}")} END AS BIGINT) AS v
+         | FROM z2)
+         |SELECT bucket,
+         |  CAST(count(*) / 2 AS BIGINT) AS n_rows,
+         |  bit_xor(v) FILTER (i = 0) AS xor1,
+         |  bit_xor(v) FILTER (i = 1) AS xor2
+         |FROM zf GROUP BY bucket""".stripMargin
+    s"WITH snap AS ($snapSql),\n$tail"
+  }
+
   /** CDC MERGE (Iceberg `MERGE INTO` / Delta upsert semantics over a
     * url-unique snapshot): apply a change batch to the base snapshot
     * and return the new snapshot plus a per-row audit action.

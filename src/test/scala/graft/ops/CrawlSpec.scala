@@ -56,6 +56,30 @@ class CrawlSpec extends AnyFunSuite with BeforeAndAfterAll {
                           // fp-nullness-as-presence misread this as 'added'
   }
 
+  test("manifest: partitioning/order-invariant; any single-row change flips its bucket") {
+    val s = spark
+    import s.implicits._
+    val snap = (0 until 300).map(i => (s"https://h/$i", s"fp$i"))
+      .toDF("url", "fp")
+    val m = (df: org.apache.spark.sql.DataFrame) =>
+      Crawl.manifest(df, nBuckets = 8).collect()
+        .map(r => r.getInt(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3))))
+        .toMap
+    val base = m(snap)
+    assert(base.values.map(_._1).sum == 300)
+    // replica shuffled/re-partitioned -> identical manifest
+    assert(m(snap.repartition(7).orderBy(col("fp").desc)) == base)
+    // one corrupted fingerprint -> exactly the affected bucket differs,
+    // and only in the xor lanes (counts unchanged)
+    val corrupt = m(snap.withColumn("fp",
+      when(col("url") === "https://h/123", lit("fpX")).otherwise(col("fp"))))
+    val diff = base.keySet.filter(b => base(b) != corrupt(b))
+    assert(diff.size == 1)
+    val b = diff.head
+    assert(base(b)._1 == corrupt(b)._1 &&
+      base(b)._2 != corrupt(b)._2 && base(b)._3 != corrupt(b)._3)
+  }
+
   test("mergeUpsert: every action path on a hand-built base + batch") {
     val s = spark
     import s.implicits._
