@@ -431,6 +431,26 @@ object SparkEntry {
         countDistinct(col("l_partkey")).as("n_parts"),
         countDistinct(col("l_suppkey")).as("n_supps"),
         count(lit(1)).as("n_rows"))),
+    "q10_rollup" -> ((s, dir) =>
+      // multi-dimensional aggregation: ROLLUP expands grouping sets in
+      // ONE shuffle (Expand node) — subtotals + grand total without
+      // re-scanning; grouping_id disambiguates NULL-as-subtotal from
+      // NULL-as-value (standard bit encoding, identical in DuckDB)
+      t(s, dir, "lineitem")
+        .rollup(col("l_returnflag"), col("l_linestatus"))
+        .agg(sum(col("l_quantity")).as("sum_qty"),
+          count(lit(1)).as("n_rows"),
+          grouping_id().as("gid"))),
+    "q11_pivot" -> ((s, dir) =>
+      // pivot with EXPLICIT values (deterministic column order; the
+      // inferred-values form adds a driver distinct pass) — compiles
+      // to one groupBy with CASE aggregates, a single shuffle
+      t(s, dir, "events")
+        .groupBy((col("user_id") % 10).as("cohort"))
+        .pivot("event_type",
+          Seq("click", "error", "purchase", "signup", "view"))
+        .agg(count(lit(1)))
+        .na.fill(0L)),
     "q5_except" -> ((s, dir) =>
       t(s, dir, "part").select(col("p_partkey"))
         .except(t(s, dir, "lineitem").filter(col("l_quantity") > 45)
@@ -1092,6 +1112,19 @@ object SparkEntry {
       """SELECT count(DISTINCT l_partkey) AS n_parts,
         | count(DISTINCT l_suppkey) AS n_supps, count(*) AS n_rows
         |FROM lineitem""".stripMargin,
+    "q10_rollup" ->
+      """SELECT l_returnflag, l_linestatus, sum(l_quantity) AS sum_qty,
+        | CAST(count(*) AS BIGINT) AS n_rows,
+        | CAST(GROUPING(l_returnflag, l_linestatus) AS BIGINT) AS gid
+        |FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)""".stripMargin,
+    "q11_pivot" ->
+      """SELECT user_id % 10 AS cohort,
+        | CAST(count(*) FILTER (event_type = 'click') AS BIGINT) AS click,
+        | CAST(count(*) FILTER (event_type = 'error') AS BIGINT) AS error,
+        | CAST(count(*) FILTER (event_type = 'purchase') AS BIGINT) AS purchase,
+        | CAST(count(*) FILTER (event_type = 'signup') AS BIGINT) AS signup,
+        | CAST(count(*) FILTER (event_type = 'view') AS BIGINT) AS view
+        |FROM events GROUP BY 1""".stripMargin,
     "q7_sessionize" -> graft.ops.Events.sessionizeOracleSql(21600L * 1000000L),
     // deliberately the SAME oracle as q7: the streaming session_window
     // state store must reproduce the batch sessions exactly (the
