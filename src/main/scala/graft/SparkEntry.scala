@@ -752,6 +752,13 @@ object SparkEntry {
       graft.ops.Cardinality.urlCardinality(
         graft.ops.Crawl.syntheticFetchLog(t(s, dir, "documents"))
           .select(col("url")), p = 8)),
+    "corpus_host_cardinality" -> ((s, dir) =>
+      // GROUPED HLL: one mergeable 256-register sketch per host over
+      // the raw fetch log — per-(host, register) max is the partial
+      // aggregate; exact per-host distinct rides along as audit
+      graft.ops.Cardinality.hostCardinality(
+        graft.ops.Crawl.syntheticFetchLog(t(s, dir, "documents"))
+          .select(col("url")), p = 8)),
     "corpus_snapshot_collapse" -> ((s, dir) =>
       // CDX-style collapse of a raw re-crawl log to one row per url
       // (latest fp, version count, churn); engine = single-pass
@@ -1374,6 +1381,8 @@ object SparkEntry {
     "corpus_crawl_budget" -> graft.ops.Sampling.crawlBudgetOracleSql(997L),
     "corpus_term_sketch" -> graft.ops.CountMin.oracleSql(d = 4, p = 8, k = 10),
     "corpus_url_cardinality" -> graft.ops.Cardinality.oracleSql(
+      "SELECT url FROM (" + graft.ops.Crawl.fetchLogOracleSql + ")", p = 8),
+    "corpus_host_cardinality" -> graft.ops.Cardinality.hostOracleSql(
       "SELECT url FROM (" + graft.ops.Crawl.fetchLogOracleSql + ")", p = 8),
     "corpus_crawl_delta" ->
       """WITH d AS (

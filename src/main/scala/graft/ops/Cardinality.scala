@@ -76,6 +76,52 @@ object Cardinality {
       .crossJoin(broadcast(exact))
   }
 
+  /** GROUPED HLL — one sketch per host, the form a crawl dashboard
+    * actually needs ("distinct urls per site"), and the demonstration
+    * that the registers are MERGEABLE GROUP STATE: the per-(host,
+    * register) max is the partial aggregate, so each map task ships at
+    * most m rows per host it saw, and hosts estimate independently
+    * with the same bit-exact register-ordered fold as the global
+    * sketch. exact_distinct per host rides along as the audit arm.
+    * Output: (host, m, n_zero_registers, estimate, exact_distinct). */
+  def hostCardinality(urls: DataFrame, p: Int = 8): DataFrame = {
+    require(p >= 4 && p <= 16, s"p out of range: $p")
+    val m = 1 << p
+    val spark = urls.sparkSession
+    import spark.implicits._
+    val withHost = urls.select(
+      regexp_extract(col("url"), "^https?://([^/]+)", 1).as("host"),
+      col("url").cast("string").as("url"))
+      .localCheckpoint(true) // feeds sketch + audit arms once
+    val hashed = withHost.as[(String, String)]
+      .mapPartitions(_.map { case (h, u) =>
+        val (reg, rank) = regRank(u, p); (h, reg, rank)
+      })
+      .toDF("host", "reg", "rank")
+    val folded = hashed
+      .groupBy(col("host"), col("reg")).agg(max(col("rank")).as("mx"))
+      .select(col("host"), col("reg"), expr(
+        "CAST(1.0 AS DOUBLE) / CAST(shiftleft(CAST(1 AS BIGINT), mx) AS DOUBLE)")
+        .as("w"))
+      .groupBy(col("host"))
+      .agg(sort_array(collect_list(struct(col("reg"), col("w"))))
+        .as("parts"))
+      .select(col("host"), size(col("parts")).as("nregs"),
+        aggregate(col("parts"), lit(0.0), (acc, x) =>
+          acc + x.getField("w")).as("s0"))
+      .select(col("host"), col("nregs"),
+        (col("s0") + (lit(m) - col("nregs")).cast("double")).as("s2"))
+    val alphaNum = (lit(0.7213) / (lit(1.0) + lit(1.079) / lit(m.toDouble))) *
+      lit((m.toLong * m).toDouble)
+    val exact = withHost.groupBy(col("host"))
+      .agg(countDistinct(col("url")).as("exact_distinct"))
+    folded
+      .select(col("host"), lit(m.toLong).as("m"),
+        (lit(m) - col("nregs")).cast("long").as("n_zero_registers"),
+        (alphaNum / col("s2")).as("estimate"))
+      .join(exact, Seq("host"))
+  }
+
   // ------------------------------------------------------------------
   // DuckDB oracle (HUGEINT mod-2^64 replay of the same pipeline)
   // ------------------------------------------------------------------
@@ -136,6 +182,45 @@ object Cardinality {
        |    / s.s2 AS estimate,
        |  ex.exact_distinct
        |FROM s, ex""".stripMargin
+      .replace("%URLS%", urlsSql)
+  }
+
+  /** Oracle for [[hostCardinality]] over `urlsSql` — the global replay
+    * with `host` threaded through every stage. */
+  def hostOracleSql(urlsSql: String, p: Int = 8): String = {
+    val m = 1 << p
+    val sm = { (z: String, sh: Int, mul: String) =>
+      SimhashOracle.mulmod(SimhashOracle.xor64(z, s"$z // ${1L << sh}"), mul) }
+    s"""WITH u AS (SELECT
+       |  regexp_extract(url, '^https?://([^/]+)', 1) AS host,
+       |  CAST(url AS VARCHAR) AS url FROM (%URLS%)),
+       |h0 AS (SELECT host, url, (${fnv("url")} + $SM1) % $M AS z FROM u),
+       |h1 AS (SELECT host, ${sm("z", 30, SM2)} AS z FROM h0),
+       |h2 AS (SELECT host, ${sm("z", 27, SM3)} AS z FROM h1),
+       |h3 AS (SELECT host, ${SimhashOracle.xor64("z", s"z // ${1L << 31}")} AS h FROM h2),
+       |rr AS (SELECT host, CAST(h // ${BigInt(1) << (64 - p)} AS INT) AS reg,
+       |              (h * ${BigInt(1) << p}) % $M AS rest FROM h3),
+       |rk AS (SELECT host, reg, ${rankCase(p)} AS rank FROM rr),
+       |regs AS (SELECT host, reg, max(rank) AS mx FROM rk GROUP BY host, reg),
+       |fold AS (SELECT host, count(*) AS nregs,
+       |  list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+       |    list(CAST(1.0 AS DOUBLE) / CAST(1::BIGINT << mx AS DOUBLE)
+       |         ORDER BY reg)),
+       |    (a, x) -> a + x) AS s0
+       | FROM regs GROUP BY host),
+       |s AS (SELECT host, nregs,
+       |  s0 + CAST($m - nregs AS DOUBLE) AS s2 FROM fold),
+       |ex AS (SELECT host, CAST(count(DISTINCT url) AS BIGINT) AS exact_distinct
+       |       FROM u GROUP BY host)
+       |SELECT s.host, CAST($m AS BIGINT) AS m,
+       |  CAST($m - s.nregs AS BIGINT) AS n_zero_registers,
+       |  ((CAST(0.7213 AS DOUBLE)
+       |    / (CAST(1.0 AS DOUBLE)
+       |       + CAST(1.079 AS DOUBLE) / CAST(${m.toDouble} AS DOUBLE)))
+       |   * CAST(${(m.toLong * m).toDouble} AS DOUBLE))
+       |    / s.s2 AS estimate,
+       |  ex.exact_distinct
+       |FROM s JOIN ex ON s.host = ex.host""".stripMargin
       .replace("%URLS%", urlsSql)
   }
 }

@@ -132,4 +132,24 @@ class CardinalitySpec extends AnyFunSuite with BeforeAndAfterAll {
       .collect().map(_.toString).sorted.toSeq
     assert(a == b && a.size == 5)
   }
+
+  test("hostCardinality: each host's sketch equals the global sketch on that host alone") {
+    val s = spark
+    import s.implicits._
+    val urls = (0 until 400).map(i =>
+      s"https://h${i % 3}.x/p${i % (50 + 40 * (i % 3))}").toDF("url")
+    val grouped = Cardinality.hostCardinality(urls, p = 6).collect()
+      .map(r => r.getString(0) ->
+        ((r.getLong(2), r.getDouble(3), r.getLong(4)))).toMap
+    assert(grouped.keySet == Set("h0.x", "h1.x", "h2.x"))
+    for (h <- grouped.keySet) {
+      val solo = Cardinality.urlCardinality(
+        urls.filter(org.apache.spark.sql.functions.col("url")
+          .startsWith(s"https://$h/")), p = 6)
+        .collect()(0)
+      // bit-identical estimate, same zero-register count, same exact
+      assert(grouped(h) ==
+        ((solo.getLong(1), solo.getDouble(2), solo.getLong(3))), h)
+    }
+  }
 }
