@@ -451,6 +451,23 @@ object SparkEntry {
           Seq("click", "error", "purchase", "signup", "view"))
         .agg(count(lit(1)))
         .na.fill(0L)),
+    "q12_asof" -> ((s, dir) =>
+      // as-of join (latest click strictly before each purchase, per
+      // user): ONE user_id shuffle + a sorted window carry — no join,
+      // no match-side duplication; oracle is the inequality-join +
+      // argmax formulation (cross-formulation check). Unmatched
+      // purchases keep -1 sentinels.
+      graft.ops.Events.asofLastBefore(t(s, dir, "events"),
+        matchType = "click", queryType = "purchase")),
+    "q13_overlap" -> ((s, dir) =>
+      // interval-overlap census (how many sessions were concurrently
+      // in flight with each session): rank arithmetic over two
+      // range-partitioned sweeps — NO pairwise join; the oracle IS
+      // the quadratic overlap join. 1-in-11 user sample + 1h gap make
+      // the overlap distribution non-degenerate at both SFs.
+      graft.ops.Events.sessionOverlap(
+        t(s, dir, "events").filter(col("user_id") % 11 === 0),
+        gapUs = 3600L * 1000000L)),
     "q5_except" -> ((s, dir) =>
       t(s, dir, "part").select(col("p_partkey"))
         .except(t(s, dir, "lineitem").filter(col("l_quantity") > 45)
@@ -694,6 +711,11 @@ object SparkEntry {
       graft.ops.Sampling.hostCap(t(s, dir, "documents"), k = 15)),
     "corpus_budget_sample" -> ((s, dir) =>
       graft.ops.Sampling.tokenBudgetSample(t(s, dir, "documents"), budget = 150L)),
+    "corpus_ngram_lm" -> ((s, dir) =>
+      // bigram count-of-counts (Good–Turing frequency-of-frequencies):
+      // in-scan zip_with pairing, two partial-agg shuffles, output is
+      // O(distinct counts) rows with a min-gram content witness
+      graft.ops.Ngram.bigramCountOfCounts(t(s, dir, "documents"))),
     "corpus_vocab" -> ((s, dir) =>
       graft.ops.Sampling.vocabulary(t(s, dir, "documents"), n = 30)),
     "corpus_mix_report" -> ((s, dir) =>
@@ -828,6 +850,24 @@ object SparkEntry {
       val docs = t(s, dir, "documents")
       graft.ops.WebGraph.degrees(graft.ops.WebGraph.extractAnchors(
         graft.ops.WebGraph.syntheticWeb(docs, docs.count())))
+    }),
+    "web_triangles" -> ((s, dir) => {
+      // degree-ordered triangle counting (compact-forward): oriented
+      // low→high in (degree, node) order so hub out-degree stays
+      // O(√m); each triangle found once from its minimum vertex;
+      // oracle enumerates by the DIFFERENT a<b<c string order
+      val docs = t(s, dir, "documents")
+      graft.ops.WebGraph.triangles(graft.ops.WebGraph.extractAnchors(
+        graft.ops.WebGraph.syntheticWeb(docs, docs.count())))
+    }),
+    "web_kcore" -> ((s, dir) => {
+      // 3-core of the undirected link graph: synchronous peeling to
+      // fixpoint (removal-only, stable-count stop), localCheckpoint
+      // per round; oracle unrolls the same peeling to 12 CTE stages
+      // (measured fixpoint depth ≤7 at both SFs)
+      val docs = t(s, dir, "documents")
+      graft.ops.WebGraph.kCore(graft.ops.WebGraph.extractAnchors(
+        graft.ops.WebGraph.syntheticWeb(docs, docs.count())), k = 3)
     }),
     "web_pagerank" -> ((s, dir) => {
       val docs = t(s, dir, "documents")
@@ -1133,6 +1173,13 @@ object SparkEntry {
         | CAST(count(*) FILTER (event_type = 'view') AS BIGINT) AS view
         |FROM events GROUP BY 1""".stripMargin,
     "q7_sessionize" -> graft.ops.Events.sessionizeOracleSql(21600L * 1000000L),
+    "q12_asof" -> graft.ops.Events.asofOracleSql(
+      matchType = "click", queryType = "purchase"),
+    "q13_overlap" -> graft.ops.Events.sessionOverlapOracleSql(
+      gapUs = 3600L * 1000000L, where = "user_id % 11 = 0"),
+    "web_triangles" -> graft.ops.WebGraph.trianglesOracleSql,
+    "web_kcore" -> graft.ops.WebGraph.kCoreOracleSql(k = 3),
+    "corpus_ngram_lm" -> graft.ops.Ngram.bigramCountOfCountsOracleSql(),
     // deliberately the SAME oracle as q7: the streaming session_window
     // state store must reproduce the batch sessions exactly (the
     // exact-gap boundary MERGES on both sides — pinned in FunnelSpec,

@@ -339,4 +339,205 @@ object Events {
        |WHERE c.event_type = 'click' AND p.event_type = 'purchase'
        |  AND p.ts >= c.ts
        |  AND epoch_us(p.ts) - epoch_us(c.ts) <= $windowUs""".stripMargin
+
+  // ------------------------------------------------------------------
+  // As-of join (latest `matchType` event preceding each `queryType`)
+  // ------------------------------------------------------------------
+
+  /** As-of join: for every `queryType` event, the latest `matchType`
+    * event of the SAME user that precedes it in the total order
+    * (ts, event_id) — the point-in-time lookup Spark has no built-in
+    * operator for (attribution, feature snapshots, slowly-changing
+    * dimensions).
+    *
+    * Engine shape — NOT a join: both sides ride ONE hash shuffle on
+    * user_id; a single sorted window pass carries the most recent
+    * match forward (`last(..., ignoreNulls)` over rows [-inf, -1]).
+    * At 10^12 events this is strictly cheaper than any join
+    * formulation: no match-side duplication, no range-bucket
+    * explosion, no per-user state beyond the running frame. The
+    * DuckDB oracle states the SPEC as the inequality-join + argmax
+    * formulation instead — two different computations, one function.
+    *
+    * Semantics: "precedes" is STRICT in (ts, event_id) — a match at
+    * the identical timestamp counts only if its event_id is lower.
+    * Unmatched queries keep -1 sentinels (never dropped — a training
+    * pipeline needs the negatives). Output is integers and
+    * differences only, so it is invariant to the engines' epoch
+    * reading of the parquet timestamps.
+    */
+  def asofLastBefore(events: DataFrame, matchType: String,
+                     queryType: String): DataFrame = {
+    val us = unix_micros(col("ts").cast(org.apache.spark.sql.types.TimestampType))
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("us").asc, col("event_id").asc)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    events
+      .select(col("event_id"), col("user_id"), us.as("us"), col("event_type"))
+      .withColumn("m",
+        last(when(col("event_type") === matchType,
+          struct(col("us").as("mus"), col("event_id").as("mid"))),
+          ignoreNulls = true).over(w))
+      .where(col("event_type") === queryType)
+      .select(col("event_id"), col("user_id"),
+        coalesce(col("m.mid"), lit(-1L)).as("match_event_id"),
+        coalesce(col("us") - col("m.mus"), lit(-1L)).as("lag_us"))
+  }
+
+  /** DuckDB oracle for [[asofLastBefore]] — the inequality-join +
+    * row_number argmax formulation (deliberately different from the
+    * engine's union-window scan; cross-formulation check). */
+  def asofOracleSql(matchType: String, queryType: String): String =
+    s"""WITH ev AS (
+       |  SELECT event_id, user_id, epoch_us(ts) AS us, event_type
+       |  FROM events),
+       |q AS (SELECT * FROM ev WHERE event_type = '$queryType'),
+       |m AS (SELECT * FROM ev WHERE event_type = '$matchType'),
+       |j AS (
+       |  SELECT q.event_id, m.event_id AS mid, m.us AS mus,
+       |    row_number() OVER (PARTITION BY q.event_id
+       |      ORDER BY m.us DESC, m.event_id DESC) AS rn
+       |  FROM q JOIN m ON m.user_id = q.user_id
+       |    AND (m.us < q.us OR (m.us = q.us AND m.event_id < q.event_id)))
+       |SELECT q.event_id, q.user_id,
+       |  COALESCE(j.mid, -1) AS match_event_id,
+       |  COALESCE(q.us - j.mus, -1) AS lag_us
+       |FROM q LEFT JOIN (SELECT * FROM j WHERE rn = 1) j USING (event_id)""".stripMargin
+
+  // ------------------------------------------------------------------
+  // Interval-overlap census (session concurrency) — sweep-line by
+  // rank arithmetic, NO pairwise join
+  // ------------------------------------------------------------------
+
+  /** Per-user sessions as closed time intervals [s_us, e_us] (same
+    * boundary rule as [[sessionize]]); session_start = min event_id
+    * is the stable global id. */
+  private[ops] def sessionIntervals(events: DataFrame, gapUs: Long): DataFrame = {
+    val byUser = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts").asc, col("event_id").asc)
+    val running = byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val us = unix_micros(col("ts").cast(org.apache.spark.sql.types.TimestampType))
+    val prev = lag(us, 1).over(byUser)
+    events
+      .withColumn("us", us)
+      .withColumn("new_s",
+        when(prev.isNull || (col("us") - prev) > gapUs, 1L).otherwise(0L))
+      .withColumn("s_idx", sum(col("new_s")).over(running))
+      .groupBy(col("user_id"), col("s_idx"))
+      .agg(min(col("event_id")).as("session_start"),
+        min(col("us")).as("s_us"), max(col("us")).as("e_us"))
+      .select(col("user_id"), col("session_start"), col("s_us"), col("e_us"))
+  }
+
+  /** For each query key, how many item keys precede it:
+    * count(items k : k <= query) when `inclusive`, count(k < query)
+    * otherwise — computed WITHOUT a join by the zipWithIndex pattern:
+    * range-partition the union of items and queries on (key, tag),
+    * pin the layout (localCheckpoint — both passes must see one
+    * layout), collect the P-row per-partition item counts, broadcast
+    * the prefix offsets, and stream each partition once emitting the
+    * running item count at every query row. The tag orders items
+    * before equal-key queries for <=, after for < — the whole
+    * inclusivity rule is one sort byte.
+    *
+    * This is the distributed sweep-line primitive: two narrow passes
+    * over a single range exchange, driver traffic is P longs. At
+    * 10^12 intervals the quadratic pairwise-overlap join is
+    * impossible; this stays n log n. */
+  private def countBelow(items: DataFrame, queries: DataFrame,
+                         inclusive: Boolean, nPartitions: Int): DataFrame = {
+    val spark = items.sparkSession
+    import spark.implicits._
+    val itemTag = if (inclusive) 0 else 1
+    val queryTag = 1 - itemTag
+    val sorted = items.select(col("key").cast("long"),
+        lit(itemTag).as("tag"), lit(-1L).as("qid"))
+      .unionAll(queries.select(col("key").cast("long"),
+        lit(queryTag).as("tag"), col("qid").cast("long")))
+      .repartitionByRange(nPartitions, col("key"), col("tag"), col("qid"))
+      .sortWithinPartitions(col("key"), col("tag"), col("qid"))
+      .withColumn("pid", spark_partition_id())
+      .localCheckpoint(true)
+    val counts = sorted.where(col("tag") === itemTag)
+      .groupBy(col("pid")).agg(count(lit(1)).as("c"))
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    val offsets = (0 until nPartitions)
+      .scanLeft(0L)((acc, p) => acc + counts.getOrElse(p, 0L)).toArray
+    val bc = spark.sparkContext.broadcast(offsets)
+    val it = itemTag
+    sorted.as[(Long, Int, Long, Int)].mapPartitions { rows =>
+      val buf = rows.buffered
+      if (!buf.hasNext) Iterator.empty
+      else {
+        var seen = bc.value(buf.head._4) // all rows here share one pid
+        buf.flatMap { case (_, tag, qid, _) =>
+          if (tag == it) { seen += 1L; None } else Some((qid, seen))
+        }
+      }
+    }.toDF("qid", "cnt")
+  }
+
+  /** Session-concurrency census: for every session (gap-based, as in
+    * [[sessionize]]), the number of OTHER sessions — any user — whose
+    * closed interval [s_us, e_us] overlaps it. The standard
+    * concurrency/load question (how many crawls were in flight while
+    * this one ran), and the textbook case where the naive engine is a
+    * quadratic interval join.
+    *
+    * Rank arithmetic instead: overlap(a) = |{b : s_b <= e_a}| −
+    * |{b : e_b < s_a}| − 1 (closed intervals: every b not disjoint
+    * from a either starts no later than a ends, minus those that
+    * ended strictly before a started, minus a itself). Two
+    * [[countBelow]] sweeps — no pair is ever materialized. The DuckDB
+    * oracle IS the quadratic overlap join (count(*)−1 per session),
+    * feasible at oracle scale — two formulations, one function.
+    *
+    * Output is (user_id, session_start, n_overlap): ids and a count —
+    * comparisons only, so epoch/timezone reading cancels out. */
+  def sessionOverlap(events: DataFrame, gapUs: Long,
+                     nPartitions: Int = 32): DataFrame = {
+    val sess = sessionIntervals(events, gapUs).localCheckpoint(true)
+    val startsLe = countBelow(
+      items = sess.select(col("s_us").as("key")),
+      queries = sess.select(col("e_us").as("key"),
+        col("session_start").as("qid")),
+      inclusive = true, nPartitions = nPartitions)
+    val endsLt = countBelow(
+      items = sess.select(col("e_us").as("key")),
+      queries = sess.select(col("s_us").as("key"),
+        col("session_start").as("qid")),
+      inclusive = false, nPartitions = nPartitions)
+    sess.join(startsLe.select(col("qid").as("session_start"),
+        col("cnt").as("n_le")), Seq("session_start"))
+      .join(endsLt.select(col("qid").as("session_start"),
+        col("cnt").as("n_lt")), Seq("session_start"))
+      .select(col("user_id"), col("session_start"),
+        (col("n_le") - col("n_lt") - lit(1L)).as("n_overlap"))
+  }
+
+  /** DuckDB oracle for [[sessionOverlap]] — the direct quadratic
+    * overlap join over the same session CTE (DuckDB's IEJoin makes it
+    * feasible at oracle scale). `where` restricts the event stream the
+    * sessions are built from (both sides must agree). */
+  def sessionOverlapOracleSql(gapUs: Long, where: String = "TRUE"): String =
+    s"""WITH flagged AS (
+       |  SELECT user_id, event_id, epoch_us(ts) AS us,
+       |    CASE WHEN lag(epoch_us(ts)) OVER w IS NULL
+       |              OR epoch_us(ts) - lag(epoch_us(ts)) OVER w > $gapUs
+       |         THEN 1 ELSE 0 END AS new_s
+       |  FROM events WHERE $where
+       |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+       |sess AS (
+       |  SELECT user_id, event_id, us,
+       |    sum(new_s) OVER (PARTITION BY user_id ORDER BY us, event_id
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS s_idx
+       |  FROM flagged),
+       |s AS (
+       |  SELECT user_id, min(event_id) AS session_start,
+       |    min(us) AS s_us, max(us) AS e_us
+       |  FROM sess GROUP BY user_id, s_idx)
+       |SELECT a.user_id, a.session_start,
+       |  CAST(count(*) - 1 AS BIGINT) AS n_overlap
+       |FROM s a JOIN s b ON b.s_us <= a.e_us AND b.e_us >= a.s_us
+       |GROUP BY a.user_id, a.session_start""".stripMargin
 }

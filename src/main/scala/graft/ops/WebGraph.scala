@@ -1748,4 +1748,159 @@ object WebGraph {
       |  contains(template, '?') AND count(DISTINCT url) >= %T% AS flagged
       |FROM t GROUP BY host, template""".stripMargin
       .replace("%T%", threshold.toString)
+
+  // ------------------------------------------------------------------
+  // Triangle counting (degree-ordered node-iterator)
+  // ------------------------------------------------------------------
+
+  /** Per-node triangle participation counts over the UNDIRECTED link
+    * graph — the classic local-clustering / spam-farm signal (link
+    * rings and mutual-admiration cliques are triangle-dense; genuine
+    * editorial link neighborhoods are sparse).
+    *
+    * Algorithm: Suri–Vassilvitskii / compact-forward node-iterator.
+    * Edges are deduplicated undirected (least/greatest, self-loops
+    * dropped), then ORIENTED from the lower to the higher endpoint in
+    * the total order (degree, node) — so every node's out-degree is
+    * O(√m) regardless of how big a hub it is, which is the entire
+    * skew story: the wedge self-join on the oriented source never
+    * builds a hub's quadratic neighborhood. Each triangle is emitted
+    * exactly once, from its minimum-order vertex. Three shuffles
+    * total (wedge build, closing-edge semi-join, per-node count), all
+    * equi-joins — no inequality join anywhere.
+    *
+    * The DuckDB oracle enumerates triangles by the DIFFERENT total
+    * order (plain a < b < c string order, triple self-join) — the
+    * per-node counts must agree because both enumerate each triangle
+    * exactly once. */
+  def triangles(edges: DataFrame): DataFrame = {
+    val und = edges.select(least(col("src"), col("dst")).as("a"),
+        greatest(col("src"), col("dst")).as("b"))
+      .where(col("a") < col("b")) // least==greatest iff self-loop
+      .distinct()
+    val deg = und.select(col("a").as("v"))
+      .unionAll(und.select(col("b").as("v")))
+      .groupBy(col("v")).agg(count(lit(1)).as("deg"))
+    val withDeg = und
+      .join(deg.select(col("v").as("a"), col("deg").as("da")), Seq("a"))
+      .join(deg.select(col("v").as("b"), col("deg").as("db")), Seq("b"))
+    val lowFirst = struct(col("da"), col("a")) < struct(col("db"), col("b"))
+    val oriented = withDeg.select(
+      when(lowFirst, col("a")).otherwise(col("b")).as("u"),
+      when(lowFirst, col("b")).otherwise(col("a")).as("w"),
+      when(lowFirst, col("db")).otherwise(col("da")).as("dw"))
+    val wedges = oriented.select(col("u"), col("w").as("w1"), col("dw").as("d1"))
+      .join(oriented.select(col("u"), col("w").as("w2"), col("dw").as("d2")),
+        Seq("u"))
+      .where(struct(col("d1"), col("w1")) < struct(col("d2"), col("w2")))
+    // the closing edge w1–w2 is itself oriented low→high in the same
+    // total order, and the wedge fixed w1 < w2 in that order — so it
+    // can only appear as (u=w1, w=w2)
+    val closed = wedges.join(
+      oriented.select(col("u").as("w1"), col("w").as("w2")), Seq("w1", "w2"))
+    closed.select(explode(array(col("u"), col("w1"), col("w2"))).as("v"))
+      .groupBy(col("v")).agg(count(lit(1)).as("n_tri"))
+  }
+
+  // ------------------------------------------------------------------
+  // k-core decomposition (iterative peeling)
+  // ------------------------------------------------------------------
+
+  /** The k-core of the undirected link graph: the maximal subgraph in
+    * which every node has degree ≥ k — the standard "dense nucleus"
+    * signal (link farms and tightly-knit spam rings live in deep
+    * cores; isolated editorial pages peel away immediately). Output is
+    * one row per surviving node with its degree INSIDE the core.
+    *
+    * Algorithm: synchronous peeling. Each round recomputes degrees
+    * (one partial-agg shuffle) and drops every node below k via two
+    * LEFT SEMI joins — no row ever widens, state is only the live
+    * edge list. Peeling is removal-only, so an unchanged surviving-
+    * node count IS the fixpoint (nothing was removed ⇒ nothing ever
+    * will be). Rounds are bounded by the peeling depth (single digits
+    * on web graphs, ≤7 on this corpus at both SFs); each round ends in
+    * localCheckpoint(true) — same lineage-truncation discipline as
+    * [[weaklyConnected]], without which the plan doubles per round.
+    * Driver traffic is one count per round.
+    *
+    * The DuckDB oracle replays the SAME peeling as a staged CTE chain
+    * with a fixed stage count (strictly more stages than the measured
+    * fixpoint depth; extra stages are no-ops at fixpoint), the way
+    * [[pageRankOracleSql]] stages its iterations. */
+  def kCore(edges: DataFrame, k: Int, maxIter: Int = 50): DataFrame = {
+    require(k >= 1 && maxIter >= 1)
+    var live = edges.select(least(col("src"), col("dst")).as("a"),
+        greatest(col("src"), col("dst")).as("b"))
+      .where(col("a") < col("b")).distinct()
+      .localCheckpoint(true)
+    var prevNodes = -1L
+    var round = 0
+    var done = false
+    while (!done && round < maxIter) {
+      val keep = live.select(col("a").as("v"))
+        .unionAll(live.select(col("b").as("v")))
+        .groupBy(col("v")).agg(count(lit(1)).as("deg"))
+        .where(col("deg") >= k).select(col("v"))
+      val n = keep.count()
+      if (n == prevNodes) done = true // removal-only ⇒ stable count = fixpoint
+      else {
+        prevNodes = n
+        live = live
+          .join(keep.select(col("v").as("a")), Seq("a"), "left_semi")
+          .join(keep.select(col("v").as("b")), Seq("b"), "left_semi")
+          .localCheckpoint(true)
+        round += 1
+      }
+    }
+    live.select(col("a").as("v")).unionAll(live.select(col("b").as("v")))
+      .groupBy(col("v")).agg(count(lit(1)).as("core_deg"))
+  }
+
+  /** DuckDB oracle for kCore(extractAnchors(syntheticWeb(…))) — the
+    * same peeling, unrolled to `stages` CTE rounds (≥ the measured
+    * fixpoint depth; surplus rounds are identity). Every stage is
+    * AS MATERIALIZED: each CTE is referenced 3× by the next stage, so
+    * the default inlining would expand the chain 3^stages-fold (found
+    * empirically as a "too many open files" parquet-scan explosion). */
+  def kCoreOracleSql(k: Int, stages: Int = 12): String = {
+    val sb = new StringBuilder
+    sb.append(s"WITH e0 AS MATERIALIZED ($syntheticEdgesOracleSql),\n")
+    sb.append("l0 AS MATERIALIZED (SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b\n")
+    sb.append("  FROM e0 WHERE src <> dst)")
+    for (i <- 1 to stages) {
+      sb.append(s""",
+         |k$i AS MATERIALIZED (SELECT v FROM (SELECT a AS v FROM l${i - 1}
+         |  UNION ALL SELECT b FROM l${i - 1})
+         |  GROUP BY v HAVING count(*) >= $k),
+         |l$i AS MATERIALIZED (SELECT a, b FROM l${i - 1}
+         |  WHERE a IN (SELECT v FROM k$i) AND b IN (SELECT v FROM k$i))""".stripMargin)
+    }
+    sb.append(s"""
+       |SELECT v, CAST(count(*) AS BIGINT) AS core_deg
+       |FROM (SELECT a AS v FROM l$stages UNION ALL SELECT b FROM l$stages)
+       |GROUP BY v""".stripMargin)
+    sb.toString
+  }
+
+  /** DuckDB oracle for triangles(extractAnchors(syntheticWeb(…))):
+    * triple self-join over the a<b string order. The interpolated
+    * edges SQL is already stripMargin'd (its `||` concats sit at line
+    * starts), so it must stay OUTSIDE the outer stripMargin — a second
+    * pass would eat the first `|` of each `||` (the oracle-authoring
+    * trap recorded in ROUND_NOTES for corpus_bpe_encode). */
+  def trianglesOracleSql: String =
+    s"WITH e0 AS ($syntheticEdgesOracleSql),\n" +
+    """und AS MATERIALIZED (
+      |  SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
+      |  FROM e0 WHERE src <> dst),
+      |tri AS (
+      |  SELECT e1.a AS x, e1.b AS y, e2.b AS z
+      |  FROM und e1
+      |  JOIN und e2 ON e2.a = e1.b
+      |  JOIN und e3 ON e3.a = e1.a AND e3.b = e2.b)
+      |SELECT v, CAST(count(*) AS BIGINT) AS n_tri
+      |FROM (SELECT x AS v FROM tri
+      |      UNION ALL SELECT y FROM tri
+      |      UNION ALL SELECT z FROM tri)
+      |GROUP BY v""".stripMargin
 }
