@@ -394,20 +394,50 @@ object ExtractJob {
     val lock = commitLockPath(checkpointDir)
     val deadline = System.currentTimeMillis() + maxWaitMs
     var acquired = false
+    // RawLocalFileSystem.create(overwrite=false) is CHECK-THEN-ACT, not
+    // atomic: two racers can both pass the exists-check, and the second
+    // create silently truncates the first owner's payload — both then
+    // fail verifyCommitLock and abort (observed once under host load in
+    // the two-thread race spec: A found B's id, B found <missing> after
+    // A's release). On local filesystems claim the slot with POSIX
+    // O_CREAT|O_EXCL (File.createNewFile) instead; HDFS and object
+    // stores keep the genuinely-atomic fs.create(…, false).
+    val localFile: java.io.File =
+      if (fs.isInstanceOf[org.apache.hadoop.fs.LocalFileSystem] ||
+          fs.isInstanceOf[org.apache.hadoop.fs.RawLocalFileSystem])
+        new java.io.File(fs.makeQualified(lock).toUri.getPath)
+      else null
     while (!acquired) {
       try {
         fs.mkdirs(lock.getParent)
-        val out = fs.create(lock, false) // atomic: fails if present
-        // the create CLAIMED the slot; if the payload write/close then
-        // fails, release our own claim before retrying — otherwise the
-        // loop below would treat our fresh empty lock as a foreign one
-        // and spin until the deadline while blocking every other run
-        try { out.write(attempt.getBytes("UTF-8")); out.close() }
-        catch {
-          case e: java.io.IOException =>
-            try fs.delete(lock, false)
-            catch { case _: java.io.IOException => () }
-            throw e
+        if (localFile != null) {
+          if (!localFile.createNewFile()) // atomic O_EXCL claim
+            throw new java.io.IOException(s"lock $lock exists")
+          // the claim is ours; payload goes in via raw java.io (no
+          // ChecksumFileSystem .crc sidecar — readers of a crc-less
+          // file skip verification)
+          try {
+            val out = new java.io.FileOutputStream(localFile)
+            try out.write(attempt.getBytes("UTF-8")) finally out.close()
+          } catch {
+            case e: java.io.IOException =>
+              try fs.delete(lock, false)
+              catch { case _: java.io.IOException => () }
+              throw e
+          }
+        } else {
+          val out = fs.create(lock, false) // atomic: fails if present
+          // the create CLAIMED the slot; if the payload write/close then
+          // fails, release our own claim before retrying — otherwise the
+          // loop below would treat our fresh empty lock as a foreign one
+          // and spin until the deadline while blocking every other run
+          try { out.write(attempt.getBytes("UTF-8")); out.close() }
+          catch {
+            case e: java.io.IOException =>
+              try fs.delete(lock, false)
+              catch { case _: java.io.IOException => () }
+              throw e
+          }
         }
         acquired = true
       } catch {
