@@ -711,6 +711,12 @@ object SparkEntry {
       graft.ops.Sampling.hostCap(t(s, dir, "documents"), k = 15)),
     "corpus_budget_sample" -> ((s, dir) =>
       graft.ops.Sampling.tokenBudgetSample(t(s, dir, "documents"), budget = 150L)),
+    "corpus_pack" -> ((s, dir) =>
+      // concat-and-chunk sequence packing (GPT training layout): the
+      // weighted zipWithIndex two-pass computes each doc's token
+      // interval in the virtual concatenated stream; seq_len=256 makes
+      // docs both share and straddle sequences at both SFs
+      graft.ops.Sampling.pack(t(s, dir, "documents"), seqLen = 256L)),
     "corpus_ngram_lm" -> ((s, dir) =>
       // bigram count-of-counts (Good–Turing frequency-of-frequencies):
       // in-scan zip_with pairing, two partial-agg shuffles, output is
@@ -1180,6 +1186,7 @@ object SparkEntry {
     "web_triangles" -> graft.ops.WebGraph.trianglesOracleSql,
     "web_kcore" -> graft.ops.WebGraph.kCoreOracleSql(k = 3),
     "corpus_ngram_lm" -> graft.ops.Ngram.bigramCountOfCountsOracleSql(),
+    "corpus_pack" -> graft.ops.Sampling.packOracleSql(seqLen = 256L),
     // deliberately the SAME oracle as q7: the streaming session_window
     // state store must reproduce the batch sessions exactly (the
     // exact-gap boundary MERGES on both sides — pinned in FunnelSpec,

@@ -384,6 +384,83 @@ object Sampling {
     }.toDF("doc_id", "k", "pos", "shard", "pos_in_shard")
   }
 
+  /** Concat-and-chunk sequence packing (the GPT-style training layout):
+    * documents are concatenated token-wise in the deterministic shuffle
+    * order (shuffleKey, doc_id) and cut into fixed `seqLen`-token
+    * training sequences; each doc maps to the half-open token interval
+    * [tok_start, tok_start + n_tokens) of the virtual concatenated
+    * stream. Output per (non-empty) doc: its token count, global start
+    * offset, first/last sequence index, offset within the first
+    * sequence, and how many sequences it straddles — everything a
+    * sharded pretraining loader needs to materialize any sequence
+    * without ever building the concatenated stream.
+    *
+    * Scale shape: the global prefix sum is the [[shardAssign]]
+    * two-pass (range-partition on the shuffle key, pinned layout,
+    * P-row driver collect of per-partition token sums, broadcast
+    * offsets, one streaming pass) — a weighted zipWithIndex. No
+    * partitionless window, no join; driver traffic is P longs. All
+    * outputs are exact integers.
+    */
+  def pack(docs: DataFrame, seqLen: Long,
+           nPartitions: Int = 32): DataFrame = {
+    require(seqLen > 0, "seqLen must be positive")
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val sorted = docs
+      .select(col("doc_id").cast("long"), shuffleKey(col("doc_id")).as("k"),
+        size(TextAnalysis.tokens(col("text"))).cast("long").as("n_tokens"))
+      .where(col("n_tokens") > 0)
+      .repartitionByRange(nPartitions, col("k"), col("doc_id"))
+      .sortWithinPartitions(col("k"), col("doc_id"))
+      .withColumn("pid", spark_partition_id())
+      .localCheckpoint(true) // pin layout: both passes must see ONE layout
+    val counts = sorted.groupBy(col("pid"))
+      .agg(sum(col("n_tokens")).as("c"))
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    val offsets = (0 until nPartitions)
+      .scanLeft(0L)((acc, p) => acc + counts.getOrElse(p, 0L)).toArray
+    val bc = spark.sparkContext.broadcast(offsets)
+    val L = seqLen
+    sorted.as[(Long, Long, Long, Int)].mapPartitions { it =>
+      val buf = it.buffered
+      if (!buf.hasNext) Iterator.empty
+      else {
+        var pos = bc.value(buf.head._4) // all rows here share one pid
+        buf.map { case (id, _, n, _) =>
+          val s = pos; pos += n
+          (id, n, s, s / L, s % L, (s + n - 1) / L,
+            (s + n - 1) / L - s / L + 1)
+        }
+      }
+    }.toDF("doc_id", "n_tokens", "tok_start", "seq_start", "off_in_seq",
+      "seq_end", "n_seqs")
+  }
+
+  /** DuckDB oracle for [[pack]] — the SPEC as one window prefix sum
+    * over the same (shuffleKey, doc_id) order and the same tokenizer
+    * (the engine proves its distributed two-pass computes the same
+    * function without the global window). */
+  def packOracleSql(seqLen: Long): String =
+    s"""WITH d AS (
+       |  SELECT doc_id,
+       |    ((doc_id % 2147483648) * 2654435761) % 4294967296 AS k,
+       |    CAST(len(list_filter(string_split_regex(lower(text), '[\\s\\x0b]+'),
+       |      x -> len(x) > 0)) AS BIGINT) AS n
+       |  FROM documents),
+       |p AS (
+       |  -- DuckDB's sum(BIGINT) widens to HUGEINT (floats after the
+       |  -- pandas hop) — cast the prefix sum back down
+       |  SELECT doc_id, n,
+       |    CAST(COALESCE(sum(n) OVER (ORDER BY k, doc_id
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS s
+       |  FROM d WHERE n > 0)
+       |SELECT doc_id, n AS n_tokens, s AS tok_start,
+       |  s // $seqLen AS seq_start, s % $seqLen AS off_in_seq,
+       |  (s + n - 1) // $seqLen AS seq_end,
+       |  (s + n - 1) // $seqLen - s // $seqLen + 1 AS n_seqs
+       |FROM p""".stripMargin
+
   /** DuckDB replica of [[shardAssign]] — the oracle states the SPEC
     * (a global row_number over the shuffle order), the engine proves
     * its distributed two-pass computes the same function. */
