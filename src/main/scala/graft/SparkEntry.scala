@@ -866,6 +866,16 @@ object SparkEntry {
       graft.ops.WebGraph.triangles(graft.ops.WebGraph.extractAnchors(
         graft.ops.WebGraph.syntheticWeb(docs, docs.count())))
     }),
+    "web_hyperball" -> ((s, dir) => {
+      // HyperBall (Boldi–Vigna): HLL-register ball-size estimates per
+      // page, 3 forward rounds at p=4; state ≤ 16 rows/node forever —
+      // the only way the neighborhood function scales; exact ball
+      // rides along as the audit arm (oracle-affordable only)
+      val docs = t(s, dir, "documents")
+      graft.ops.WebGraph.hyperBall(graft.ops.WebGraph.extractAnchors(
+        graft.ops.WebGraph.syntheticWeb(docs, docs.count())),
+        p = 4, rounds = 3)
+    }),
     "web_kcore" -> ((s, dir) => {
       // 3-core of the undirected link graph: synchronous peeling to
       // fixpoint (removal-only, stable-count stop), localCheckpoint
@@ -1185,6 +1195,8 @@ object SparkEntry {
       gapUs = 3600L * 1000000L, where = "user_id % 11 = 0"),
     "web_triangles" -> graft.ops.WebGraph.trianglesOracleSql,
     "web_kcore" -> graft.ops.WebGraph.kCoreOracleSql(k = 3),
+    "web_hyperball" -> graft.ops.Cardinality.hyperBallOracleSql(
+      graft.ops.WebGraph.syntheticEdgesOracleSql, p = 4, rounds = 3),
     "corpus_ngram_lm" -> graft.ops.Ngram.bigramCountOfCountsOracleSql(),
     "corpus_pack" -> graft.ops.Sampling.packOracleSql(seqLen = 256L),
     // deliberately the SAME oracle as q7: the streaming session_window

@@ -223,6 +223,67 @@ object Cardinality {
        |FROM s JOIN ex ON s.host = ex.host""".stripMargin
       .replace("%URLS%", urlsSql)
   }
+
+  /** Oracle for [[graft.ops.WebGraph.hyperBall]] over `edgesSql` (a
+    * query yielding src/dst columns): the same per-node hash replay as
+    * [[oracleSql]], then `rounds` MATERIALIZED register-merge stages
+    * (each stage references the previous twice — default CTE inlining
+    * would double per round), the same register-ordered fold per node,
+    * and the exact-ball audit as a staged pair closure. `edgesSql` is
+    * interpolated OUTSIDE any stripMargin (it is already stripped; a
+    * second pass would eat `||` concats at line starts). */
+  def hyperBallOracleSql(edgesSql: String, p: Int = 4, rounds: Int = 3): String = {
+    val m = 1 << p
+    val sm = { (z: String, sh: Int, mul: String) =>
+      SimhashOracle.mulmod(SimhashOracle.xor64(z, s"$z // ${1L << sh}"), mul) }
+    val sb = new StringBuilder
+    sb.append(s"WITH e0 AS MATERIALIZED ($edgesSql),\n")
+    sb.append(
+      s"""e AS MATERIALIZED (SELECT DISTINCT src, dst FROM e0 WHERE src <> dst),
+         |n0 AS MATERIALIZED (SELECT DISTINCT v FROM
+         |  (SELECT src AS v FROM e UNION ALL SELECT dst FROM e)),
+         |h0 AS (SELECT v, (${fnv("v")} + $SM1) % $M AS z FROM n0),
+         |h1 AS (SELECT v, ${sm("z", 30, SM2)} AS z FROM h0),
+         |h2 AS (SELECT v, ${sm("z", 27, SM3)} AS z FROM h1),
+         |h3 AS (SELECT v, ${SimhashOracle.xor64("z", s"z // ${1L << 31}")} AS h FROM h2),
+         |rr AS (SELECT v, CAST(h // ${BigInt(1) << (64 - p)} AS INT) AS reg,
+         |              (h * ${BigInt(1) << p}) % $M AS rest FROM h3),
+         |s0 AS MATERIALIZED (SELECT v, reg, ${rankCase(p)} AS mx FROM rr),
+         |p0 AS MATERIALIZED (SELECT v, v AS u FROM n0)""".stripMargin)
+    for (i <- 1 to rounds) {
+      sb.append(s""",
+         |s$i AS MATERIALIZED (SELECT v, reg, max(mx) AS mx FROM (
+         |  SELECT v, reg, mx FROM s${i - 1}
+         |  UNION ALL
+         |  SELECT e.src AS v, s.reg, s.mx FROM e JOIN s${i - 1} s ON s.v = e.dst)
+         |  GROUP BY v, reg),
+         |p$i AS MATERIALIZED (SELECT DISTINCT v, u FROM (
+         |  SELECT v, u FROM p${i - 1}
+         |  UNION ALL
+         |  SELECT e.src AS v, q.u FROM e JOIN p${i - 1} q ON q.v = e.dst))""".stripMargin)
+    }
+    sb.append(s"""
+       |, fold AS (SELECT v, count(*) AS nregs,
+       |  list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+       |    list(CAST(1.0 AS DOUBLE) / CAST(1::BIGINT << mx AS DOUBLE)
+       |         ORDER BY reg)),
+       |    (a, x) -> a + x) AS s0f
+       | FROM s$rounds GROUP BY v),
+       |s AS (SELECT v, nregs,
+       |  s0f + CAST($m - nregs AS DOUBLE) AS s2 FROM fold),
+       |ex AS (SELECT v, CAST(count(*) AS BIGINT) AS exact_ball
+       |       FROM p$rounds GROUP BY v)
+       |SELECT s.v, CAST($m AS BIGINT) AS m,
+       |  CAST($m - s.nregs AS BIGINT) AS n_zero_registers,
+       |  ((CAST(0.7213 AS DOUBLE)
+       |    / (CAST(1.0 AS DOUBLE)
+       |       + CAST(1.079 AS DOUBLE) / CAST(${m.toDouble} AS DOUBLE)))
+       |   * CAST(${(m.toLong * m).toDouble} AS DOUBLE))
+       |    / s.s2 AS estimate,
+       |  ex.exact_ball
+       |FROM s JOIN ex ON s.v = ex.v""".stripMargin)
+    sb.toString
+  }
 }
 
 /** Count-Min frequency sketch — the heavy-hitter complement to

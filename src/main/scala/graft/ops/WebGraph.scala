@@ -1750,6 +1750,80 @@ object WebGraph {
       .replace("%T%", threshold.toString)
 
   // ------------------------------------------------------------------
+  // HyperBall (HLL-register neighborhood function)
+  // ------------------------------------------------------------------
+
+  /** HyperBall (Boldi–Vigna): per-node estimates of |ball_r(v)| — how
+    * many pages are reachable within r forward hops — computed with
+    * HyperLogLog registers as the per-node state. THE web-scale
+    * reachability algorithm: exact ball sets grow like out-degree^r
+    * (the neighborhood-function / effective-diameter question is
+    * hopeless as a closure at 10^11 edges), but the HLL state is ≤ m
+    * register rows per node FOREVER, and one round is exactly one
+    * edge⋈state equi-join + a partial-aggregated (v, reg) max — max is
+    * idempotent/commutative, so register merge is order-independent
+    * and the result is bit-identical under any partitioning.
+    *
+    * Registers are sparse rows (v, reg, mx) — absent = zero; the merge
+    * `ball_r(v) = ball_{r-1}(v) ∪ ⋃_{v→w} ball_{r-1}(w)` is a union +
+    * groupBy max, localCheckpoint per round ([[weaklyConnected]]
+    * lineage discipline). The per-node estimate reuses
+    * [[Cardinality]]'s bit-exact discipline verbatim: dyadic register
+    * weights (one shiftleft + one IEEE division), register-ordered
+    * fold, literal alpha — so the DuckDB oracle reproduces every
+    * estimate bit for bit. The EXACT ball size rides along as the
+    * audit arm (a staged pair closure — affordable at oracle scale
+    * only, which is precisely the point of the sketch).
+    *
+    * Output: (v, m, n_zero_registers, estimate, exact_ball). */
+  def hyperBall(edges: DataFrame, p: Int = 4, rounds: Int = 3): DataFrame = {
+    require(p >= 4 && p <= 16, s"p out of range: $p")
+    require(rounds >= 1)
+    val m = 1 << p
+    val spark = edges.sparkSession
+    import spark.implicits._
+    val e = edges.select(col("src"), col("dst"))
+      .where(col("src") =!= col("dst")).distinct()
+      .localCheckpoint(true) // joined every round by both arms
+    val nodes = e.select(col("src").as("v"))
+      .unionAll(e.select(col("dst").as("v"))).distinct()
+    var state = nodes.as[String].mapPartitions(_.map { v =>
+      val (reg, rank) = Cardinality.regRank(v, p); (v, reg, rank)
+    }).toDF("v", "reg", "mx").localCheckpoint(true)
+    var pairs = nodes.select(col("v"), col("v").as("u")).localCheckpoint(true)
+    for (_ <- 1 to rounds) {
+      state = state.unionAll(
+          e.join(state.withColumnRenamed("v", "dst"), Seq("dst"))
+            .select(col("src").as("v"), col("reg"), col("mx")))
+        .groupBy(col("v"), col("reg")).agg(max(col("mx")).as("mx"))
+        .localCheckpoint(true)
+      pairs = pairs.unionAll(
+          e.join(pairs.withColumnRenamed("v", "dst"), Seq("dst"))
+            .select(col("src").as("v"), col("u")))
+        .distinct().localCheckpoint(true)
+    }
+    val folded = state
+      .select(col("v"), col("reg"), expr(
+        "CAST(1.0 AS DOUBLE) / CAST(shiftleft(CAST(1 AS BIGINT), mx) AS DOUBLE)")
+        .as("w"))
+      .groupBy(col("v"))
+      .agg(sort_array(collect_list(struct(col("reg"), col("w"))))
+        .as("parts"))
+      .select(col("v"), size(col("parts")).as("nregs"),
+        aggregate(col("parts"), lit(0.0), (acc, x) =>
+          acc + x.getField("w")).as("s0"))
+      .select(col("v"), col("nregs"),
+        (col("s0") + (lit(m) - col("nregs")).cast("double")).as("s2"))
+    val alphaNum = (lit(0.7213) / (lit(1.0) + lit(1.079) / lit(m.toDouble))) *
+      lit((m.toLong * m).toDouble)
+    val exact = pairs.groupBy(col("v")).agg(count(lit(1)).as("exact_ball"))
+    folded.select(col("v"), lit(m.toLong).as("m"),
+        (lit(m) - col("nregs")).cast("long").as("n_zero_registers"),
+        (alphaNum / col("s2")).as("estimate"))
+      .join(exact, Seq("v"))
+  }
+
+  // ------------------------------------------------------------------
   // Triangle counting (degree-ordered node-iterator)
   // ------------------------------------------------------------------
 
