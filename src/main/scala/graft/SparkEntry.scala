@@ -711,6 +711,11 @@ object SparkEntry {
       graft.ops.Sampling.hostCap(t(s, dir, "documents"), k = 15)),
     "corpus_budget_sample" -> ((s, dir) =>
       graft.ops.Sampling.tokenBudgetSample(t(s, dir, "documents"), budget = 150L)),
+    "corpus_interleave" -> ((s, dir) =>
+      // stride-scheduled weighted source interleave (the deterministic
+      // data-mixing schedule): integer virtual-time keys, global order
+      // via the two-pass enumeration — no partitionless window
+      graft.ops.Sampling.interleave(t(s, dir, "documents"))),
     "corpus_pack" -> ((s, dir) =>
       // concat-and-chunk sequence packing (GPT training layout): the
       // weighted zipWithIndex two-pass computes each doc's token
@@ -1199,6 +1204,7 @@ object SparkEntry {
       graft.ops.WebGraph.syntheticEdgesOracleSql, p = 4, rounds = 3),
     "corpus_ngram_lm" -> graft.ops.Ngram.bigramCountOfCountsOracleSql(),
     "corpus_pack" -> graft.ops.Sampling.packOracleSql(seqLen = 256L),
+    "corpus_interleave" -> graft.ops.Sampling.interleaveOracleSql,
     // deliberately the SAME oracle as q7: the streaming session_window
     // state store must reproduce the batch sessions exactly (the
     // exact-gap boundary MERGES on both sides — pinned in FunnelSpec,

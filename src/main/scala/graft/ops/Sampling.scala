@@ -437,6 +437,79 @@ object Sampling {
       "seq_end", "n_seqs")
   }
 
+  /** Deterministic weighted source interleaving (stride scheduling —
+    * the classic proportional-share scheduler applied to training-data
+    * mixing): source s with weight w emits its k-th document at
+    * virtual time (k+1)·(STRIDE/w), and the global training order is
+    * the merge of all sources by (virtual time, source, k). Exact
+    * integer keys (STRIDE is a common multiple of all weights), so the
+    * schedule is reproducible anywhere and any prefix of the merged
+    * order contains each source in proportion to its weight ±1 — the
+    * property a data-mixing curriculum actually needs, stated without
+    * floats.
+    *
+    * Weights here: 1 + (source index mod 4) over the src{N} names —
+    * deterministic, spread over 1..4, STRIDE = 12. Within a source,
+    * documents are ordered by the corpus shuffle key.
+    *
+    * Scale shape: one hash shuffle per-source for the rank window,
+    * then the global enumeration is the same range-partitioned
+    * two-pass as [[shardAssign]] — no partitionless window. */
+  def interleave(docs: DataFrame, nPartitions: Int = 32): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val stride = 12L
+    val w = lit(1L) + substring(col("source"), 4, 10).cast("long") % 4
+    val bySrc = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("source"))
+      .orderBy(shuffleKey(col("doc_id")).asc, col("doc_id").asc)
+    val keyed = docs
+      .select(col("doc_id").cast("long"), col("source"))
+      .withColumn("k", row_number().over(bySrc).cast("long") - 1)
+      .withColumn("skey", (col("k") + 1) * (lit(stride) / w).cast("long"))
+    val sorted = keyed
+      .repartitionByRange(nPartitions, col("skey"), col("source"), col("k"))
+      .sortWithinPartitions(col("skey"), col("source"), col("k"))
+      .withColumn("pid", spark_partition_id())
+      .localCheckpoint(true) // pin layout: both passes must see ONE layout
+    val counts = sorted.groupBy(col("pid"))
+      .agg(count(lit(1)).as("c"))
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    val offsets = (0 until nPartitions)
+      .scanLeft(0L)((acc, p) => acc + counts.getOrElse(p, 0L)).toArray
+    val bc = spark.sparkContext.broadcast(offsets)
+    sorted.as[(Long, String, Long, Long, Int)].mapPartitions { it =>
+      val buf = it.buffered
+      if (!buf.hasNext) Iterator.empty
+      else {
+        var pos = bc.value(buf.head._5) // all rows here share one pid
+        buf.map { case (id, src, k, skey, _) =>
+          val p = pos; pos += 1
+          (id, src, k, skey, p)
+        }
+      }
+    }.toDF("doc_id", "source", "k", "skey", "pos")
+  }
+
+  /** DuckDB oracle for [[interleave]] — the SPEC as one global
+    * row_number over (virtual time, source, k). */
+  def interleaveOracleSql: String =
+    """WITH d AS (
+      |  SELECT doc_id, source,
+      |    ((doc_id % 2147483648) * 2654435761) % 4294967296 AS hk
+      |  FROM documents),
+      |r AS (
+      |  SELECT doc_id, source,
+      |    row_number() OVER (PARTITION BY source ORDER BY hk, doc_id) - 1 AS k
+      |  FROM d),
+      |j AS (
+      |  SELECT doc_id, source, k,
+      |    (k + 1) * (12 // (1 + CAST(substring(source, 4) AS BIGINT) % 4)) AS skey
+      |  FROM r)
+      |SELECT doc_id, source, k, skey,
+      |  row_number() OVER (ORDER BY skey, source, k) - 1 AS pos
+      |FROM j""".stripMargin
+
   /** DuckDB oracle for [[pack]] — the SPEC as one window prefix sum
     * over the same (shuffleKey, doc_id) order and the same tokenizer
     * (the engine proves its distributed two-pass computes the same
