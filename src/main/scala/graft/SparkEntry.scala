@@ -727,6 +727,16 @@ object SparkEntry {
       // in-scan zip_with pairing, two partial-agg shuffles, output is
       // O(distinct counts) rows with a min-gram content witness
       graft.ops.Ngram.bigramCountOfCounts(t(s, dir, "documents"))),
+    "corpus_lm_coverage" -> ((s, dir) =>
+      // CCNet-shaped LM quality scoring without transcendentals:
+      // train-split bigram/unigram model tables, held-out coverage as
+      // one IEEE division of exact longs (ranks like perplexity)
+      graft.ops.Ngram.lmCoverage(t(s, dir, "documents"))),
+    "corpus_quality_buckets" -> ((s, dir) =>
+      // CCNet head/middle/tail terciles per language: ntile(3) over
+      // (quality desc, doc_id) — engine-exact bucket-size rule, zero
+      // float threshold comparisons
+      graft.ops.Sampling.qualityBuckets(t(s, dir, "documents"))),
     "corpus_vocab" -> ((s, dir) =>
       graft.ops.Sampling.vocabulary(t(s, dir, "documents"), n = 30)),
     "corpus_mix_report" -> ((s, dir) =>
@@ -896,6 +906,17 @@ object SparkEntry {
         graft.ops.WebGraph.extractAnchors(
           graft.ops.WebGraph.syntheticWeb(docs, docs.count())),
         iterations = 5)
+    }),
+    "web_graph_compress" -> ((s, dir) => {
+      // BV-style adjacency gap census (storage planning for 10^11
+      // edges): zigzag first-delta + gap-1 varint cost per successor
+      // list — integer-exact end to end
+      val docs = t(s, dir, "documents")
+      val edges = graft.ops.WebGraph.extractAnchors(
+        graft.ops.WebGraph.syntheticWeb(docs, docs.count()))
+      graft.ops.WebGraph.gapCompressionStats(edges.select(
+        regexp_extract(col("src"), "doc([0-9]+)$", 1).cast("long").as("src_id"),
+        regexp_extract(col("dst"), "doc([0-9]+)$", 1).cast("long").as("dst_id")))
     }),
     "dedup_ngram_spans" -> ((s, dir) => {
       // Lee-et-al-style exact-substring dedup at 15-token windows:
@@ -1203,6 +1224,17 @@ object SparkEntry {
     "web_hyperball" -> graft.ops.Cardinality.hyperBallOracleSql(
       graft.ops.WebGraph.syntheticEdgesOracleSql, p = 4, rounds = 3),
     "corpus_ngram_lm" -> graft.ops.Ngram.bigramCountOfCountsOracleSql(),
+    "corpus_lm_coverage" -> graft.ops.Ngram.lmCoverageOracleSql(),
+    "web_graph_compress" -> graft.ops.WebGraph.gapCompressionOracleSql,
+    "corpus_quality_buckets" ->
+      (s"WITH q AS (${qualityScoreSql()}),\n" +
+        """t AS (SELECT d.doc_id, d.lang, q.quality,
+          |  ntile(3) OVER (PARTITION BY d.lang
+          |    ORDER BY q.quality DESC, d.doc_id ASC) AS tile
+          | FROM documents d JOIN q USING (doc_id))
+          |SELECT doc_id, lang, quality,
+          | CASE tile WHEN 1 THEN 'head' WHEN 2 THEN 'middle' ELSE 'tail' END AS bucket
+          |FROM t""".stripMargin),
     "corpus_pack" -> graft.ops.Sampling.packOracleSql(seqLen = 256L),
     "corpus_interleave" -> graft.ops.Sampling.interleaveOracleSql,
     // deliberately the SAME oracle as q7: the streaming session_window

@@ -128,6 +128,32 @@ object Sampling {
         count(lit(1)).as("n_docs"))
   }
 
+  /** CCNet-style quality bucketing: within each language, rank
+    * documents by the composite quality score (ties broken by doc_id —
+    * the score is a 4-decimal rounding, so ties are common) and cut
+    * the ranking into three equal-depth terciles `head`/`middle`/`tail`.
+    * This is the standard perplexity-bucket shape from CCNet (Wenzek
+    * et al. 2020): downstream mixes typically train on head+middle and
+    * hold out tail. ntile is used (not percent_rank thresholds)
+    * because its bucket-size rule — first (n mod 3) buckets take the
+    * extra row — is identical and exactly specified in both engines,
+    * so the assignment is engine-exact with zero float comparisons.
+    *
+    * Scale shape: ONE hash shuffle on lang; the quality signals are
+    * computed in the scan projection (codegen, no self-join) and the
+    * ntile window reuses the lang partitioning. Languages process
+    * independently — precisely how CCNet shards its buckets. */
+  def qualityBuckets(docs: DataFrame): DataFrame = {
+    val w = Window.partitionBy(col("lang"))
+      .orderBy(col("quality").desc, col("doc_id").asc)
+    TextAnalysis.withQuality(docs.select(col("doc_id"), col("lang"), col("text")))
+      .withColumn("tile", ntile(3).over(w).cast("long"))
+      .select(col("doc_id"), col("lang"), col("quality"),
+        when(col("tile") === 1L, lit("head"))
+          .when(col("tile") === 2L, lit("middle"))
+          .otherwise(lit("tail")).as("bucket"))
+  }
+
   /** Training-mix report: per (lang, source) document/token/char
     * totals — the table a data-mixing decision is made from. Integer
     * sums only (means and ratios are the consumer's division — they

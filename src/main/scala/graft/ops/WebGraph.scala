@@ -1977,4 +1977,80 @@ object WebGraph {
       |      UNION ALL SELECT y FROM tri
       |      UNION ALL SELECT z FROM tri)
       |GROUP BY v""".stripMargin
+
+  // ------------------------------------------------------------------
+  // Adjacency gap compression (WebGraph BV-style storage census)
+  // ------------------------------------------------------------------
+
+  /** Per-source adjacency gap-encoding census — the storage arithmetic
+    * behind WebGraph's BV format (Boldi & Vigna, WWW'04): sort each
+    * node's distinct successors, store the FIRST as a zigzag delta
+    * from the source id (successor lists hover around their own node
+    * id thanks to host-locality of links), and every subsequent
+    * successor as `gap - 1` (strictly increasing after dedup, so gaps
+    * are ≥ 1 and the subtraction buys the low code space back). Each
+    * code is costed at its LEB128 varint width. Output per src_id:
+    * out-degree, raw cost (8 B/edge), packed cost, and the largest
+    * code (the compressibility witness — host-local graphs keep it
+    * tiny, random graphs don't).
+    *
+    * This census IS the capacity-planning query for storing a
+    * 10^11-edge link graph: run it once, read sum(packed)/sum(raw).
+    *
+    * Scale shape: one distinct + one hash shuffle on src_id; the lag
+    * window reuses the same partitioning (adjacency lists are the
+    * natural unit — no global sort). All arithmetic is integer, so the
+    * DuckDB oracle ([[gapCompressionOracleSql]]) replays it exactly.
+    */
+  def gapCompressionStats(edges: DataFrame): DataFrame = {
+    val e = edges.select(col("src_id"), col("dst_id")).distinct()
+    val w = Window.partitionBy(col("src_id")).orderBy(col("dst_id").asc)
+    val code = {
+      val d = col("dst_id") - col("prev")
+      val first = col("dst_id") - col("src_id")
+      when(col("prev").isNull,
+        when(first >= 0, first * 2).otherwise(-first * 2 - 1)) // zigzag
+        .otherwise(d - 1) // strictly increasing ⇒ d ≥ 1
+    }
+    val varintBytes =
+      when(col("code") < (1L << 7), 1L)
+        .when(col("code") < (1L << 14), 2L)
+        .when(col("code") < (1L << 21), 3L)
+        .when(col("code") < (1L << 28), 4L)
+        .otherwise(5L)
+    e.withColumn("prev", lag(col("dst_id"), 1).over(w))
+      .withColumn("code", code)
+      .groupBy(col("src_id"))
+      .agg(count(lit(1)).as("out_deg"),
+        (count(lit(1)) * 8).as("raw_bytes"),
+        sum(varintBytes).as("packed_bytes"),
+        max(col("code")).as("max_code"))
+  }
+
+  /** DuckDB oracle for gapCompressionStats over the synthetic web's
+    * integer ids (the url-embedded doc numbers). Interpolated edges
+    * SQL is already stripMargin'd — kept outside the outer stripMargin
+    * (the `||`-at-line-start trap). */
+  def gapCompressionOracleSql: String =
+    s"WITH e0 AS ($syntheticEdgesOracleSql),\n" +
+    """ids AS (SELECT DISTINCT
+      |   CAST(regexp_extract(src, 'doc([0-9]+)$', 1) AS BIGINT) AS src_id,
+      |   CAST(regexp_extract(dst, 'doc([0-9]+)$', 1) AS BIGINT) AS dst_id
+      |  FROM e0),
+      |g AS (SELECT src_id, dst_id,
+      |   lag(dst_id) OVER (PARTITION BY src_id ORDER BY dst_id) AS prev
+      |  FROM ids),
+      |c AS (SELECT src_id,
+      |   CASE WHEN prev IS NULL THEN
+      |     CASE WHEN dst_id - src_id >= 0 THEN (dst_id - src_id) * 2
+      |          ELSE -(dst_id - src_id) * 2 - 1 END
+      |   ELSE dst_id - prev - 1 END AS code
+      |  FROM g)
+      |SELECT src_id, CAST(count(*) AS BIGINT) AS out_deg,
+      |  CAST(count(*) * 8 AS BIGINT) AS raw_bytes,
+      |  CAST(sum(CASE WHEN code < 128 THEN 1 WHEN code < 16384 THEN 2
+      |    WHEN code < 2097152 THEN 3 WHEN code < 268435456 THEN 4
+      |    ELSE 5 END) AS BIGINT) AS packed_bytes,
+      |  max(code) AS max_code
+      |FROM c GROUP BY src_id""".stripMargin
 }
