@@ -633,6 +633,13 @@ object SparkEntry {
       val emb = t(s, dir, "embeddings")
       Similarity.ivfTopK(emb, emb.filter(col("vec_id") < 10), k = 5)
     }),
+    "ann_sq8" -> ((s, dir) => {
+      // 8-bit scalar quantization (4x memory) + integer-dot candidate
+      // cut + exact re-rank; tie-aware heap keeps the cut partition-
+      // independent (integer scores tie often)
+      val emb = t(s, dir, "embeddings")
+      Similarity.sq8TopK(emb, emb.filter(col("vec_id") < 10), k = 5)
+    }),
 
     // ---------------- text analysis ---------------------------------
     "text_token_stats" -> ((s, dir) => TextAnalysis.tokenStats(t(s, dir, "documents"))),
@@ -1294,6 +1301,10 @@ object SparkEntry {
     // ordered-fold cosines, (cos DESC, cell ASC) assignment/probes,
     // cell equi-join, exact-cosine top-k re-rank
     "ann_ivf" -> graft.ops.EmbeddingOracle.ivfSql(),
+    // full SQ8 pipeline replicated in SQL: FLOAT ranges, floor-clamp
+    // quantization in the same IEEE step order, integer-dot cut,
+    // ordered-fold exact re-rank
+    "ann_sq8" -> graft.ops.EmbeddingOracle.sq8Sql(),
     // containment check: LSH ∪ exact must equal the exact set (LSH is
     // precision-1 — every candidate is re-checked with exact cosine)
     "dedup_embedding_cover" ->

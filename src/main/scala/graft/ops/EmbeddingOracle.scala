@@ -130,6 +130,53 @@ object EmbeddingOracle {
        |    row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id ASC) AS rank
        |  FROM scored) WHERE rank <= $k""".stripMargin
 
+  /** Oracle for `Similarity.sq8TopK(emb, emb.filter(vec_id < 10), k)` —
+    * replays the whole SQ8 pipeline: FLOAT per-dim max-abs, the
+    * floor(x·127/m) symmetric clamp in the identical IEEE step order,
+    * the quantized-cosine candidate cut (exact integer dot/norms, one
+    * sqrt + one division of exactly-representable doubles) under
+    * (score DESC, id ASC), and the ordered-fold exact-cosine re-rank. */
+  def sq8Sql(k: Int = 5, candidates: Int = 20, dim: Int = 64): String =
+    s"""WITH rng AS (
+       |  SELECT d.g AS d, max(abs(e.embedding[d.g + 1])) AS m
+       |  FROM embeddings e, generate_series(0, ${dim - 1}) d(g) GROUP BY d.g),
+       |codes AS (
+       |  SELECT e.vec_id, r.d,
+       |    CASE WHEN r.m = 0 THEN 0
+       |         ELSE least(127, greatest(-127, CAST(floor(
+       |           CAST(e.embedding[r.d + 1] AS DOUBLE) * 127.0 / CAST(r.m AS DOUBLE)) AS BIGINT)))
+       |    END AS q
+       |  FROM embeddings e, rng r),
+       |norms AS (SELECT vec_id, CAST(sum(q * q) AS BIGINT) AS n2 FROM codes GROUP BY vec_id),
+       |idots AS (
+       |  SELECT cq.vec_id AS query_id, cc.vec_id AS neighbor_id,
+       |    CAST(sum(cq.q * cc.q) AS BIGINT) AS idot
+       |  FROM codes cq JOIN codes cc ON cq.d = cc.d
+       |  WHERE cq.vec_id < 10 AND cq.vec_id <> cc.vec_id
+       |  GROUP BY 1, 2),
+       |iscore AS (
+       |  SELECT i.query_id, i.neighbor_id,
+       |    CASE WHEN nq.n2 = 0 OR nc.n2 = 0 THEN -2.0
+       |         ELSE CAST(i.idot AS DOUBLE) / sqrt(CAST(nq.n2 * nc.n2 AS DOUBLE))
+       |    END AS score
+       |  FROM idots i
+       |  JOIN norms nq ON nq.vec_id = i.query_id
+       |  JOIN norms nc ON nc.vec_id = i.neighbor_id),
+       |cand AS (SELECT query_id, neighbor_id FROM (
+       |  SELECT query_id, neighbor_id,
+       |    row_number() OVER (PARTITION BY query_id
+       |      ORDER BY score DESC, neighbor_id ASC) AS r
+       |  FROM iscore) WHERE r <= $candidates),
+       |scored AS (SELECT c.query_id, c.neighbor_id,
+       |  ${cos("eq.embedding", "en.embedding")} AS cos
+       |  FROM cand c
+       |  JOIN embeddings eq ON eq.vec_id = c.query_id
+       |  JOIN embeddings en ON en.vec_id = c.neighbor_id)
+       |SELECT query_id, neighbor_id, rank FROM (
+       |  SELECT query_id, neighbor_id,
+       |    row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id ASC) AS rank
+       |  FROM scored) WHERE rank <= $k""".stripMargin
+
   /** Oracle for `Similarity.lshTopK(emb, emb.filter(vec_id < 10), k, 64)`. */
   def annSql(k: Int = 5, nBits: Int = 12, nTables: Int = 4, dim: Int = 64): String =
     s"""WITH ${sigStages(nBits, nTables, dim)},

@@ -470,4 +470,151 @@ object Similarity {
         }
       }.toDF("a_id", "b_id")
   }
+
+  // ------------------------------------------------------------------
+  // SQ8: scalar-quantized ANN (int8 codes + exact re-rank)
+  // ------------------------------------------------------------------
+
+  /** Quantize one vector against per-dimension corpus max-abs scales:
+    * code = floor(x * 127 / m_d) clamped to [-127, 127]. SYMMETRIC
+    * quantization, not affine — an affine [0,255] code erases the sign
+    * structure (dot products of shifted codes are not monotone in the
+    * float dot; measured recall 0.43 vs 0.9+ here), while a per-dim
+    * positive rescale preserves signs and approximates the dot up to
+    * per-dim weights. floor, not round — round-half ties resolve
+    * differently across engines, floor is unambiguous. Static method,
+    * not a local def: a closure calling a LOCAL def drags the
+    * enclosing frame into the lambda (the corpus_bloom_decontaminate
+    * serialization lesson). */
+  private def sq8Quantize(v: Array[Float], maxAbs: Array[Float]): Array[Int] = {
+    val q = new Array[Int](v.length)
+    var d = 0
+    while (d < v.length) {
+      val m = maxAbs(d).toDouble
+      q(d) =
+        if (m == 0.0) 0
+        else {
+          val c = math.floor(v(d).toDouble * 127.0 / m)
+          if (c < -127.0) -127 else if (c > 127.0) 127 else c.toInt
+        }
+      d += 1
+    }
+    q
+  }
+
+  /** Exact squared L2 norm of a code vector (≤ dim·127² — far inside
+    * exact-double range even multiplied pairwise). */
+  private def sqNorm2(q: Array[Int]): Long = {
+    var s = 0L
+    var d = 0
+    while (d < q.length) { s += q(d).toLong * q(d).toLong; d += 1 }
+    s
+  }
+
+  /** ANN via 8-bit scalar quantization with exact re-rank — the
+    * memory-scale path for similarity search: codes are 4x smaller
+    * than float32, so a 10^10-vector index that would need 2.5 TB of
+    * float RAM fits in 640 GB of executor memory, and the integer dot
+    * product vectorizes (in real deployments, to VNNI/DP4A). Stages:
+    *
+    *  1. per-dimension corpus max-abs (FLOAT max of abs — exact and
+    *     order-independent, unlike means, which is why SQ needs no
+    *     IEEE-fold discipline where PQ's k-means centroids would);
+    *  2. quantize corpus + queries to symmetric [-127,127] codes;
+    *  3. quantized-cosine top-`candidates` cut per query: the dot and
+    *     both norms are EXACT integer sums (order-independent — no
+    *     fold discipline), combined by one sqrt + one division of
+    *     exactly-representable doubles, so the score is a
+    *     deterministic function of the data; equal scores (common —
+    *     duplicate vectors quantize identically) break by id
+    *     (keep-smaller) in the per-partition heap, so the cut never
+    *     flaps under AQE/partitioning;
+    *  4. exact float cosine re-rank of the candidates to top-k
+    *     (ordered element fold — bit-identical to the oracle replay).
+    *
+    * Scale shape: the range pass is one dim-sized aggregate; the scan
+    * emits only per-partition candidate heaps (queries broadcast);
+    * the re-rank joins a candidate set of |queries|·C rows back to the
+    * corpus — broadcast-sized by construction. */
+  def sq8TopK(corpus: DataFrame, queries: DataFrame, k: Int,
+              candidates: Int = 20): DataFrame = {
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val rng = corpus
+      .select(posexplode(col("embedding")).as(Seq("d", "x")))
+      .groupBy(col("d"))
+      .agg(max(abs(col("x"))).as("m"))
+      .collect().map(r => (r.getInt(0), r.getFloat(1)))
+      .sortBy(_._1)
+    val maxAbs = rng.map(_._2)
+    val qCodes: Array[(Long, Array[Int], Long)] = queries
+      .select(col("vec_id").cast("long"), col("embedding"))
+      .as[(Long, Array[Float])].collect().sortBy(_._1)
+      .map { case (id, v) =>
+        val q = sq8Quantize(v, maxAbs)
+        (id, q, sqNorm2(q))
+      }
+    val mB = spark.sparkContext.broadcast(maxAbs)
+    val qB = spark.sparkContext.broadcast(qCodes)
+    val cand = corpus.select(col("vec_id").cast("long"), col("embedding"))
+      .as[(Long, Array[Float])]
+      .mapPartitions { rows =>
+        val qs = qB.value
+        val m = mB.value
+        // min-heap under (score ASC, id DESC): evicting its head drops
+        // the globally-worst candidate, so equal scores keep the
+        // smaller id — the global total order's preference
+        val ord = new java.util.Comparator[(Double, Long)] {
+          def compare(a: (Double, Long), b: (Double, Long)): Int = {
+            val c = java.lang.Double.compare(a._1, b._1)
+            if (c != 0) c else java.lang.Long.compare(b._2, a._2)
+          }
+        }
+        val best = Array.fill(qs.length)(
+          new java.util.PriorityQueue[(Double, Long)](candidates + 1, ord))
+        rows.foreach { case (id, v) =>
+          val cv = sq8Quantize(v, m)
+          val cn = sqNorm2(cv)
+          var qi = 0
+          while (qi < qs.length) {
+            val (qid, qv, qn) = qs(qi)
+            if (qid != id) {
+              var s = 0L
+              var d = 0
+              while (d < cv.length) { s += qv(d).toLong * cv(d).toLong; d += 1 }
+              // quantized cosine: exact longs in, ONE sqrt + ONE
+              // division — deterministic and oracle-replicable
+              val score =
+                if (qn == 0L || cn == 0L) -2.0
+                else s.toDouble / math.sqrt((qn * cn).toDouble)
+              val pq = best(qi)
+              pq.add((score, id))
+              if (pq.size() > candidates) pq.poll()
+            }
+            qi += 1
+          }
+        }
+        best.iterator.zipWithIndex.flatMap { case (pq, qi) =>
+          val qid = qs(qi)._1
+          Iterator.continually(pq.poll()).takeWhile(_ != null)
+            .map { case (s, id) => (qid, id, s) }
+        }
+      }.toDF("query_id", "neighbor_id", "score")
+    val wC = Window.partitionBy(col("query_id"))
+      .orderBy(col("score").desc, col("neighbor_id").asc)
+    val cut = cand.withColumn("r", row_number().over(wC))
+      .filter(col("r") <= candidates)
+      .select(col("query_id"), col("neighbor_id"))
+    val rerank = cut
+      .join(queries.select(col("vec_id").as("query_id"),
+        col("embedding").as("q_emb")), Seq("query_id"))
+      .join(corpus.select(col("vec_id").as("neighbor_id"),
+        col("embedding").as("n_emb")), Seq("neighbor_id"))
+      .withColumn("cos", cosine(col("q_emb"), col("n_emb")))
+    val wK = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos").desc, col("neighbor_id").asc)
+    rerank.withColumn("rank", row_number().over(wK).cast("long"))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("neighbor_id"), col("rank"))
+  }
 }
