@@ -914,6 +914,19 @@ object SparkEntry {
           graft.ops.WebGraph.syntheticWeb(docs, docs.count())),
         iterations = 5)
     }),
+    "web_scc" -> ((s, dir) => {
+      // bowtie decomposition: FW-BW trim+coloring SCC over the carved
+      // link graph ((s+t)%3 periphery filter — the full graph is one
+      // giant SCC); oracle is an INDEPENDENT recursive-closure replay
+      val docs = t(s, dir, "documents")
+      val edges = graft.ops.WebGraph.extractAnchors(
+        graft.ops.WebGraph.syntheticWeb(docs, docs.count()))
+      val ids = edges.select(
+        regexp_extract(col("src"), "doc([0-9]+)$", 1).cast("long").as("src_id"),
+        regexp_extract(col("dst"), "doc([0-9]+)$", 1).cast("long").as("dst_id"))
+        .where((col("src_id") + col("dst_id")) % 3 =!= 0)
+      graft.ops.WebGraph.stronglyConnected(ids)
+    }),
     "web_graph_compress" -> ((s, dir) => {
       // BV-style adjacency gap census (storage planning for 10^11
       // edges): zigzag first-delta + gap-1 varint cost per successor
@@ -1233,6 +1246,7 @@ object SparkEntry {
     "corpus_ngram_lm" -> graft.ops.Ngram.bigramCountOfCountsOracleSql(),
     "corpus_lm_coverage" -> graft.ops.Ngram.lmCoverageOracleSql(),
     "web_graph_compress" -> graft.ops.WebGraph.gapCompressionOracleSql,
+    "web_scc" -> graft.ops.WebGraph.sccOracleSql,
     "corpus_quality_buckets" ->
       (s"WITH q AS (${qualityScoreSql()}),\n" +
         """t AS (SELECT d.doc_id, d.lang, q.quality,

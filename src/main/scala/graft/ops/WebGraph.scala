@@ -2027,6 +2027,164 @@ object WebGraph {
         max(col("code")).as("max_code"))
   }
 
+  // ------------------------------------------------------------------
+  // Strongly connected components (FW-BW trim + min-label coloring)
+  // ------------------------------------------------------------------
+
+  /** Strongly connected components of a directed integer-id edge list
+    * — the bowtie decomposition query (Broder et al., WWW'00): the web
+    * splits into one giant SCC plus IN/OUT/tendril periphery, and
+    * crawl prioritization / spam analysis both key off which side of
+    * the bowtie a page sits on. scc_id = the component's minimum node
+    * id (the same witness the oracle derives from mutual
+    * reachability, so the two computations are independent
+    * formulations of the same function).
+    *
+    * Algorithm (Orzan / FW-BW coloring, the standard distributed SCC):
+    *  1. TRIM to fixpoint: a node with no in-edge or no out-edge in
+    *     the live subgraph cannot sit on a cycle — it is its own SCC.
+    *     Peeling handles the (acyclic) periphery in diameter-of-DAG
+    *     rounds, which is what makes the coloring affordable: without
+    *     it, a chain of k singleton SCCs costs k full coloring rounds.
+    *  2. COLOR: propagate min node id FORWARD to fixpoint — c(v) =
+    *     min id that reaches v. Class pivots satisfy c(p) = p.
+    *  3. EXTRACT: SCC(p) = nodes of class p that reach p back,
+    *     computed by a BACKWARD mark wave restricted to the class
+    *     (sound: SCC(p) ⊆ class p, and every u ∈ SCC(p) has a u→p
+    *     path inside SCC(p)). Assign, remove, repeat from 1.
+    *
+    * Every update is a min-fold or a set union — partitioning-
+    * independent, so results are bit-identical at any parallelism.
+    * Self-loop edges are dropped (they never change SCC membership);
+    * nodes incident ONLY to self-loops leave the vertex universe, as
+    * in the oracle.
+    *
+    * Scale shape: each round is degree-bounded joins + distincts with
+    * localCheckpoint lineage truncation (the kCore/weaklyConnected
+    * pattern). Round count is bounded by periphery DAG depth + giant-
+    * SCC diameter per outer iteration — web graphs are shallow; the
+    * maxIter guard turns pathological inputs into an explicit error
+    * rather than an unbounded job. */
+  def stronglyConnected(edges: DataFrame, maxIter: Int = 200): DataFrame = {
+    val spark = edges.sparkSession
+    var live = edges.select(col("src_id").as("s"), col("dst_id").as("t"))
+      .where(col("s") =!= col("t")).distinct().localCheckpoint(true)
+    var nodes = live.select(col("s").as("v"))
+      .unionAll(live.select(col("t").as("v"))).distinct().localCheckpoint(true)
+    var assigned = spark.createDataFrame(
+      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("v", org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("scc_id", org.apache.spark.sql.types.LongType))))
+    var rounds = 0
+    def spend(): Unit = {
+      rounds += 1
+      require(rounds <= maxIter, s"SCC did not converge within $maxIter rounds")
+    }
+    def restrictLive(): Unit = {
+      live = live
+        .join(nodes.select(col("v").as("s")), Seq("s"), "left_semi")
+        .join(nodes.select(col("v").as("t")), Seq("t"), "left_semi")
+        .localCheckpoint(true)
+    }
+    var remaining = nodes.count()
+    while (remaining > 0) {
+      // ---- 1. trim to fixpoint
+      var trimming = true
+      while (trimming && remaining > 0) {
+        spend()
+        val keep = live.select(col("s").as("v")).distinct()
+          .join(live.select(col("t").as("v")).distinct(), Seq("v"), "left_semi")
+        val trimmed = nodes.join(keep, Seq("v"), "left_anti").localCheckpoint(true)
+        val nTrim = trimmed.count()
+        if (nTrim == 0L) trimming = false
+        else {
+          assigned = assigned
+            .unionAll(trimmed.select(col("v"), col("v").as("scc_id")))
+            .localCheckpoint(true)
+          nodes = nodes.join(trimmed, Seq("v"), "left_anti").localCheckpoint(true)
+          remaining -= nTrim
+          restrictLive()
+        }
+      }
+      if (remaining > 0) {
+        // ---- 2. forward min-label coloring to fixpoint
+        var c = nodes.select(col("v"), col("v").as("c")).localCheckpoint(true)
+        var coloring = true
+        while (coloring) {
+          spend()
+          val inMin = live
+            .join(c.select(col("v").as("s"), col("c").as("cs")), Seq("s"))
+            .groupBy(col("t")).agg(min(col("cs")).as("m"))
+            .select(col("t").as("v"), col("m"))
+          val c2 = c.join(inMin, Seq("v"), "left")
+            .select(col("v"), least(col("c"), coalesce(col("m"), col("c"))).as("c"))
+            .localCheckpoint(true)
+          val nChanged = c2.select(col("v"), col("c").as("c2"))
+            .join(c, Seq("v")).where(col("c2") =!= col("c")).count()
+          c = c2
+          if (nChanged == 0L) coloring = false
+        }
+        // ---- 3. extract each pivot's SCC by a class-local backward wave
+        var mark = c.where(col("v") === col("c")).localCheckpoint(true)
+        var growing = true
+        while (growing) {
+          spend()
+          val next = live
+            .join(mark.select(col("v").as("t"), col("c").as("mc")), Seq("t"))
+            .join(c.select(col("v").as("s"), col("c").as("sc")), Seq("s"))
+            .where(col("sc") === col("mc"))
+            .select(col("s").as("v"), col("sc").as("c")).distinct()
+            .join(mark, Seq("v"), "left_anti")
+            .localCheckpoint(true)
+          if (next.count() == 0L) growing = false
+          else mark = mark.unionAll(next).localCheckpoint(true)
+        }
+        assigned = assigned
+          .unionAll(mark.select(col("v"), col("c").as("scc_id")))
+          .localCheckpoint(true)
+        nodes = nodes.join(mark, Seq("v"), "left_anti").localCheckpoint(true)
+        remaining = nodes.count()
+        restrictLive()
+      }
+    }
+    val sizes = assigned.groupBy(col("scc_id")).agg(count(lit(1)).as("scc_size"))
+    assigned.join(sizes, Seq("scc_id"))
+      .select(col("v"), col("scc_id"), col("scc_size"))
+  }
+
+  /** DuckDB oracle for stronglyConnected over the synthetic web's
+    * integer ids with the (s+t)%3 periphery carve — INDEPENDENT ground
+    * truth, not an engine replica: full recursive transitive closure,
+    * scc_id = min over mutual-reachability partners. (The unfiltered
+    * graph is one giant SCC — the carve creates the bowtie shape the
+    * operator exists for.) */
+  def sccOracleSql: String =
+    s"WITH e0 AS ($syntheticEdgesOracleSql),\n" +
+    """ids AS (SELECT DISTINCT
+      |   CAST(regexp_extract(src, 'doc([0-9]+)$', 1) AS BIGINT) AS s,
+      |   CAST(regexp_extract(dst, 'doc([0-9]+)$', 1) AS BIGINT) AS t
+      |  FROM e0),
+      |e AS (SELECT s, t FROM ids WHERE s <> t AND (s + t) % 3 <> 0),
+      |reach AS (
+      |  WITH RECURSIVE reach(s, t) AS (
+      |    SELECT s, t FROM e
+      |    UNION
+      |    SELECT r.s, e2.t FROM reach r JOIN e e2 ON e2.s = r.t)
+      |  SELECT * FROM reach),
+      |scc AS (
+      |  SELECT v, least(v, coalesce(min(o), v)) AS scc_id FROM (
+      |    SELECT s AS v, CAST(NULL AS BIGINT) AS o FROM e
+      |    UNION ALL SELECT t, CAST(NULL AS BIGINT) FROM e
+      |    UNION ALL
+      |    SELECT a.s AS v, a.t AS o FROM reach a
+      |    JOIN reach b ON b.s = a.t AND b.t = a.s)
+      |  GROUP BY v),
+      |sz AS (SELECT scc_id, CAST(count(*) AS BIGINT) AS scc_size
+      |  FROM scc GROUP BY scc_id)
+      |SELECT scc.v, scc.scc_id, sz.scc_size
+      |FROM scc JOIN sz USING (scc_id)""".stripMargin
+
   /** DuckDB oracle for gapCompressionStats over the synthetic web's
     * integer ids (the url-embedded doc numbers). Interpolated edges
     * SQL is already stripMargin'd — kept outside the outer stripMargin
