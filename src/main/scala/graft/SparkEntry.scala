@@ -643,6 +643,10 @@ object SparkEntry {
 
     // ---------------- text analysis ---------------------------------
     "text_token_stats" -> ((s, dir) => TextAnalysis.tokenStats(t(s, dir, "documents"))),
+    "text_readability" -> ((s, dir) =>
+      // Flesch–Kincaid grade from exact integer word/sentence/syllable
+      // counts; one fixed-shape IEEE expression per row
+      TextAnalysis.readability(t(s, dir, "documents"))),
     "text_quality" -> ((s, dir) => TextAnalysis.qualitySignals(t(s, dir, "documents"))),
     "text_quality_score" -> ((s, dir) => TextAnalysis.qualityScore(t(s, dir, "documents"))),
     "text_langid" -> ((s, dir) => TextAnalysis.langId(t(s, dir, "documents"))),
@@ -1268,6 +1272,7 @@ object SparkEntry {
     "corpus_bpe_merges" -> graft.ops.Bpe.mergesOracleSql(8),
     "corpus_bpe_encode" -> graft.ops.Bpe.encodeOracleSql(8),
     "text_collocations" -> graft.ops.TextAnalysis.pmiOracleSql(),
+    "text_readability" -> graft.ops.TextAnalysis.readabilityOracleSql(),
     "q9_retention" -> graft.ops.Events.retentionOracleSql(
       eventsSrc = "(SELECT * FROM events WHERE event_id % 11 = 0)"),
     "q8_funnel" -> graft.ops.Events.funnelOracleSql(

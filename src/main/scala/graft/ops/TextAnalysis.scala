@@ -671,4 +671,76 @@ object TextAnalysis {
        |ORDER BY CAST(bi.c_xy * n.n_tokens AS DOUBLE) /
        |         CAST(ua.c * ub.c AS DOUBLE) DESC, bi.a, bi.b
        |LIMIT $k""".stripMargin
+
+  // ------------------------------------------------------------------
+  // Readability (Flesch–Kincaid grade over heuristic syllables)
+  // ------------------------------------------------------------------
+
+  /** Flesch–Kincaid grade level per document — the classic education-
+    * level quality signal (the published formula: 0.39·W/S +
+    * 11.8·Y/W − 15.59). Every input is an exact integer count:
+    *
+    *  - words: whitespace tokens stripped to [a-z] (punctuation-glued
+    *    tokens like "there." must count the same as "there"), empties
+    *    dropped;
+    *  - sentences: non-empty [.!?]+ splits of the raw text, floored
+    *    at 1 (headline-only docs have no terminator);
+    *  - syllables: vowel-group count per word ([aeiouy]+ runs), minus
+    *    one for a silent trailing 'e' when ≥2 groups, floored at 1 —
+    *    the standard dictionary-free heuristic.
+    *
+    * The grade itself is the only float: a fixed-shape expression of
+    * three exact longs (two divisions, two multiplies, one add, one
+    * subtract, round 4), identical step order in the DuckDB oracle —
+    * the same engine-exactness discipline as qualityScore. */
+  def readability(docs: DataFrame): DataFrame = {
+    val words = filter(
+      transform(tokens(col("text")), w => regexp_replace(w, "[^a-z]", "")),
+      w => length(w) > 0)
+    val sentences = greatest(lit(1L),
+      size(filter(split(col("text"), "[.!?]+"),
+        s => length(regexp_replace(s, "\\s", "")) > 0)).cast("long"))
+    def syl(w: Column): Column = {
+      val groups = size(regexp_extract_all(w, lit("[aeiouy]+"), lit(0)))
+      greatest(lit(1),
+        groups - when(w.endsWith("e") && groups >= 2, lit(1)).otherwise(lit(0)))
+    }
+    docs.select(col("doc_id"),
+        size(words).cast("long").as("n_words"),
+        sentences.as("n_sentences"),
+        aggregate(words, lit(0L), (acc, w) => acc + syl(w)).as("n_syllables"))
+      .select(col("doc_id"), col("n_words"), col("n_sentences"), col("n_syllables"),
+        when(col("n_words") === 0L, lit(0.0)).otherwise(round(
+          lit(0.39) * (col("n_words").cast("double") / col("n_sentences").cast("double")) +
+            lit(11.8) * (col("n_syllables").cast("double") / col("n_words").cast("double")) -
+            lit(15.59), 4)).as("fk_grade"))
+  }
+
+  /** DuckDB replica of [[readability]] — same tokenizer, same regex
+    * classes (shared Java-regex/RE2 subset), same IEEE step order. */
+  def readabilityOracleSql(table: String = "documents"): String =
+    s"""WITH base AS (
+       |  SELECT doc_id,
+       |    list_filter(list_transform(
+       |      list_filter(string_split_regex(lower(text), '[\\s\\x0b]+'), x -> len(x) > 0),
+       |      w -> regexp_replace(w, '[^a-z]', '', 'g')), w -> len(w) > 0) AS ws,
+       |    greatest(1, CAST(len(list_filter(string_split_regex(text, '[.!?]+'),
+       |      s -> len(regexp_replace(s, '\\s', '', 'g')) > 0)) AS BIGINT)) AS n_sentences
+       |  FROM $table),
+       |counts AS (
+       |  SELECT doc_id, CAST(len(ws) AS BIGINT) AS n_words, n_sentences,
+       |    CAST(list_sum(list_prepend(0, list_transform(ws, w ->
+       |      greatest(1, len(regexp_extract_all(w, '[aeiouy]+'))
+       |        - CASE WHEN ends_with(w, 'e')
+       |                AND len(regexp_extract_all(w, '[aeiouy]+')) >= 2
+       |               THEN 1 ELSE 0 END)))) AS BIGINT) AS n_syllables
+       |  FROM base)
+       |SELECT doc_id, n_words, n_sentences, n_syllables,
+       |  CASE WHEN n_words = 0 THEN 0.0
+       |       ELSE round(
+       |         0.39 * (CAST(n_words AS DOUBLE) / CAST(n_sentences AS DOUBLE)) +
+       |         11.8 * (CAST(n_syllables AS DOUBLE) / CAST(n_words AS DOUBLE)) -
+       |         15.59, 4)
+       |  END AS fk_grade
+       |FROM counts""".stripMargin
 }
