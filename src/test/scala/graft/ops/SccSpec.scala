@@ -28,8 +28,10 @@ class SccSpec extends AnyFunSuite with BeforeAndAfterAll {
     rows.toDF("src_id", "dst_id")
   }
 
-  private def run(d: DataFrame): Map[Long, (Long, Long)] =
-    WebGraph.stronglyConnected(d).collect()
+  // gate=0 forces the distributed trim+color+extract path on these tiny
+  // graphs; gate=default exercises the driver-Kosaraju finish.
+  private def run(d: DataFrame, gate: Long = 0L): Map[Long, (Long, Long)] =
+    WebGraph.stronglyConnected(d, driverEdgeGate = gate).collect()
       .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
 
   /** Iterative Tarjan over an in-memory graph — independent oracle. */
@@ -103,20 +105,55 @@ class SccSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(got(1L) === ((1L, 2L)))
   }
 
-  test("matches driver Tarjan on random sparse graphs") {
-    for (seed <- Seq(1, 2, 3)) {
+  test("matches driver Tarjan on a random sparse graph (distributed path)") {
+    val rnd = new scala.util.Random(1)
+    val n = 60
+    val es = (0 until 170).map(_ => (rnd.nextInt(n).toLong, rnd.nextInt(n).toLong))
+    val expect = tarjan(es)
+    val got = run(edges(es: _*)).view.mapValues(_._1).toMap
+    assert(got === expect)
+  }
+
+  test("driver-Kosaraju gate path matches Tarjan on random sparse graphs") {
+    // gated runs collect on the driver after trim — cheap, so more seeds here
+    for (seed <- Seq(2, 3, 4, 5)) {
       val rnd = new scala.util.Random(seed)
       val n = 80
       val es = (0 until 220).map(_ => (rnd.nextInt(n).toLong, rnd.nextInt(n).toLong))
       val expect = tarjan(es)
-      val got = run(edges(es: _*)).view.mapValues(_._1).toMap
-      assert(got === expect, s"seed $seed")
+      val gated = run(edges(es: _*), gate = 1000000L)
+      assert(gated.view.mapValues(_._1).toMap === expect, s"seed $seed")
     }
+  }
+
+  test("gate path and distributed path agree, sizes included") {
+    val rnd = new scala.util.Random(6)
+    val es = (0 until 150).map(_ => (rnd.nextInt(50).toLong, rnd.nextInt(50).toLong))
+    val gated = run(edges(es: _*), gate = 1000000L)
+    val dist = run(edges(es: _*))
+    assert(gated === dist)
+  }
+
+  test("hops batching is result-invariant (hops=1 vs hops=5)") {
+    // crafted chain-of-cycles (3 SCCs + trim tails + a feeder): small
+    // peel depth keeps the hops=1 arm fast while still driving every
+    // phase (trim, color, extract) through multiple outer rounds
+    val es = Seq(
+      (1L, 2L), (2L, 3L), (3L, 1L),                      // cycle A
+      (3L, 10L), (10L, 11L), (11L, 12L), (12L, 13L), (13L, 10L), // A→B
+      (13L, 20L), (20L, 21L), (21L, 20L),                // B→C
+      (21L, 30L), (30L, 31L),                            // tail chain
+      (41L, 40L), (40L, 1L))                             // feeder chain
+    val a = WebGraph.stronglyConnected(edges(es: _*), hops = 1, driverEdgeGate = 0L)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val b = WebGraph.stronglyConnected(edges(es: _*), hops = 5, driverEdgeGate = 0L)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(a === b)
   }
 
   test("partition independence") {
     val rnd = new scala.util.Random(99)
-    val es = (0 until 300).map(_ => (rnd.nextInt(60).toLong, rnd.nextInt(60).toLong))
+    val es = (0 until 140).map(_ => (rnd.nextInt(45).toLong, rnd.nextInt(45).toLong))
     val a = run(edges(es: _*).repartition(1))
     val b = run(edges(es: _*).repartition(7))
     assert(a === b)
