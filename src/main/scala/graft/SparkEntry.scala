@@ -640,6 +640,12 @@ object SparkEntry {
       val emb = t(s, dir, "embeddings")
       Similarity.sq8TopK(emb, emb.filter(col("vec_id") < 10), k = 5)
     }),
+    "corpus_kmeans" -> ((s, dir) =>
+      // integer Lloyd k-means over SQ8 codes (SemDeDup-style semantic
+      // clustering buckets): exact integer argmin assignment,
+      // floor(sum/n) re-quantized centroids, k smallest vec_ids init —
+      // bit-identical at any parallelism, SQL-replayable
+      Similarity.kmeansSq8(t(s, dir, "embeddings"), k = 8, iters = 3)),
 
     // ---------------- text analysis ---------------------------------
     "text_token_stats" -> ((s, dir) => TextAnalysis.tokenStats(t(s, dir, "documents"))),
@@ -1324,6 +1330,7 @@ object SparkEntry {
     // quantization in the same IEEE step order, integer-dot cut,
     // ordered-fold exact re-rank
     "ann_sq8" -> graft.ops.EmbeddingOracle.sq8Sql(),
+    "corpus_kmeans" -> graft.ops.EmbeddingOracle.kmeansSql(),
     // containment check: LSH ∪ exact must equal the exact set (LSH is
     // precision-1 — every candidate is re-checked with exact cosine)
     "dedup_embedding_cover" ->

@@ -177,6 +177,61 @@ object EmbeddingOracle {
        |    row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id ASC) AS rank
        |  FROM scored) WHERE rank <= $k""".stripMargin
 
+  /** Oracle for `Similarity.kmeansSq8(emb, k, iters)` — the integer
+    * Lloyd rounds UNROLLED as chained MATERIALIZED CTEs (the kcore
+    * lesson: stages referenced more than once explode without AS
+    * MATERIALIZED). Quantization reuses the sq8 rng/codes shape;
+    * assignment ties replay the engine's keep-lowest-centroid rule via
+    * row_number (d2 ASC, c ASC); centroid update = floor(sum/n) — the
+    * same one IEEE division + floor; empty clusters COALESCE back to
+    * the previous round's centroid. */
+  def kmeansSql(k: Int = 8, iters: Int = 3, dim: Int = 64): String = {
+    val rounds = new StringBuilder
+    var prev = "cent0"
+    for (i <- 1 to iters) {
+      rounds.append(
+        s"""a$i AS MATERIALIZED (
+           |  SELECT co.vec_id, ce.c, CAST(sum((co.q - ce.q) * (co.q - ce.q)) AS BIGINT) AS d2
+           |  FROM codes co JOIN $prev ce ON co.d = ce.d GROUP BY 1, 2),
+           |b$i AS MATERIALIZED (
+           |  SELECT vec_id, c, d2,
+           |    row_number() OVER (PARTITION BY vec_id ORDER BY d2 ASC, c ASC) AS rn
+           |  FROM a$i),
+           |""".stripMargin)
+      if (i < iters) {
+        rounds.append(
+          s"""u$i AS (
+             |  SELECT w.c, co.d,
+             |    CAST(floor(CAST(sum(co.q) AS DOUBLE) / count(*)) AS BIGINT) AS q
+             |  FROM (SELECT vec_id, c FROM b$i WHERE rn = 1) w
+             |  JOIN codes co ON co.vec_id = w.vec_id GROUP BY 1, 2),
+             |cent$i AS MATERIALIZED (
+             |  SELECT p.c, p.d, COALESCE(u.q, p.q) AS q
+             |  FROM $prev p LEFT JOIN u$i u ON u.c = p.c AND u.d = p.d),
+             |""".stripMargin)
+        prev = s"cent$i"
+      }
+    }
+    s"""WITH rng AS (
+       |  SELECT d.g AS d, max(abs(e.embedding[d.g + 1])) AS m
+       |  FROM embeddings e, generate_series(0, ${dim - 1}) d(g) GROUP BY d.g),
+       |codes AS MATERIALIZED (
+       |  SELECT e.vec_id, r.d,
+       |    CASE WHEN r.m = 0 THEN 0
+       |         ELSE least(127, greatest(-127, CAST(floor(
+       |           CAST(e.embedding[r.d + 1] AS DOUBLE) * 127.0 / CAST(r.m AS DOUBLE)) AS BIGINT)))
+       |    END AS q
+       |  FROM embeddings e, rng r),
+       |seeds AS (
+       |  SELECT vec_id, row_number() OVER (ORDER BY vec_id) - 1 AS c
+       |  FROM (SELECT vec_id FROM embeddings ORDER BY vec_id LIMIT $k)),
+       |cent0 AS MATERIALIZED (
+       |  SELECT s.c, co.d, co.q FROM seeds s JOIN codes co ON co.vec_id = s.vec_id),
+       |${rounds.toString}
+       |sink AS (SELECT 1)
+       |SELECT vec_id, c AS cluster, d2 AS dist2 FROM b$iters WHERE rn = 1""".stripMargin
+  }
+
   /** Oracle for `Similarity.lshTopK(emb, emb.filter(vec_id < 10), k, 64)`. */
   def annSql(k: Int = 5, nBits: Int = 12, nTables: Int = 4, dim: Int = 64): String =
     s"""WITH ${sigStages(nBits, nTables, dim)},

@@ -617,4 +617,86 @@ object Similarity {
       .filter(col("rank") <= k)
       .select(col("query_id"), col("neighbor_id"), col("rank"))
   }
+
+  /** Integer Lloyd k-means over SQ8 codes — embedding-space clustering
+    * for diversity-aware sampling and SemDeDup-style semantic dedup
+    * buckets. Every arithmetic step is exact or IEEE-fixed, so cluster
+    * assignments are bit-identical at any parallelism AND replayable
+    * in SQL:
+    *
+    *  1. vectors quantize to the same symmetric [-127,127] codes as
+    *     [[sq8TopK]] (global per-dim max-abs — order-independent);
+    *  2. init: centroids = the codes of the `k` smallest vec_ids
+    *     (deterministic, no sampling);
+    *  3. assignment: exact integer squared-L2 argmin, ties keep the
+    *     lowest centroid index;
+    *  4. update: per-(cluster, dim) EXACT integer sums (the partial
+    *     agg absorbs the corpus map-side), centroid = floor(sum/n) —
+    *     one IEEE division + floor, re-quantizing the centroid to
+    *     integers so the next round stays exact; empty clusters keep
+    *     their previous centroid.
+    *
+    * Scale shape: the code table shuffles never — each round is one
+    * broadcast of k·dim ints out, one k·dim-row aggregate back (the
+    * classic Spark k-means contract: model state is driver-sized by
+    * construction, data never leaves its partitions). `iters` rounds
+    * means exactly `iters` scans + `iters−1` tiny aggregates. */
+  def kmeansSq8(corpus: DataFrame, k: Int = 8, iters: Int = 3): DataFrame = {
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val maxAbs = corpus
+      .select(posexplode(col("embedding")).as(Seq("d", "x")))
+      .groupBy(col("d")).agg(max(abs(col("x"))).as("m"))
+      .collect().map(r => (r.getInt(0), r.getFloat(1)))
+      .sortBy(_._1).map(_._2)
+    val mB = spark.sparkContext.broadcast(maxAbs)
+    val codes = corpus.select(col("vec_id").cast("long"), col("embedding"))
+      .as[(Long, Array[Float])]
+      .mapPartitions { rows =>
+        val m = mB.value
+        rows.map { case (id, v) => (id, sq8Quantize(v, m)) }
+      }.toDF("vec_id", "code").localCheckpoint(true)
+    var centroids: Array[Array[Int]] = codes
+      .orderBy(col("vec_id")).limit(k)
+      .as[(Long, Array[Int])].collect().map(_._2)
+    require(centroids.length == k, s"corpus smaller than k=$k")
+    var assign: DataFrame = null
+    var round = 0
+    while (round < iters) {
+      val cB = spark.sparkContext.broadcast(centroids)
+      assign = codes.as[(Long, Array[Int])].mapPartitions { rows =>
+        val cs = cB.value
+        rows.map { case (id, q) =>
+          var best = 0
+          var bestD = Long.MaxValue
+          var c = 0
+          while (c < cs.length) {
+            val cc = cs(c)
+            var d2 = 0L
+            var d = 0
+            while (d < q.length) { val x = (q(d) - cc(d)).toLong; d2 += x * x; d += 1 }
+            if (d2 < bestD) { bestD = d2; best = c } // strict < : ties keep lowest c
+            c += 1
+          }
+          (id, best.toLong, bestD, q)
+        }
+      }.toDF("vec_id", "cluster", "dist2", "code")
+      round += 1
+      if (round < iters) {
+        val sums = assign
+          .select(col("cluster"), posexplode(col("code")).as(Seq("d", "q")))
+          .groupBy(col("cluster"), col("d"))
+          .agg(sum(col("q")).as("s"), count(lit(1)).as("n"))
+          .collect() // k·dim rows — driver-sized by construction
+        val next = centroids.map(_.clone()) // empty-cluster guard
+        sums.foreach { r =>
+          val c = r.getLong(0).toInt
+          val d = r.getInt(1)
+          next(c)(d) = math.floor(r.getLong(2).toDouble / r.getLong(3).toDouble).toInt
+        }
+        centroids = next
+      }
+    }
+    assign.select(col("vec_id"), col("cluster"), col("dist2"))
+  }
 }
