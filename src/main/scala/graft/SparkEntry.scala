@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
-import graft.ops.{Dedup, Multimodal, Similarity, TextAnalysis}
+import graft.ops.{Dedup, Multimodal, Sampling, Similarity, TextAnalysis}
 import graft.spark.{ExtractJob, PagesGen}
 
 /** Driver contract (SURVEY §7 + builder prompt).
@@ -646,6 +646,18 @@ object SparkEntry {
       // floor(sum/n) re-quantized centroids, k smallest vec_ids init —
       // bit-identical at any parallelism, SQL-replayable
       Similarity.kmeansSq8(t(s, dir, "embeddings"), k = 8, iters = 3)),
+    "ann_pq" -> ((s, dir) => {
+      // product quantization (Jégou et al.): per-subspace integer
+      // codebooks from the joint Lloyd loop, ~2-byte codes, ADC
+      // lookup-table scan, exact re-rank of the tie-consistent cut
+      val emb = t(s, dir, "embeddings")
+      Similarity.pqTopK(emb, emb.filter(col("vec_id") < 10), k = 5)
+    }),
+    "corpus_heaps" -> ((s, dir) =>
+      // Heaps-law vocabulary growth census: exact integer prefix
+      // arithmetic (fd*b div n), two map-side-combined aggregates,
+      // buckets-row driver cumsum
+      Sampling.heapsCensus(t(s, dir, "documents"), buckets = 8)),
 
     // ---------------- text analysis ---------------------------------
     "text_token_stats" -> ((s, dir) => TextAnalysis.tokenStats(t(s, dir, "documents"))),
@@ -1331,6 +1343,11 @@ object SparkEntry {
     // ordered-fold exact re-rank
     "ann_sq8" -> graft.ops.EmbeddingOracle.sq8Sql(),
     "corpus_kmeans" -> graft.ops.EmbeddingOracle.kmeansSql(),
+    // per-subspace Lloyd unroll + ADC restated as the direct
+    // (sub, sd) squared-difference sum against the assigned centroid
+    "ann_pq" -> graft.ops.EmbeddingOracle.pqSql(),
+    // cumulative form stated directly as inequality joins
+    "corpus_heaps" -> graft.ops.Sampling.heapsOracleSql(buckets = 8),
     // containment check: LSH ∪ exact must equal the exact set (LSH is
     // precision-1 — every candidate is re-checked with exact cosine)
     "dedup_embedding_cover" ->

@@ -232,6 +232,88 @@ object EmbeddingOracle {
        |SELECT vec_id, c AS cluster, d2 AS dist2 FROM b$iters WHERE rn = 1""".stripMargin
   }
 
+  /** Oracle for `Similarity.pqTopK(emb, emb.filter(vec_id < 10), ...)`
+    * — the kmeans Lloyd unroll generalized to per-subspace codebooks:
+    * every stage carries a `sub` key, assignment partitions by
+    * (vec_id, sub), and the ADC distance is restated as a direct
+    * sum over (sub, sd) of squared differences between the query's
+    * codes and the ASSIGNED centroid (the engine's lookup table is
+    * just this sum factored per subspace). Re-rank matches sq8Sql. */
+  def pqSql(m: Int = 4, kCode: Int = 16, iters: Int = 2, k: Int = 5,
+            candidates: Int = 20, dim: Int = 64): String = {
+    val subDim = dim / m
+    val rounds = new StringBuilder
+    var prev = "cent0"
+    for (i <- 1 to iters) {
+      rounds.append(
+        s"""a$i AS MATERIALIZED (
+           |  SELECT co.vec_id, co.sub, ce.c,
+           |    CAST(sum((co.q - ce.q) * (co.q - ce.q)) AS BIGINT) AS d2
+           |  FROM codes co JOIN $prev ce ON ce.sub = co.sub AND ce.sd = co.sd
+           |  GROUP BY 1, 2, 3),
+           |b$i AS MATERIALIZED (
+           |  SELECT vec_id, sub, c,
+           |    row_number() OVER (PARTITION BY vec_id, sub ORDER BY d2 ASC, c ASC) AS rn
+           |  FROM a$i),
+           |""".stripMargin)
+      if (i < iters) {
+        rounds.append(
+          s"""u$i AS (
+             |  SELECT w.sub, w.c, co.sd,
+             |    CAST(floor(CAST(sum(co.q) AS DOUBLE) / count(*)) AS BIGINT) AS q
+             |  FROM (SELECT vec_id, sub, c FROM b$i WHERE rn = 1) w
+             |  JOIN codes co ON co.vec_id = w.vec_id AND co.sub = w.sub
+             |  GROUP BY 1, 2, 3),
+             |cent$i AS MATERIALIZED (
+             |  SELECT p.sub, p.c, p.sd, COALESCE(u.q, p.q) AS q
+             |  FROM $prev p LEFT JOIN u$i u
+             |    ON u.sub = p.sub AND u.c = p.c AND u.sd = p.sd),
+             |""".stripMargin)
+        prev = s"cent$i"
+      }
+    }
+    s"""WITH rng AS (
+       |  SELECT d.g AS d, max(abs(e.embedding[d.g + 1])) AS m
+       |  FROM embeddings e, generate_series(0, ${dim - 1}) d(g) GROUP BY d.g),
+       |codes AS MATERIALIZED (
+       |  SELECT e.vec_id, r.d, r.d // $subDim AS sub, r.d % $subDim AS sd,
+       |    CASE WHEN r.m = 0 THEN 0
+       |         ELSE least(127, greatest(-127, CAST(floor(
+       |           CAST(e.embedding[r.d + 1] AS DOUBLE) * 127.0 / CAST(r.m AS DOUBLE)) AS BIGINT)))
+       |    END AS q
+       |  FROM embeddings e, rng r),
+       |seeds AS (
+       |  SELECT vec_id, row_number() OVER (ORDER BY vec_id) - 1 AS c
+       |  FROM (SELECT vec_id FROM embeddings ORDER BY vec_id LIMIT $kCode)),
+       |cent0 AS MATERIALIZED (
+       |  SELECT co.sub, s.c, co.sd, co.q
+       |  FROM seeds s JOIN codes co ON co.vec_id = s.vec_id),
+       |${rounds.toString}
+       |enc AS MATERIALIZED (SELECT vec_id, sub, c FROM b$iters WHERE rn = 1),
+       |adc AS (
+       |  SELECT cq.vec_id AS query_id, e.vec_id AS neighbor_id,
+       |    CAST(sum((cq.q - ce.q) * (cq.q - ce.q)) AS BIGINT) AS adc
+       |  FROM enc e
+       |  JOIN $prev ce ON ce.sub = e.sub AND ce.c = e.c
+       |  JOIN codes cq ON cq.sub = ce.sub AND cq.sd = ce.sd
+       |  WHERE cq.vec_id < 10 AND cq.vec_id <> e.vec_id
+       |  GROUP BY 1, 2),
+       |cand AS (SELECT query_id, neighbor_id FROM (
+       |  SELECT query_id, neighbor_id,
+       |    row_number() OVER (PARTITION BY query_id
+       |      ORDER BY adc ASC, neighbor_id ASC) AS r
+       |  FROM adc) WHERE r <= $candidates),
+       |scored AS (SELECT c.query_id, c.neighbor_id,
+       |  ${cos("eq.embedding", "en.embedding")} AS cos
+       |  FROM cand c
+       |  JOIN embeddings eq ON eq.vec_id = c.query_id
+       |  JOIN embeddings en ON en.vec_id = c.neighbor_id)
+       |SELECT query_id, neighbor_id, rank FROM (
+       |  SELECT query_id, neighbor_id,
+       |    row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id ASC) AS rank
+       |  FROM scored) WHERE rank <= $k""".stripMargin
+  }
+
   /** Oracle for `Similarity.lshTopK(emb, emb.filter(vec_id < 10), k, 64)`. */
   def annSql(k: Int = 5, nBits: Int = 12, nTables: Int = 4, dim: Int = 64): String =
     s"""WITH ${sigStages(nBits, nTables, dim)},

@@ -572,4 +572,73 @@ object Sampling {
        |SELECT doc_id, k, pos, pos // $shardSize AS shard,
        |  pos % $shardSize AS pos_in_shard
        |FROM p""".stripMargin
+
+  /** Heaps-law vocabulary growth census: distinct vocabulary and total
+    * token count after each of `buckets` corpus prefixes (prefix k =
+    * docs with doc_id < ceil(n·k/buckets)). The V(n) ≈ K·n^β curve
+    * this table traces is how you SIZE a tokenizer's vocabulary and
+    * predict OOV rates before paying for the full-corpus BPE run —
+    * at 100 TB you fit β on the censused prefixes, you don't re-count.
+    *
+    * Everything is exact integer arithmetic:
+    *  - a token's earliest containing prefix is k = fd·b div n + 1
+    *    (fd = first doc_id; fd < ceil(n·k/b) ⟺ fd·b < n·k ⟺
+    *    k > fd·b/n), an integer `div` on both engines — no float
+    *    ratio whose floor could straddle an exact multiple;
+    *  - per-prefix NEW-token and token-mass counts aggregate
+    *    distributively (map-side combine, one shuffle each on token /
+    *    interval id), and only the `buckets`-row histograms reach the
+    *    driver for the running sum — the cumulative join stays in the
+    *    oracle arm.
+    *
+    * Output: (checkpoint, docs_prefix, total_tokens, distinct_tokens),
+    * one row per prefix. Requires dense doc_ids 0..n-1 (the corpus
+    * contract established by shardAssign/pack). */
+  def heapsCensus(docs: DataFrame, buckets: Int = 8): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val n = docs.count()
+    require(n >= buckets, s"corpus smaller than buckets=$buckets")
+    val toks = docs.select(col("doc_id"),
+      explode(TextAnalysis.tokens(col("text"))).as("token"))
+    val newByK = toks.groupBy(col("token"))
+      .agg(min(col("doc_id")).as("fd"))
+      .select((expr(s"fd * $buckets div ${n}L") + 1L).as("k"))
+      .groupBy(col("k")).agg(count(lit(1)).as("nv"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val massByK = docs
+      .select((expr(s"doc_id * $buckets div ${n}L") + 1L).as("k"),
+        size(TextAnalysis.tokens(col("text"))).cast("long").as("nt"))
+      .groupBy(col("k")).agg(sum(col("nt")).as("nt"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    var vocab = 0L
+    var mass = 0L
+    val rows = (1 to buckets).map { k =>
+      vocab += newByK.getOrElse(k.toLong, 0L)
+      mass += massByK.getOrElse(k.toLong, 0L)
+      (k.toLong, (n * k + buckets - 1) / buckets, mass, vocab)
+    }
+    rows.toDF("checkpoint", "docs_prefix", "total_tokens", "distinct_tokens")
+  }
+
+  /** DuckDB replica of [[heapsCensus]] — the cumulative form stated
+    * directly as inequality joins against the prefix bounds. */
+  def heapsOracleSql(buckets: Int = 8): String =
+    s"""WITH n AS (SELECT count(*) AS n FROM documents),
+       |toks AS MATERIALIZED (
+       |  SELECT doc_id,
+       |    unnest(list_filter(string_split_regex(lower(text), '[\\s\\x0b]+'), x -> len(x) > 0)) AS token
+       |  FROM documents),
+       |firsts AS (SELECT token, min(doc_id) AS fd FROM toks GROUP BY 1),
+       |chk AS (SELECT g.k AS k, (n.n * g.k + ${buckets - 1}) // $buckets AS docs_prefix
+       |  FROM generate_series(1, $buckets) g(k), n),
+       |doclen AS (SELECT doc_id, count(*) AS nt FROM toks GROUP BY 1),
+       |dv AS (SELECT c.k, count(*) AS distinct_tokens
+       |  FROM chk c JOIN firsts f ON f.fd < c.docs_prefix GROUP BY 1),
+       |tt AS (SELECT c.k, sum(d.nt) AS total_tokens
+       |  FROM chk c JOIN doclen d ON d.doc_id < c.docs_prefix GROUP BY 1)
+       |SELECT c.k AS checkpoint, CAST(c.docs_prefix AS BIGINT) AS docs_prefix,
+       |  CAST(tt.total_tokens AS BIGINT) AS total_tokens,
+       |  CAST(dv.distinct_tokens AS BIGINT) AS distinct_tokens
+       |FROM chk c JOIN tt ON tt.k = c.k JOIN dv ON dv.k = c.k""".stripMargin
 }

@@ -699,4 +699,187 @@ object Similarity {
     }
     assign.select(col("vec_id"), col("cluster"), col("dist2"))
   }
+
+  /** Product-quantization ANN with exact re-rank — the canonical
+    * billion-vector index compression (Jégou et al., "Product
+    * Quantization for Nearest Neighbor Search", TPAMI 2011): at m=4
+    * sub-codebooks of 16 centroids, every corpus vector is 4 half-byte
+    * codes ≈ 2 bytes + id — a 10^11-vector index fits where even SQ8
+    * could not. All arithmetic is exact integers, so assignments,
+    * ADC distances, and the candidate cut are bit-identical at any
+    * parallelism and replayable in SQL:
+    *
+    *  1. vectors quantize to [[sq8TopK]]'s SQ8 codes (global per-dim
+    *     max-abs), and each code splits into m contiguous subvectors;
+    *  2. per-subspace codebooks train jointly — ONE integer Lloyd loop
+    *     keyed by (sub, centroid) with [[kmeansSq8]]'s exact contract
+    *     (k-lowest-id init, integer L2 argmin with lowest-c ties,
+    *     floor(sum/n) update, empty-cluster guard); per round the model
+    *     ships as one m·k·subDim-int broadcast out and one
+    *     m·k·subDim-row aggregate back;
+    *  3. the last assignment IS the encoding: (vec_id, m nibble codes);
+    *  4. query scan uses the defining PQ trick — an ADC lookup table
+    *     per query (dist[sub][c] = exact L2 of the query subvector to
+    *     centroid, m·k longs built ONCE per partition), so scoring a
+    *     corpus vector is m table loads + adds, never touching floats;
+    *  5. per-partition tie-consistent top-`candidates` heaps under the
+    *     global (adc ASC, id ASC) order (the [[sq8TopK]] argument:
+    *     each partition's survivors are the partition restriction of
+    *     the global order, so the union covers the global cut), then
+    *     exact float cosine re-ranks the survivors only.
+    *
+    * With `candidates` ≥ corpus size the cut is a no-op and the result
+    * equals brute force exactly (pinned by spec). */
+  def pqTopK(corpus: DataFrame, queries: DataFrame, m: Int = 4,
+             kCode: Int = 16, iters: Int = 2, k: Int = 5,
+             candidates: Int = 20): DataFrame = {
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val maxAbs = corpus
+      .select(posexplode(col("embedding")).as(Seq("d", "x")))
+      .groupBy(col("d")).agg(max(abs(col("x"))).as("mx"))
+      .collect().map(r => (r.getInt(0), r.getFloat(1)))
+      .sortBy(_._1).map(_._2)
+    val dim = maxAbs.length
+    require(dim % m == 0, s"dim $dim not divisible by m=$m")
+    val subDim = dim / m
+    val mB = spark.sparkContext.broadcast(maxAbs)
+    val codes = corpus.select(col("vec_id").cast("long"), col("embedding"))
+      .as[(Long, Array[Float])]
+      .mapPartitions { rows =>
+        val ma = mB.value
+        rows.map { case (id, v) => (id, sq8Quantize(v, ma)) }
+      }.toDF("vec_id", "code").localCheckpoint(true)
+    // ---- 2. joint per-subspace Lloyd: centroids(sub)(c)(sd)
+    var cents: Array[Array[Array[Int]]] = {
+      val seeds = codes.orderBy(col("vec_id")).limit(kCode)
+        .as[(Long, Array[Int])].collect().map(_._2)
+      require(seeds.length == kCode, s"corpus smaller than kCode=$kCode")
+      Array.tabulate(m, kCode, subDim)((s, c, sd) => seeds(c)(s * subDim + sd))
+    }
+    var enc: DataFrame = null
+    var round = 0
+    while (round < iters) {
+      val cB = spark.sparkContext.broadcast(cents)
+      enc = codes.as[(Long, Array[Int])].mapPartitions { rows =>
+        val cs = cB.value
+        val mm = cs.length
+        val kk = cs(0).length
+        val sdim = cs(0)(0).length
+        rows.map { case (id, q) =>
+          val pq = new Array[Int](mm)
+          var s = 0
+          while (s < mm) {
+            var best = 0
+            var bestD = Long.MaxValue
+            var c = 0
+            while (c < kk) {
+              val cc = cs(s)(c)
+              var d2 = 0L
+              var sd = 0
+              while (sd < sdim) {
+                val x = (q(s * sdim + sd) - cc(sd)).toLong; d2 += x * x; sd += 1
+              }
+              if (d2 < bestD) { bestD = d2; best = c } // ties keep lowest c
+              c += 1
+            }
+            pq(s) = best
+            s += 1
+          }
+          (id, pq)
+        }
+      }.toDF("vec_id", "pq")
+      round += 1
+      if (round < iters) {
+        val sums = enc.join(codes, Seq("vec_id"))
+          .select(posexplode(col("code")).as(Seq("d", "q")), col("pq"))
+          .select((col("d") / subDim).cast("int").as("sub"),
+            (col("d") % subDim).as("sd"), col("q"),
+            element_at(col("pq"), (col("d") / subDim).cast("int") + 1).as("c"))
+          .groupBy(col("sub"), col("c"), col("sd"))
+          .agg(sum(col("q")).as("s"), count(lit(1)).as("n"))
+          .collect() // m*kCode*subDim rows — model-sized by construction
+        val next = cents.map(_.map(_.clone())) // empty-cluster guard
+        sums.foreach { r =>
+          val sub = r.getInt(0); val c = r.getInt(1); val sd = r.getInt(2)
+          next(sub)(c)(sd) =
+            math.floor(r.getLong(3).toDouble / r.getLong(4).toDouble).toInt
+        }
+        cents = next
+      }
+    }
+    // ---- 4/5. ADC scan with per-query lookup tables
+    val encoded = enc.localCheckpoint(true)
+    val qCodes: Array[(Long, Array[Int])] = queries
+      .select(col("vec_id").cast("long"), col("embedding"))
+      .as[(Long, Array[Float])].collect().sortBy(_._1)
+      .map { case (id, v) => (id, sq8Quantize(v, maxAbs)) }
+    val qB = spark.sparkContext.broadcast(qCodes)
+    val cFinalB = spark.sparkContext.broadcast(cents)
+    val cand = encoded.as[(Long, Array[Int])].mapPartitions { rows =>
+      val qs = qB.value
+      val cs = cFinalB.value
+      val mm = cs.length
+      val kk = cs(0).length
+      val sdim = cs(0)(0).length
+      // ADC tables: lut(qi)(sub*kk + c) = exact L2(query subvec, centroid)
+      val lut = Array.tabulate(qs.length, mm * kk) { (qi, i) =>
+        val sub = i / kk; val c = i % kk
+        val qv = qs(qi)._2
+        val cc = cs(sub)(c)
+        var d2 = 0L
+        var sd = 0
+        while (sd < sdim) {
+          val x = (qv(sub * sdim + sd) - cc(sd)).toLong; d2 += x * x; sd += 1
+        }
+        d2
+      }
+      // max-heap under (adc DESC, id DESC): evicting the head drops the
+      // globally-worst candidate under the (adc ASC, id ASC) preference
+      val ord = new java.util.Comparator[(Long, Long)] {
+        def compare(a: (Long, Long), b: (Long, Long)): Int = {
+          val c = java.lang.Long.compare(b._1, a._1)
+          if (c != 0) c else java.lang.Long.compare(b._2, a._2)
+        }
+      }
+      val best = Array.fill(qs.length)(
+        new java.util.PriorityQueue[(Long, Long)](candidates + 1, ord))
+      rows.foreach { case (id, pq) =>
+        var qi = 0
+        while (qi < qs.length) {
+          if (qs(qi)._1 != id) {
+            val t = lut(qi)
+            var adc = 0L
+            var s = 0
+            while (s < mm) { adc += t(s * kk + pq(s)); s += 1 }
+            val h = best(qi)
+            h.add((adc, id))
+            if (h.size() > candidates) h.poll()
+          }
+          qi += 1
+        }
+      }
+      best.iterator.zipWithIndex.flatMap { case (h, qi) =>
+        val qid = qs(qi)._1
+        Iterator.continually(h.poll()).takeWhile(_ != null)
+          .map { case (adc, id) => (qid, id, adc) }
+      }
+    }.toDF("query_id", "neighbor_id", "adc")
+    val wC = Window.partitionBy(col("query_id"))
+      .orderBy(col("adc").asc, col("neighbor_id").asc)
+    val cut = cand.withColumn("r", row_number().over(wC))
+      .filter(col("r") <= candidates)
+      .select(col("query_id"), col("neighbor_id"))
+    val rerank = cut
+      .join(queries.select(col("vec_id").as("query_id"),
+        col("embedding").as("q_emb")), Seq("query_id"))
+      .join(corpus.select(col("vec_id").as("neighbor_id"),
+        col("embedding").as("n_emb")), Seq("neighbor_id"))
+      .withColumn("cos", cosine(col("q_emb"), col("n_emb")))
+    val wK = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos").desc, col("neighbor_id").asc)
+    rerank.withColumn("rank", row_number().over(wK).cast("long"))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("neighbor_id"), col("rank"))
+  }
 }
