@@ -646,6 +646,12 @@ object SparkEntry {
       // floor(sum/n) re-quantized centroids, k smallest vec_ids init —
       // bit-identical at any parallelism, SQL-replayable
       Similarity.kmeansSq8(t(s, dir, "embeddings"), k = 8, iters = 3)),
+    "dedup_semantic" -> ((s, dir) =>
+      // SemDeDup end-to-end: integer k-means buckets restrict the
+      // pairwise cosine to within-cluster (n²/k), min-id component
+      // representative — composes corpus_kmeans + the survivor rule
+      Similarity.semanticDedup(t(s, dir, "embeddings"), k = 8, iters = 3,
+        threshold = 0.45)),
     "ann_pq" -> ((s, dir) => {
       // product quantization (Jégou et al.): per-subspace integer
       // codebooks from the joint Lloyd loop, ~2-byte codes, ADC
@@ -1346,6 +1352,8 @@ object SparkEntry {
     // per-subspace Lloyd unroll + ADC restated as the direct
     // (sub, sd) squared-difference sum against the assigned centroid
     "ann_pq" -> graft.ops.EmbeddingOracle.pqSql(),
+    // Lloyd stages + within-cluster cosine pairs + recursive closure
+    "dedup_semantic" -> graft.ops.EmbeddingOracle.semanticSql(),
     // cumulative form stated directly as inequality joins
     "corpus_heaps" -> graft.ops.Sampling.heapsOracleSql(buckets = 8),
     // containment check: LSH ∪ exact must equal the exact set (LSH is

@@ -185,7 +185,16 @@ object EmbeddingOracle {
     * row_number (d2 ASC, c ASC); centroid update = floor(sum/n) — the
     * same one IEEE division + floor; empty clusters COALESCE back to
     * the previous round's centroid. */
-  def kmeansSql(k: Int = 8, iters: Int = 3, dim: Int = 64): String = {
+  def kmeansSql(k: Int = 8, iters: Int = 3, dim: Int = 64): String =
+    s"""WITH ${kmeansStages(k, iters, dim)}
+       |sink AS (SELECT 1)
+       |SELECT vec_id, c AS cluster, d2 AS dist2 FROM b$iters WHERE rn = 1""".stripMargin
+
+  /** WITH-body stages for the integer Lloyd unroll, ending at
+    * `b$iters` (per-vec distances + rn=1 assignment) with a TRAILING
+    * COMMA — the caller appends its own final stage. Shared by
+    * [[kmeansSql]] and [[semanticSql]]. */
+  private def kmeansStages(k: Int, iters: Int, dim: Int): String = {
     val rounds = new StringBuilder
     var prev = "cent0"
     for (i <- 1 to iters) {
@@ -212,7 +221,7 @@ object EmbeddingOracle {
         prev = s"cent$i"
       }
     }
-    s"""WITH rng AS (
+    s"""rng AS (
        |  SELECT d.g AS d, max(abs(e.embedding[d.g + 1])) AS m
        |  FROM embeddings e, generate_series(0, ${dim - 1}) d(g) GROUP BY d.g),
        |codes AS MATERIALIZED (
@@ -227,10 +236,33 @@ object EmbeddingOracle {
        |  FROM (SELECT vec_id FROM embeddings ORDER BY vec_id LIMIT $k)),
        |cent0 AS MATERIALIZED (
        |  SELECT s.c, co.d, co.q FROM seeds s JOIN codes co ON co.vec_id = s.vec_id),
-       |${rounds.toString}
-       |sink AS (SELECT 1)
-       |SELECT vec_id, c AS cluster, d2 AS dist2 FROM b$iters WHERE rn = 1""".stripMargin
+       |${rounds.toString}""".stripMargin
   }
+
+  /** Oracle for `Similarity.semanticDedup(emb, k, iters, threshold)`
+    * — SemDeDup restated: the Lloyd assignment stages, within-cluster
+    * pairs over the exact ordered-fold cosine, recursive reachability
+    * closure, min-id representative (the dedup_survivors pattern). */
+  def semanticSql(k: Int = 8, iters: Int = 3, dim: Int = 64,
+                  threshold: Double = 0.45): String =
+    s"""WITH RECURSIVE ${kmeansStages(k, iters, dim)}
+       |assign AS MATERIALIZED (SELECT vec_id, c AS cluster FROM b$iters WHERE rn = 1),
+       |pairs AS MATERIALIZED (
+       |  SELECT a.vec_id AS a_id, b.vec_id AS b_id
+       |  FROM assign a JOIN assign b
+       |    ON a.cluster = b.cluster AND a.vec_id < b.vec_id
+       |  JOIN embeddings ea ON ea.vec_id = a.vec_id
+       |  JOIN embeddings eb ON eb.vec_id = b.vec_id
+       |  WHERE ${cos("ea.embedding", "eb.embedding")} >= CAST($threshold AS DOUBLE)),
+       |edges AS (SELECT a_id AS src, b_id AS dst FROM pairs
+       |          UNION SELECT b_id, a_id FROM pairs),
+       |reach(id, r) AS (
+       |  SELECT src, src FROM edges
+       |  UNION
+       |  SELECT e.src, reach.r FROM edges e JOIN reach ON e.dst = reach.id),
+       |comp AS (SELECT id, min(r) AS rep FROM reach GROUP BY id)
+       |SELECT a.vec_id, a.cluster, coalesce(c.rep, a.vec_id) AS rep_id
+       |FROM assign a LEFT JOIN comp c ON c.id = a.vec_id""".stripMargin
 
   /** Oracle for `Similarity.pqTopK(emb, emb.filter(vec_id < 10), ...)`
     * — the kmeans Lloyd unroll generalized to per-subspace codebooks:

@@ -700,6 +700,42 @@ object Similarity {
     assign.select(col("vec_id"), col("cluster"), col("dist2"))
   }
 
+  /** SemDeDup (Abbas et al. 2023) end-to-end: semantic deduplication
+    * by k-means bucketing + within-cluster cosine merge. Composes
+    * [[kmeansSq8]] (deterministic integer clusters) with the
+    * within-cluster exact-cosine pair join and the min-id
+    * connected-component survivor rule ([[Dedup.survivors]]).
+    *
+    * Scale shape — the whole reason SemDeDup exists: pairwise cosine
+    * over 10^9 docs is 10^18 comparisons, but restricted to k-means
+    * clusters it is Σ|cluster|² ≈ n²/k, and k GROWS with the corpus
+    * (the paper uses k≈10^5 for 10^9 docs), so per-cluster work stays
+    * bounded. Here: one equi-join shuffle on cluster id, pair cosines
+    * inside each cluster partition, then the star-contraction /
+    * size-gated component solve on the (tiny) duplicate-pair set.
+    *
+    * Output: (vec_id, cluster, rep_id) — rep_id == vec_id ⟺ survivor. */
+  def semanticDedup(corpus: DataFrame, k: Int = 8, iters: Int = 3,
+                    threshold: Double = 0.45): DataFrame = {
+    val assign = kmeansSq8(corpus, k, iters)
+      .select(col("vec_id"), col("cluster")).localCheckpoint(true)
+    val withVec = assign
+      .join(corpus.select(col("vec_id"), col("embedding")), Seq("vec_id"))
+    val lhs = withVec.select(col("vec_id").as("a_id"), col("cluster"),
+      col("embedding").as("av"))
+    val rhs = withVec.select(col("vec_id").as("b_id"), col("cluster"),
+      col("embedding").as("bv"))
+    val pairs = lhs.join(rhs, Seq("cluster"))
+      .filter(col("a_id") < col("b_id"))
+      .filter(cosine(col("av"), col("bv")) >= threshold)
+      .select(col("a_id"), col("b_id"))
+    val surv = Dedup.survivors(
+      corpus.select(col("vec_id").as("doc_id")), pairs)
+    assign
+      .join(surv.select(col("doc_id").as("vec_id"), col("rep_id")), Seq("vec_id"))
+      .select(col("vec_id"), col("cluster"), col("rep_id"))
+  }
+
   /** Product-quantization ANN with exact re-rank — the canonical
     * billion-vector index compression (Jégou et al., "Product
     * Quantization for Nearest Neighbor Search", TPAMI 2011): at m=4
