@@ -664,6 +664,14 @@ object SparkEntry {
       // arithmetic (fd*b div n), two map-side-combined aggregates,
       // buckets-row driver cumsum
       Sampling.heapsCensus(t(s, dir, "documents"), buckets = 8)),
+    "corpus_cdc_chunks" -> ((s, dir) =>
+      // gear-hash content-defined chunking: candidates (h mod 2^5 = 0)
+      // are chunking-independent, min/max-length pass, FNV+splitmix fp
+      graft.ops.Cdc.chunks(t(s, dir, "documents"))),
+    "corpus_cdc_dedup" -> ((s, dir) =>
+      // chunk-store dedup census: one fp-keyed aggregation — what a
+      // 100 TB warc store saves at chunk granularity
+      graft.ops.Cdc.dedupCensus(t(s, dir, "documents"))),
 
     // ---------------- text analysis ---------------------------------
     "text_token_stats" -> ((s, dir) => TextAnalysis.tokenStats(t(s, dir, "documents"))),
@@ -1356,6 +1364,10 @@ object SparkEntry {
     "dedup_semantic" -> graft.ops.EmbeddingOracle.semanticSql(),
     // cumulative form stated directly as inequality joins
     "corpus_heaps" -> graft.ops.Sampling.heapsOracleSql(buckets = 8),
+    // rolling gear hash restated as the 64-term windowed sum; chunk
+    // recursion over next-candidate lookups; FNV+splitmix HUGEINT fp
+    "corpus_cdc_chunks" -> graft.ops.Cdc.chunksOracleSql(),
+    "corpus_cdc_dedup" -> graft.ops.Cdc.censusOracleSql(),
     // containment check: LSH ∪ exact must equal the exact set (LSH is
     // precision-1 — every candidate is re-checked with exact cosine)
     "dedup_embedding_cover" ->
