@@ -792,6 +792,10 @@ object SparkEntry {
         chunkTokens = 64, overlap = 16)),
     "corpus_length_profile" -> ((s, dir) =>
       graft.ops.Sampling.lengthProfile(t(s, dir, "documents"))),
+    "corpus_quantile_sketch" -> ((s, dir) =>
+      // mergeable log2-bucket (DDSketch γ=2) length histogram →
+      // quantile bounds, self-audited against the exact rank value
+      graft.ops.Sampling.quantileSketch(t(s, dir, "documents"))),
     "corpus_host_split" -> ((s, dir) => {
       // leakage-safe train/val split: host-keyed FNV bucket, docs of
       // one host always land on one side; oracle folds the same FNV
@@ -1545,6 +1549,9 @@ object SparkEntry {
         | max(n_chars) AS max_chars,
         | CAST(count(*) AS BIGINT) AS n_docs
         |FROM r GROUP BY source""".stripMargin,
+    // log2 buckets by recursive-doubling bounds + range join (no
+    // log2()/bin() float or formatting parity assumptions)
+    "corpus_quantile_sketch" -> graft.ops.Sampling.quantileSketchOracleSql(),
     "corpus_snapshot_collapse" -> graft.ops.Crawl.collapseOracleSql(
       graft.ops.Crawl.fetchLogOracleSql),
     "corpus_manifest" -> graft.ops.Crawl.manifestOracleSql(

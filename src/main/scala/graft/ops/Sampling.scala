@@ -621,6 +621,117 @@ object Sampling {
     rows.toDF("checkpoint", "docs_prefix", "total_tokens", "distinct_tokens")
   }
 
+  /** Mergeable log2-bucket histogram of document length — the
+    * DDSketch idea (Masson et al., VLDB 2019) with γ = 2 and integer
+    * buckets, which makes it DETERMINISTIC and engine-exact: bucket 0
+    * holds v = 0 and bucket b ≥ 1 holds v ∈ [2^(b−1), 2^b − 1], i.e.
+    * b = the value's binary digit count (`length(bin(v))` — pure
+    * integer, no float log2 whose boundary rounding differs between
+    * engines).
+    *
+    * Why a sketch when [[lengthProfile]] is exact: the profile's
+    * rank windows shuffle the corpus. This histogram's state is AT
+    * MOST 65 rows PER MAP TASK forever (the value domain bounds it,
+    * not the data — the HLL register argument), partials combine
+    * below the single Exchange, and two days' sketches merge by
+    * adding counts — the shape you actually monitor a growing 100 TB
+    * corpus with. The price is the γ = 2 relative-error bound: the
+    * true quantile is inside [lo, hi] with hi < 2·max(lo,1). */
+  def lengthHistogram(docs: DataFrame): DataFrame =
+    docs.select(length(col("text")).cast("long").as("v"))
+      .groupBy(when(col("v") === 0L, lit(0L))
+        .otherwise(length(bin(col("v"))).cast("long")).as("bucket"))
+      .agg(count(lit(1)).as("bucket_docs"))
+
+  /** Quantile report from [[lengthHistogram]], self-audited: for each
+    * requested percentile, the sketch's bucket bounds [lo, hi] AND the
+    * exact rank-arithmetic value, with `in_bounds` proving the error
+    * contract on this corpus. rank = ceil(n·p/100) in pure integer
+    * arithmetic; the picked bucket is the first whose cumulative count
+    * reaches the rank (min over an inequality join against the ≤65-row
+    * cumulative histogram — the only BNLJ here is tiny-by-domain, the
+    * web_hits 1-row-renorm shape).
+    *
+    * The exact arm is the AUDIT, not the production path: its census
+    * has one row per distinct length (answer-domain-sized, like
+    * corpus_url_cardinality's exact_distinct arm) and its cumsum runs
+    * in a single bounded partition. Production consumers at 10^12 docs
+    * read the sketch columns; the audit arm is what makes the sketch's
+    * claim checkable here. */
+  def quantileSketch(docs: DataFrame, pcts: Seq[Int] = Seq(50, 90, 99)): DataFrame = {
+    require(pcts.nonEmpty && pcts.forall(p => p >= 1 && p <= 100), "pcts in 1..100")
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val vals = docs.select(length(col("text")).cast("long").as("v"))
+    val bounds = (0 to 63).map { b =>
+      val lo = if (b == 0) 0L else 1L << (b - 1)
+      val hi = if (b == 0) 0L else if (b == 63) Long.MaxValue else (1L << b) - 1L
+      (b.toLong, lo, hi)
+    }.toDF("bucket", "lo", "hi")
+    val wb = Window.orderBy(col("bucket").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val cum = lengthHistogram(docs)
+      .withColumn("cum_docs", sum(col("bucket_docs")).over(wb))
+    val ranks = pcts.map(_.toLong).toDF("q_pct")
+      .crossJoin(broadcast(vals.agg(count(lit(1)).as("n_docs"))))
+      .select(col("q_pct"), col("n_docs"),
+        expr("(n_docs * q_pct + 99) div 100").as("q_rank"))
+    val pick = ranks.join(cum, cum("cum_docs") >= ranks("q_rank"))
+      .groupBy(col("q_pct"), col("n_docs"), col("q_rank"))
+      .agg(min(col("bucket")).as("bucket"))
+      .join(cum, Seq("bucket")).join(bounds, Seq("bucket"))
+    val wv = Window.orderBy(col("v").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val census = vals.groupBy(col("v")).agg(count(lit(1)).as("c"))
+      .withColumn("cum_v", sum(col("c")).over(wv))
+    val exact = ranks.join(census, census("cum_v") >= ranks("q_rank"))
+      .groupBy(col("q_pct")).agg(min(col("v")).as("exact_chars"))
+    pick.join(exact, Seq("q_pct"))
+      .select(col("q_pct"), col("n_docs"), col("q_rank"), col("bucket"),
+        col("lo"), col("hi"), col("bucket_docs"), col("cum_docs"),
+        col("exact_chars"),
+        when(col("exact_chars").between(col("lo"), col("hi")), lit(1L))
+          .otherwise(lit(0L)).as("in_bounds"))
+  }
+
+  /** DuckDB replica of [[quantileSketch]]: bucket bounds by recursive
+    * doubling (no log2, no bin() parity assumption), assignment by
+    * range join, same integer ceil-rank rule. */
+  def quantileSketchOracleSql(pcts: Seq[Int] = Seq(50, 90, 99)): String = {
+    val vs = pcts.map(p => s"($p)").mkString(", ")
+    s"""WITH RECURSIVE pow2(bucket, lo, hi) AS (
+       |  SELECT 0, CAST(0 AS BIGINT), CAST(0 AS BIGINT)
+       |  UNION ALL SELECT bucket + 1,
+       |    CASE WHEN bucket = 0 THEN 1 ELSE lo * 2 END,
+       |    CASE WHEN bucket = 0 THEN 1 ELSE hi * 2 + 1 END
+       |  FROM pow2 WHERE bucket < 63),
+       |vals AS (SELECT len(text) AS v FROM documents),
+       |hist AS (SELECT p.bucket, count(*) AS bucket_docs
+       |  FROM vals JOIN pow2 p ON vals.v BETWEEN p.lo AND p.hi GROUP BY 1),
+       |cum AS (SELECT bucket, bucket_docs,
+       |    CAST(sum(bucket_docs) OVER (ORDER BY bucket) AS BIGINT) AS cum_docs
+       |  FROM hist),
+       |ranks AS (SELECT CAST(q.q_pct AS BIGINT) AS q_pct,
+       |    CAST(t.n_docs AS BIGINT) AS n_docs,
+       |    CAST((t.n_docs * q.q_pct + 99) // 100 AS BIGINT) AS q_rank
+       |  FROM (VALUES $vs) q(q_pct), (SELECT count(*) AS n_docs FROM vals) t),
+       |pick AS (SELECT r.q_pct, r.n_docs, r.q_rank,
+       |    CAST(min(c.bucket) AS BIGINT) AS bucket
+       |  FROM ranks r JOIN cum c ON c.cum_docs >= r.q_rank GROUP BY 1, 2, 3),
+       |census AS (SELECT v, count(*) AS c FROM vals GROUP BY 1),
+       |ccum AS (SELECT v, CAST(sum(c) OVER (ORDER BY v) AS BIGINT) AS cum_v
+       |  FROM census),
+       |exact AS (SELECT r.q_pct, min(cc.v) AS exact_chars
+       |  FROM ranks r JOIN ccum cc ON cc.cum_v >= r.q_rank GROUP BY 1)
+       |SELECT p.q_pct, p.n_docs, p.q_rank, p.bucket, b.lo, b.hi,
+       |  c.bucket_docs, c.cum_docs, e.exact_chars,
+       |  CAST(CASE WHEN e.exact_chars BETWEEN b.lo AND b.hi
+       |    THEN 1 ELSE 0 END AS BIGINT) AS in_bounds
+       |FROM pick p JOIN cum c ON c.bucket = p.bucket
+       |JOIN pow2 b ON b.bucket = p.bucket
+       |JOIN exact e ON e.q_pct = p.q_pct""".stripMargin
+  }
+
   /** DuckDB replica of [[heapsCensus]] — the cumulative form stated
     * directly as inequality joins against the prefix bounds. */
   def heapsOracleSql(buckets: Int = 8): String =
