@@ -796,6 +796,10 @@ object SparkEntry {
       // mergeable log2-bucket (DDSketch γ=2) length histogram →
       // quantile bounds, self-audited against the exact rank value
       graft.ops.Sampling.quantileSketch(t(s, dir, "documents"))),
+    "dedup_repeat_spectrum" -> ((s, dir) =>
+      // prefix-doubling suffix ranks (chars shuffle once, then
+      // integer pairs only); census of repeated 1..64-char windows
+      graft.ops.SuffixRank.repeatSpectrum(t(s, dir, "documents"))),
     "corpus_host_split" -> ((s, dir) => {
       // leakage-safe train/val split: host-keyed FNV bucket, docs of
       // one host always land on one side; oracle folds the same FNV
@@ -1552,6 +1556,9 @@ object SparkEntry {
     // log2 buckets by recursive-doubling bounds + range join (no
     // log2()/bin() float or formatting parity assumptions)
     "corpus_quantile_sketch" -> graft.ops.Sampling.quantileSketchOracleSql(),
+    // the OTHER formulation: direct truncated-substring grouping —
+    // the doubling recursion never appears in the oracle
+    "dedup_repeat_spectrum" -> graft.ops.SuffixRank.spectrumOracleSql(),
     "corpus_snapshot_collapse" -> graft.ops.Crawl.collapseOracleSql(
       graft.ops.Crawl.fetchLogOracleSql),
     "corpus_manifest" -> graft.ops.Crawl.manifestOracleSql(
