@@ -706,6 +706,14 @@ object SparkEntry {
       TextAnalysis.contamination(
         docs.filter(col("doc_id") >= 20), docs.filter(col("doc_id") < 20), w = 5)
     }),
+    "corpus_fuzzy_decontaminate" -> ((s, dir) => {
+      // near-dup benchmark leakage (minhash candidates from a
+      // broadcast bench-side band join, exact token-set Jaccard
+      // decision) — catches edits/reformatting exact grams miss
+      val docs = t(s, dir, "documents")
+      graft.ops.Dedup.fuzzyDecontaminate(
+        docs.filter(col("doc_id") >= 20), docs.filter(col("doc_id") < 20))
+    }),
     "corpus_bloom_decontaminate" -> ((s, dir) => {
       // sketch-only decision path + FP audit: ONLY the 8192-bit
       // bitmap is broadcast; the exact join exists to QUANTIFY the
@@ -1506,6 +1514,10 @@ object SparkEntry {
     "text_normalize" -> TextAnalysis.normalizeOracleSql,
     "text_decontaminate" -> decontaminateSql,
     "corpus_bloom_decontaminate" -> graft.ops.TextAnalysis.bloomOracleSql(),
+    // full HUGEINT signature replica; CROSS bucket join (no cap —
+    // the bench side bounds every bucket), exact-Jaccard decision
+    "corpus_fuzzy_decontaminate" ->
+      graft.ops.MinhashOracle.fuzzyDecontaminateSql(split = 20),
     // composed pipeline: same component SQL, parameterized on the
     // non-benchmark corpus subquery (single source of truth with the
     // standalone rows — the components can't drift from the pipeline)

@@ -306,6 +306,61 @@ object Dedup {
       .filter(col("jaccard") >= exactThreshold)
   }
 
+  /** FUZZY benchmark decontamination — the near-duplicate complement
+    * of the exact-gram (`TextAnalysis.contamination`) and bloom paths:
+    * a corpus doc is flagged when it is minhash-NEAR a benchmark doc,
+    * catching reformatted / lightly-edited leakage that no exact
+    * n-gram can see (the Llama/GPT-3-appendix decontamination shape).
+    *
+    * Pipeline: signatures on both sides (same kernel as
+    * [[minhashSignatures]] — one corpus pass), banding on both sides,
+    * candidates from a band-bucket equi-join where the BENCHMARK side
+    * is force-broadcast (it is tiny by contract — an eval suite, not
+    * a crawl; the corpus NEVER self-joins and no bucket cap is needed
+    * because each corpus band row meets at most the benchmark bucket's
+    * occupancy). Candidates are screened by signature-estimated
+    * Jaccard, then decided by EXACT distinct-token-set Jaccard — the
+    * LSH is recall-only, precision comes from the exact check.
+    *
+    * Scale shape: corpus cost = one signature kernel pass + one
+    * banding projection + a broadcast-hash join; per-candidate work is
+    * bounded by est-screened pairs. At 10^12 docs nothing corpus-sized
+    * shuffles on content. */
+  def fuzzyDecontaminate(corpus: DataFrame, bench: DataFrame,
+                         k: Int = 64, bands: Int = 16,
+                         estThreshold: Double = 0.35,
+                         exactThreshold: Double = 0.5,
+                         shingleWidth: Int = 3): DataFrame = {
+    val r = k / bands
+    val cSig = minhashSignatures(corpus, k, shingleWidth)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val bSig = minhashSignatures(bench, k, shingleWidth)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val cand = bandSignatures(cSig, bands, r)
+      .join(broadcast(bandSignatures(bSig, bands, r)
+        .toDF("bench_id", "band", "bh")), Seq("band", "bh"))
+      .select(col("doc_id"), col("bench_id")).distinct()
+    val est = cand
+      .join(cSig.toDF("doc_id", "c_sig"), "doc_id")
+      .join(broadcast(bSig.toDF("bench_id", "b_sig")), "bench_id")
+      .select(col("doc_id"), col("bench_id"),
+        (size(filter(zip_with(col("c_sig"), col("b_sig"), (x, y) => x === y),
+          v => v)).cast("double") / k).as("est_jaccard"))
+      .filter(col("est_jaccard") >= estThreshold)
+    val cToks = corpus.select(col("doc_id"),
+      array_distinct(tokens(col("text"))).as("c_toks"))
+    val bToks = bench.select(col("doc_id").as("bench_id"),
+      array_distinct(tokens(col("text"))).as("b_toks"))
+    est
+      .join(cToks, "doc_id")
+      .join(broadcast(bToks), "bench_id")
+      .select(col("doc_id"), col("bench_id"), col("est_jaccard"),
+        (size(array_intersect(col("c_toks"), col("b_toks"))).cast("double") /
+          size(array_union(col("c_toks"), col("b_toks"))).cast("double"))
+          .as("jaccard"))
+      .filter(col("jaccard") >= exactThreshold)
+  }
+
   /** Exact word-set Jaccard via inverted-index join (token → doc
     * posting list) WITH BLOCKING: pairs are generated only inside
     * (lang, source) blocks — the classic entity-resolution guard

@@ -135,6 +135,47 @@ object MinhashOracle {
        |  WHERE e.est_jaccard >= $estThreshold)
        |SELECT a_id, b_id, jaccard FROM ver WHERE jaccard >= $exactThreshold""".stripMargin
 
+  /** Oracle for `Dedup.fuzzyDecontaminate(corpus = doc_id >= split,
+    * bench = doc_id < split)` — the same signature/banding replica,
+    * but candidates come from the CROSS bucket join (bench side ×
+    * corpus side, no self-join, no bucket cap — the cross shape needs
+    * none) and the decision is the exact distinct-token-set Jaccard. */
+  def fuzzyDecontaminateSql(split: Long, k: Int = 64, bands: Int = 16,
+                            estThreshold: Double = 0.35,
+                            exactThreshold: Double = 0.5): String = {
+    val r = k / bands
+    val bandRows = (0 until bands).map { b =>
+      s"($b, CAST('${java.lang.Long.toUnsignedString(0xcbf29ce484222325L ^ b)}' AS HUGEINT))"
+    }.mkString(", ")
+    s"""WITH ${sigStages(k)},
+       |bands(b, bstart) AS (VALUES $bandRows),
+       |bh AS (SELECT doc_id, b,
+       |  list_reduce(list_prepend(any_value(bstart),
+       |    list(CASE WHEN s < 0 THEN CAST(s AS HUGEINT) + $M ELSE CAST(s AS HUGEINT) END ORDER BY j)),
+       |    (h, c) -> ${fnvStep("h", "c")}) AS h
+       |  FROM sig JOIN bands ON sig.j // $r = bands.b GROUP BY doc_id, b),
+       |cand AS (SELECT DISTINCT y.doc_id AS doc_id, x.doc_id AS bench_id
+       |  FROM bh x JOIN bh y ON x.b = y.b AND x.h = y.h
+       |  WHERE x.doc_id < $split AND y.doc_id >= $split),
+       |est AS (SELECT c.doc_id, c.bench_id,
+       |  CAST(sum(CASE WHEN sa.s = sb.s THEN 1 ELSE 0 END) AS DOUBLE) / $k AS est_jaccard
+       |  FROM cand c JOIN sig sa ON sa.doc_id = c.doc_id
+       |  JOIN sig sb ON sb.doc_id = c.bench_id AND sa.j = sb.j
+       |  GROUP BY c.doc_id, c.bench_id),
+       |dtoks AS (SELECT doc_id,
+       |  list_distinct(list_filter(string_split_regex(lower(text), '[\\s\\x0b]+'), x -> len(x) > 0)) AS toks
+       |  FROM documents),
+       |ver AS (SELECT e.doc_id, e.bench_id, e.est_jaccard,
+       |  CAST(len(list_intersect(ta.toks, tb.toks)) AS DOUBLE) /
+       |    CAST(len(list_distinct(ta.toks || tb.toks)) AS DOUBLE) AS jaccard
+       |  FROM est e
+       |  JOIN dtoks ta ON ta.doc_id = e.doc_id
+       |  JOIN dtoks tb ON tb.doc_id = e.bench_id
+       |  WHERE e.est_jaccard >= $estThreshold)
+       |SELECT doc_id, bench_id, est_jaccard, jaccard
+       |FROM ver WHERE jaccard >= $exactThreshold""".stripMargin
+  }
+
   /** Oracle for `Dedup.hostOverlap(documents)` — host-level minhash
     * union (elementwise signed min across the host's docs: the
     * signature of a UNION of shingle sets) and per-lane equality
