@@ -672,6 +672,19 @@ object SparkEntry {
       // chunk-store dedup census: one fp-keyed aggregation — what a
       // 100 TB warc store saves at chunk granularity
       graft.ops.Cdc.dedupCensus(t(s, dir, "documents"))),
+    "corpus_cdc_delta" -> ((s, dir) => {
+      // incremental store cost of snapshot N+1: the %3 docs APPEND
+      // " v2", so CDC re-uses every chunk before the last boundary —
+      // the resync property, now measured in stored bytes
+      val docs = t(s, dir, "documents")
+      val prev = docs.filter(col("doc_id") % 5 =!= 0)
+        .select(col("doc_id"), col("source"), col("text"))
+      val cur = docs.filter(col("doc_id") % 7 =!= 0)
+        .select(col("doc_id"), col("source"),
+          when(col("doc_id") % 3 === 0, concat(col("text"), lit(" v2")))
+            .otherwise(col("text")).as("text"))
+      graft.ops.Cdc.storeDelta(prev, cur)
+    }),
 
     // ---------------- text analysis ---------------------------------
     "text_token_stats" -> ((s, dir) => TextAnalysis.tokenStats(t(s, dir, "documents"))),
@@ -1384,6 +1397,12 @@ object SparkEntry {
     // recursion over next-candidate lookups; FNV+splitmix HUGEINT fp
     "corpus_cdc_chunks" -> graft.ops.Cdc.chunksOracleSql(),
     "corpus_cdc_dedup" -> graft.ops.Cdc.censusOracleSql(),
+    // two prefixed chunk pipelines + fp anti-membership + packed-min
+    // ownership — same snapshot synthesis as corpus_crawl_delta
+    "corpus_cdc_delta" -> graft.ops.Cdc.storeDeltaOracleSql(
+      "SELECT doc_id, source, text FROM documents WHERE doc_id % 5 <> 0",
+      "SELECT doc_id, source, CASE WHEN doc_id % 3 = 0 THEN text || ' v2' " +
+        "ELSE text END AS text FROM documents WHERE doc_id % 7 <> 0"),
     // containment check: LSH ∪ exact must equal the exact set (LSH is
     // precision-1 — every candidate is re-checked with exact cosine)
     "dedup_embedding_cover" ->
