@@ -813,6 +813,10 @@ object SparkEntry {
         chunkTokens = 64, overlap = 16)),
     "corpus_length_profile" -> ((s, dir) =>
       graft.ops.Sampling.lengthProfile(t(s, dir, "documents"))),
+    "corpus_pad_waste" -> ((s, dir) =>
+      // next-pow2 length-bucket padding cost — the table that decides
+      // padded batching vs corpus_pack's concat-and-chunk
+      graft.ops.Sampling.padWaste(t(s, dir, "documents"))),
     "corpus_quantile_sketch" -> ((s, dir) =>
       // mergeable log2-bucket (DDSketch γ=2) length histogram →
       // quantile bounds, self-audited against the exact rank value
@@ -1587,6 +1591,7 @@ object SparkEntry {
     // log2 buckets by recursive-doubling bounds + range join (no
     // log2()/bin() float or formatting parity assumptions)
     "corpus_quantile_sketch" -> graft.ops.Sampling.quantileSketchOracleSql(),
+    "corpus_pad_waste" -> graft.ops.Sampling.padWasteOracleSql,
     // the OTHER formulation: direct truncated-substring grouping —
     // the doubling recursion never appears in the oracle
     "dedup_repeat_spectrum" -> graft.ops.SuffixRank.spectrumOracleSql(),

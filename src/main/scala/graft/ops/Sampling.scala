@@ -694,6 +694,51 @@ object Sampling {
           .otherwise(lit(0L)).as("in_bounds"))
   }
 
+  /** Pad-waste census for length-bucketed batching: if every doc is
+    * padded to the next power-of-two token length (the standard
+    * dynamic-batching bucket rule), how many pad tokens does each
+    * bucket burn? The table a batching decision is made from — read
+    * next to [[pack]] (concat-and-chunk), whose waste is zero but
+    * whose docs straddle sequence boundaries; this census prices the
+    * alternative. All-integer: padded length for n ≥ 2 is 2^(binary
+    * digit count of n−1) via a 63-row broadcast bounds join (no float
+    * log2/pow); n ∈ {0, 1} pad to themselves. One partial-agg shuffle
+    * on the bucket key — output is O(distinct buckets) forever. */
+  def padWaste(docs: DataFrame): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val bounds = (0 to 62).map(d => (d.toLong, 1L << d)).toDF("d", "pow")
+    docs.select(size(TextAnalysis.tokens(col("text"))).cast("long").as("n"))
+      .withColumn("d", when(col("n") <= 1L, lit(0L))
+        .otherwise(length(bin(col("n") - 1L)).cast("long")))
+      .join(broadcast(bounds), Seq("d"))
+      .withColumn("padded", when(col("n") <= 1L, col("n")).otherwise(col("pow")))
+      .groupBy(col("padded").as("padded_len"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n")).as("real_tokens"),
+        sum(col("padded")).as("padded_tokens"),
+        sum(col("padded") - col("n")).as("pad_tokens"))
+  }
+
+  /** DuckDB replica of [[padWaste]] — next-pow2 stated as min-over a
+    * doubling table (no bin() parity assumption). */
+  def padWasteOracleSql: String =
+    s"""WITH RECURSIVE pow2(d, v) AS (
+       |  SELECT 0, CAST(1 AS BIGINT)
+       |  UNION ALL SELECT d + 1, v * 2 FROM pow2 WHERE d < 62),
+       |tok AS (SELECT
+       |    len(list_filter(string_split_regex(lower(text), '[\\s\\x0b]+'), x -> len(x) > 0)) AS n
+       |  FROM documents),
+       |pad AS (SELECT n, CASE WHEN n <= 1 THEN n
+       |    ELSE (SELECT min(v) FROM pow2 WHERE v >= n) END AS padded
+       |  FROM tok)
+       |SELECT padded AS padded_len,
+       |  CAST(count(*) AS BIGINT) AS n_docs,
+       |  CAST(sum(n) AS BIGINT) AS real_tokens,
+       |  CAST(sum(padded) AS BIGINT) AS padded_tokens,
+       |  CAST(sum(padded - n) AS BIGINT) AS pad_tokens
+       |FROM pad GROUP BY 1""".stripMargin
+
   /** DuckDB replica of [[quantileSketch]]: bucket bounds by recursive
     * doubling (no log2, no bin() parity assumption), assignment by
     * range join, same integer ceil-rank rule. */
