@@ -714,6 +714,15 @@ object SparkEntry {
       TextAnalysis.normalizeText(
         TextAnalysis.syntheticMessyText(t(s, dir, "documents")))
     }),
+    "text_mojibake" -> ((s, dir) => {
+      // ftfy-style encoding repair (cp1252-mis-decoded UTF-8, looped
+      // to fixpoint for double-encoding) over a deterministic planted
+      // corpus; the oracle states each variant's repaired form in
+      // CLOSED FORM from the UTF-8/cp1252 tables — independent of
+      // both engines' codecs. Zero shuffle, zero-alloc clean path.
+      TextAnalysis.repairEncoding(
+        TextAnalysis.syntheticMojibakeText(t(s, dir, "documents")))
+    }),
     "text_decontaminate" -> ((s, dir) => {
       val docs = t(s, dir, "documents")
       TextAnalysis.contamination(
@@ -1535,6 +1544,7 @@ object SparkEntry {
     // normalizer — each variant's NFC form + codepoint lengths are
     // hand-derived constants (see TextAnalysis.normalizeOracleSql)
     "text_normalize" -> TextAnalysis.normalizeOracleSql,
+    "text_mojibake" -> TextAnalysis.mojibakeOracleSql,
     "text_decontaminate" -> decontaminateSql,
     "corpus_bloom_decontaminate" -> graft.ops.TextAnalysis.bloomOracleSql(),
     // full HUGEINT signature replica; CROSS bucket join (no cap —

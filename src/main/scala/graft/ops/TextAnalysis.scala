@@ -743,4 +743,142 @@ object TextAnalysis {
        |         15.59, 4)
        |  END AS fk_grade
        |FROM counts""".stripMargin
+
+  // ------------------------------------------------------------------
+  // Mojibake repair (ftfy-style encoding fix-up)
+  // ------------------------------------------------------------------
+
+  /** windows-1252 byte -> char table: the JDK's own decoder, with the
+    * five undefined cp1252 bytes (81/8D/8F/90/9D — the JDK decodes
+    * them to U+FFFD) mapped to the corresponding C1 controls instead —
+    * ftfy's "sloppy-windows-1252" convention, which is what real
+    * transcoders emit and what keeps the round trip total. */
+  private val cp1252FromByte: Array[Char] = {
+    val cs = java.nio.charset.Charset.forName("windows-1252")
+    Array.tabulate(256) { b =>
+      val c = new String(Array(b.toByte), cs).charAt(0)
+      if (c == '�') b.toChar else c
+    }
+  }
+
+  /** char -> cp1252 byte inverse (-1 = not representable). Dense array
+    * sized past the highest mapped codepoint (U+2122 TRADE MARK SIGN). */
+  private val cp1252ToByte: Array[Int] = {
+    val arr = Array.fill(0x2200)(-1)
+    var b = 0
+    while (b < 256) { arr(cp1252FromByte(b)) = b; b += 1 }
+    arr
+  }
+
+  /** One mojibake round trip: re-encode `s` as windows-1252 bytes and
+    * strictly re-decode them as UTF-8. Returns `s` unchanged unless
+    *  - every char maps to a cp1252 byte,
+    *  - at least one byte is >= 0x80 (pure ASCII is a fixpoint), and
+    *  - the byte string is WELL-FORMED UTF-8 (strict decoder: overlong
+    *    forms, surrogates, and truncated sequences all reject).
+    * The strictness IS the false-positive guard (the ftfy argument):
+    * genuine Latin-1/cp1252 prose almost never forms valid UTF-8,
+    * because its accented letters are lone lead bytes. */
+  private[ops] def mojibakeRoundtrip(s: String): String = {
+    val n = s.length
+    var i = 0
+    var hasHigh = false
+    while (i < n && !hasHigh) { // zero-alloc gate for clean shards
+      if (s.charAt(i) >= 0x80) hasHigh = true
+      i += 1
+    }
+    if (!hasHigh) return s
+    val bytes = new Array[Byte](n)
+    i = 0
+    while (i < n) {
+      val c = s.charAt(i)
+      val b = if (c < 0x2200) cp1252ToByte(c) else -1
+      if (b < 0) return s // unmappable char: not cp1252 mojibake
+      bytes(i) = b.toByte
+      i += 1
+    }
+    val dec = java.nio.charset.StandardCharsets.UTF_8.newDecoder()
+      .onMalformedInput(java.nio.charset.CodingErrorAction.REPORT)
+      .onUnmappableCharacter(java.nio.charset.CodingErrorAction.REPORT)
+    try {
+      val out = dec.decode(java.nio.ByteBuffer.wrap(bytes)).toString
+      if (out == s) s else out
+    } catch {
+      case _: java.nio.charset.CharacterCodingException => s
+    }
+  }
+
+  /** Repair UTF-8-bytes-mis-decoded-as-cp1252 mojibake ("CafÃ©" ->
+    * "Café"), looping the round trip to a fixpoint so double-encoded
+    * text ("CafÃƒÂ©") also heals; `maxRounds` bounds pathological
+    * inputs. Returns (fixed, rounds applied). */
+  private[ops] def repairMojibakeString(s: String,
+                                        maxRounds: Int = 4): (String, Int) = {
+    var cur = s
+    var r = 0
+    while (r < maxRounds) {
+      val next = mojibakeRoundtrip(cur)
+      if (next == cur) return (cur, r)
+      cur = next
+      r += 1
+    }
+    (cur, r)
+  }
+
+  /** Mojibake repair over documents (the ftfy pass every web-crawl
+    * pipeline runs before tokenization): per-row scalar kernel, zero
+    * shuffle, zero allocation on already-clean rows. Output: fixed
+    * text, changed flag, and the number of decode generations undone
+    * (2 = double-encoded). */
+  def repairEncoding(docs: DataFrame): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.select(col("doc_id").cast("long"),
+        coalesce(col("text"), lit("")).cast("string"))
+      .as[(Long, String)]
+      .mapPartitions(_.map { case (id, raw) =>
+        val (fixed, rounds) = repairMojibakeString(raw)
+        (id, fixed, fixed != raw, rounds)
+      })
+      .toDF("doc_id", "text_fixed", "changed", "rounds")
+  }
+
+  /** Deterministic mojibake corpus over documents: variant m = d%6
+    * appends one hazard to a 20-char ASCII base —
+    *  m=1 "CafÃ©"     single mis-decode of "Café"
+    *  m=2 "â€”dashâ€”" em-dashes through the cp1252 specials (0x80/0x94)
+    *  m=3 "naÃ¯ve"    single mis-decode of "naïve"
+    *  m=4 "Ã "        FAKE mojibake (0xC3 0x20 is malformed UTF-8 — the
+    *                  strict-decode gate must leave it alone)
+    *  m=5 "CafÃƒÂ©"   DOUBLE-encoded "Café" (two fixpoint rounds)
+    * [[mojibakeOracleSql]] states each variant's repaired form in
+    * closed form — hand-derived from the UTF-8/cp1252 tables,
+    * independent of both engines' codecs. */
+  def syntheticMojibakeText(docs: DataFrame): DataFrame = {
+    val d = col("doc_id")
+    val base = substring(col("text"), 1, 20)
+    val frag = when(d % 6 === 1, lit("CafÃ©"))
+      .when(d % 6 === 2, lit("â€”dashâ€”"))
+      .when(d % 6 === 3, lit("naÃ¯ve"))
+      .when(d % 6 === 4, lit("Ã "))
+      .when(d % 6 === 5, lit("CafÃƒÂ©"))
+      .otherwise(lit(""))
+    docs.select(d.as("doc_id"), concat(base, frag).as("text"))
+  }
+
+  /** Closed-form oracle for repairEncoding(syntheticMojibakeText(_)). */
+  def mojibakeOracleSql: String =
+    "WITH v AS (SELECT doc_id, substr(text, 1, 20) AS b,\n" +
+    "                  doc_id % 6 AS m FROM documents)\n" +
+    "SELECT doc_id,\n" +
+    " CASE m WHEN 1 THEN b || 'Café'\n" +
+    "        WHEN 2 THEN b || '—dash—'\n" +
+    "        WHEN 3 THEN b || 'naïve'\n" +
+    "        WHEN 4 THEN b || 'Ã '\n" +
+    "        WHEN 5 THEN b || 'Café'\n" +
+    "        ELSE b END AS text_fixed,\n" +
+    " m IN (1, 2, 3, 5) AS changed,\n" +
+    " CAST(CASE m WHEN 5 THEN 2 WHEN 4 THEN 0 WHEN 0 THEN 0\n" +
+    "             ELSE 1 END AS INT) AS rounds\n" +
+    "FROM v"
 }
