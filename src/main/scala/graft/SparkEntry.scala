@@ -782,6 +782,12 @@ object SparkEntry {
     // ---------------- sampling / mixing (post-filter stage) ---------
     "corpus_host_cap" -> ((s, dir) =>
       graft.ops.Sampling.hostCap(t(s, dir, "documents"), k = 15)),
+    "corpus_importance" -> ((s, dir) =>
+      // DSIR-shaped data selection: hashed-unigram importance weights
+      // against the curated target slice, linearized to exact longs +
+      // ONE IEEE division (no transcendental in the comparator);
+      // bucket totals broadcast, selection TakeOrderedAndProject
+      graft.ops.Importance.targetAffinity(t(s, dir, "documents"))),
     "corpus_budget_sample" -> ((s, dir) =>
       graft.ops.Sampling.tokenBudgetSample(t(s, dir, "documents"), budget = 150L)),
     "corpus_interleave" -> ((s, dir) =>
@@ -1545,6 +1551,9 @@ object SparkEntry {
     // hand-derived constants (see TextAnalysis.normalizeOracleSql)
     "text_normalize" -> TextAnalysis.normalizeOracleSql,
     "text_mojibake" -> TextAnalysis.mojibakeOracleSql,
+    // full HUGEINT FNV replay of the hashed-feature pipeline + the
+    // same exact-longs/one-division weight algebra
+    "corpus_importance" -> graft.ops.Importance.targetAffinityOracleSql(),
     "text_decontaminate" -> decontaminateSql,
     "corpus_bloom_decontaminate" -> graft.ops.TextAnalysis.bloomOracleSql(),
     // full HUGEINT signature replica; CROSS bucket join (no cap —
