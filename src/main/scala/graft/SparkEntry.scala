@@ -1251,6 +1251,18 @@ object SparkEntry {
         .select(col("doc_id"), col("width"), col("height"),
           col("mean_luma_q"), col("ahash"))
     }),
+    "multimodal_framehash" -> ((s, _) => {
+      // video-container plumbing: build a deterministic GVID corpus,
+      // re-PARSE the bytes (magic/counts/length prefixes/truncation),
+      // stride-sample frames, FNV fingerprint each, census how many
+      // videos share a frame. The oracle re-derives every hash from
+      // the generator formula — any build/parse divergence breaks it.
+      import s.implicits._
+      val vids = s.range(0, 240, 1, 4)
+        .map(id => (id, Multimodal.syntheticVideo(id)))
+        .toDF("doc_id", "payload")
+      Multimodal.videoFrameDedup(vids, stride = 2)
+    }),
     "multimodal_phash_dedup" -> ((s, _) => {
       // image near-dup at corpus scale: perceptual aHash fed into the
       // SAME pigeonhole banding as text SimHash (hammingNearDups64) —
@@ -1765,6 +1777,10 @@ object SparkEntry {
     // content-signature features replicated exactly (recursive-CTE FNV
     // chain + exact dyadic accumulator sums; Multimodal scaladoc)
     "multimodal_features" -> Multimodal.featuresOracleSql(),
+    // first-principles replay: frame hashes from the generator formula
+    // (HUGEINT FNV), never from the container bytes — proves the
+    // build/parse round trip
+    "multimodal_framehash" -> Multimodal.frameDedupOracleSql(240, 2),
     // doc_fingerprint replicated in SQL: the rolling recurrence
     // h_i = h_{i-1}·B + c_i − B^16·c_{i−16} telescopes to the closed
     // form h_i = OFF·B^{i+1} + Σ_{m=0..15} c_{i−m}·B^m (mod 2^64), so

@@ -339,4 +339,153 @@ object Multimodal {
     javax.imageio.ImageIO.write(img, "png", out)
     out.toByteArray
   }
+
+  // ------------------------------------------------------------------
+  // Video-container plumbing: frame sampling + frame-level dedup.
+  // The codec decode is the (allowed) stub — frame payloads are a
+  // deterministic integer formula — but the CONTAINER layer is real:
+  // the engine builds the byte stream, then independently re-parses it
+  // (magic, counts, per-frame length prefixes, truncation guard), and
+  // the oracle predicts the hashes from the formula alone, so any
+  // build/parse disagreement breaks the hash match.
+  // ------------------------------------------------------------------
+
+  /** Synthetic "GVID" container for vid `id`: magic "GVID", be32
+    * n_frames, be16 width, be16 height, then per frame a be32 length
+    * prefix + payload. All parameters derive from the content group
+    * g = id/4 — four consecutive ids carry IDENTICAL frames (the
+    * planted cross-video duplicates). Every 16th id (id%16 == 15) is
+    * truncated mid-header: the corrupt-ingest case the parser must
+    * reject. Frame payload byte j of frame f:
+    * (g·131 + f·29 + j·17 + (j² mod 97)) mod 256. */
+  private[graft] def syntheticVideo(id: Long): Array[Byte] = {
+    val g = id / 4
+    val nFrames = (6 + (g % 3) * 2).toInt
+    val w = (16 + g % 8).toInt
+    val h = 9
+    val out = new java.io.ByteArrayOutputStream()
+    def be16(v: Int): Unit = { out.write((v >>> 8) & 0xff); out.write(v & 0xff) }
+    def be32(v: Int): Unit = { be16((v >>> 16) & 0xffff); be16(v & 0xffff) }
+    out.write('G'); out.write('V'); out.write('I'); out.write('D')
+    be32(nFrames); be16(w); be16(h)
+    var f = 0
+    while (f < nFrames) {
+      val len = (40 + ((f * 5 + g) % 24)).toInt
+      be32(len)
+      var j = 0
+      while (j < len) {
+        out.write(((g * 131 + f * 29 + j * 17 + (j.toLong * j % 97)) % 256).toInt)
+        j += 1
+      }
+      f += 1
+    }
+    val bytes = out.toByteArray
+    if (id % 16 == 15) java.util.Arrays.copyOf(bytes, 9) else bytes
+  }
+
+  /** FNV-1a 64 over raw bytes (the frame fingerprint). */
+  @inline private[ops] def hashBytes(b: Array[Byte], from: Int, until: Int): Long = {
+    var h = 0xcbf29ce484222325L
+    var i = from
+    while (i < until) { h = (h ^ (b(i) & 0xffL)) * 1099511628211L; i += 1 }
+    h
+  }
+
+  /** Parse a GVID container and fingerprint every `stride`-th frame.
+    * Returns Nil on any structural violation (bad magic, truncated
+    * header, frame length running past the buffer) — corrupt crawl
+    * payloads must skip, never throw. */
+  private[ops] def frameHashesOf(bytes: Array[Byte],
+                                 stride: Int): Seq[(Int, Int, Int, Int, Long)] = {
+    if (bytes == null || bytes.length < 12) return Nil
+    if (bytes(0) != 'G' || bytes(1) != 'V' || bytes(2) != 'I' || bytes(3) != 'D') return Nil
+    @inline def u8(i: Int): Int = bytes(i) & 0xff
+    val nFrames = (u8(4) << 24) | (u8(5) << 16) | (u8(6) << 8) | u8(7)
+    val w = (u8(8) << 8) | u8(9)
+    val h = (u8(10) << 8) | u8(11)
+    if (nFrames < 0 || nFrames > (1 << 20)) return Nil // hostile count guard
+    val acc = Seq.newBuilder[(Int, Int, Int, Int, Long)]
+    var off = 12
+    var f = 0
+    while (f < nFrames) {
+      if (off + 4 > bytes.length) return Nil
+      val len = (u8(off) << 24) | (u8(off + 1) << 16) | (u8(off + 2) << 8) | u8(off + 3)
+      off += 4
+      if (len < 0 || off + len > bytes.length) return Nil
+      if (f % stride == 0)
+        acc += ((f, nFrames, w, h, hashBytes(bytes, off, off + len)))
+      off += len
+      f += 1
+    }
+    acc.result()
+  }
+
+  /** Frame-sampled fingerprints + cross-video share census over a
+    * (vid_id, payload) table: the frame-level dedup primitive for
+    * video corpora. Scale shape: the binary payload never leaves its
+    * scan partition — the kernel emits only (vid_id, idx, fp) scalars;
+    * the census is one fp-keyed partial-agg exchange and an equi-join
+    * of two scalar tables (AQE broadcasts the census side when small).
+    * Output: (vid_id, frame_idx, n_frames, width, height, fp, n_share)
+    * for sampled frames of structurally valid containers. */
+  def videoFrameDedup(media: DataFrame, stride: Int = 2): DataFrame = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    val frames = media.select(col("doc_id").cast("long"), col("payload"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions(_.flatMap { case (id, payload) =>
+        frameHashesOf(payload, stride).map { case (f, n, w, h, fp) =>
+          (id, f.toLong, n.toLong, w, h, fp)
+        }
+      })
+      .toDF("vid_id", "frame_idx", "n_frames", "width", "height", "fp")
+      // two consumers (census + join side): materialize so the
+      // container parse runs exactly once per payload
+      .localCheckpoint(true)
+    val share = frames.groupBy("fp")
+      .agg(countDistinct(col("vid_id")).as("n_share"))
+    frames.join(share, "fp")
+      .select(col("vid_id"), col("frame_idx"), col("n_frames"),
+        col("width"), col("height"), col("fp"), col("n_share"))
+  }
+
+  /** DuckDB oracle for the `multimodal_framehash` driver query: the
+    * frame bytes are re-derived from the generator formula (never from
+    * the container — the build/parse round trip is exactly what the
+    * hash check proves), FNV-1a folded in HUGEINT mod-2^64, the same
+    * stride sampling, corrupt-id exclusion, and share census. */
+  def frameDedupOracleSql(nVids: Int, stride: Int): String = {
+    val M = "18446744073709551616"
+    val off = "CAST(" + java.lang.Long.toUnsignedString(0xcbf29ce484222325L) + " AS HUGEINT)"
+    val step = SimhashOracle.mulmod(SimhashOracle.xor64("h", "c"), "1099511628211")
+    s"""WITH vids AS (
+       |  SELECT unnest(generate_series(0, ${nVids - 1})) AS vid_id),
+       |ok AS (
+       |  SELECT vid_id, vid_id // 4 AS g FROM vids WHERE vid_id % 16 <> 15),
+       |geom AS (
+       |  SELECT vid_id, g, CAST(6 + (g % 3) * 2 AS BIGINT) AS n_frames,
+       |    CAST(16 + g % 8 AS INT) AS width, CAST(9 AS INT) AS height
+       |  FROM ok),
+       |idx AS (
+       |  SELECT vid_id, g, n_frames, width, height,
+       |    unnest(generate_series(0, n_frames - 1)) AS frame_idx
+       |  FROM geom),
+       |samp AS (SELECT * FROM idx WHERE frame_idx % $stride = 0),
+       |fpt AS (
+       |  SELECT vid_id, frame_idx, n_frames, width, height,
+       |    list_reduce(list_prepend($off,
+       |      list_transform(generate_series(0, 40 + ((frame_idx * 5 + g) % 24) - 1),
+       |        j -> CAST((g * 131 + frame_idx * 29 + j * 17 + (j * j % 97)) % 256 AS HUGEINT))),
+       |      (h, c) -> $step) AS z
+       |  FROM samp),
+       |fps AS (
+       |  SELECT vid_id, frame_idx, n_frames, width, height,
+       |    CAST(CASE WHEN z >= 9223372036854775808 THEN z - $M ELSE z END AS BIGINT) AS fp
+       |  FROM fpt),
+       |share AS (
+       |  SELECT fp, CAST(count(DISTINCT vid_id) AS BIGINT) AS n_share
+       |  FROM fps GROUP BY fp)
+       |SELECT vid_id, frame_idx, n_frames, width, height, f.fp, n_share
+       |FROM fps f JOIN share s ON f.fp = s.fp""".stripMargin
+  }
 }
