@@ -520,6 +520,12 @@ object SparkEntry {
       // wrapped symbol strings, literal-replace fusion) — oracle
       // unrolls the 8 rounds as chained CTEs
       graft.ops.Bpe.merges(t(s, dir, "documents"), n = 8)),
+    "corpus_fertility" -> ((s, dir) =>
+      // Tokenizer fertility census: BPE units per word + chars per
+      // unit, per language bucket — the multilingual over-segmentation
+      // detector. Same broadcast-join shape as corpus_bpe_encode; the
+      // two ratios are single IEEE divisions of exact longs
+      graft.ops.Bpe.fertility(t(s, dir, "documents"), n = 8)),
     "corpus_bpe_encode" -> ((s, dir) =>
       // the apply side: per-doc BPE unit counts under the 8 learned
       // merges — explode + broadcast vocab join + partial-agg groupBy
@@ -1363,6 +1369,7 @@ object SparkEntry {
     "corpus_shard_assign" -> graft.ops.Sampling.shardAssignOracleSql(64L),
     "corpus_bpe_merges" -> graft.ops.Bpe.mergesOracleSql(8),
     "corpus_bpe_encode" -> graft.ops.Bpe.encodeOracleSql(8),
+    "corpus_fertility" -> graft.ops.Bpe.fertilityOracleSql(8),
     "text_collocations" -> graft.ops.TextAnalysis.pmiOracleSql(),
     "text_readability" -> graft.ops.TextAnalysis.readabilityOracleSql(),
     "q9_retention" -> graft.ops.Events.retentionOracleSql(

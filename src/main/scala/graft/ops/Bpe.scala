@@ -131,6 +131,38 @@ object Bpe {
       .agg(count(lit(1)).as("n_tokens"), sum(col("n_units")).as("n_units"))
   }
 
+  /** Tokenizer fertility census (the number every multilingual-mix
+    * paper reports): per language bucket, BPE units per whitespace
+    * word ("fertility") and characters per unit (the inverse
+    * compression the merge table achieves on that language). A
+    * tokenizer trained on a skewed mix over-segments the minority
+    * languages — this census is how that's detected before training.
+    *
+    * Scale shape: identical to [[encode]] — the corpus pays one
+    * token explode + a broadcast join against the vocabulary-sized
+    * unit table, then ONE partial-aggregated groupBy(lang) (map-side
+    * combine collapses each partition to |langs| rows before the
+    * exchange). The ratios are each ONE IEEE division of exact longs
+    * at the very end, so they hash-match DuckDB bit-for-bit. */
+  def fertility(docs: DataFrame, n: Int): DataFrame = {
+    val units = learn(docs, n)._2
+      .select(col("w"),
+        size(split(expr("substring(sym, 2, length(sym) - 2)"), "~~"))
+          .cast("long").as("n_units"))
+    docs.select(col("lang"),
+        explode(TextAnalysis.tokens(col("text"))).as("w"))
+      .join(broadcast(units), Seq("w"))
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_words"),
+        sum(col("n_units")).as("n_units"),
+        sum(length(col("w")).cast("long")).as("n_chars"))
+      .select(col("lang"), col("n_words"), col("n_units"), col("n_chars"),
+        (col("n_units").cast("double") / col("n_words").cast("double"))
+          .as("fertility"),
+        (col("n_chars").cast("double") / col("n_units").cast("double"))
+          .as("chars_per_unit"))
+  }
+
   /** The `rounds`-deep learning chain, UNROLLED as flat chained CTEs
     * (w0 -> p1 -> t1 -> w1 -> p2 -> ...): same pair counting, same
     * (freq desc, lhs, rhs) argmax, same sentinel replace as [[learn]].
@@ -189,6 +221,28 @@ object Bpe {
          |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
          |  CAST(sum(u) AS BIGINT) AS n_units
          |FROM tok JOIN units USING (w) GROUP BY doc_id""".stripMargin
+    s"WITH ${chainSql(rounds)},\n$tail"
+  }
+
+  /** DuckDB replica of [[fertility]] — the same unrolled chain, unit
+    * counts from the final vocabulary, tokens carrying their doc's
+    * lang, and the two ratios as single DOUBLE divisions (DECIMAL
+    * literals/arithmetic would diverge — CAST to DOUBLE first). */
+  def fertilityOracleSql(rounds: Int): String = {
+    val tail =
+      s"""units AS (SELECT w,
+         |  CAST(len(string_split(sym[2:-2], '~~')) AS BIGINT) AS u
+         | FROM w$rounds),
+         |tok AS (SELECT lang, unnest(list_filter(
+         |    string_split_regex(lower(text), '[\\s\\x0b]+'),
+         |    x -> len(x) > 0)) AS w FROM documents)
+         |SELECT lang, CAST(count(*) AS BIGINT) AS n_words,
+         |  CAST(sum(u) AS BIGINT) AS n_units,
+         |  CAST(sum(len(w)) AS BIGINT) AS n_chars,
+         |  CAST(sum(u) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS fertility,
+         |  CAST(sum(len(w)) AS DOUBLE) / CAST(sum(u) AS DOUBLE)
+         |    AS chars_per_unit
+         |FROM tok JOIN units USING (w) GROUP BY lang""".stripMargin
     s"WITH ${chainSql(rounds)},\n$tail"
   }
 }
