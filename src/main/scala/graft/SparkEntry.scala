@@ -1269,6 +1269,19 @@ object SparkEntry {
         .toDF("doc_id", "payload")
       Multimodal.videoFrameDedup(vids, stride = 2)
     }),
+    "multimodal_audio" -> ((s, _) => {
+      // audio-column plumbing: REAL RIFF/WAVE PCM-16 parse (chunk walk
+      // incl. odd-size junk chunks + declared-vs-actual truncation
+      // clamp) over a deterministic synthetic clip corpus; integer-
+      // exact per-clip stats, position-weighted sum pins the channel
+      // interleave. Oracle re-derives every sample from the generator
+      // formula — any build/parse divergence breaks the match.
+      import s.implicits._
+      val clips = s.range(0, 120, 1, 4)
+        .map(id => (id, Multimodal.syntheticWav(id)))
+        .toDF("doc_id", "payload")
+      Multimodal.audioFeatures(clips)
+    }),
     "multimodal_phash_dedup" -> ((s, _) => {
       // image near-dup at corpus scale: perceptual aHash fed into the
       // SAME pigeonhole banding as text SimHash (hammingNearDups64) —
@@ -1788,6 +1801,7 @@ object SparkEntry {
     // (HUGEINT FNV), never from the container bytes — proves the
     // build/parse round trip
     "multimodal_framehash" -> Multimodal.frameDedupOracleSql(240, 2),
+    "multimodal_audio" -> Multimodal.audioOracleSql(120),
     // doc_fingerprint replicated in SQL: the rolling recurrence
     // h_i = h_{i-1}·B + c_i − B^16·c_{i−16} telescopes to the closed
     // form h_i = OFF·B^{i+1} + Σ_{m=0..15} c_{i−m}·B^m (mod 2^64), so

@@ -449,6 +449,216 @@ object Multimodal {
         col("width"), col("height"), col("fp"), col("n_share"))
   }
 
+  /** Deterministic RIFF/WAVE PCM clip for the audio-plumbing surface:
+    * a REAL little-endian WAV container — RIFF header, 16-byte fmt
+    * chunk (PCM, 16-bit, mono or stereo), an interposed LIST junk
+    * chunk for two thirds of the ids (odd-length for one third, so
+    * the RIFF pad byte is exercised), then the data chunk carrying a
+    * square wave with a silent lead-in. Every byte derives from `id`:
+    *
+    *   rate     = [8000, 16000, 44100][id % 3]
+    *   channels = 1 + id % 2
+    *   lead     = id % 5 silent frames
+    *   amp      = 1000 + 137 * (id % 7)
+    *   half     = 3 + id % 4 (half-period in frames)
+    *   nf       = 200 + 31 * (id % 13) DECLARED frames
+    *   left(i)  = 0 while i < lead, then ±amp flipping every `half`
+    *   right(i) = sign(left) * (amp - 200) (stereo only)
+    *
+    * ids divisible by 17 are TRUNCATED mid-stream: the chunk sizes
+    * still declare `nf` frames but only nf/2 are present — the parser
+    * must clamp to complete frames actually available. */
+  private[graft] def syntheticWav(id: Long): Array[Byte] = {
+    val rate = Array(8000, 16000, 44100)((id % 3).toInt)
+    val channels = 1 + (id % 2).toInt
+    val lead = (id % 5).toInt
+    val amp = 1000 + 137 * (id % 7).toInt
+    val half = 3 + (id % 4).toInt
+    val nfDecl = 200 + 31 * (id % 13).toInt
+    val nfReal = if (id % 17 == 0) nfDecl / 2 else nfDecl
+    val blockAlign = channels * 2
+    val junkLen = (id % 3).toInt match {
+      case 0 => 0
+      case 1 => 4
+      case _ => 5 // odd: forces the RIFF pad byte
+    }
+    val junkTotal = if (junkLen == 0) 0 else 8 + junkLen + (junkLen & 1)
+    val dataDecl = nfDecl * blockAlign
+    val out = new java.io.ByteArrayOutputStream()
+    def le16(v: Int): Unit = { out.write(v & 0xff); out.write((v >>> 8) & 0xff) }
+    def le32(v: Int): Unit = { le16(v & 0xffff); le16((v >>> 16) & 0xffff) }
+    def tag(s: String): Unit = s.foreach(c => out.write(c.toInt))
+    tag("RIFF"); le32(4 + 24 + junkTotal + 8 + dataDecl); tag("WAVE")
+    tag("fmt "); le32(16); le16(1); le16(channels); le32(rate)
+    le32(rate * blockAlign); le16(blockAlign); le16(16)
+    if (junkLen > 0) {
+      tag("LIST"); le32(junkLen)
+      (0 until junkLen).foreach(k => out.write(((id + k) % 256).toInt))
+      if ((junkLen & 1) == 1) out.write(0)
+    }
+    tag("data"); le32(dataDecl)
+    var i = 0
+    while (i < nfReal) {
+      val left =
+        if (i < lead) 0
+        else if (((i - lead) / half) % 2 == 0) amp
+        else -amp
+      le16(left & 0xffff)
+      if (channels == 2) {
+        val right = if (left == 0) 0 else if (left > 0) amp - 200 else -(amp - 200)
+        le16(right & 0xffff)
+      }
+      i += 1
+    }
+    out.toByteArray
+  }
+
+  /** REAL RIFF/WAVE parse — chunk walk (unknown chunks skipped with
+    * the odd-size pad byte), PCM-16 fmt validation, data clamped to
+    * the complete frames actually present — then integer-exact clip
+    * stats over the interleaved samples:
+    *
+    *   peak         max |sample|
+    *   energy       Σ sample²              (exact long)
+    *   pos_weighted Σ sample · (k+1)       k = global interleaved
+    *                                       index — order-sensitive, so
+    *                                       channel-interleave and
+    *                                       lead-in off-by-ones break it
+    *   n_silent     #{ |sample| ≤ 2 }
+    *
+    * Returns None for anything that isn't a complete PCM-16 WAV
+    * header (malformed payloads become absent rows, never failures —
+    * the extract-job error-row discipline). */
+  private[graft] def audioFeaturesOf(bytes: Array[Byte])
+      : Option[(Int, Int, Long, Long, Long, Long, Long, Long)] = {
+    def tagAt(off: Int): String =
+      new String(bytes, off, 4, java.nio.charset.StandardCharsets.US_ASCII)
+    def le16(off: Int): Int =
+      (bytes(off) & 0xff) | ((bytes(off + 1) & 0xff) << 8)
+    def le32(off: Int): Long =
+      (le16(off).toLong | (le16(off + 2).toLong << 16)) & 0xffffffffL
+    if (bytes.length < 12 || tagAt(0) != "RIFF" || tagAt(8) != "WAVE")
+      return None
+    var off = 12
+    var fmt: Option[(Int, Int, Int)] = None // (channels, rate, blockAlign)
+    while (off + 8 <= bytes.length) {
+      val id = tagAt(off)
+      val size = le32(off + 4)
+      val body = off + 8
+      if (id == "fmt ") {
+        if (size < 16 || body + 16 > bytes.length) return None
+        val audioFormat = le16(body)
+        val channels = le16(body + 2)
+        val rate = le32(body + 4).toInt
+        val blockAlign = le16(body + 12)
+        val bits = le16(body + 14)
+        if (audioFormat != 1 || bits != 16 || channels < 1 || channels > 2 ||
+          rate <= 0 || blockAlign != channels * 2) return None
+        fmt = Some((channels, rate, blockAlign))
+      } else if (id == "data") {
+        val (channels, rate, blockAlign) = fmt.getOrElse(return None)
+        val available = math.min(size, (bytes.length - body).toLong)
+        val nFrames = available / blockAlign
+        var peak = 0L; var energy = 0L; var posW = 0L; var nSilent = 0L
+        var k = 0L
+        var i = 0L
+        while (i < nFrames) {
+          var c = 0
+          while (c < channels) {
+            val s = le16((body + i * blockAlign + c * 2).toInt).toShort.toLong
+            val a = math.abs(s)
+            if (a > peak) peak = a
+            energy += s * s
+            posW += s * (k + 1)
+            if (a <= 2) nSilent += 1
+            k += 1; c += 1
+          }
+          i += 1
+        }
+        return Some((rate, channels, nFrames, nFrames * 1000L / rate,
+          peak, energy, posW, nSilent))
+      }
+      // unknown chunk (LIST, fact, ...): skip body + odd-size pad
+      off = body + size.toInt + (size.toInt & 1)
+    }
+    None
+  }
+
+  /** Audio-column plumbing: per-clip integer stats over binary WAV
+    * payloads — the audio analog of [[pixelFeatures]]. Per-row kernel
+    * via typed mapPartitions (batch-UDF shape), scalar outputs only;
+    * `silence_frac` is the single IEEE division of two exact longs. */
+  def audioFeatures(media: DataFrame): DataFrame = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.select(col("doc_id").cast("long"), col("payload"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions(_.flatMap { case (id, payload) =>
+        audioFeaturesOf(payload).map { case (r, c, nf, ms, pk, en, pw, ns) =>
+          (id, r.toLong, c.toLong, nf, ms, pk, en, pw, ns)
+        }
+      })
+      .toDF("doc_id", "sample_rate", "channels", "n_frames", "duration_ms",
+        "peak", "energy", "pos_weighted", "n_silent")
+      .withColumn("silence_frac",
+        col("n_silent").cast("double") /
+          (col("n_frames") * col("channels")).cast("double"))
+  }
+
+  /** DuckDB oracle for the `multimodal_audio` driver query: every
+    * sample is re-derived from the [[syntheticWav]] generator formula
+    * (never from the container bytes — the build/parse round trip is
+    * exactly what the comparison proves), aggregated with the same
+    * integer arithmetic and the same single final division. */
+  def audioOracleSql(nClips: Int): String = {
+    s"""WITH ids AS (
+       |  SELECT unnest(generate_series(0, ${nClips - 1})) AS doc_id),
+       |par AS (
+       |  SELECT doc_id,
+       |    CAST([8000, 16000, 44100][CAST(doc_id % 3 AS INT) + 1] AS BIGINT)
+       |      AS rate,
+       |    CAST(1 + doc_id % 2 AS BIGINT) AS channels,
+       |    doc_id % 5 AS lead,
+       |    1000 + 137 * (doc_id % 7) AS amp,
+       |    3 + doc_id % 4 AS half,
+       |    CASE WHEN doc_id % 17 = 0 THEN (200 + 31 * (doc_id % 13)) // 2
+       |         ELSE 200 + 31 * (doc_id % 13) END AS nf
+       |  FROM ids),
+       |frames AS (
+       |  SELECT doc_id, rate, channels, amp, nf,
+       |    unnest(generate_series(0, nf - 1)) AS i,
+       |    lead, half
+       |  FROM par),
+       |chans AS (
+       |  SELECT doc_id, rate, channels, amp, nf, i, lead, half,
+       |    unnest(generate_series(0, channels - 1)) AS c
+       |  FROM frames),
+       |samples AS (
+       |  SELECT doc_id, rate, channels, nf, i, c,
+       |    CASE
+       |      WHEN i < lead THEN 0
+       |      WHEN ((i - lead) // half) % 2 = 0
+       |        THEN CASE WHEN c = 0 THEN amp ELSE amp - 200 END
+       |      ELSE CASE WHEN c = 0 THEN -amp ELSE -(amp - 200) END
+       |    END AS s
+       |  FROM chans),
+       |agg AS (
+       |  SELECT doc_id, rate, channels, nf,
+       |    CAST(max(abs(s)) AS BIGINT) AS peak,
+       |    CAST(sum(s * s) AS BIGINT) AS energy,
+       |    CAST(sum(s * (i * channels + c + 1)) AS BIGINT) AS pos_weighted,
+       |    CAST(sum(CASE WHEN abs(s) <= 2 THEN 1 ELSE 0 END) AS BIGINT)
+       |      AS n_silent
+       |  FROM samples GROUP BY doc_id, rate, channels, nf)
+       |SELECT doc_id, rate AS sample_rate, channels,
+       |  CAST(nf AS BIGINT) AS n_frames,
+       |  CAST(nf * 1000 // rate AS BIGINT) AS duration_ms,
+       |  peak, energy, pos_weighted, n_silent,
+       |  CAST(n_silent AS DOUBLE) / CAST(nf * channels AS DOUBLE)
+       |    AS silence_frac
+       |FROM agg""".stripMargin
+  }
+
   /** DuckDB oracle for the `multimodal_framehash` driver query: the
     * frame bytes are re-derived from the generator formula (never from
     * the container — the build/parse round trip is exactly what the
