@@ -24,27 +24,55 @@ object SparkEntry {
     s.read.parquet(s"$dir/$name.parquet")
 
   /** DuckDB quality-score SQL over an arbitrary table expression —
-    * shared by the standalone `text_quality_score` row and the composed
-    * `corpus_training_set` (single source of truth, no drift). */
-  private def qualityScoreSql(table: String = "documents"): String =
+    * shared by the standalone `text_quality_score` row, the composed
+    * `corpus_training_set`, and the AUC census (single source of
+    * truth, no drift). `key` is the identity column carried through
+    * (doc_id for the per-doc rows, source for the AUC grouping). */
+  private def qualityScoreSql(table: String = "documents",
+      key: String = "doc_id"): String =
     s"""WITH base AS (
-       | SELECT doc_id, text,
+       | SELECT $key, text,
        |  list_filter(string_split_regex(lower(text), '[\\s\\x0b]+'), x -> len(x) > 0) AS toks
        | FROM $table),
        |sig AS (
-       | SELECT doc_id,
+       | SELECT $key,
        |  CAST(len(toks) AS DOUBLE) AS n_tokens,
        |  CAST(len(list_filter(toks, t -> list_contains(
        |    ['the','a','an','of','to','in','and','or','is','are','was','for','on','with','as','by','at','it','this','that'], t))) AS DOUBLE) AS n_stop,
        |  CAST(length(text) AS DOUBLE) AS n_chars,
        |  CAST(length(regexp_replace(text, '[a-zA-Z0-9\\s]', '', 'g')) AS DOUBLE) AS n_punct
        | FROM base)
-       |SELECT doc_id, round(
+       |SELECT $key, round(
        |  greatest(0.0, least(1.0,
        |    0.4 * least(1.0, n_tokens / 100.0) +
        |    0.3 * least(1.0, n_stop * 8.0 / greatest(n_tokens, 1.0)) +
        |    0.3 * (1.0 - least(1.0, n_punct * 4.0 / greatest(n_chars, 1.0))))), 4) AS quality
        |FROM sig""".stripMargin
+
+  /** DuckDB replica of `TextAnalysis.qualityAuc`: the shared quality
+    * SQL keyed by source, then the exact 2×midrank construction
+    * (2c + g + 1 per distinct score value) and the final single
+    * DOUBLE division. Concatenated, not re-stripMargin'd — the inner
+    * SQL is already stripped (the `||`-eating trap from ROUND_NOTES). */
+  private def qualityAucSql(): String =
+    "WITH q AS (\n" + qualityScoreSql(key = "source") + "\n),\n" +
+      """vals AS (SELECT quality, CAST(count(*) AS BIGINT) AS g
+        |         FROM q GROUP BY quality),
+        |ranked AS (SELECT quality,
+        |  2 * COALESCE(sum(g) OVER (ORDER BY quality
+        |        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+        |    + g + 1 AS m2
+        |  FROM vals),
+        |per AS (SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+        |          CAST(sum(m2) AS BIGINT) AS rank2_sum
+        |        FROM q JOIN ranked USING (quality) GROUP BY source),
+        |tot AS (SELECT CAST(sum(n_docs) AS BIGINT) AS n_total FROM per)
+        |SELECT source, n_docs, rank2_sum,
+        |  CASE WHEN n_total = n_docs THEN NULL
+        |       ELSE CAST(rank2_sum - n_docs * (n_docs + 1) AS DOUBLE)
+        |            / CAST(2 * n_docs * (n_total - n_docs) AS DOUBLE)
+        |  END AS auc
+        |FROM per CROSS JOIN tot""".stripMargin
 
   private val decontaminateSql: String =
     """WITH toks AS (
@@ -700,6 +728,13 @@ object SparkEntry {
       TextAnalysis.readability(t(s, dir, "documents"))),
     "text_quality" -> ((s, dir) => TextAnalysis.qualitySignals(t(s, dir, "documents"))),
     "text_quality_score" -> ((s, dir) => TextAnalysis.qualityScore(t(s, dir, "documents"))),
+    "corpus_quality_auc" -> ((s, dir) =>
+      // quality-classifier calibration census: one-vs-rest Mann–
+      // Whitney AUC per source, exact 2×midrank integer arithmetic,
+      // one IEEE division per group at the very end. The corpus
+      // collapses to the bounded distinct-score table (quality is
+      // 4-dp-rounded) before any window runs
+      TextAnalysis.qualityAuc(t(s, dir, "documents"))),
     "text_langid" -> ((s, dir) => TextAnalysis.langId(t(s, dir, "documents"))),
     "text_fingerprint" -> ((s, dir) => TextAnalysis.fingerprint(t(s, dir, "documents"))),
     "text_repetition" -> ((s, dir) => TextAnalysis.repetitionSignals(t(s, dir, "documents"))),
@@ -1536,6 +1571,7 @@ object SparkEntry {
         | CAST(length(regexp_replace(text, '[a-zA-Z0-9\s]', '', 'g')) AS BIGINT) AS n_punct
         |FROM base""".stripMargin,
     "text_quality_score" -> qualityScoreSql(),
+    "corpus_quality_auc" -> qualityAucSql(),
     "text_repetition" ->
       """WITH base AS (
         | SELECT doc_id, list_filter(string_split_regex(lower(text), '[\s\x0b]+'), x -> len(x) > 0) AS toks

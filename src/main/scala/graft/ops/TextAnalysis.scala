@@ -73,6 +73,53 @@ object TextAnalysis {
             greatest(col("__q_n_chars").cast("double"), lit(1.0)))))), 4).as("quality"): _*)
   }
 
+  /** One-vs-rest Mann–Whitney AUC of `score` separating each `group`
+    * from the rest — the quality-classifier calibration census (does
+    * the score actually rank source A above source B?), computed with
+    * EXACT midrank arithmetic: ties get the midrank, carried as
+    * 2×midrank so everything stays integer (for a tie run occupying
+    * ranks [c+1, c+g], 2·midrank = 2c + g + 1). Then per group
+    *
+    *   AUC = (R2 − n·(n+1)) / (2 · n · (N − n))
+    *
+    * with R2 = Σ 2·midrank over the group's rows — ONE IEEE division
+    * of exact longs at the very end (hash-matches DuckDB bit-exactly).
+    *
+    * Scale shape: one partial-agg shuffle collapses the corpus to the
+    * DISTINCT-SCORE table (bounded: quality is rounded to 4 dp →
+    * ≤ 10⁴ + 1 values, so its single-partition cumulative window is a
+    * driver-scale fold, not a data-scale one), a broadcast join maps
+    * every row to its 2·midrank, and one partial-agg shuffle on the
+    * group key finishes. Long arithmetic holds to N ≈ 2·10⁹ rows
+    * (R2 ≤ 2N²); past that, lift rank2_sum to decimal. */
+  def rankSumAuc(df: DataFrame, score: String, group: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val vals = df.groupBy(col(score)).agg(count(lit(1)).as("g"))
+      .withColumn("c", coalesce(
+        sum(col("g")).over(Window.orderBy(col(score))
+          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .select(col(score), (lit(2L) * col("c") + col("g") + 1L).as("m2"))
+    val per = df.join(broadcast(vals), score)
+      .groupBy(col(group))
+      .agg(count(lit(1)).as("n_docs"), sum(col("m2")).as("rank2_sum"))
+    val tot = per.agg(sum(col("n_docs")).as("n_total"))
+    per.crossJoin(broadcast(tot))
+      .select(col(group), col("n_docs"), col("rank2_sum"),
+        when(col("n_total") === col("n_docs"), lit(null).cast("double"))
+          .otherwise(
+            (col("rank2_sum") - col("n_docs") * (col("n_docs") + 1L))
+              .cast("double") /
+            (lit(2L) * col("n_docs") * (col("n_total") - col("n_docs")))
+              .cast("double"))
+          .as("auc"))
+  }
+
+  /** [[rankSumAuc]] over the composite quality score, one-vs-rest per
+    * `source` — the driver surface for `corpus_quality_auc`. */
+  def qualityAuc(docs: DataFrame): DataFrame =
+    rankSumAuc(withQuality(docs).select(col("source"), col("quality")),
+      "quality", "source")
+
   // ------------------------------------------------------------------
   // Language ID: character n-gram profiles (public heuristic — a tiny
   // profile table per language, cosine over trigram frequencies).
