@@ -736,6 +736,11 @@ object SparkEntry {
       // 4-dp-rounded) before any window runs
       TextAnalysis.qualityAuc(t(s, dir, "documents"))),
     "text_langid" -> ((s, dir) => TextAnalysis.langId(t(s, dir, "documents"))),
+    "text_lang_confusion" -> ((s, dir) =>
+      // lang-ID eval census: metadata lang vs prediction, one partial-
+      // agg shuffle to ≤|langs|² cells + broadcast row totals; share
+      // is one IEEE division of exact longs
+      TextAnalysis.langConfusion(t(s, dir, "documents"))),
     "text_fingerprint" -> ((s, dir) => TextAnalysis.fingerprint(t(s, dir, "documents"))),
     "text_repetition" -> ((s, dir) => TextAnalysis.repetitionSignals(t(s, dir, "documents"))),
     "text_pii_scrub" -> ((s, dir) => TextAnalysis.piiScrub(t(s, dir, "documents"))),
@@ -1814,6 +1819,7 @@ object SparkEntry {
     // langId is pure column expressions; the oracle is generated from
     // the same marker table + fold order (single source of truth)
     "text_langid" -> graft.ops.TextAnalysis.langIdOracleSql(),
+    "text_lang_confusion" -> graft.ops.TextAnalysis.langConfusionOracleSql(),
     // simhash family: Spark's xxhash64 (XXH64 seed 42) replicated in
     // DuckDB HUGEINT arithmetic (SimhashOracle) — the near oracle is
     // the full hamming pair join, valid at driver scale where the

@@ -196,6 +196,44 @@ object TextAnalysis {
     scored.select(df.columns.map(col).toSeq :+ pred.as("lang_pred"): _*)
   }
 
+  /** Language-ID confusion census: metadata lang vs classifier
+    * prediction, the standard eval for a routing classifier before it
+    * gates a corpus. One (lang_true, lang_pred) cell per row pair with
+    * the row-normalized share (cell / row total) as ONE IEEE division
+    * of exact longs.
+    *
+    * Scale shape: the classifier is a per-row projection (no UDF);
+    * the corpus collapses in ONE partial-agg shuffle to ≤ |langs|²
+    * cells (map-side combine does the heavy lifting), then a
+    * broadcast join adds row totals. The langId pushdown trap does
+    * not bite here — the derived column is grouped on (evaluated once
+    * per row), never filtered on. */
+  def langConfusion(docs: DataFrame): DataFrame = {
+    val cm = withLangPred(docs.select(col("doc_id"), col("lang"), col("text")))
+      .groupBy(col("lang").as("lang_true"), col("lang_pred"))
+      .agg(count(lit(1)).as("n_docs"))
+    val tot = cm.groupBy(col("lang_true"))
+      .agg(sum(col("n_docs")).as("n_true"))
+    cm.join(broadcast(tot), "lang_true")
+      .select(col("lang_true"), col("lang_pred"), col("n_docs"),
+        col("n_true"),
+        (col("n_docs").cast("double") / col("n_true").cast("double"))
+          .as("share"))
+  }
+
+  /** DuckDB replica of [[langConfusion]]: [[langIdOracleSql]] as the
+    * inner query (same marker table, same fold), grouped to cells. */
+  def langConfusionOracleSql(table: String = "documents"): String =
+    "WITH pred AS (\n" + langIdOracleSql(table) + "\n),\n" +
+      """cm AS (SELECT lang_true, lang_pred,
+        |         CAST(count(*) AS BIGINT) AS n_docs
+        |       FROM pred GROUP BY lang_true, lang_pred),
+        |tot AS (SELECT lang_true, CAST(sum(n_docs) AS BIGINT) AS n_true
+        |        FROM cm GROUP BY lang_true)
+        |SELECT lang_true, lang_pred, n_docs, n_true,
+        |  CAST(n_docs AS DOUBLE) / CAST(n_true AS DOUBLE) AS share
+        |FROM cm JOIN tot USING (lang_true)""".stripMargin
+
   /** DuckDB oracle for `langId`, generated from the SAME marker table
     * and fold order so the two can never drift. Integer marker counts,
     * literal replace, explicit codepoint ranges — engine-exact. */
