@@ -917,6 +917,13 @@ object SparkEntry {
       // remainder round genuinely binds at every SF
       graft.ops.Sampling.crawlBudget(t(s, dir, "documents"),
         budget = 997L)),
+    "corpus_mix_anneal" -> ((s, dir) =>
+      // two-phase pretrain→anneal mixture schedule: raw token mass vs
+      // quality-gated mass (×3 ≥0.7 / ×1 ≥0.4 / ×0), both apportioned
+      // by the SAME Hamilton core; prime budgets keep the remainder
+      // round binding at every SF
+      graft.ops.Sampling.mixAnneal(t(s, dir, "documents"),
+        pretrainBudget = 9973L, annealBudget = 1009L)),
     "corpus_term_sketch" -> ((s, dir) =>
       // Count-Min heavy hitters: exact top-10 terms with their CMS
       // estimates (4×256 counter grid — mergeable fixed state; the
@@ -1699,6 +1706,8 @@ object SparkEntry {
           graft.ops.Crawl.fetchLogOracleSql) + ")",
       graft.ops.Crawl.changeBatchOracleSql),
     "corpus_crawl_budget" -> graft.ops.Sampling.crawlBudgetOracleSql(997L),
+    "corpus_mix_anneal" -> graft.ops.Sampling.mixAnnealOracleSql(
+      qualityScoreSql(key = "doc_id, source"), 9973L, 1009L),
     "corpus_term_sketch" -> graft.ops.CountMin.oracleSql(d = 4, p = 8, k = 10),
     "corpus_url_cardinality" -> graft.ops.Cardinality.oracleSql(
       "SELECT url FROM (" + graft.ops.Crawl.fetchLogOracleSql + ")", p = 8),

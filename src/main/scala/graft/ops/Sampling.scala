@@ -299,13 +299,22 @@ object Sampling {
     * fit a Long — at 10^12-token corpora pre-scale w to kilotokens.
     */
   def crawlBudget(docs: DataFrame, budget: Long): DataFrame = {
-    require(budget > 0, "budget must be positive")
     val w = docs.groupBy(col("source").as("host"))
       .agg(sum(size(TextAnalysis.tokens(col("text"))).cast("long"))
         .as("tokens_w"))
-      .localCheckpoint(true) // |hosts| rows
+    hamilton(w, budget)
+  }
+
+  /** The largest-remainder core shared by [[crawlBudget]] and
+    * [[mixAnneal]]: apportion `budget` slots over a (host, tokens_w)
+    * table. Same scale shape as documented on crawlBudget — the input
+    * collapses to |hosts| rows first; W and R are 1-row driver
+    * scalars; top-R is TakeOrderedAndProject + broadcast semi-join. */
+  private[graft] def hamilton(weights: DataFrame, budget: Long): DataFrame = {
+    require(budget > 0, "budget must be positive")
+    val w = weights.localCheckpoint(true) // |hosts| rows
     val totW = w.agg(sum(col("tokens_w"))).collect()(0).getLong(0)
-    require(totW > 0, "corpus has no tokens")
+    require(totW > 0, "corpus has no weight mass")
     val based = w.select(col("host"), col("tokens_w"),
       expr(s"tokens_w * ${budget}L div ${totW}L").as("base"),
       expr(s"(tokens_w * ${budget}L) % ${totW}L").as("rem"))
@@ -319,6 +328,83 @@ object Sampling {
       .select(col("host"), col("tokens_w"), col("base"),
         coalesce(col("extra"), lit(0L)).as("extra"),
         (col("base") + coalesce(col("extra"), lit(0L))).as("quota"))
+  }
+
+  /** Two-phase training-mixture schedule (the pretrain → anneal
+    * pattern: a final high-quality phase re-weights the mix): phase
+    * `pretrain` apportions its token budget by RAW token mass; phase
+    * `anneal` apportions by QUALITY-GATED mass — each doc's tokens
+    * enter the anneal weight ×3 when quality ≥ 0.7, ×1 in [0.4, 0.7),
+    * ×0 below (integer multipliers on the 4-dp-rounded score, so the
+    * weights stay exact longs). Both phases use the SAME Hamilton
+    * largest-remainder core — sum(quota) == budget holds exactly per
+    * phase.
+    *
+    * Scale shape: ONE corpus pass computes both weight columns
+    * (quality is a per-row projection), one partial-agg host rollup,
+    * then two |hosts|-sized apportionments unioned. */
+  def mixAnneal(docs: DataFrame, pretrainBudget: Long,
+      annealBudget: Long): DataFrame = {
+    val scored = TextAnalysis.withQuality(
+      docs.select(col("source"), col("text")))
+    val toks = size(TextAnalysis.tokens(col("text"))).cast("long")
+    val mult = when(col("quality") >= 0.7, 3L)
+      .when(col("quality") >= 0.4, 1L).otherwise(0L)
+    val w = scored.groupBy(col("source").as("host"))
+      .agg(sum(toks).as("pre_w"), sum(toks * mult).as("ann_w"))
+      .localCheckpoint(true) // |hosts| rows; quality computed ONCE
+    val pre = hamilton(
+      w.select(col("host"), col("pre_w").as("tokens_w")), pretrainBudget)
+      .select(lit("pretrain").as("phase"), col("host"), col("tokens_w"),
+        col("base"), col("extra"), col("quota"))
+    val ann = hamilton(
+      w.select(col("host"), col("ann_w").as("tokens_w")), annealBudget)
+      .select(lit("anneal").as("phase"), col("host"), col("tokens_w"),
+        col("base"), col("extra"), col("quota"))
+    pre.unionAll(ann)
+  }
+
+  /** DuckDB replica of [[mixAnneal]]. `qualitySql` is the shared
+    * per-doc quality query keyed by (doc_id, source) — passed in by
+    * the caller so there is a single source of truth for the score.
+    * Already-stripped SQL is CONCATENATED, never re-stripMargin'd. */
+  def mixAnnealOracleSql(qualitySql: String, pretrainBudget: Long,
+      annealBudget: Long): String = {
+    def ham(wcol: String, budget: Long, phase: String): String =
+      s"""w_$phase AS (SELECT host, $wcol AS tokens_w FROM hw),
+         |b_$phase AS (SELECT host, tokens_w,
+         |  tokens_w * $budget // (SELECT sum(tokens_w) FROM w_$phase)
+         |    AS base,
+         |  (tokens_w * $budget) % (SELECT sum(tokens_w) FROM w_$phase)
+         |    AS rem
+         | FROM w_$phase),
+         |r_$phase AS (SELECT $budget - CAST(sum(base) AS BIGINT) AS r
+         |             FROM b_$phase),
+         |rk_$phase AS (SELECT host, row_number()
+         |    OVER (ORDER BY rem DESC, host ASC) AS rk FROM b_$phase),
+         |out_$phase AS (SELECT '$phase' AS phase, b.host,
+         |  CAST(b.tokens_w AS BIGINT) AS tokens_w,
+         |  CAST(b.base AS BIGINT) AS base,
+         |  CAST(CASE WHEN rk.rk <= (SELECT r FROM r_$phase)
+         |       THEN 1 ELSE 0 END AS BIGINT) AS extra,
+         |  CAST(b.base + CASE WHEN rk.rk <= (SELECT r FROM r_$phase)
+         |       THEN 1 ELSE 0 END AS BIGINT) AS quota
+         | FROM b_$phase b JOIN rk_$phase rk ON b.host = rk.host)"""
+        .stripMargin
+    val header =
+      """t AS (SELECT doc_id, CAST(len(list_filter(
+        |    string_split_regex(lower(text), '[\s\x0b]+'),
+        |    x -> len(x) > 0)) AS BIGINT) AS toks FROM documents),
+        |hw AS (SELECT source AS host,
+        |  CAST(sum(toks) AS BIGINT) AS pre_w,
+        |  CAST(sum(toks * (CASE WHEN quality >= 0.7 THEN 3
+        |                        WHEN quality >= 0.4 THEN 1
+        |                        ELSE 0 END)) AS BIGINT) AS ann_w
+        | FROM q JOIN t USING (doc_id) GROUP BY source)""".stripMargin
+    "WITH q AS (\n" + qualitySql + "\n),\n" + header + ",\n" +
+      ham("pre_w", pretrainBudget, "pretrain") + ",\n" +
+      ham("ann_w", annealBudget, "anneal") + "\n" +
+      "SELECT * FROM out_pretrain UNION ALL SELECT * FROM out_anneal"
   }
 
   /** DuckDB replica of [[crawlBudget]] — the driver-scalar R becomes
