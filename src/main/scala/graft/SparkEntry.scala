@@ -917,6 +917,11 @@ object SparkEntry {
       // remainder round genuinely binds at every SF
       graft.ops.Sampling.crawlBudget(t(s, dir, "documents"),
         budget = 997L)),
+    "corpus_split_leakage" -> ((s, dir) =>
+      // leakage-safe train/val/test split census: split keyed by the
+      // exact-dup CLUSTER representative, never the doc; the census
+      // counts the clusters a naive per-doc hash split would scatter
+      graft.ops.Sampling.splitLeakage(t(s, dir, "documents"))),
     "corpus_mix_anneal" -> ((s, dir) =>
       // two-phase pretrain→anneal mixture schedule: raw token mass vs
       // quality-gated mass (×3 ≥0.7 / ×1 ≥0.4 / ×0), both apportioned
@@ -1706,6 +1711,7 @@ object SparkEntry {
           graft.ops.Crawl.fetchLogOracleSql) + ")",
       graft.ops.Crawl.changeBatchOracleSql),
     "corpus_crawl_budget" -> graft.ops.Sampling.crawlBudgetOracleSql(997L),
+    "corpus_split_leakage" -> graft.ops.Sampling.splitLeakageOracleSql(),
     "corpus_mix_anneal" -> graft.ops.Sampling.mixAnnealOracleSql(
       qualityScoreSql(key = "doc_id, source"), 9973L, 1009L),
     "corpus_term_sketch" -> graft.ops.CountMin.oracleSql(d = 4, p = 8, k = 10),

@@ -364,6 +364,63 @@ object Sampling {
     pre.unionAll(ann)
   }
 
+  /** Leakage-safe train/val/test split census. The split key is the
+    * doc's EXACT-DUP CLUSTER (md5 text fingerprint), not the doc:
+    * bucket = [[shuffleKey]](cluster representative = min doc_id)
+    * mod 10 → 0-7 train / 8 val / 9 test, so duplicated text can
+    * never straddle splits (the eval-contamination failure mode of
+    * per-doc hashing). The census quantifies exactly that risk: per
+    * split, `n_straddle_naive` counts this split's multi-doc clusters
+    * that a NAIVE per-doc hash split would have scattered across ≥ 2
+    * splits.
+    *
+    * Scale shape: one fp-keyed partial-agg shuffle builds the cluster
+    * table, the fp join back is co-partitioned (no second exchange of
+    * the corpus), the per-(fp, split) rollup reuses the same
+    * partitioning, and the final groupBy collapses to 3 rows. */
+  def splitLeakage(docs: DataFrame): DataFrame = {
+    def splitOf(bucket: Column): Column =
+      when(bucket < 8, "train").when(bucket === 8, "val").otherwise("test")
+    val fp = docs.select(col("doc_id"), md5(col("text")).as("fp"))
+    val clusters = fp.groupBy(col("fp")).agg(min(col("doc_id")).as("rep_id"))
+    val tagged = fp.join(clusters, "fp").select(col("fp"),
+      splitOf(pmod(shuffleKey(col("rep_id")), lit(10L))).as("split"),
+      splitOf(pmod(shuffleKey(col("doc_id")), lit(10L))).as("naive_split"))
+    tagged.groupBy(col("fp"), col("split"))
+      .agg(count(lit(1)).as("nd"),
+        countDistinct(col("naive_split")).as("n_naive"))
+      .groupBy(col("split"))
+      .agg(sum(col("nd")).as("n_docs"),
+        count(lit(1)).as("n_clusters"),
+        sum(when(col("n_naive") > 1, 1L).otherwise(0L))
+          .as("n_straddle_naive"))
+  }
+
+  /** DuckDB replica of [[splitLeakage]] — same md5 clustering, same
+    * Knuth bucket arithmetic (ids are positive, so plain % matches
+    * pmod), same census. */
+  def splitLeakageOracleSql(table: String = "documents"): String =
+    s"""WITH fp AS (SELECT doc_id, md5(text) AS fp FROM $table),
+       |cl AS (SELECT fp, min(doc_id) AS rep_id FROM fp GROUP BY fp),
+       |b AS (SELECT f.doc_id, f.fp,
+       |  ((rep_id % $IdMask) * $KnuthA) % $KnuthM % 10 AS cb,
+       |  ((f.doc_id % $IdMask) * $KnuthA) % $KnuthM % 10 AS nb
+       | FROM fp f JOIN cl USING (fp)),
+       |s AS (SELECT fp,
+       |  CASE WHEN cb < 8 THEN 'train' WHEN cb = 8 THEN 'val'
+       |       ELSE 'test' END AS split,
+       |  CASE WHEN nb < 8 THEN 'train' WHEN nb = 8 THEN 'val'
+       |       ELSE 'test' END AS naive_split
+       | FROM b),
+       |per AS (SELECT fp, split, CAST(count(*) AS BIGINT) AS nd,
+       |          count(DISTINCT naive_split) AS n_naive
+       |        FROM s GROUP BY fp, split)
+       |SELECT split, CAST(sum(nd) AS BIGINT) AS n_docs,
+       |  CAST(count(*) AS BIGINT) AS n_clusters,
+       |  CAST(sum(CASE WHEN n_naive > 1 THEN 1 ELSE 0 END) AS BIGINT)
+       |    AS n_straddle_naive
+       |FROM per GROUP BY split""".stripMargin
+
   /** DuckDB replica of [[mixAnneal]]. `qualitySql` is the shared
     * per-doc quality query keyed by (doc_id, source) — passed in by
     * the caller so there is a single source of truth for the score.
