@@ -381,7 +381,12 @@ object Sampling {
   def splitLeakage(docs: DataFrame): DataFrame = {
     def splitOf(bucket: Column): Column =
       when(bucket < 8, "train").when(bucket === 8, "val").otherwise("test")
+    // materialize (doc_id, fp) ONCE: fp has two consumers (cluster
+    // build + join back) and md5 reads the TEXT column — without the
+    // barrier the corpus text is scanned and hashed twice. 48 B/row
+    // beats a second 100-TB text read.
     val fp = docs.select(col("doc_id"), md5(col("text")).as("fp"))
+      .localCheckpoint(true)
     val clusters = fp.groupBy(col("fp")).agg(min(col("doc_id")).as("rep_id"))
     val tagged = fp.join(clusters, "fp").select(col("fp"),
       splitOf(pmod(shuffleKey(col("rep_id")), lit(10L))).as("split"),

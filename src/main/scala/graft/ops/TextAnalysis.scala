@@ -94,14 +94,22 @@ object TextAnalysis {
     * (R2 ≤ 2N²); past that, lift rank2_sum to decimal. */
   def rankSumAuc(df: DataFrame, score: String, group: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val vals = df.groupBy(col(score)).agg(count(lit(1)).as("g"))
+    // materialize the (group, score) projection ONCE: it has three
+    // consumers (distinct-score census, midrank join-back, and the
+    // grand total's subtree) — without the barrier the upstream
+    // scoring pipeline re-runs per consumer (the first plan ran the
+    // quality regexes 4x). Two narrow columns, far cheaper than
+    // re-scanning text at 100 TB.
+    val flat = df.select(col(group), col(score)).localCheckpoint(true)
+    val vals = flat.groupBy(col(score)).agg(count(lit(1)).as("g"))
       .withColumn("c", coalesce(
         sum(col("g")).over(Window.orderBy(col(score))
           .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
       .select(col(score), (lit(2L) * col("c") + col("g") + 1L).as("m2"))
-    val per = df.join(broadcast(vals), score)
+    val per = flat.join(broadcast(vals), score)
       .groupBy(col(group))
       .agg(count(lit(1)).as("n_docs"), sum(col("m2")).as("rank2_sum"))
+      .localCheckpoint(true) // |groups| rows; feeds the total AND the output
     val tot = per.agg(sum(col("n_docs")).as("n_total"))
     per.crossJoin(broadcast(tot))
       .select(col(group), col("n_docs"), col("rank2_sum"),
@@ -212,6 +220,9 @@ object TextAnalysis {
     val cm = withLangPred(docs.select(col("doc_id"), col("lang"), col("text")))
       .groupBy(col("lang").as("lang_true"), col("lang_pred"))
       .agg(count(lit(1)).as("n_docs"))
+      // ≤ |langs|² rows, two consumers (cells + row totals): barrier,
+      // or the marker-count classifier re-runs over the corpus twice
+      .localCheckpoint(true)
     val tot = cm.groupBy(col("lang_true"))
       .agg(sum(col("n_docs")).as("n_true"))
     cm.join(broadcast(tot), "lang_true")
