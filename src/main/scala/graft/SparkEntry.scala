@@ -1099,6 +1099,12 @@ object SparkEntry {
         graft.ops.Search.syntheticQueries(docs, nQueries = 5),
         nDocs = docs.count(), k = 10)
     }),
+    "web_host_gini" -> ((s, dir) =>
+      // crawl-concentration KPI: Gini of per-host token mass via the
+      // rank-weighted identity — global rank from the two-pass
+      // zipWithIndex pattern (never a partitionless window over
+      // hosts), exact-long numerator/denominator, ONE IEEE division
+      graft.ops.HostProfile.hostGini(t(s, dir, "documents"))),
     "web_host_profile" -> ((s, dir) => {
       // domain-level reputation rollup (C4/RefinedWeb-style host gate):
       // exact integer signals + one IEEE division; flags bind both ways
@@ -1784,6 +1790,7 @@ object SparkEntry {
     "web_hits" -> graft.ops.WebGraph.hitsOracleSql(
       graft.ops.WebGraph.syntheticEdgesOracleSql, iterations = 5),
     "web_host_profile" -> graft.ops.HostProfile.hostProfileOracleSql,
+    "web_host_gini" -> graft.ops.HostProfile.hostGiniOracleSql(),
     "web_bm25" -> graft.ops.Search.bm25OracleSql(nQueries = 5, k = 10),
     "dedup_ngram_spans" -> graft.ops.Dedup.duplicateSpansOracleSql(w = 15),
     "web_cocitation" -> graft.ops.WebGraph.pairCountsOracleSql(

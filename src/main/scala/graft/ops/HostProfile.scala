@@ -107,4 +107,78 @@ object HostProfile {
       | ((n_pages - n_distinct_texts) * 5 > n_pages
       |   OR n_chars < n_pages * 100) AS blocked
       |FROM g""".stripMargin
+
+  /** Crawl-concentration KPI: the Gini coefficient of per-host token
+    * mass — the one-number answer to "is this corpus a few mega-hosts
+    * or a diverse crawl?" (0 = perfectly even, (n−1)/n = one host owns
+    * everything). Computed from the rank-weighted identity
+    *
+    *   G = (2·Σ i·x₍ᵢ₎ − (n+1)·Σx) / (n·Σx)
+    *
+    * with x₍ᵢ₎ ascending (ties ordered by host — the i·x sum is
+    * invariant under tie order, the fixed order just makes the
+    * intermediate rows deterministic). Numerator and denominator are
+    * EXACT longs; the division is the single IEEE op, so DuckDB
+    * matches bit-for-bit.
+    *
+    * Scale shape: the corpus collapses in one partial-agg shuffle to
+    * |hosts| rows; the global ascending rank is the TWO-PASS
+    * zipWithIndex pattern (range-partition + per-partition offsets —
+    * shardAssign's machinery, incl. its frozen-pid lesson), NEVER a
+    * partitionless window: |hosts| is 10⁸ at web scale. The final
+    * aggregate is one row. Long arithmetic holds to Σ i·x ≲ 9·10¹⁸
+    * (e.g. 10⁸ hosts × 10⁹ avg tokens needs the documented decimal
+    * escape hatch). */
+  def hostGini(docs: DataFrame, nPartitions: Int = 32): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val w = docs.groupBy(col("source").as("host"))
+      .agg(sum(size(TextAnalysis.tokens(col("text"))).cast("long")).as("x"))
+    val sorted = w
+      .repartitionByRange(nPartitions, col("x"), col("host"))
+      .sortWithinPartitions(col("x"), col("host"))
+      .withColumn("pid", spark_partition_id())
+      .localCheckpoint(true) // pin layout: both passes must see ONE layout
+    val counts = sorted.groupBy(col("pid")).agg(count(lit(1)).as("c"))
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    val offsets = (0 until nPartitions)
+      .scanLeft(0L)((acc, p) => acc + counts.getOrElse(p, 0L)).toArray
+    val bc = spark.sparkContext.broadcast(offsets)
+    val ranked = sorted.select(col("host"), col("x"), col("pid"))
+      .as[(String, Long, Int)].mapPartitions { it =>
+        val buf = it.buffered
+        if (!buf.hasNext) Iterator.empty
+        else {
+          var pos = bc.value(buf.head._3) // all rows here share one pid
+          buf.map { case (h, x, _) => val p = pos; pos += 1; (h, x, p + 1) }
+        }
+      }.toDF("host", "x", "rank")
+    ranked.agg(
+        count(lit(1)).as("n_hosts"),
+        sum(col("x")).as("total_tokens"),
+        sum(col("x") * col("rank")).as("rank_weighted"))
+      .select(col("n_hosts"), col("total_tokens"), col("rank_weighted"),
+        ((lit(2L) * col("rank_weighted") -
+          (col("n_hosts") + 1L) * col("total_tokens")).cast("double") /
+         (col("n_hosts") * col("total_tokens")).cast("double")).as("gini"))
+  }
+
+  /** DuckDB replica of [[hostGini]] — same rollup, rank via window
+    * (fine in the oracle arm), same exact-long identity and single
+    * division. */
+  def hostGiniOracleSql(table: String = "documents"): String =
+    s"""WITH w AS (SELECT source AS host,
+       |  CAST(sum(len(list_filter(
+       |    string_split_regex(lower(text), '[\\s\\x0b]+'),
+       |    x -> len(x) > 0))) AS BIGINT) AS x
+       | FROM $table GROUP BY source),
+       |r AS (SELECT host, x,
+       |  CAST(row_number() OVER (ORDER BY x, host) AS BIGINT) AS rank
+       | FROM w)
+       |SELECT CAST(count(*) AS BIGINT) AS n_hosts,
+       |  CAST(sum(x) AS BIGINT) AS total_tokens,
+       |  CAST(sum(x * rank) AS BIGINT) AS rank_weighted,
+       |  CAST(2 * sum(x * rank) - (count(*) + 1) * sum(x) AS DOUBLE)
+       |    / CAST(count(*) * sum(x) AS DOUBLE) AS gini
+       |FROM r""".stripMargin
 }
