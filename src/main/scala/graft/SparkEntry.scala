@@ -599,6 +599,12 @@ object SparkEntry {
     }),
     "dedup_minhash_verified" -> ((s, dir) =>
       Dedup.minhashVerified(t(s, dir, "documents"))),
+    "dedup_edit" -> ((s, dir) =>
+      // edit-distance-decided near-dups: LSH recall + banded
+      // Levenshtein precision (threshold overload = Ukkonen k-band
+      // early exit); lossless length prefilter decides wide pairs
+      // without the DP. Integer sim_permille output.
+      Dedup.editVerified(t(s, dir, "documents"))),
     "dedup_simhash" -> ((s, dir) => Dedup.simhash(t(s, dir, "documents"))),
     "dedup_simhash_near" -> ((s, dir) =>
       Dedup.simhashNearDups(t(s, dir, "documents"), maxDist = 8)),
@@ -1858,6 +1864,7 @@ object SparkEntry {
     "dedup_incremental_lsh" -> graft.ops.MinhashOracle.lshIncrementalSql(400L),
     "dedup_winnow" -> graft.ops.Winnow.matchesOracleSql(),
     "dedup_minhash_verified" -> graft.ops.MinhashOracle.verifiedSql(),
+    "dedup_edit" -> graft.ops.MinhashOracle.editVerifiedSql(),
     // content-signature features replicated exactly (recursive-CTE FNV
     // chain + exact dyadic accumulator sums; Multimodal scaladoc)
     "multimodal_features" -> Multimodal.featuresOracleSql(),

@@ -306,6 +306,43 @@ object Dedup {
       .filter(col("jaccard") >= exactThreshold)
   }
 
+  /** Candidate-generate-then-verify with an EDIT-DISTANCE decision:
+    * MinHash/LSH candidates (sub-quadratic recall) re-checked with
+    * Levenshtein — the near-dup shape for lightly-edited duplicates
+    * (template pages, boilerplate-patched mirrors) where token-set
+    * Jaccard over-matches reordered word soup. Precision layers, in
+    * cost order:
+    *  1. lossless length prefilter — dist >= |len(a)-len(b)|, so a
+    *     pair whose length gap exceeds maxDist is decided WITHOUT
+    *     touching the DP (codegen'd `length` compare, no text copy);
+    *  2. BANDED Levenshtein via the built-in threshold overload
+    *     (Ukkonen k-band: O(maxDist·min(n,m)) not O(n·m); returns -1
+    *     on early exit the moment the band floor exceeds maxDist).
+    * `sim_permille` is exact integer arithmetic ((maxlen-dist)*1000
+    * div maxlen) — no IEEE in the output.
+    *
+    * Scale shape: per-candidate cost is bounded by the band, candidate
+    * count by the LSH bucket cap — nothing quadratic in the corpus.
+    * NOTE (oracle contract): Spark's levenshtein counts CODEPOINTS,
+    * DuckDB's counts BYTES — identical on ASCII corpora (the testdata
+    * is all-ASCII, asserted in DedupEditSpec); a UTF-8 corpus needs a
+    * codepoint-side-by-side check before trusting the DuckDB replica. */
+  def editVerified(docs: DataFrame, estThreshold: Double = 0.35,
+                   maxDist: Int = 60): DataFrame = {
+    val cand = minhashLsh(docs, threshold = estThreshold)
+      .select(col("a_id"), col("b_id"))
+    val txt = docs.select(col("doc_id"), col("text"))
+    cand
+      .join(txt.toDF("a_id", "a_text"), "a_id")
+      .join(txt.toDF("b_id", "b_text"), "b_id")
+      .filter(abs(length(col("a_text")) - length(col("b_text"))) <= maxDist)
+      .withColumn("dist", levenshtein(col("a_text"), col("b_text"), maxDist))
+      .filter(col("dist") >= 0 && col("dist") <= maxDist)
+      .withColumn("maxlen", greatest(length(col("a_text")), length(col("b_text"))))
+      .select(col("a_id"), col("b_id"), col("dist").cast("long").as("dist"),
+        expr("((maxlen - dist) * 1000) div maxlen").as("sim_permille"))
+  }
+
   /** FUZZY benchmark decontamination — the near-duplicate complement
     * of the exact-gram (`TextAnalysis.contamination`) and bloom paths:
     * a corpus doc is flagged when it is minhash-NEAR a benchmark doc,

@@ -135,6 +135,27 @@ object MinhashOracle {
        |  WHERE e.est_jaccard >= $estThreshold)
        |SELECT a_id, b_id, jaccard FROM ver WHERE jaccard >= $exactThreshold""".stripMargin
 
+  /** Oracle for `Dedup.editVerified(documents)` — the same
+    * signature/banding/est replica, decided by DuckDB's levenshtein
+    * (byte-based; equal to Spark's codepoint count on the all-ASCII
+    * testdata — asserted in DedupEditSpec) with the identical lossless
+    * length prefilter and exact integer sim_permille arithmetic. */
+  def editVerifiedSql(k: Int = 64, bands: Int = 16,
+                      estThreshold: Double = 0.35, maxDist: Int = 60,
+                      bucketCap: Int = 1000): String =
+    s"""WITH ${pipeline(k, bands, bucketCap)},
+       |editv AS (SELECT e.a_id, e.b_id,
+       |  levenshtein(ta.text, tb.text) AS dist,
+       |  greatest(len(ta.text), len(tb.text)) AS maxlen
+       |  FROM est e
+       |  JOIN documents ta ON ta.doc_id = e.a_id
+       |  JOIN documents tb ON tb.doc_id = e.b_id
+       |  WHERE e.est_jaccard >= $estThreshold
+       |    AND abs(len(ta.text) - len(tb.text)) <= $maxDist)
+       |SELECT a_id, b_id, dist,
+       |  ((maxlen - dist) * 1000) // maxlen AS sim_permille
+       |FROM editv WHERE dist <= $maxDist""".stripMargin
+
   /** Oracle for `Dedup.fuzzyDecontaminate(corpus = doc_id >= split,
     * bench = doc_id < split)` — the same signature/banding replica,
     * but candidates come from the CROSS bucket join (bench side ×

@@ -677,7 +677,7 @@ object TextAnalysis {
     val frag = when(d % 5 === 1, lit("Café"))
       .when(d % 5 === 2, lit("Ångström"))
       .when(d % 5 === 3, lit("ḍ̇"))
-      .when(d % 5 === 4, lit("abcd ef"))
+      .when(d % 5 === 4, lit("ab\u0007cd\u0000ef"))
       .otherwise(lit(""))
     docs.select(d.as("doc_id"), concat(base, frag).as("text"))
   }
