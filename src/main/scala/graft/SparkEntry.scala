@@ -542,6 +542,11 @@ object SparkEntry {
       // pattern; oracle states the spec as one row_number
       graft.ops.Sampling.shardAssign(t(s, dir, "documents"),
         shardSize = 64L)),
+    "corpus_epoch_order" -> ((s, dir) =>
+      // per-epoch reshuffle: 32-bit Feistel BIJECTION re-keyed by
+      // epoch (collision-free, no rand()), dense per-epoch positions
+      // via the two-pass enumeration — no partitionless window
+      graft.ops.Sampling.epochOrder(t(s, dir, "documents"))),
     "corpus_bpe_merges" -> ((s, dir) =>
       // BPE tokenizer training: 8 merge rules learned on-cluster;
       // one corpus shuffle, then vocabulary-sized rounds (sentinel-
@@ -1444,6 +1449,7 @@ object SparkEntry {
     "stream_sessionize" -> graft.ops.Events.sessionizeOracleSql(21600L * 1000000L),
     "stream_attribution" -> graft.ops.Events.attributionOracleSql(3600L * 1000000L),
     "corpus_shard_assign" -> graft.ops.Sampling.shardAssignOracleSql(64L),
+    "corpus_epoch_order" -> graft.ops.Sampling.epochOrderOracleSql(),
     "corpus_bpe_merges" -> graft.ops.Bpe.mergesOracleSql(8),
     "corpus_bpe_encode" -> graft.ops.Bpe.encodeOracleSql(8),
     "corpus_fertility" -> graft.ops.Bpe.fertilityOracleSql(8),

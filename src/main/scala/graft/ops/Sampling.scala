@@ -945,4 +945,142 @@ object Sampling {
        |  CAST(tt.total_tokens AS BIGINT) AS total_tokens,
        |  CAST(dv.distinct_tokens AS BIGINT) AS distinct_tokens
        |FROM chk c JOIN tt ON tt.k = c.k JOIN dv ON dv.k = c.k""".stripMargin
+
+  // ---------------------------------------------------------------
+  // Per-epoch Feistel shuffle (reproducible training order, re-keyed
+  // every epoch)
+  // ---------------------------------------------------------------
+
+  private val FeistelRounds = 3
+  private val FeistelA = 2654435761L // Knuth multiplier, shared w/ shuffleKey
+  private val Mask32 = 0xFFFFFFFFL
+  private val Mask16 = 0xFFFFL
+
+  /** Round-key base for Feistel round `r` under `seed`; the epoch term
+    * is added as a COLUMN (epochs are data, not literals). All three
+    * odd 32-bit constants are the classic murmur/xxhash finalizer
+    * multipliers — any odd constants work, these are just well-mixed. */
+  private def feistelRoundBase(seed: Long, r: Int): Long =
+    ((seed + 1) * 2654435769L + r * 3266489917L) & Mask32
+
+  /** 32-bit, 3-round Feistel permutation of `id` keyed by (seed,
+    * epoch): split into 16-bit halves, round = (L,R) → (R, (L+F(R))
+    * mod 2^16) with F(R) = ((R·A + rk) mod 2^32) >> 16 — modular-ADD
+    * combiner (no xor; identical operator set in DuckDB), so every
+    * round is invertible and the whole map is a BIJECTION on
+    * [0, 2^32). Products stay ≤ 65535·A + 2^32 ≈ 1.8e14 ≪ 2^63: the
+    * arithmetic is overflow-free exact-long on both engines. Ids
+    * outside the 32-bit domain raise (a silent mask would break the
+    * bijection and the dense-position contract downstream). */
+  private[ops] def feistelKey(id: Column, epoch: Column,
+                              seed: Long): Column = {
+    val guarded = when(id < 0L || id > Mask32,
+      raise_error(concat(lit("epochOrder: doc_id outside the 32-bit " +
+        "Feistel domain: "), id.cast("string")))).otherwise(id)
+    var l = shiftright(guarded, 16).bitwiseAND(lit(Mask16))
+    var r = guarded.bitwiseAND(lit(Mask16))
+    for (rnd <- 0 until FeistelRounds) {
+      val rk = (lit(feistelRoundBase(seed, rnd)) +
+        epoch.cast("long") * lit(2246822519L)).bitwiseAND(lit(Mask32))
+      val f = shiftright((r * lit(FeistelA) + rk).bitwiseAND(lit(Mask32)), 16)
+      val nr = (l + f).bitwiseAND(lit(Mask16))
+      l = r
+      r = nr
+    }
+    (shiftleft(l, 16) + r).as("key")
+  }
+
+  /** Per-epoch training order: every epoch e ∈ [0, epochs) gets its
+    * OWN deterministic full-corpus shuffle — position = dense rank of
+    * the epoch-keyed Feistel permutation of doc_id. This is the
+    * "reshuffle every epoch, reproducibly" step of a pretraining
+    * loader: rerunning the job (any cluster size, any partitioning)
+    * reproduces the exact same epoch orders, and no rand() ever runs.
+    *
+    * Why a Feistel network and not the [[shuffleKey]] hash: the hash
+    * ALIASES ids ≥ 2^31 (harmless for sampling, but two docs can share
+    * a key), while the Feistel map is a bijection on [0, 2^32) — keys
+    * are collision-free BY CONSTRUCTION, so the shuffle order needs no
+    * tiebreak column and re-keying by epoch is free (the epoch enters
+    * the round keys, giving an independent-looking permutation per
+    * epoch from the same arithmetic).
+    *
+    * Scale shape: the epoch fan-out is a zero-shuffle explode (E·N
+    * rows of 3 longs — the TEXT never fans out); the only exchange is
+    * the range partition on (epoch, key); dense per-epoch positions
+    * come from the [[shardAssign]] two-pass (per-(partition, epoch)
+    * counts — P·E longs to the driver, never data; epochs are
+    * contiguous inside a (epoch, key)-sorted partition so one running
+    * counter per epoch-run suffices). No partitionless window, no
+    * join. Output: (epoch, doc_id, key, pos) with pos dense 0..N−1
+    * per epoch. */
+  def epochOrder(docs: DataFrame, epochs: Int = 3, seed: Long = 17L,
+                 nPartitions: Int = 32): DataFrame = {
+    require(epochs > 0, "epochs must be positive")
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val keyed = docs
+      .select(col("doc_id").cast("long"),
+        explode(sequence(lit(0), lit(epochs - 1))).as("epoch"))
+      .select(col("epoch"), col("doc_id"),
+        feistelKey(col("doc_id"), col("epoch"), seed))
+    val sorted = keyed
+      .repartitionByRange(nPartitions, col("epoch"), col("key"))
+      .sortWithinPartitions(col("epoch"), col("key"))
+      .withColumn("pid", spark_partition_id())
+      .localCheckpoint(true) // pin layout: both passes must see ONE layout
+    val counts = sorted.groupBy(col("pid"), col("epoch"))
+      .agg(count(lit(1)).as("c"))
+      .collect().map(r => (r.getInt(0), r.getInt(1)) -> r.getLong(2)).toMap
+    // per-epoch prefix sums over partitions in range order
+    val offsets: Map[(Int, Int), Long] = (0 until epochs).flatMap { e =>
+      var acc = 0L
+      (0 until nPartitions).map { p =>
+        val o = (p, e) -> acc
+        acc += counts.getOrElse((p, e), 0L)
+        o
+      }
+    }.toMap
+    val bc = spark.sparkContext.broadcast(offsets)
+    sorted.select(col("epoch"), col("doc_id"), col("key"), col("pid"))
+      .as[(Int, Long, Long, Int)].mapPartitions { it =>
+        val buf = it.buffered
+        if (!buf.hasNext) Iterator.empty
+        else {
+          val pid = buf.head._4 // all rows here share one pid (frozen col)
+          var curEpoch = -1
+          var pos = 0L
+          buf.map { case (e, id, k, _) =>
+            if (e != curEpoch) { curEpoch = e; pos = bc.value((pid, e)) }
+            val p = pos; pos += 1
+            (e, id, k, p)
+          }
+        }
+      }.toDF("epoch", "doc_id", "key", "pos")
+  }
+
+  /** DuckDB replica of [[epochOrder]] — the three Feistel rounds
+    * unrolled as chained CTEs over the identical &/>>/<< long
+    * arithmetic; dense positions via a per-epoch window (fine in the
+    * oracle arm; the engine proves its distributed two-pass computes
+    * the same function). */
+  def epochOrderOracleSql(epochs: Int = 3, seed: Long = 17L): String = {
+    def round(i: Int, in: String): String =
+      s"""s${i + 1} AS (SELECT epoch, doc_id, r AS l,
+         |  (l + ((((r * $FeistelA) +
+         |     ((${feistelRoundBase(seed, i)} + epoch * 2246822519) & $Mask32))
+         |     & $Mask32) >> 16)) & $Mask16 AS r FROM $in)""".stripMargin
+    s"""WITH ep AS (SELECT CAST(e AS BIGINT) AS epoch FROM range(0, $epochs) t(e)),
+       |s0 AS (SELECT epoch, doc_id,
+       |  (doc_id >> 16) & $Mask16 AS l, doc_id & $Mask16 AS r
+       |  FROM documents, ep),
+       |${round(0, "s0")},
+       |${round(1, "s1")},
+       |${round(2, "s2")},
+       |k AS (SELECT epoch, doc_id, (l << 16) + r AS key FROM s3)
+       |SELECT CAST(epoch AS INT) AS epoch, doc_id, key,
+       |  CAST(row_number() OVER (PARTITION BY epoch ORDER BY key) - 1
+       |    AS BIGINT) AS pos
+       |FROM k""".stripMargin
+  }
 }
