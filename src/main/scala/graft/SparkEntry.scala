@@ -547,6 +547,12 @@ object SparkEntry {
       // epoch (collision-free, no rand()), dense per-epoch positions
       // via the two-pass enumeration — no partitionless window
       graft.ops.Sampling.epochOrder(t(s, dir, "documents"))),
+    "corpus_reshard_churn" -> ((s, dir) =>
+      // consistent-hash ring vs mod-N resharding churn: rings are
+      // generated in-kernel from the closed-form vnode hash (no
+      // broadcast/join); per-doc owner = one binary search; the
+      // oracle's docs x vnodes cross join lives in the audit arm only
+      graft.ops.Sampling.reshardChurn(t(s, dir, "documents"))),
     "corpus_bpe_merges" -> ((s, dir) =>
       // BPE tokenizer training: 8 merge rules learned on-cluster;
       // one corpus shuffle, then vocabulary-sized rounds (sentinel-
@@ -1450,6 +1456,7 @@ object SparkEntry {
     "stream_attribution" -> graft.ops.Events.attributionOracleSql(3600L * 1000000L),
     "corpus_shard_assign" -> graft.ops.Sampling.shardAssignOracleSql(64L),
     "corpus_epoch_order" -> graft.ops.Sampling.epochOrderOracleSql(),
+    "corpus_reshard_churn" -> graft.ops.Sampling.reshardChurnOracleSql(),
     "corpus_bpe_merges" -> graft.ops.Bpe.mergesOracleSql(8),
     "corpus_bpe_encode" -> graft.ops.Bpe.encodeOracleSql(8),
     "corpus_fertility" -> graft.ops.Bpe.fertilityOracleSql(8),

@@ -1059,6 +1059,139 @@ object Sampling {
       }.toDF("epoch", "doc_id", "key", "pos")
   }
 
+  // ---------------------------------------------------------------
+  // Resharding churn census (consistent-hash ring vs mod-N)
+  // ---------------------------------------------------------------
+
+  /** Vnode position on the 2^32 ring for (shard, vnode) — the inner
+    * mix is masked to 2^31 BEFORE the Knuth multiply so the product
+    * stays ≤ 2^31·A ≈ 5.7e18 < Long.Max on both engines (the
+    * [[shuffleKey]] overflow lesson applied to a two-arg hash). */
+  private[ops] def vnodeHash(shard: Long, vnode: Long): Long =
+    (((shard * 2654435769L + vnode * 2246822519L + 40503L) & 0x7FFFFFFFL)
+      * FeistelA) & Mask32
+
+  /** Sorted packed ring for `nShards`×`vnodes`: packed = (vh << 20) |
+    * (shard << 12) | vnode, so sorting packed IS sorting (vh, shard,
+    * vnode) and probing with pt << 20 finds the first vnode with
+    * vh ≥ pt (the vnode/shard bits of the probe are zero). */
+  private[ops] def packedRing(nShards: Int, vnodes: Int): Array[Long] = {
+    val a = new Array[Long](nShards * vnodes)
+    var i = 0
+    var s = 0
+    while (s < nShards) {
+      var w = 0
+      while (w < vnodes) {
+        a(i) = (vnodeHash(s, w) << 20) | (s.toLong << 12) | w.toLong
+        i += 1; w += 1
+      }
+      s += 1
+    }
+    java.util.Arrays.sort(a)
+    a
+  }
+
+  /** Owning shard of ring position `pt`: binary search for the first
+    * vnode clockwise at-or-after pt, wrapping to the ring's first. */
+  private[ops] def ringOwner(ring: Array[Long], pt: Long): Int = {
+    val idx = java.util.Arrays.binarySearch(ring, pt << 20)
+    val at = if (idx >= 0) idx else -idx - 1 // insertion point
+    val hit = if (at == ring.length) 0 else at // wrap
+    ((ring(hit) >> 12) & 0xFFL).toInt
+  }
+
+  /** Resharding-churn census: when a corpus bucketed into `nOld`
+    * shards regrows to `nNew`, what fraction of documents MOVE under
+    * (a) naive mod-N placement vs (b) a consistent-hash ring with
+    * `vnodes` virtual nodes per shard? Mod-N reshuffles nearly
+    * everything (a doc stays only when pt%nOld == pt%nNew); the ring
+    * moves ≈ 1 − nOld/nNew of the corpus — THE reason bucket-count
+    * changes on a 100 TB Iceberg table are rewrites of every file
+    * under scheme (a) but incremental under (b). The census measures
+    * both on the actual id population, plus the resulting occupancy
+    * spread (max/min load over OCCUPIED new shards).
+    *
+    * Ring semantics (classic Karger): doc point pt = [[shuffleKey]];
+    * owner = shard of the first vnode at or clockwise-after pt in
+    * (vh, shard, vnode) order, wrapping to the ring's first vnode.
+    * Ties (equal vh across vnodes) break deterministically by
+    * (shard, vnode) — same order both engines.
+    *
+    * Scale shape: both rings are GENERATED INSIDE the kernel from the
+    * closed-form vnode hash (nShards·vnodes entries — no broadcast,
+    * no join, no shuffle to build them); per doc the owner is a
+    * binary search in the packed sorted ring array; the only
+    * exchanges are two partial-aggregated shuffles over ≤ 2·nNew
+    * census keys. Output: 2 rows (scheme ∈ {mod, ring}). */
+  def reshardChurn(docs: DataFrame, nOld: Int = 8, nNew: Int = 10,
+                   vnodes: Int = 64): DataFrame = {
+    require(nOld > 0 && nNew > 0 && nOld != nNew, "need two shard counts")
+    require(math.max(nOld, nNew) <= 256 && vnodes <= 4096,
+      "packed ring key holds shard<2^8, vnode<2^12")
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val pts = docs.select(shuffleKey(col("doc_id").cast("long")).as("pt"))
+    val (o, n, v) = (nOld, nNew, vnodes)
+    val placed = pts.as[Long].mapPartitions { it =>
+      val ringOld = packedRing(o, v) // built ONCE per partition
+      val ringNew = packedRing(n, v)
+      it.flatMap { pt =>
+        val mo = (pt % o).toInt; val mn = (pt % n).toInt
+        val ro = ringOwner(ringOld, pt); val rn = ringOwner(ringNew, pt)
+        Iterator(("mod", mn, if (mo != mn) 1L else 0L),
+                 ("ring", rn, if (ro != rn) 1L else 0L))
+      }
+    }.toDF("scheme", "shard_new", "moved")
+    placed.groupBy(col("scheme"), col("shard_new"))
+      .agg(count(lit(1)).as("c"), sum(col("moved")).as("mv"))
+      .groupBy(col("scheme"))
+      .agg(sum(col("c")).as("n_docs"), sum(col("mv")).as("n_moved"),
+        max(col("c")).as("max_load_new"), min(col("c")).as("min_load_new"))
+      .select(col("scheme"), col("n_docs"), col("n_moved"),
+        expr("(n_moved * 1000) div n_docs").as("moved_permille"),
+        col("max_load_new"), col("min_load_new"))
+  }
+
+  /** DuckDB replica of [[reshardChurn]] — vnode table from the same
+    * closed-form hash over range()×range(); ring ownership stated as
+    * the argmin of the wrapped clockwise distance (vh − pt + 2^32) mod
+    * 2^32 with the identical (shard, vnode) tie order (equal distance
+    * ⟺ equal vh, so the orders agree with the engine's packed sort);
+    * the oracle arm may cross-join docs×vnodes — the ENGINE never
+    * does. */
+  def reshardChurnOracleSql(nOld: Int = 8, nNew: Int = 10,
+                            vnodes: Int = 64): String =
+    s"""WITH pts AS (SELECT doc_id,
+       |  ((doc_id % $IdMask) * $KnuthA) % $KnuthM AS pt FROM documents),
+       |vn AS (SELECT s.s AS shard, w.w AS vnode,
+       |  (((s.s * 2654435769 + w.w * 2246822519 + 40503) & 2147483647)
+       |    * $FeistelA) & $Mask32 AS vh
+       |  FROM range(0, ${math.max(nOld, nNew)}) s(s), range(0, $vnodes) w(w)),
+       |own_old AS (SELECT doc_id, shard FROM (
+       |  SELECT p.doc_id, v.shard, row_number() OVER (PARTITION BY p.doc_id
+       |    ORDER BY (v.vh - p.pt + $KnuthM) % $KnuthM, v.shard, v.vnode) AS rn
+       |  FROM pts p, vn v WHERE v.shard < $nOld) WHERE rn = 1),
+       |own_new AS (SELECT doc_id, shard FROM (
+       |  SELECT p.doc_id, v.shard, row_number() OVER (PARTITION BY p.doc_id
+       |    ORDER BY (v.vh - p.pt + $KnuthM) % $KnuthM, v.shard, v.vnode) AS rn
+       |  FROM pts p, vn v WHERE v.shard < $nNew) WHERE rn = 1),
+       |u AS (
+       |  SELECT 'mod' AS scheme, pt % $nNew AS shard_new,
+       |    CASE WHEN pt % $nOld <> pt % $nNew THEN 1 ELSE 0 END AS moved
+       |  FROM pts
+       |  UNION ALL
+       |  SELECT 'ring', o2.shard,
+       |    CASE WHEN o1.shard <> o2.shard THEN 1 ELSE 0 END
+       |  FROM own_old o1 JOIN own_new o2 USING (doc_id)),
+       |per AS (SELECT scheme, shard_new, count(*) AS c, sum(moved) AS mv
+       |  FROM u GROUP BY 1, 2)
+       |SELECT scheme, CAST(sum(c) AS BIGINT) AS n_docs,
+       |  CAST(sum(mv) AS BIGINT) AS n_moved,
+       |  CAST((sum(mv) * 1000) // sum(c) AS BIGINT) AS moved_permille,
+       |  CAST(max(c) AS BIGINT) AS max_load_new,
+       |  CAST(min(c) AS BIGINT) AS min_load_new
+       |FROM per GROUP BY 1""".stripMargin
+
   /** DuckDB replica of [[epochOrder]] — the three Feistel rounds
     * unrolled as chained CTEs over the identical &/>>/<< long
     * arithmetic; dense positions via a per-epoch window (fine in the
