@@ -691,6 +691,12 @@ object SparkEntry {
       val emb = t(s, dir, "embeddings")
       Similarity.sq8TopK(emb, emb.filter(col("vec_id") < 10), k = 5)
     }),
+    "corpus_hard_negatives" -> ((s, dir) =>
+      // contrastive hard-negative mining: per anchor the best EXACT-
+      // cosine neighbor in [0.3, 0.9) — informative but below the
+      // near-dup ceiling; candidates via the lossless pivot-bucket
+      // prune at the band floor, integer-only output
+      Similarity.hardNegatives(t(s, dir, "embeddings"))),
     "corpus_kmeans" -> ((s, dir) =>
       // integer Lloyd k-means over SQ8 codes (SemDeDup-style semantic
       // clustering buckets): exact integer argmin assignment,
@@ -1513,6 +1519,9 @@ object SparkEntry {
     // quantization in the same IEEE step order, integer-dot cut,
     // ordered-fold exact re-rank
     "ann_sq8" -> graft.ops.EmbeddingOracle.sq8Sql(),
+    // brute-force band + ordered-fold argmax; the native cosine is
+    // only an epsilon-slack prefilter (decides nothing)
+    "corpus_hard_negatives" -> graft.ops.EmbeddingOracle.hardNegSql(),
     "corpus_kmeans" -> graft.ops.EmbeddingOracle.kmeansSql(),
     // per-subspace Lloyd unroll + ADC restated as the direct
     // (sub, sd) squared-difference sum against the assigned centroid

@@ -359,4 +359,36 @@ object EmbeddingOracle {
        |  SELECT query_id, neighbor_id,
        |    row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id ASC) AS rank
        |  FROM scored) WHERE rank <= $k""".stripMargin
+
+  /** Oracle for `Similarity.hardNegatives(emb, anchorMax, floor,
+    * ceil)` — every band decision and argmax re-derived with the
+    * ordered-fold cosine (identical accumulation order to the engine
+    * kernel). The native `list_cosine_similarity` appears ONLY as an
+    * epsilon-slack prefilter (±1e-9 around the band, vs ulp-level
+    * native/fold divergence) that bounds how many pairs pay the
+    * interpreted fold — it decides nothing. */
+  def hardNegSql(anchorMax: Long = 200L, floor: Double = 0.3,
+                 ceil: Double = 0.9): String =
+    s"""WITH vn AS (SELECT e.vec_id, ${dot("e.embedding", "e.embedding")} AS n2
+       |  FROM embeddings e),
+       |pre AS (SELECT a.vec_id AS anchor_id, b.vec_id AS neg_id,
+       |    a.embedding AS av, b.embedding AS bv
+       |  FROM embeddings a JOIN embeddings b
+       |    ON a.vec_id < $anchorMax AND b.vec_id <> a.vec_id
+       |  WHERE list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+       |      CAST(b.embedding AS DOUBLE[]))
+       |    BETWEEN CAST($floor AS DOUBLE) - 1e-9
+       |        AND CAST($ceil AS DOUBLE) + 1e-9),
+       |sc AS (SELECT p.anchor_id, p.neg_id,
+       |    ${dot("p.av", "p.bv")} / (sqrt(na.n2) * sqrt(nb.n2)) AS cos
+       |  FROM pre p JOIN vn na ON na.vec_id = p.anchor_id
+       |  JOIN vn nb ON nb.vec_id = p.neg_id),
+       |band AS (SELECT * FROM sc
+       |  WHERE cos >= CAST($floor AS DOUBLE) AND cos < CAST($ceil AS DOUBLE))
+       |SELECT anchor_id, neg_id, n_band FROM (
+       |  SELECT anchor_id, neg_id,
+       |    row_number() OVER (PARTITION BY anchor_id
+       |      ORDER BY cos DESC, neg_id ASC) AS rn,
+       |    count(*) OVER (PARTITION BY anchor_id) AS n_band
+       |  FROM band) WHERE rn = 1""".stripMargin
 }

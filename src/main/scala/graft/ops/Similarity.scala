@@ -353,10 +353,34 @@ object Similarity {
     * shuffle hash/sort-merge join — no broadcast of the corpus. */
   def nearDupPairsExact(corpus: DataFrame, threshold: Double,
                         nPivots: Int = 4): DataFrame = {
+    val bigD = math.sqrt(math.max(2.0 - 2.0 * threshold, 1e-12))
+    val withBk = pivotBucketed(corpus, bigD, nPivots)
+    val a = withBk.select(col("vec_id").as("a_id"), col("embedding").as("a_emb"),
+      col("bk").as("a_bk"))
+    val probe = explode(array(
+      element_at(col("bk"), 1) - 1,
+      element_at(col("bk"), 1),
+      element_at(col("bk"), 1) + 1)).as("probe")
+    val b = withBk.select(col("vec_id").as("b_id"), col("embedding").as("b_emb"),
+      col("bk").as("b_bk"), probe)
+    val adjacent = (2 to nPivots).map { p =>
+      abs(element_at(col("a_bk"), p) - element_at(col("b_bk"), p)) <= 1
+    }.reduceOption(_ && _).getOrElse(lit(true))
+    val joined = a.join(b,
+        element_at(col("a_bk"), 1) === col("probe") &&
+          col("a_id") < col("b_id") && adjacent)
+      .select(col("a_id"), col("b_id"), col("a_emb"), col("b_emb"))
+    cosineThresholdPairs(joined, threshold)
+  }
+
+  /** (vec_id, embedding, bk) with bk(p) = ⌊d(v̂, pivot_p)/bigD⌋ — the
+    * lossless metric-prune bucket stage shared by [[nearDupPairsExact]]
+    * and [[hardNegatives]]. */
+  private[ops] def pivotBucketed(corpus: DataFrame, bigD: Double,
+                                 nPivots: Int): DataFrame = {
     val spark = corpus.sparkSession
     import spark.implicits._
-    val bigD = math.sqrt(math.max(2.0 - 2.0 * threshold, 1e-12))
-    val prepared = corpus.select(col("vec_id").cast("long"), col("embedding"))
+    corpus.select(col("vec_id").cast("long"), col("embedding"))
       .as[(Long, Array[Float])]
       .mapPartitions { it =>
         // Pivot components materialized ONCE per partition (flat
@@ -411,23 +435,74 @@ object Similarity {
           (id, v, buckets)
         }
       }.toDF("vec_id", "embedding", "bk")
-    val withBk = prepared
-    val a = withBk.select(col("vec_id").as("a_id"), col("embedding").as("a_emb"),
-      col("bk").as("a_bk"))
+  }
+
+  /** Hard-negative mining for contrastive training: for every anchor
+    * (vec_id < `anchorMax`) the single best corpus neighbor whose
+    * EXACT cosine lies in the hard band [floor, ceil) — similar
+    * enough to be informative, below the near-dup ceiling (a near-dup
+    * "negative" would be a false negative and poisons the loss).
+    * Winner = max cosine, ties to the smaller neg_id; n_band counts
+    * the anchor's full in-band candidate set. Output is integer-only
+    * (anchor_id, neg_id, n_band) — no float column reaches the
+    * driver hash.
+    *
+    * Exactness: candidates come from the [[pivotBucketed]] metric
+    * prune at the BAND FLOOR (cos ≥ floor ⟺ unit-sphere distance ≤
+    * D(floor); the triangle bound makes bucket adjacency lossless for
+    * everything the band can contain — the ceiling needs no prune,
+    * it only removes pairs), decided by the same interleaved
+    * left-to-right cosine kernel as [[cosineThresholdPairs]], so the
+    * DuckDB oracle's ordered folds reproduce every band decision and
+    * every argmax bit-for-bit. Pruning power shrinks as the floor
+    * drops (same trade documented on [[nearDupPairsExact]]).
+    *
+    * Scale shape: the anchor side is small by contract (mining runs
+    * per query batch); the corpus side explodes only its probe KEYS.
+    * With both sides large the same plan is a shuffle equi-join on
+    * pivot buckets — never a corpus broadcast. The band census + argmax
+    * is one partial-aggregated shuffle over anchor ids. */
+  def hardNegatives(corpus: DataFrame, anchorMax: Long = 200L,
+                    floor: Double = 0.3, ceil: Double = 0.9,
+                    nPivots: Int = 4): DataFrame = {
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val bigD = math.sqrt(math.max(2.0 - 2.0 * floor, 1e-12))
+    val withBk = pivotBucketed(corpus, bigD, nPivots)
+    val a = withBk.filter(col("vec_id") < anchorMax)
+      .select(col("vec_id").as("anchor_id"), col("embedding").as("a_emb"),
+        col("bk").as("a_bk"))
     val probe = explode(array(
       element_at(col("bk"), 1) - 1,
       element_at(col("bk"), 1),
       element_at(col("bk"), 1) + 1)).as("probe")
-    val b = withBk.select(col("vec_id").as("b_id"), col("embedding").as("b_emb"),
+    val b = withBk.select(col("vec_id").as("neg_id"), col("embedding").as("b_emb"),
       col("bk").as("b_bk"), probe)
     val adjacent = (2 to nPivots).map { p =>
       abs(element_at(col("a_bk"), p) - element_at(col("b_bk"), p)) <= 1
     }.reduceOption(_ && _).getOrElse(lit(true))
     val joined = a.join(b,
         element_at(col("a_bk"), 1) === col("probe") &&
-          col("a_id") < col("b_id") && adjacent)
-      .select(col("a_id"), col("b_id"), col("a_emb"), col("b_emb"))
-    cosineThresholdPairs(joined, threshold)
+          col("anchor_id") =!= col("neg_id") && adjacent)
+      .select(col("anchor_id"), col("neg_id"), col("a_emb"), col("b_emb"))
+    val banded = joined.as[(Long, Long, Array[Float], Array[Float])]
+      .mapPartitions { it =>
+        it.flatMap { case (aId, nId, av, bv) =>
+          var dot = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+          while (i < av.length) {
+            val x = av(i).toDouble; val y = bv(i).toDouble
+            dot += x * y; na += x * x; nb += y * y; i += 1
+          }
+          val c = dot / (math.sqrt(na) * math.sqrt(nb))
+          if (c >= floor && c < ceil) Some((aId, nId, c)) else None
+        }
+      }.toDF("anchor_id", "neg_id", "cos")
+    banded.groupBy(col("anchor_id"))
+      .agg(count(lit(1)).as("n_band"),
+        max(struct(col("cos").as("c"), (-col("neg_id")).as("ni"),
+          col("neg_id").as("neg"))).as("pick"))
+      .select(col("anchor_id"), col("pick").getField("neg").as("neg_id"),
+        col("n_band"))
   }
 
   /** Embedding near-duplicate pairs: cosine ≥ threshold. Exact variant
