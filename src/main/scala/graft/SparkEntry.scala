@@ -940,6 +940,12 @@ object SparkEntry {
       // remainder round genuinely binds at every SF
       graft.ops.Sampling.crawlBudget(t(s, dir, "documents"),
         budget = 997L)),
+    "corpus_freshness_budget" -> ((s, dir) =>
+      // recency re-weighted apportionment: latest-fetch age from the
+      // collapsed crawl log, DYADIC decay (exact longs, no exp()),
+      // same Hamilton core — fresh hosts take budget from stale ones
+      graft.ops.Crawl.freshnessBudget(t(s, dir, "documents"),
+        budget = 997L)),
     "corpus_split_leakage" -> ((s, dir) =>
       // leakage-safe train/val/test split census: split keyed by the
       // exact-dup CLUSTER representative, never the doc; the census
@@ -1745,6 +1751,8 @@ object SparkEntry {
           graft.ops.Crawl.fetchLogOracleSql) + ")",
       graft.ops.Crawl.changeBatchOracleSql),
     "corpus_crawl_budget" -> graft.ops.Sampling.crawlBudgetOracleSql(997L),
+    "corpus_freshness_budget" ->
+      graft.ops.Crawl.freshnessBudgetOracleSql(997L),
     "corpus_split_leakage" -> graft.ops.Sampling.splitLeakageOracleSql(),
     "corpus_mix_anneal" -> graft.ops.Sampling.mixAnnealOracleSql(
       qualityScoreSql(key = "doc_id, source"), 9973L, 1009L),

@@ -386,4 +386,90 @@ object Crawl {
       |  l.latest_fp, g.n_versions > 1 AS churn
       |FROM g JOIN l ON g.url = l.url""".stripMargin
       .replace("%LOG%", logSql)
+
+  /** Freshness-weighted crawl-budget apportionment: each url's token
+    * mass decays DYADICALLY with the age of its latest fetch —
+    * weight = tokens · 2^(K − min(age_bucket, K)) with age_bucket =
+    * (corpus_max_ts − last_ts) div `halfLifeSecs` — and the integer
+    * crawl budget is Hamilton-apportioned over hosts by the decayed
+    * mass ([[Sampling.hamilton]]: sum(quota) == budget exactly). The
+    * recency re-weighting a recurring crawl runs so fresh hosts take
+    * budget from stale ones; powers of two keep every weight an
+    * EXACT long (no exp()/IEEE in the mass), with decay floored at
+    * 2^0 beyond K buckets so stale mass stays visible.
+    *
+    * Scale shape: one url collapse (partial-agg shuffle on url — the
+    * natural bucket key, shuffle-free on a bucketed layout), one
+    * equi-join back to the doc token projection, one host rollup;
+    * corpus_max_ts and the Hamilton W/R are 1-row driver SCALARS.
+    * Output per host: raw vs decayed mass, url count, and the exact
+    * quota split (base + largest-remainder extra). */
+  def freshnessBudget(docs: DataFrame, budget: Long,
+                      halfLifeSecs: Long = 43200L,
+                      maxBuckets: Int = 8): DataFrame = {
+    val log = syntheticFetchLog(docs)
+    val snap = collapse(log).select(col("url"), col("last_ts"))
+    val parsed = snap.select(
+      regexp_extract(col("url"), "https://([^/]+)/", 1).as("host"),
+      regexp_extract(col("url"), "/doc(\\d+)$", 1).cast("long").as("doc_id"),
+      col("last_ts"))
+    val maxTs = parsed.agg(max(col("last_ts"))).collect()(0).getLong(0)
+    val toks = docs.select(col("doc_id"),
+      size(TextAnalysis.tokens(col("text"))).cast("long").as("toks"))
+    val hostW = parsed.join(toks, "doc_id")
+      .select(col("host"), col("toks"),
+        expr(s"least((${maxTs}L - last_ts) div ${halfLifeSecs}L, " +
+          s"${maxBuckets}L)").as("bucket"))
+      .groupBy(col("host"))
+      .agg(sum(expr(s"toks * shiftleft(1L, " +
+          s"cast($maxBuckets - bucket AS int))")).as("tokens_w"),
+        sum(col("toks")).as("raw_tokens"),
+        count(lit(1)).as("n_urls"))
+    Sampling.hamilton(hostW.select(col("host"), col("tokens_w")), budget)
+      .join(hostW.select(col("host"), col("raw_tokens"), col("n_urls")),
+        "host")
+      .select(col("host"), col("n_urls"), col("raw_tokens"),
+        col("tokens_w"), col("base"), col("extra"), col("quota"))
+  }
+
+  /** DuckDB replica of [[freshnessBudget]] — the fetch-log closed
+    * form, the url collapse, the identical dyadic decay (`<<` on
+    * exact longs), and the rank formulation of largest-remainder
+    * (crawlBudgetOracleSql's independent wording). */
+  def freshnessBudgetOracleSql(budget: Long, halfLifeSecs: Long = 43200L,
+                               maxBuckets: Int = 8): String =
+    s"""WITH lg AS (${fetchLogOracleSql}),
+       |snap AS (SELECT url, max(warc_ts) AS last_ts FROM lg GROUP BY url),
+       |p AS (SELECT regexp_extract(url, 'https://([^/]+)/', 1) AS host,
+       |  CAST(regexp_extract(url, '/doc(\\d+)$$', 1) AS BIGINT) AS doc_id,
+       |  last_ts FROM snap),
+       |mx AS (SELECT max(last_ts) AS m FROM p),
+       |t AS (SELECT doc_id, CAST(len(list_filter(
+       |    string_split_regex(lower(text), '[\\s\\x0b]+'),
+       |    x -> len(x) > 0)) AS BIGINT) AS toks FROM documents),
+       |wgt AS (SELECT p.host, t.toks,
+       |  least(((SELECT m FROM mx) - p.last_ts) // $halfLifeSecs,
+       |    $maxBuckets) AS bucket
+       |  FROM p JOIN t USING (doc_id)),
+       |w AS (SELECT host,
+       |  CAST(sum(toks * (1 << ($maxBuckets - bucket))) AS BIGINT)
+       |    AS tokens_w,
+       |  CAST(sum(toks) AS BIGINT) AS raw_tokens,
+       |  CAST(count(*) AS BIGINT) AS n_urls
+       |  FROM wgt GROUP BY host),
+       |tw AS (SELECT CAST(sum(tokens_w) AS BIGINT) AS totw FROM w),
+       |b AS (SELECT host, tokens_w,
+       |  tokens_w * $budget // (SELECT totw FROM tw) AS base,
+       |  (tokens_w * $budget) % (SELECT totw FROM tw) AS rem
+       | FROM w),
+       |r AS (SELECT $budget - CAST(sum(base) AS BIGINT) AS r FROM b),
+       |rk AS (SELECT host, row_number()
+       |    OVER (ORDER BY rem DESC, host ASC) AS rk FROM b)
+       |SELECT b.host, w.n_urls, w.raw_tokens, b.tokens_w,
+       |  CAST(b.base AS BIGINT) AS base,
+       |  CAST(CASE WHEN rk.rk <= (SELECT r FROM r) THEN 1 ELSE 0 END
+       |       AS BIGINT) AS extra,
+       |  CAST(b.base + CASE WHEN rk.rk <= (SELECT r FROM r)
+       |       THEN 1 ELSE 0 END AS BIGINT) AS quota
+       |FROM b JOIN rk ON b.host = rk.host JOIN w ON w.host = b.host""".stripMargin
 }
