@@ -716,6 +716,12 @@ object SparkEntry {
       val emb = t(s, dir, "embeddings")
       Similarity.pqTopK(emb, emb.filter(col("vec_id") < 10), k = 5)
     }),
+    "corpus_ann_recall" -> ((s, dir) =>
+      // ANN eval harness: recall@5 of the ivf/lsh/pq/sq8 approximate
+      // pipelines vs exact brute force on the same 10 queries (+ bf
+      // control row = 1000); truth localCheckpoint'd once, each
+      // pipeline scanned once, integer-only output
+      Similarity.annRecall(t(s, dir, "embeddings"))),
     "corpus_heaps" -> ((s, dir) =>
       // Heaps-law vocabulary growth census: exact integer prefix
       // arithmetic (fd*b div n), two map-side-combined aggregates,
@@ -1534,6 +1540,9 @@ object SparkEntry {
     "ann_pq" -> graft.ops.EmbeddingOracle.pqSql(),
     // Lloyd stages + within-cluster cosine pairs + recursive closure
     "dedup_semantic" -> graft.ops.EmbeddingOracle.semanticSql(),
+    // every approximate pipeline's full oracle as a scoped subquery
+    // LEFT-joined to the shared brute-force truth; integer recall
+    "corpus_ann_recall" -> graft.ops.EmbeddingOracle.annRecallSql(),
     // cumulative form stated directly as inequality joins
     "corpus_heaps" -> graft.ops.Sampling.heapsOracleSql(buckets = 8),
     // rolling gear hash restated as the 64-term windowed sum; chunk

@@ -391,4 +391,45 @@ object EmbeddingOracle {
        |      ORDER BY cos DESC, neg_id ASC) AS rn,
        |    count(*) OVER (PARTITION BY anchor_id) AS n_band
        |  FROM band) WHERE rn = 1""".stripMargin
+
+  /** Exact brute-force top-k ground truth — the same statement the
+    * pinned `ann_bruteforce` driver row uses (native
+    * list_cosine_similarity ordering, which that pin already proves
+    * agrees with the engine's left-fold kernel on this corpus). */
+  def bruteSql(k: Int = 5): String =
+    s"""SELECT query_id, neighbor_id, rn AS rank FROM (
+       | SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+       |  row_number() OVER (PARTITION BY q.vec_id
+       |   ORDER BY list_cosine_similarity(CAST(q.embedding AS DOUBLE[]),
+       |            CAST(c.embedding AS DOUBLE[])) DESC, c.vec_id ASC) AS rn
+       | FROM embeddings q JOIN embeddings c ON q.vec_id < 10 AND q.vec_id <> c.vec_id
+       |) WHERE rn <= $k""".stripMargin
+
+  /** Oracle for [[graft.ops.Similarity.annRecall]]: each approximate
+    * pipeline's FULL oracle runs as a scoped subquery (their CTE names
+    * never clash — parenthesized WITH is its own scope), LEFT-joined
+    * against the shared brute-force truth CTE, collapsed to one row
+    * per method, with the bf self-join control row. Assembled by plain
+    * concatenation — every component is already stripMargin'd (the
+    * `||`-eating re-stripMargin trap from ROUND_NOTES). */
+  def annRecallSql(k: Int = 5): String = {
+    def arm(name: String, sql: String): String =
+      s"SELECT '$name' AS method, count(*) AS n_returned, " +
+        "coalesce(sum(hit), 0) AS n_hits FROM (" +
+        "SELECT CASE WHEN b.neighbor_id IS NOT NULL THEN 1 ELSE 0 END AS hit " +
+        s"FROM ($sql) a LEFT JOIN bf b ON a.query_id = b.query_id " +
+        "AND a.neighbor_id = b.neighbor_id)"
+    "WITH bf AS (" + bruteSql(k) + "),\nu AS (\n" +
+      Seq(
+        arm("bf", bruteSql(k)),
+        arm("ivf", ivfSql(k)),
+        arm("lsh", annSql(k)),
+        arm("pq", pqSql(k = k)),
+        arm("sq8", sq8Sql(k))).mkString("\nUNION ALL\n") +
+      ")\nSELECT method, CAST(n_returned AS BIGINT) AS n_returned, " +
+      "CAST(n_hits AS BIGINT) AS n_hits, " +
+      "(SELECT CAST(count(*) AS BIGINT) FROM bf) AS n_truth, " +
+      "CAST(n_hits * 1000 // (SELECT count(*) FROM bf) AS BIGINT) AS recall_permille " +
+      "FROM u"
+  }
 }

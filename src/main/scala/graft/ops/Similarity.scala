@@ -993,4 +993,44 @@ object Similarity {
       .filter(col("rank") <= k)
       .select(col("query_id"), col("neighbor_id"), col("rank"))
   }
+
+  /** ANN quality-evaluation harness: recall@k of every approximate
+    * pipeline in the family ([[ivfTopK]], [[lshTopK]], [[pqTopK]],
+    * [[sq8TopK]]) against the exact [[bruteForceTopK]] ground truth on
+    * the same query set, plus the brute-force arm itself as the
+    * recall=1000 control. "Measure, don't guess" for the index layer:
+    * before an IVF/PQ config ships against 10^11 vectors, this census
+    * says what the candidate cut actually costs in neighbors lost.
+    *
+    * Scale shape: the truth table is computed ONCE and
+    * localCheckpoint'd (nQ·k rows — tiny), so the multi-consumer
+    * re-computation trap doesn't bite; each approximate pipeline is
+    * scanned exactly once, LEFT-joined against the checkpointed truth
+    * (broadcast-sized), and collapsed to a 1-row aggregate before the
+    * 5-row union. n_truth is a 1-row driver scalar. All outputs are
+    * exact longs — recall_permille = hits*1000 div truth (integer
+    * division, no IEEE anywhere). */
+  def annRecall(corpus: DataFrame, k: Int = 5): DataFrame = {
+    val queries = corpus.filter(col("vec_id") < 10)
+    val truth = bruteForceTopK(corpus, queries, k)
+      .select(col("query_id"), col("neighbor_id"))
+      .localCheckpoint(true)
+    val nTruth: Long = truth.count()
+    val arms: Seq[(String, DataFrame)] = Seq(
+      "bf"  -> truth,
+      "ivf" -> ivfTopK(corpus, queries, k),
+      "lsh" -> lshTopK(corpus, queries, k, dim = 64),
+      "pq"  -> pqTopK(corpus, queries, k = k),
+      "sq8" -> sq8TopK(corpus, queries, k))
+    arms.map { case (name, approx) =>
+      approx.select(col("query_id"), col("neighbor_id"))
+        .join(truth.withColumn("hit", lit(1L)),
+          Seq("query_id", "neighbor_id"), "left")
+        .agg(count(lit(1)).as("n_returned"),
+          coalesce(sum(col("hit")), lit(0L)).as("n_hits"))
+        .select(lit(name).as("method"), col("n_returned"), col("n_hits"),
+          lit(nTruth).as("n_truth"),
+          expr(s"n_hits * 1000 div ${nTruth}L").as("recall_permille"))
+    }.reduce(_.unionByName(_))
+  }
 }
