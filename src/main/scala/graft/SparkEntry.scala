@@ -1375,6 +1375,19 @@ object SparkEntry {
         .toDF("doc_id", "payload")
       Multimodal.audioFeatures(clips)
     }),
+    "multimodal_exif" -> ((s, _) => {
+      // EXIF privacy-scrub census: REAL JPEG segment walk + endian-
+      // aware TIFF IFD parse (Orientation/DateTime/GPS rationals →
+      // exact signed centi-arcseconds) over a deterministic synthetic
+      // corpus incl. a truncated arm; oracle re-derives every field
+      // from the generator formula — the build/parse round trip is
+      // what the match proves
+      import s.implicits._
+      val imgs = s.range(0, 200, 1, 4)
+        .map(id => (id, Multimodal.syntheticExifJpeg(id)))
+        .toDF("doc_id", "payload")
+      Multimodal.exifCensus(imgs)
+    }),
     "multimodal_phash_dedup" -> ((s, _) => {
       // image near-dup at corpus scale: perceptual aHash fed into the
       // SAME pigeonhole banding as text SimHash (hammingNearDups64) —
@@ -1911,6 +1924,7 @@ object SparkEntry {
     // (HUGEINT FNV), never from the container bytes — proves the
     // build/parse round trip
     "multimodal_framehash" -> Multimodal.frameDedupOracleSql(240, 2),
+    "multimodal_exif" -> Multimodal.exifOracleSql(200),
     "multimodal_audio" -> Multimodal.audioOracleSql(120),
     // doc_fingerprint replicated in SQL: the rolling recurrence
     // h_i = h_{i-1}·B + c_i − B^16·c_{i−16} telescopes to the closed

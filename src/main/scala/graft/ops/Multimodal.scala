@@ -698,4 +698,286 @@ object Multimodal {
        |SELECT vid_id, frame_idx, n_frames, width, height, f.fp, n_share
        |FROM fps f JOIN share s ON f.fp = s.fp""".stripMargin
   }
+
+  // ------------------------------------------------------------------
+  // EXIF metadata plumbing (multimodal_exif): the privacy-scrub
+  // census a multimodal training pipeline runs before shipping images
+  // — which payloads carry EXIF, which carry GPS coordinates (strip
+  // candidates), and how many bytes stripping the APP1 segment saves.
+  // ------------------------------------------------------------------
+
+  /** Deterministic JPEG with a REAL EXIF APP1 segment: SOI, then for
+    * ids with `id % 4 != 3` an APP1 carrying a genuine TIFF structure
+    * — "II" little-endian for even ids, "MM" big-endian for odd —
+    * with IFD0 entries Orientation (SHORT, inline), DateTime (ASCII
+    * 20, by offset) and, for `id % 3 == 0`, a GPS-IFD pointer tag
+    * whose IFD holds LatRef/Lat(3×RATIONAL)/LonRef/Lon(3×RATIONAL);
+    * then a SOF0 stub, SOS, `16 + id % 9` entropy bytes (mod 251 —
+    * never 0xFF, so no stuffing needed) and EOI. Every value derives
+    * from `id`:
+    *
+    *   orientation = 1 + id % 8;  day = 1 + id % 28
+    *   latRef = N/S by id even/odd;  lonRef = E if id % 4 < 2 else W
+    *   lat = (id%90)°, (id%60)', ((id*37)%6000)/100"  (den 1, 1, 100)
+    *   lon = (id%180)°, ((id*7)%60)', ((id*53)%6000)/100"
+    *
+    * ids with `id % 8 == 1` (all of which carry APP1) are TRUNCATED at
+    * 12 bytes — mid-APP1, the declared length running past the buffer
+    * — so the parser's structural-violation path is exercised. */
+  private[graft] def syntheticExifJpeg(id: Long): Array[Byte] = {
+    val out = new java.io.ByteArrayOutputStream()
+    def w8(v: Int): Unit = out.write(v & 0xff)
+    def wBe16(v: Int): Unit = { w8(v >>> 8); w8(v) }
+    w8(0xff); w8(0xd8) // SOI
+    val hasApp1 = id % 4 != 3
+    val gps = hasApp1 && id % 3 == 0
+    if (hasApp1) {
+      val little = id % 2 == 0
+      val tiff = new java.io.ByteArrayOutputStream()
+      def t8(v: Int): Unit = tiff.write(v & 0xff)
+      def t16(v: Int): Unit =
+        if (little) { t8(v); t8(v >>> 8) } else { t8(v >>> 8); t8(v) }
+      def t32(v: Int): Unit =
+        if (little) { t8(v); t8(v >>> 8); t8(v >>> 16); t8(v >>> 24) }
+        else { t8(v >>> 24); t8(v >>> 16); t8(v >>> 8); t8(v) }
+      def entry(tag: Int, typ: Int, count: Int)(value: => Unit): Unit = {
+        t16(tag); t16(typ); t32(count); value
+      }
+      if (little) { t8('I'); t8('I') } else { t8('M'); t8('M') }
+      t16(42); t32(8)
+      val n = if (gps) 3 else 2
+      val dtOff = 10 + 12 * n + 4
+      val gpsOff = dtOff + 20
+      t16(n)
+      entry(0x0112, 3, 1) { t16(1 + (id % 8).toInt); t16(0) }
+      entry(0x0132, 2, 20) { t32(dtOff) }
+      if (gps) entry(0x8825, 4, 1) { t32(gpsOff) }
+      t32(0)
+      f"2026:08:${1 + id % 28}%02d 10:00:00".foreach(c => t8(c.toInt)); t8(0)
+      if (gps) {
+        val latRats = gpsOff + 2 + 4 * 12 + 4
+        val lonRats = latRats + 24
+        t16(4)
+        entry(1, 2, 2) { t8(if (id % 2 == 0) 'N' else 'S'); t8(0); t16(0) }
+        entry(2, 5, 3) { t32(latRats) }
+        entry(3, 2, 2) { t8(if (id % 4 < 2) 'E' else 'W'); t8(0); t16(0) }
+        entry(4, 5, 3) { t32(lonRats) }
+        t32(0)
+        t32((id % 90).toInt); t32(1)
+        t32((id % 60).toInt); t32(1)
+        t32(((id * 37) % 6000).toInt); t32(100)
+        t32((id % 180).toInt); t32(1)
+        t32(((id * 7) % 60).toInt); t32(1)
+        t32(((id * 53) % 6000).toInt); t32(100)
+      }
+      val tb = tiff.toByteArray
+      w8(0xff); w8(0xe1); wBe16(2 + 6 + tb.length)
+      "Exif".foreach(c => w8(c.toInt)); w8(0); w8(0)
+      out.write(tb, 0, tb.length)
+    }
+    // SOF0 stub (13 bytes incl marker)
+    w8(0xff); w8(0xc0); wBe16(11); w8(8); wBe16(16); wBe16(16)
+    w8(1); w8(1); w8(0x11); w8(0)
+    // SOS (10 bytes incl marker) + entropy + EOI
+    w8(0xff); w8(0xda); wBe16(8); w8(1); w8(1); w8(0); w8(0); w8(63); w8(0)
+    var j = 0
+    val ne = 16 + (id % 9).toInt
+    while (j < ne) { out.write(((id * 11 + j) % 251).toInt); j += 1 }
+    w8(0xff); w8(0xd9)
+    val bytes = out.toByteArray
+    if (id % 8 == 1) java.util.Arrays.copyOf(bytes, 12) else bytes
+  }
+
+  private val ExifNone = (0L, "none", 0L, 0L, 0L, 0L, 0L, 0L)
+
+  /** REAL EXIF parse: JPEG segment walk to APP1/"Exif\0\0", then an
+    * endian-aware TIFF IFD walk — IFD0 for Orientation (0x0112,
+    * inline SHORT), DateTime (0x0132, ASCII by offset; day = chars
+    * 8-9) and the GPS-IFD pointer (0x8825); the GPS IFD for
+    * LatRef/Lat/LonRef/Lon, the coordinates folded to EXACT signed
+    * centi-arcseconds (deg·360000 + min·6000 + sec·100, each rational
+    * resolved by truncating integer division — exact on denominators
+    * dividing their numerator·scale, as generated here and by every
+    * mainstream camera's 1/1/100 convention). Every offset is
+    * bounds-checked and IFD entry counts are capped (hostile-count
+    * guard); ANY structural violation returns the absent tuple —
+    * corrupt crawl payloads must skip, never throw.
+    *
+    * Returns (exif_ok, byte_order, orientation, date_day, has_gps,
+    * lat_csec, lon_csec, app1_bytes). */
+  private[graft] def exifOf(b: Array[Byte]): (Long, String, Long, Long, Long, Long, Long, Long) = {
+    if (b == null || b.length < 4) return ExifNone
+    if ((b(0) & 0xff) != 0xff || (b(1) & 0xff) != 0xd8) return ExifNone
+    @inline def u8(i: Int): Int = b(i) & 0xff
+    var p = 2
+    var tiffBase = -1
+    var tiffEnd = -1
+    var app1Total = 0L
+    while (tiffBase < 0) {
+      if (p + 4 > b.length) return ExifNone
+      if (u8(p) != 0xff) return ExifNone
+      val m = u8(p + 1)
+      if (m == 0xd9 || m == 0xda) return ExifNone // SOS/EOI: no EXIF
+      val len = (u8(p + 2) << 8) | u8(p + 3)
+      if (len < 2 || p + 2 + len > b.length) return ExifNone
+      if (m == 0xe1 && len >= 10 &&
+          u8(p + 4) == 'E' && u8(p + 5) == 'x' && u8(p + 6) == 'i' &&
+          u8(p + 7) == 'f' && u8(p + 8) == 0 && u8(p + 9) == 0) {
+        tiffBase = p + 10
+        tiffEnd = p + 2 + len
+        app1Total = len + 2L
+      } else p += 2 + len
+    }
+    if (tiffEnd - tiffBase < 8) return ExifNone
+    val little =
+      if (u8(tiffBase) == 'I' && u8(tiffBase + 1) == 'I') true
+      else if (u8(tiffBase) == 'M' && u8(tiffBase + 1) == 'M') false
+      else return ExifNone
+    @inline def ok(off: Int, n: Int): Boolean =
+      off >= 0 && tiffBase + off + n <= tiffEnd
+    @inline def u16(off: Int): Int = {
+      val i = tiffBase + off
+      if (little) u8(i) | (u8(i + 1) << 8) else (u8(i) << 8) | u8(i + 1)
+    }
+    @inline def u32(off: Int): Long = {
+      val i = tiffBase + off
+      if (little)
+        u8(i) | (u8(i + 1).toLong << 8) | (u8(i + 2).toLong << 16) | (u8(i + 3).toLong << 24)
+      else
+        (u8(i).toLong << 24) | (u8(i + 1).toLong << 16) | (u8(i + 2).toLong << 8) | u8(i + 3)
+    }
+    if (!ok(2, 2) || u16(2) != 42) return ExifNone
+    if (!ok(4, 4)) return ExifNone
+    val ifd0 = u32(4)
+    if (ifd0 > Int.MaxValue || !ok(ifd0.toInt, 2)) return ExifNone
+    var orientation = 0L
+    var day = 0L
+    var gpsIfd = -1L
+    var hasGps = 0L
+    var latC = 0L
+    var lonC = 0L
+    val n0 = u16(ifd0.toInt)
+    if (n0 > 64) return ExifNone // hostile-count guard
+    if (!ok(ifd0.toInt, 2 + 12 * n0 + 4)) return ExifNone
+    var e = 0
+    while (e < n0) {
+      val eo = ifd0.toInt + 2 + 12 * e
+      u16(eo) match {
+        case 0x0112 => orientation = u16(eo + 8).toLong
+        case 0x0132 =>
+          val cnt = u32(eo + 4)
+          val off = u32(eo + 8)
+          if (cnt < 11 || off > Int.MaxValue || !ok(off.toInt, cnt.toInt))
+            return ExifNone
+          val d1 = u8(tiffBase + off.toInt + 8) - '0'
+          val d2 = u8(tiffBase + off.toInt + 9) - '0'
+          if (d1 < 0 || d1 > 9 || d2 < 0 || d2 > 9) return ExifNone
+          day = d1 * 10L + d2
+        case 0x8825 => gpsIfd = u32(eo + 8)
+        case _ => ()
+      }
+      e += 1
+    }
+    if (gpsIfd >= 0) {
+      if (gpsIfd > Int.MaxValue || !ok(gpsIfd.toInt, 2)) return ExifNone
+      val ng = u16(gpsIfd.toInt)
+      if (ng > 64) return ExifNone
+      if (!ok(gpsIfd.toInt, 2 + 12 * ng + 4)) return ExifNone
+      var latSign = 0L
+      var lonSign = 0L
+      var latV = Long.MinValue
+      var lonV = Long.MinValue
+      // one coordinate = 3 rationals at `off`: deg, min, sec — folded
+      // to centi-arcseconds with truncating per-rational division
+      def coordCsec(off: Long): Long = {
+        if (off > Int.MaxValue || !ok(off.toInt, 24)) return Long.MinValue
+        val o = off.toInt
+        val dn = u32(o); val dd = u32(o + 4)
+        val mn = u32(o + 8); val md = u32(o + 12)
+        val sn = u32(o + 16); val sd = u32(o + 20)
+        if (dd == 0 || md == 0 || sd == 0) return Long.MinValue
+        (dn / dd) * 360000L + (mn / md) * 6000L + sn * 100L / sd
+      }
+      var g = 0
+      while (g < ng) {
+        val eo = gpsIfd.toInt + 2 + 12 * g
+        u16(eo) match {
+          case 1 => latSign = if (u8(tiffBase + eo + 8) == 'S') -1L else 1L
+          case 2 => latV = coordCsec(u32(eo + 8))
+          case 3 => lonSign = if (u8(tiffBase + eo + 8) == 'W') -1L else 1L
+          case 4 => lonV = coordCsec(u32(eo + 8))
+          case _ => ()
+        }
+        g += 1
+      }
+      if (latSign != 0 && lonSign != 0 &&
+          latV != Long.MinValue && lonV != Long.MinValue) {
+        hasGps = 1L
+        latC = latSign * latV
+        lonC = lonSign * lonV
+      } else return ExifNone // GPS IFD present but structurally broken
+    }
+    (1L, if (little) "II" else "MM", orientation, day, hasGps, latC, lonC,
+      app1Total)
+  }
+
+  /** EXIF privacy-scrub census over a (doc_id, payload) table: which
+    * payloads carry parseable EXIF, their byte order / orientation /
+    * capture day, whether GPS coordinates are present (the strip
+    * candidates), the EXACT signed centi-arcsecond coordinates, and
+    * the bytes an APP1 strip would save. Scale shape: one stateless
+    * per-row kernel inside the scan partition — the binary payload
+    * never moves, only scalars come out; zero shuffles. */
+  def exifCensus(media: DataFrame): DataFrame = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.select(col("doc_id").cast("long"), col("payload"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions(_.map { case (id, payload) =>
+        val n = if (payload == null) 0L else payload.length.toLong
+        val (okF, bo, ori, day, gps, lat, lon, app1) = exifOf(payload)
+        (id, n, okF, bo, ori, day, gps, lat, lon, app1)
+      })
+      .toDF("doc_id", "n_bytes", "exif_ok", "byte_order", "orientation",
+        "date_day", "has_gps", "lat_csec", "lon_csec", "app1_bytes")
+  }
+
+  /** DuckDB oracle for [[exifCensus]] over [[syntheticExifJpeg]]:
+    * every field re-derived from the GENERATOR formula in closed form
+    * — never from the bytes — so the build/parse round trip is what
+    * the match proves (framehash pattern). The byte totals restate
+    * the container arithmetic: APP1 = 68 bytes plain / 182 with GPS,
+    * tail = 41 + id%9, truncation cuts at 12. */
+  def exifOracleSql(nImgs: Int): String =
+    s"""WITH ids AS (SELECT unnest(generate_series(0, ${nImgs - 1})) AS id),
+       |f AS (SELECT id,
+       |  (id % 4 <> 3) AS has_app1,
+       |  (id % 8 = 1) AS trunc,
+       |  (id % 4 <> 3 AND id % 3 = 0) AS gps_built
+       |  FROM ids),
+       |g AS (SELECT id, has_app1, trunc, gps_built,
+       |  (has_app1 AND NOT trunc) AS ok FROM f)
+       |SELECT CAST(id AS BIGINT) AS doc_id,
+       |  CAST(CASE WHEN trunc THEN 12
+       |    ELSE 2 + CASE WHEN has_app1
+       |      THEN CASE WHEN gps_built THEN 182 ELSE 68 END ELSE 0 END
+       |      + 41 + id % 9 END AS BIGINT) AS n_bytes,
+       |  CAST(CASE WHEN ok THEN 1 ELSE 0 END AS BIGINT) AS exif_ok,
+       |  CASE WHEN NOT ok THEN 'none'
+       |       WHEN id % 2 = 0 THEN 'II' ELSE 'MM' END AS byte_order,
+       |  CAST(CASE WHEN ok THEN 1 + id % 8 ELSE 0 END AS BIGINT) AS orientation,
+       |  CAST(CASE WHEN ok THEN 1 + id % 28 ELSE 0 END AS BIGINT) AS date_day,
+       |  CAST(CASE WHEN ok AND gps_built THEN 1 ELSE 0 END AS BIGINT) AS has_gps,
+       |  CAST(CASE WHEN ok AND gps_built THEN
+       |    (CASE WHEN id % 2 = 0 THEN 1 ELSE -1 END) *
+       |    ((id % 90) * 360000 + (id % 60) * 6000 + (id * 37) % 6000)
+       |    ELSE 0 END AS BIGINT) AS lat_csec,
+       |  CAST(CASE WHEN ok AND gps_built THEN
+       |    (CASE WHEN id % 4 < 2 THEN 1 ELSE -1 END) *
+       |    ((id % 180) * 360000 + ((id * 7) % 60) * 6000 + (id * 53) % 6000)
+       |    ELSE 0 END AS BIGINT) AS lon_csec,
+       |  CAST(CASE WHEN ok THEN
+       |    CASE WHEN gps_built THEN 182 ELSE 68 END
+       |    ELSE 0 END AS BIGINT) AS app1_bytes
+       |FROM g""".stripMargin
 }
