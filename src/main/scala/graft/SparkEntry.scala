@@ -755,6 +755,12 @@ object SparkEntry {
       // Flesch–Kincaid grade from exact integer word/sentence/syllable
       // counts; one fixed-shape IEEE expression per row
       TextAnalysis.readability(t(s, dir, "documents"))),
+    "text_code_detect" -> ((s, dir) =>
+      // code-vs-prose routing census: integer line/keyword/indent/
+      // symbol signals over the deterministic code-planted corpus;
+      // scan-local codegen projection, zero shuffle
+      TextAnalysis.codeDetect(
+        TextAnalysis.syntheticCodeMix(t(s, dir, "documents")))),
     "text_quality" -> ((s, dir) => TextAnalysis.qualitySignals(t(s, dir, "documents"))),
     "text_quality_score" -> ((s, dir) => TextAnalysis.qualityScore(t(s, dir, "documents"))),
     "corpus_quality_auc" -> ((s, dir) =>
@@ -1493,6 +1499,8 @@ object SparkEntry {
     "corpus_fertility" -> graft.ops.Bpe.fertilityOracleSql(8),
     "text_collocations" -> graft.ops.TextAnalysis.pmiOracleSql(),
     "text_readability" -> graft.ops.TextAnalysis.readabilityOracleSql(),
+    // planted arms in closed form + Java-RE2-common-subset regexes
+    "text_code_detect" -> graft.ops.TextAnalysis.codeDetectOracleSql(),
     "q9_retention" -> graft.ops.Events.retentionOracleSql(
       eventsSrc = "(SELECT * FROM events WHERE event_id % 11 = 0)"),
     "q8_funnel" -> graft.ops.Events.funnelOracleSql(

@@ -977,4 +977,85 @@ object TextAnalysis {
     " CAST(CASE m WHEN 5 THEN 2 WHEN 4 THEN 0 WHEN 0 THEN 0\n" +
     "             ELSE 1 END AS INT) AS rounds\n" +
     "FROM v"
+
+  // ------------------------------------------------------------------
+  // Code-vs-prose routing (text_code_detect): training pipelines route
+  // code to a separate mixture bucket (different dedup/quality rules,
+  // different tokenizer behavior); this is the deterministic routing
+  // classifier — integer line/keyword/indent/symbol signals, no model.
+  // ------------------------------------------------------------------
+
+  /** Deterministic code-planted variant corpus: `doc_id % 7 == 0` docs
+    * become pure pseudo-code (3-6 def/return blocks — variable length,
+    * so the census isn't a constant), `% 7 == 1` docs get a code block
+    * APPENDED to their prose (the mixed arm), the rest pass through
+    * untouched. Pure column expressions (sequence/transform/
+    * array_join), replicated in closed form by the oracle. */
+  private[graft] def syntheticCodeMix(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"), col("source"),
+      when(col("doc_id") % 7 === 0,
+        array_join(transform(
+          sequence(lit(0), (col("doc_id") % 4 + 2).cast("int")),
+          k => concat(lit("def f"), k, lit("(x):\n    return x + "), k,
+            lit(";"))), "\n"))
+        .when(col("doc_id") % 7 === 1,
+          concat(col("text"), lit("\nif (x) { y(); }\nlet z = 3;")))
+        .otherwise(col("text")).as("text"))
+
+  /** Per-doc code-detection signals + routing decision, all exact
+    * integers from codegen column expressions (no UDF, no model):
+    * line count, `\b`-bounded keyword hits, indent runs (newline +
+    * 4 spaces, counted by length delta — leftmost non-overlapping in
+    * both engines), code-symbol chars `[{};=()]`; score = 3·kw +
+    * 2·indent + sym, routed to code when score ≥ 3·n_lines (prose
+    * scores 0, pure code ≥ 5.5·lines, an appended block clears the
+    * bar on its own symbols). Zero shuffle — scan-local projection. */
+  def codeDetect(docs: DataFrame): DataFrame = {
+    val text = col("text")
+    val nLines = (length(text) -
+      length(regexp_replace(text, "\n", "")) + 1).cast("long")
+    val kw = regexp_count(text,
+      lit("\\b(def|return|import|const|var|function|class|let)\\b"))
+      .cast("long")
+    val ind = ((length(text) -
+      length(regexp_replace(text, "\n    ", ""))) / 5).cast("long")
+    val sym = (length(text) -
+      length(regexp_replace(text, "[{};=()]", ""))).cast("long")
+    docs.select(col("doc_id"), col("source"),
+        nLines.as("n_lines"), kw.as("kw"), ind.as("ind"), sym.as("sym"))
+      .withColumn("score", col("kw") * 3 + col("ind") * 2 + col("sym"))
+      .withColumn("is_code",
+        (col("score") >= col("n_lines") * 3).cast("long"))
+  }
+
+  /** DuckDB oracle for [[codeDetect]] over [[syntheticCodeMix]]: the
+    * planted arms restated in closed form (list_transform build /
+    * literal append), the signals as the same string-length deltas and
+    * RE2 regexes (patterns chosen inside the Java∩RE2 common subset),
+    * the same integer routing rule. */
+  def codeDetectOracleSql(): String =
+    s"""WITH mix AS (
+       |  SELECT doc_id, source,
+       |    CASE WHEN doc_id % 7 = 0 THEN
+       |      array_to_string(list_transform(
+       |        generate_series(0, CAST(doc_id % 4 + 2 AS INT)),
+       |        k -> 'def f' || k || '(x):' || chr(10) || '    return x + ' || k || ';'),
+       |        chr(10))
+       |    WHEN doc_id % 7 = 1 THEN
+       |      text || chr(10) || 'if (x) { y(); }' || chr(10) || 'let z = 3;'
+       |    ELSE text END AS text
+       |  FROM documents),
+       |sig AS (
+       |  SELECT doc_id, source,
+       |    CAST(length(text) - length(replace(text, chr(10), '')) + 1 AS BIGINT) AS n_lines,
+       |    CAST(len(regexp_extract_all(text,
+       |      '\\b(def|return|import|const|var|function|class|let)\\b')) AS BIGINT) AS kw,
+       |    CAST((length(text) - length(replace(text, chr(10) || '    ', ''))) // 5 AS BIGINT) AS ind,
+       |    CAST(length(text) - length(regexp_replace(text, '[{};=()]', '', 'g')) AS BIGINT) AS sym
+       |  FROM mix)
+       |SELECT doc_id, source, n_lines, kw, ind, sym,
+       |  CAST(kw * 3 + ind * 2 + sym AS BIGINT) AS score,
+       |  CAST(CASE WHEN kw * 3 + ind * 2 + sym >= n_lines * 3
+       |       THEN 1 ELSE 0 END AS BIGINT) AS is_code
+       |FROM sig""".stripMargin
 }
