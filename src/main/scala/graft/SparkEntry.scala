@@ -527,6 +527,14 @@ object SparkEntry {
       // AvailableNow equals the batch join — which IS the oracle
       graft.ops.Events.attributionStream(s, t(s, dir, "events"),
         windowUs = 3600L * 1000000L)),
+    "stream_late_events" -> ((s, dir) =>
+      // watermark late-data census: three deterministic micro-batches
+      // (mtime-ordered files, maxFilesPerTrigger=1); every batch spans
+      // the full range so the post-batch-0 watermark drops most of
+      // batches 1-2 — the oracle restates the watermark state machine
+      // from first principles (per-batch maxes, monotone fold,
+      // window-end > watermark survival)
+      graft.ops.Events.lateEventsStream(s, t(s, dir, "events"))),
     "stream_sessionize" -> ((s, dir) =>
       // the q7 semantics computed by Structured Streaming's native
       // session_window state store (Append mode, 0-delay watermark,
@@ -1490,6 +1498,7 @@ object SparkEntry {
     // exact-gap boundary MERGES on both sides — pinned in FunnelSpec,
     // so one oracle covers both formulations unconditionally)
     "stream_sessionize" -> graft.ops.Events.sessionizeOracleSql(21600L * 1000000L),
+    "stream_late_events" -> graft.ops.Events.lateEventsOracleSql(),
     "stream_attribution" -> graft.ops.Events.attributionOracleSql(3600L * 1000000L),
     "corpus_shard_assign" -> graft.ops.Sampling.shardAssignOracleSql(64L),
     "corpus_epoch_order" -> graft.ops.Sampling.epochOrderOracleSql(),

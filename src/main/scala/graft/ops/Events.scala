@@ -540,4 +540,114 @@ object Events {
        |  CAST(count(*) - 1 AS BIGINT) AS n_overlap
        |FROM s a JOIN s b ON b.s_us <= a.e_us AND b.e_us >= a.s_us
        |GROUP BY a.user_id, a.session_start""".stripMargin
+
+  /** WATERMARK LATE-DATA census: the windowed streaming aggregation
+    * under genuinely MULTI-BATCH arrival, pinning exactly which rows a
+    * production watermark drops. The events split into three
+    * micro-batches (event_id mod 3) staged as one file each with
+    * strictly increasing modification times, so
+    * `maxFilesPerTrigger=1, latestFirst=false` replays them in a
+    * deterministic order; because every batch spans the whole
+    * 30-day range, the watermark after batch 0 (its max event time
+    * minus `delay`) sits near the global max and most of batches 1-2
+    * arrives LATE — the drop rule binds hard, this is not a
+    * vacuous pin.
+    *
+    * Semantics pinned (empirically — this is the part everyone gets
+    * wrong, and the oracle restates it from first principles):
+    *  - Spark keeps TWO watermarks per stateful operator
+    *    (SPARK-24634): late-row FILTERING uses the watermark of the
+    *    PREVIOUS micro-batch (`eventTimeWatermarkForLateEvents`),
+    *    while state EVICTION/emission uses the current one. So a row
+    *    in batch i is filtered against max(event time over batches
+    *    ≤ i−2) − delay — batches 0 AND 1 are never filtered, and the
+    *    naive "previous batch's max" model (what this op's first cut
+    *    assumed) over-drops by one full batch;
+    *  - a row survives iff its WINDOW END is strictly above that
+    *    lagged watermark (end == watermark drops — boundary pinned in
+    *    the spec with an exact-collision row, like the session_window
+    *    merge-at-gap boundary);
+    *  - in Append mode a window only emits once the eviction
+    *    watermark passes its end, so the LAST batch carries a
+    *    far-future sentinel (10·delay past the organic max — its own
+    *    window can never emit, end > ts ≥ wm+delay, and survivors'
+    *    windows all can by 10·delay ≥ window+delay).
+    *
+    * Scale shape: one stateful shuffle on the window key, state =
+    * open windows only (eviction by watermark — this census is
+    * exactly the mechanism that keeps state bounded at 10^12 rows);
+    * integer (window_us, n_events, min_event_id) output. */
+  def lateEventsStream(spark: org.apache.spark.sql.SparkSession,
+                       events: DataFrame,
+                       windowUs: Long = 3600L * 1000000L,
+                       delayUs: Long = 1800L * 1000000L,
+                       nBatches: Int = 4): DataFrame = {
+    import org.apache.spark.sql.streaming.Trigger
+    import org.apache.spark.sql.types.TimestampType
+    val base = java.nio.file.Files.createTempDirectory("graft_late").toString
+    val src = events.select(col("event_id").cast("long"),
+      col("ts").cast(TimestampType).as("ts"))
+    val maxUs = src.agg(max(unix_micros(col("ts")))).collect()(0).getLong(0)
+    val inDir = new java.io.File(s"$base/in"); inDir.mkdirs()
+    (0 until nBatches).foreach { b =>
+      val batch = src.filter(col("event_id") % nBatches === b)
+      val staged = if (b == nBatches - 1)
+        batch.unionAll(spark.range(1).select(lit(-1L).as("event_id"),
+          timestamp_micros(lit(maxUs + 10L * delayUs)).as("ts")))
+      else batch
+      staged.coalesce(1).write.parquet(s"$base/stage$b")
+      val part = new java.io.File(s"$base/stage$b").listFiles()
+        .filter(_.getName.endsWith(".parquet")).head
+      val dst = new java.io.File(inDir, f"b$b%d.parquet")
+      java.nio.file.Files.copy(part.toPath, dst.toPath)
+      // strictly increasing mtimes drive the batch replay order
+      assert(dst.setLastModified((b + 1) * 600000L))
+    }
+    val stream = spark.readStream
+      .schema(spark.read.parquet(s"$base/in").schema)
+      .option("maxFilesPerTrigger", "1")
+      .option("latestFirst", "false")
+      .parquet(s"$base/in")
+      .withWatermark("ts", s"$delayUs microseconds")
+    val q = stream
+      .groupBy(window(col("ts"), s"$windowUs microseconds"))
+      .agg(count(lit(1)).as("n_events"),
+        min(col("event_id")).as("min_event_id"))
+      .select(unix_micros(col("window.start")).as("window_us"),
+        col("n_events"), col("min_event_id"))
+      .writeStream.format("parquet")
+      .option("path", s"$base/out")
+      .option("checkpointLocation", s"$base/ckpt")
+      .outputMode("append")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    // the sentinel's window cannot have been emitted (end > final wm),
+    // but guard the contract explicitly rather than rely on it
+    spark.read.parquet(s"$base/out")
+      .filter(col("window_us") <= lit(maxUs))
+  }
+
+  /** DuckDB replica of [[lateEventsStream]] — the watermark state
+    * machine restated from first principles: per-batch maxes, the
+    * strictly-monotone watermark fold, the window-end-vs-watermark
+    * drop rule, and the final-emission filter. */
+  def lateEventsOracleSql(windowUs: Long = 3600L * 1000000L,
+                          delayUs: Long = 1800L * 1000000L,
+                          nBatches: Int = 4): String =
+    s"""WITH e AS (
+       |  SELECT event_id, epoch_us(ts) AS us, event_id % $nBatches AS b
+       |  FROM events),
+       |m AS (SELECT b, max(us) AS mx FROM e GROUP BY b),
+       |surv AS (
+       |  SELECT e.event_id, e.us,
+       |    e.us // $windowUs * $windowUs AS window_us
+       |  FROM e
+       |  WHERE e.b <= 1
+       |     OR e.us // $windowUs * $windowUs + $windowUs >
+       |        (SELECT max(mx) FROM m WHERE m.b <= e.b - 2) - $delayUs)
+       |SELECT CAST(window_us AS BIGINT) AS window_us,
+       |  CAST(count(*) AS BIGINT) AS n_events,
+       |  CAST(min(event_id) AS BIGINT) AS min_event_id
+       |FROM surv GROUP BY window_us""".stripMargin
 }
