@@ -1070,6 +1070,14 @@ object SparkEntry {
       graft.ops.WebGraph.degrees(graft.ops.WebGraph.extractAnchors(
         graft.ops.WebGraph.syntheticWeb(docs, docs.count())))
     }),
+    "web_assortativity" -> ((s, dir) => {
+      // degree-assortativity sufficient statistics: exact-long
+      // moments + integer Pearson pieces, no division/sqrt; edge list
+      // checkpointed once, degree rollups join back broadcast-sized
+      val docs = t(s, dir, "documents")
+      graft.ops.WebGraph.assortativity(graft.ops.WebGraph.extractAnchors(
+        graft.ops.WebGraph.syntheticWeb(docs, docs.count())))
+    }),
     "web_triangles" -> ((s, dir) => {
       // degree-ordered triangle counting (compact-forward): oriented
       // low→high in (degree, node) order so hub out-degree stays
@@ -1851,6 +1859,8 @@ object SparkEntry {
         |FROM outd FULL OUTER JOIN ind ON outd.url = ind.url""".stripMargin
         .replace("%EDGES%", graft.ops.WebGraph.syntheticEdgesOracleSql),
     "web_url_normalize" -> graft.ops.WebGraph.messyUrlsOracleSql,
+    "web_assortativity" -> graft.ops.WebGraph.assortativityOracleSql(
+      graft.ops.WebGraph.syntheticEdgesOracleSql),
     "web_anchor_text" -> graft.ops.WebGraph.anchorTextOracleSql(
       graft.ops.WebGraph.syntheticEdgesOracleSql),
     "web_robots" -> graft.ops.WebGraph.robotsOracleSql,

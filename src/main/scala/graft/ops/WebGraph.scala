@@ -395,6 +395,63 @@ object WebGraph {
     edges.select(col("src"), col("dst"))
       .filter(col("src") =!= col("dst")).distinct()
 
+  /** Out-in degree-assortativity SUFFICIENT STATISTICS over the
+    * directed edge set: per edge (u→v), x = out-degree(u), y =
+    * in-degree(v); output the exact-long moments (n, Σx, Σy, Σxy,
+    * Σx², Σy²) plus the derived integer Pearson pieces
+    * cov_n = n·Σxy − Σx·Σy and var*_n = n·Σx² − (Σx)² — NO division,
+    * NO sqrt anywhere (r = cov_n / √(varx_n·vary_n) is one downstream
+    * float if anyone wants it; shipping the exact integers keeps the
+    * row hash-comparable and lets two days' stats merge by adding
+    * moments). Negative assortativity is the hub-to-leaf signature
+    * crawl frontiers exploit; positive flags link farms linking farms.
+    *
+    * Scale shape: edge list deduped once and localCheckpoint'd (ids
+    * only — the three consumers would otherwise re-parse the corpus),
+    * two partial-agg degree rollups, two equi-joins back (degree
+    * tables ≪ edges; AQE broadcasts them), ONE 1-row aggregate.
+    * Long moments are safe to ~10^9 edges with degrees ≤ 10^4;
+    * beyond that the same query runs on DECIMAL(38,0) unchanged. */
+  def assortativity(edges: DataFrame): DataFrame = {
+    val e = distinctEdges(edges).localCheckpoint(true)
+    val outd = e.groupBy(col("src")).agg(count(lit(1)).as("x"))
+    val ind = e.groupBy(col("dst")).agg(count(lit(1)).as("y"))
+    e.join(outd, Seq("src")).join(ind, Seq("dst"))
+      .agg(count(lit(1)).as("n_edges"),
+        sum(col("x")).as("sum_x"), sum(col("y")).as("sum_y"),
+        sum(col("x") * col("y")).as("sum_xy"),
+        sum(col("x") * col("x")).as("sum_x2"),
+        sum(col("y") * col("y")).as("sum_y2"))
+      .select(col("n_edges"), col("sum_x"), col("sum_y"), col("sum_xy"),
+        col("sum_x2"), col("sum_y2"),
+        (col("n_edges") * col("sum_xy") - col("sum_x") * col("sum_y"))
+          .as("cov_n"),
+        (col("n_edges") * col("sum_x2") - col("sum_x") * col("sum_x"))
+          .as("varx_n"),
+        (col("n_edges") * col("sum_y2") - col("sum_y") * col("sum_y"))
+          .as("vary_n"))
+  }
+
+  /** DuckDB replica of [[assortativity]] over `edgesSql` — same dedup,
+    * degree rollups, edge-join, and integer moment algebra. */
+  def assortativityOracleSql(edgesSql: String): String =
+    """WITH raw_e AS (%EDGES%),
+      |e AS (SELECT DISTINCT src, dst FROM raw_e WHERE src <> dst),
+      |outd AS (SELECT src, CAST(count(*) AS BIGINT) AS x FROM e GROUP BY src),
+      |ind AS (SELECT dst, CAST(count(*) AS BIGINT) AS y FROM e GROUP BY dst),
+      |j AS (SELECT o.x, i.y
+      |      FROM e JOIN outd o USING (src) JOIN ind i USING (dst)),
+      |s AS (SELECT CAST(count(*) AS BIGINT) AS n_edges,
+      |  CAST(sum(x) AS BIGINT) AS sum_x, CAST(sum(y) AS BIGINT) AS sum_y,
+      |  CAST(sum(x * y) AS BIGINT) AS sum_xy,
+      |  CAST(sum(x * x) AS BIGINT) AS sum_x2,
+      |  CAST(sum(y * y) AS BIGINT) AS sum_y2 FROM j)
+      |SELECT n_edges, sum_x, sum_y, sum_xy, sum_x2, sum_y2,
+      |  CAST(n_edges * sum_xy - sum_x * sum_y AS BIGINT) AS cov_n,
+      |  CAST(n_edges * sum_x2 - sum_x * sum_x AS BIGINT) AS varx_n,
+      |  CAST(n_edges * sum_y2 - sum_y * sum_y AS BIGINT) AS vary_n
+      |FROM s""".stripMargin.replace("%EDGES%", edgesSql)
+
   /** SYNCHRONOUS label propagation (Raghavan et al. 2007) for
     * community detection — the coarser cousin of connected components:
     * labels start as the vertex id; each round every vertex adopts its
