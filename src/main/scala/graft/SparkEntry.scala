@@ -550,6 +550,11 @@ object SparkEntry {
       // pattern; oracle states the spec as one row_number
       graft.ops.Sampling.shardAssign(t(s, dir, "documents"),
         shardSize = 64L)),
+    "corpus_epoch_allocation" -> ((s, dir) =>
+      // data-constrained repeat schedule: dyadic per-epoch utility,
+      // first-fit-prefix greedy under an exact integer budget (12/5 of
+      // one pass); bounded |sources|*E grid is the only window input
+      graft.ops.Sampling.epochAllocation(t(s, dir, "documents"))),
     "corpus_epoch_order" -> ((s, dir) =>
       // per-epoch reshuffle: 32-bit Feistel BIJECTION re-keyed by
       // epoch (collision-free, no rand()), dense per-epoch positions
@@ -1510,6 +1515,10 @@ object SparkEntry {
     "stream_attribution" -> graft.ops.Events.attributionOracleSql(3600L * 1000000L),
     "corpus_shard_assign" -> graft.ops.Sampling.shardAssignOracleSql(64L),
     "corpus_epoch_order" -> graft.ops.Sampling.epochOrderOracleSql(),
+    // cross-formulation stop rule: engine running-overflow max vs
+    // oracle NOT-EXISTS earlier-overflow
+    "corpus_epoch_allocation" ->
+      graft.ops.Sampling.epochAllocationOracleSql(),
     "corpus_reshard_churn" -> graft.ops.Sampling.reshardChurnOracleSql(),
     "corpus_bpe_merges" -> graft.ops.Bpe.mergesOracleSql(8),
     "corpus_bpe_encode" -> graft.ops.Bpe.encodeOracleSql(8),

@@ -1216,4 +1216,100 @@ object Sampling {
        |    AS BIGINT) AS pos
        |FROM k""".stripMargin
   }
+
+  /** Data-constrained epoch allocation (the Muennighoff-style repeat
+    * schedule): when the token budget exceeds one pass over the data,
+    * which sources get a 2nd/3rd/... epoch? Each epoch of source s
+    * costs tokens(s) and yields utility tokens(s) >> (e−1) — dyadic
+    * diminishing returns, exact longs, no exp() (the freshnessBudget
+    * discipline). Utility DENSITY (utility/cost = 2^−(e−1)) is equal
+    * within an epoch level, so the greedy order is fully determined:
+    * epoch level ascending, utility (= tokens) descending within a
+    * level, source ascending on ties. The allocation is the
+    * FIRST-FIT-PREFIX policy — take candidates in that order while the
+    * running cost stays ≤ budget and STOP at the first overflow (the
+    * layout a streaming packer produces; later smaller items are NOT
+    * back-filled — documented, and pinned by the spec's skip case).
+    *
+    * `budget` defaults to 12/5 of one full pass (exact integer
+    * arithmetic on the driver-scalar total), so every source gets two
+    * epochs and the third level genuinely binds mid-level.
+    *
+    * Scale shape: the corpus collapses to the |sources|-row token
+    * rollup FIRST (one partial-agg shuffle); the epoch grid is
+    * |sources|·maxEpochs rows, so the single unpartitioned cumsum
+    * window runs on a BOUNDED table (the AUC/term-sketch argument);
+    * output joins back to the rollup only. All-long arithmetic. */
+  def epochAllocation(docs: DataFrame, maxEpochs: Int = 4,
+                      budgetNum: Long = 12L, budgetDen: Long = 5L): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val toks = docs.groupBy(col("source"))
+      .agg(sum(size(TextAnalysis.tokens(col("text"))).cast("long"))
+        .as("toks"))
+      .localCheckpoint(true) // |sources| rows; two consumers
+    val total = toks.agg(sum(col("toks"))).collect()(0).getLong(0)
+    val budget = total * budgetNum / budgetDen // exact driver scalar
+    val grid = toks.crossJoin(
+        (1 to maxEpochs).toDF("epoch").select(col("epoch").cast("int")))
+      .select(col("source"), col("toks"), col("epoch"),
+        expr("shiftright(toks, epoch - 1)").as("utility"))
+    val ordered = Window
+      .orderBy(col("epoch").asc, col("toks").desc, col("source").asc)
+    val taken = grid
+      .withColumn("cum", sum(col("toks")).over(
+        ordered.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .withColumn("overflowed",
+        max(when(col("cum") > budget, col("cum")).otherwise(lit(null)))
+          .over(ordered.rowsBetween(Window.unboundedPreceding,
+            Window.currentRow)))
+      .filter(col("overflowed").isNull) // stop at FIRST overflow
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("epochs_taken"),
+        sum(col("utility")).as("utility_sum"))
+    toks.join(taken, Seq("source"), "left")
+      .select(col("source"), col("toks"),
+        coalesce(col("epochs_taken"), lit(0L)).as("epochs_taken"),
+        (col("toks") * coalesce(col("epochs_taken"), lit(0L)))
+          .as("tokens_used"),
+        coalesce(col("utility_sum"), lit(0L)).as("utility_sum"))
+  }
+
+  /** DuckDB replica of [[epochAllocation]] — same rollup, grid,
+    * greedy order, prefix cumsum, first-overflow stop. */
+  def epochAllocationOracleSql(maxEpochs: Int = 4, budgetNum: Long = 12L,
+                               budgetDen: Long = 5L): String =
+    s"""WITH toks AS (
+       |  SELECT source, CAST(sum(len(list_filter(
+       |    string_split_regex(lower(text), '[\\s\\x0b]+'),
+       |    x -> len(x) > 0))) AS BIGINT) AS toks
+       |  FROM documents GROUP BY source),
+       |b AS (SELECT CAST(sum(toks) AS BIGINT) * $budgetNum // $budgetDen
+       |      AS budget FROM toks),
+       |grid AS (
+       |  SELECT t.source, t.toks, e.g AS epoch,
+       |    t.toks >> (e.g - 1) AS utility
+       |  FROM toks t, generate_series(1, $maxEpochs) e(g)),
+       |c AS (
+       |  SELECT *, sum(toks) OVER w AS cum
+       |  FROM grid
+       |  WINDOW w AS (ORDER BY epoch ASC, toks DESC, source ASC
+       |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+       |pre AS (
+       |  SELECT * FROM c
+       |  WHERE cum <= (SELECT budget FROM b)
+       |    AND NOT EXISTS (SELECT 1 FROM c c2
+       |      WHERE c2.cum > (SELECT budget FROM b)
+       |        AND (c2.epoch < c.epoch OR (c2.epoch = c.epoch
+       |          AND (c2.toks > c.toks OR (c2.toks = c.toks
+       |            AND c2.source < c.source))))) ),
+       |agg AS (
+       |  SELECT source, CAST(count(*) AS BIGINT) AS epochs_taken,
+       |    CAST(sum(utility) AS BIGINT) AS utility_sum
+       |  FROM pre GROUP BY source)
+       |SELECT t.source, t.toks,
+       |  CAST(coalesce(a.epochs_taken, 0) AS BIGINT) AS epochs_taken,
+       |  CAST(t.toks * coalesce(a.epochs_taken, 0) AS BIGINT) AS tokens_used,
+       |  CAST(coalesce(a.utility_sum, 0) AS BIGINT) AS utility_sum
+       |FROM toks t LEFT JOIN agg a ON t.source = a.source""".stripMargin
 }
