@@ -1218,6 +1218,18 @@ object SparkEntry {
       val docs = t(s, dir, "documents")
       graft.ops.PageMeta.extract(graft.ops.PageMeta.syntheticHeads(docs))
     }),
+    "web_sitemap_gap" -> ((s, dir) => {
+      // crawl-completeness audit: REAL sitemap-protocol parse (urlset
+      // / sitemapindex / lastmod / truncated-entry leniency) vs the
+      // fetched url set — dead declarations and undeclared crawl per
+      // host; oracle restates every entry in closed form
+      val docs = t(s, dir, "documents")
+      val fetched = docs.select(concat(lit("https://host"),
+        (col("doc_id") % 13).cast("string"), lit(".example/doc"),
+        col("doc_id").cast("string")).as("url"))
+      graft.ops.WebGraph.sitemapCoverage(
+        graft.ops.WebGraph.syntheticSitemaps(docs), fetched)
+    }),
     "web_redirects" -> ((s, dir) => {
       // redirect-chain canonicalization: pointer doubling resolves
       // chains of length 0..5 in <= 3 rounds; oracle is an independent
@@ -1875,6 +1887,7 @@ object SparkEntry {
     "web_robots" -> graft.ops.WebGraph.robotsOracleSql,
     "web_crawl_schedule" -> graft.ops.WebGraph.crawlScheduleOracleSql(1000L),
     "web_redirects" -> graft.ops.WebGraph.redirectsOracleSql,
+    "web_sitemap_gap" -> graft.ops.WebGraph.sitemapGapOracleSql,
     "web_head_meta" -> graft.ops.PageMeta.headsOracleSql,
     "web_canonical_map" -> graft.ops.PageMeta.canonicalMapOracleSql,
     "web_canonical_clusters" ->

@@ -2403,4 +2403,220 @@ object WebGraph {
       |    ELSE 5 END) AS BIGINT) AS packed_bytes,
       |  max(code) AS max_code
       |FROM c GROUP BY src_id""".stripMargin
+
+  // ------------------------------------------------------------------
+  // Sitemap coverage (web_sitemap_gap): declared-vs-crawled census —
+  // the crawl-completeness audit every large crawl runs against the
+  // hosts' own sitemap.xml declarations.
+  // ------------------------------------------------------------------
+
+  /** Deterministic per-host sitemap corpus, 13 hosts, four REAL
+    * sitemap-protocol variants by host % 4:
+    *  - v0: plain `<urlset>` declaring the host's EVEN doc_ids plus
+    *    two phantom urls (/zzz0, /zzz1) the crawl never fetched;
+    *  - v1: `<urlset>` with `<lastmod>2026-01-DD</lastmod>` (day =
+    *    doc_id % 28 + 1) declaring doc_id % 3 == 0 plus one phantom;
+    *  - v2: a `<sitemapindex>` of three sub-sitemap locs (an index
+    *    declares no urls directly);
+    *  - v3: malformed — one complete entry (a phantom) then a
+    *    TRUNCATED `<loc>` with no close tag (lenient parsers keep
+    *    complete entries only).
+    * Built from the documents table with pure column expressions
+    * (collect_list → array_sort → array_join), so the oracle can
+    * restate every entry in closed form. */
+  def syntheticSitemaps(docs: DataFrame): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val d = col("doc_id")
+    val h = d % 13
+    val hv = h % 4
+    val hostCol = concat(lit("host"), h.cast("string"), lit(".example"))
+    val urlCol = concat(lit("https://"), hostCol, lit("/doc"), d.cast("string"))
+    val day = lpad((d % 28 + 1).cast("string"), 2, "0")
+    val entry = when(hv === 0,
+        concat(lit("  <url><loc>"), urlCol, lit("</loc></url>")))
+      .when(hv === 1,
+        concat(lit("  <url><loc>"), urlCol, lit("</loc><lastmod>2026-01-"),
+          day, lit("</lastmod></url>")))
+    val declared = docs
+      .filter((hv === 0 && d % 2 === 0) || (hv === 1 && d % 3 === 0))
+      .select(hostCol.as("host"), struct(d.as("doc_id"), entry.as("e")).as("se"))
+      .groupBy(col("host"))
+      .agg(array_join(transform(array_sort(collect_list(col("se"))),
+        s => s.getField("e")), "\n").as("body"))
+    val hosts = spark.range(0, 13).select(
+      concat(lit("host"), col("id").cast("string"), lit(".example")).as("host"),
+      (col("id") % 4).as("hv"), col("id").cast("string").as("hs"))
+    hosts.join(declared, Seq("host"), "left").select(col("host"),
+      when(col("hv") === 2, concat(
+          lit("<?xml version=\"1.0\"?>\n<sitemapindex>\n"),
+          lit("  <sitemap><loc>https://"), col("host"),
+          lit("/maps/a.xml</loc></sitemap>\n"),
+          lit("  <sitemap><loc>https://"), col("host"),
+          lit("/maps/b.xml</loc></sitemap>\n"),
+          lit("  <sitemap><loc>https://"), col("host"),
+          lit("/maps/c.xml</loc></sitemap>\n</sitemapindex>\n")))
+        .when(col("hv") === 3, concat(
+          lit("<?xml version=\"1.0\"?>\n<urlset>\n"),
+          lit("  <url><loc>https://"), col("host"),
+          lit("/zzz0</loc></url>\n"),
+          lit("  <url><loc>https://"), col("host"), lit("/truncated")))
+        .otherwise(concat(
+          lit("<?xml version=\"1.0\"?>\n<urlset>\n"),
+          coalesce(concat(col("body"), lit("\n")), lit("")),
+          lit("  <url><loc>https://"), col("host"),
+          lit("/zzz0</loc></url>\n"),
+          when(col("hv") === 0, concat(lit("  <url><loc>https://"),
+              col("host"), lit("/zzz1</loc></url>\n")))
+            .otherwise(lit("")),
+          lit("</urlset>\n"))).as("sitemap_xml"))
+  }
+
+  /** Lenient sitemap-protocol parse: container sniff
+    * (`<sitemapindex` vs `<urlset`), then an index-cursor walk over
+    * complete `<loc>…</loc>` pairs — a trailing `<loc>` with no close
+    * tag is dropped, never an error; `<lastmod>2026-…` immediately
+    * after a closed loc contributes its day-of-month. Returns
+    * (isIndex, entries as (loc, day — 0 if absent), nIndexLocs). */
+  private[graft] def parseSitemap(xml: String): (Boolean, Vector[(String, Int)], Int) = {
+    if (xml == null) return (false, Vector.empty, 0)
+    val isIndex = xml.contains("<sitemapindex")
+    val out = Vector.newBuilder[(String, Int)]
+    var nIndex = 0
+    var i = 0
+    while ({ i = xml.indexOf("<loc>", i); i >= 0 }) {
+      val s = i + 5
+      val e = xml.indexOf("</loc>", s)
+      if (e < 0) { i = xml.length }
+      else {
+        val loc = xml.substring(s, e)
+        if (isIndex) nIndex += 1
+        else {
+          var day = 0
+          val after = e + 6
+          if (xml.startsWith("<lastmod>", after) &&
+              xml.length >= after + 19) {
+            val d1 = xml.charAt(after + 17) - '0'
+            val d2 = xml.charAt(after + 18) - '0'
+            if (d1 >= 0 && d1 <= 9 && d2 >= 0 && d2 <= 9)
+              day = d1 * 10 + d2
+          }
+          out += ((loc, day))
+        }
+        i = e + 6
+      }
+    }
+    (isIndex, out.result(), nIndex)
+  }
+
+  /** Sitemap coverage census: parse each host's sitemap (REAL bytes —
+    * [[parseSitemap]]), full-outer join the declared urls against the
+    * fetched url set, roll up per host: declared/fetched/both/
+    * declared-only (dead sitemap entries)/fetched-only (undeclared
+    * crawl), the lastmod-day sum (pins the date parse), and the
+    * index-entry count. Scale shape: the per-host parse is one
+    * flatMap kernel (xml never leaves its partition — only url
+    * scalars come out); ONE url-keyed full-outer shuffle; one
+    * partial-agg host rollup. */
+  def sitemapCoverage(sitemaps: DataFrame, fetched: DataFrame): DataFrame = {
+    val spark = sitemaps.sparkSession
+    import spark.implicits._
+    val parsed = sitemaps.select(col("host"), col("sitemap_xml"))
+      .as[(String, String)]
+      .mapPartitions(_.flatMap { case (host, xml) =>
+        val (isIdx, entries, nIdx) = parseSitemap(xml)
+        if (entries.isEmpty)
+          Iterator((host, null: String, 0, if (isIdx) 1 else 0, nIdx))
+        else entries.iterator.map { case (loc, day) =>
+          (host, loc, day, if (isIdx) 1 else 0, nIdx)
+        }
+      })
+      .toDF("host", "loc", "lastmod_day", "is_index", "n_index_locs")
+    val declared = parsed.filter(col("loc").isNotNull)
+      .select(col("host"), col("loc").as("url"), col("lastmod_day"))
+    val hostMeta = parsed.groupBy(col("host"))
+      .agg(max(col("is_index")).as("is_index"),
+        max(col("n_index_locs")).as("n_index_locs"))
+    val f = fetched.select(col("url").cast("string"),
+      regexp_extract(col("url"), "^https?://([^/?#]+)", 1).as("fhost"),
+      lit(1L).as("fetched"))
+    val joined = declared.withColumn("decl", lit(1L))
+      .join(f, Seq("url"), "full_outer")
+      .select(coalesce(col("host"), col("fhost")).as("host"),
+        coalesce(col("decl"), lit(0L)).as("decl"),
+        coalesce(col("fetched"), lit(0L)).as("fetched"),
+        coalesce(col("lastmod_day"), lit(0)).cast("long").as("lastmod_day"))
+      .groupBy(col("host"))
+      .agg(sum(col("decl")).as("n_declared"),
+        sum(col("fetched")).as("n_fetched"),
+        sum(col("decl") * col("fetched")).as("n_both"),
+        sum(col("decl") * (lit(1L) - col("fetched"))).as("n_declared_only"),
+        sum((lit(1L) - col("decl")) * col("fetched")).as("n_fetched_only"),
+        sum(col("decl") * col("lastmod_day")).as("sum_lastmod_day"))
+    hostMeta.join(joined, Seq("host"), "full_outer")
+      .select(col("host"),
+        coalesce(col("is_index"), lit(0)).cast("long").as("is_index"),
+        coalesce(col("n_index_locs"), lit(0)).cast("long").as("n_index_locs"),
+        coalesce(col("n_declared"), lit(0L)).as("n_declared"),
+        coalesce(col("n_fetched"), lit(0L)).as("n_fetched"),
+        coalesce(col("n_both"), lit(0L)).as("n_both"),
+        coalesce(col("n_declared_only"), lit(0L)).as("n_declared_only"),
+        coalesce(col("n_fetched_only"), lit(0L)).as("n_fetched_only"),
+        coalesce(col("sum_lastmod_day"), lit(0L)).as("sum_lastmod_day"))
+  }
+
+  /** Closed-form oracle for
+    * sitemapCoverage(syntheticSitemaps(documents), canonical urls):
+    * never parses XML — declared sets restated per variant rule
+    * (v0 even docs + 2 phantoms, v1 %3 docs + 1 phantom, v2 none,
+    * v3 one surviving phantom — the truncated entry must NOT count),
+    * lastmod-day sum as the same doc_id%28+1 arithmetic, fetched =
+    * every canonical url. */
+  def sitemapGapOracleSql: String =
+    """WITH hosts AS (
+      |  SELECT g.g AS hid, 'host' || CAST(g.g AS VARCHAR) || '.example' AS host,
+      |    g.g % 4 AS hv
+      |  FROM generate_series(0, 12) g(g)),
+      |docs AS (SELECT doc_id, doc_id % 13 AS hid FROM documents),
+      |decl AS (
+      |  SELECT h.host,
+      |    'https://' || h.host || '/doc' || CAST(d.doc_id AS VARCHAR) AS url,
+      |    CASE WHEN h.hv = 1 THEN d.doc_id % 28 + 1 ELSE 0 END AS lastmod_day
+      |  FROM hosts h JOIN docs d ON d.hid = h.hid
+      |  WHERE (h.hv = 0 AND d.doc_id % 2 = 0)
+      |     OR (h.hv = 1 AND d.doc_id % 3 = 0)
+      |  UNION ALL
+      |  SELECT host, 'https://' || host || '/zzz0', 0 FROM hosts
+      |    WHERE hv IN (0, 1, 3)
+      |  UNION ALL
+      |  SELECT host, 'https://' || host || '/zzz1', 0 FROM hosts
+      |    WHERE hv = 0),
+      |fetched AS (
+      |  SELECT h.host,
+      |    'https://' || h.host || '/doc' || CAST(d.doc_id AS VARCHAR) AS url
+      |  FROM hosts h JOIN docs d ON d.hid = h.hid),
+      |j AS (
+      |  SELECT coalesce(d.host, f.host) AS host,
+      |    CASE WHEN d.url IS NULL THEN 0 ELSE 1 END AS decl,
+      |    CASE WHEN f.url IS NULL THEN 0 ELSE 1 END AS fet,
+      |    coalesce(d.lastmod_day, 0) AS lastmod_day
+      |  FROM decl d FULL OUTER JOIN fetched f ON d.url = f.url),
+      |cov AS (
+      |  SELECT host, CAST(sum(decl) AS BIGINT) AS n_declared,
+      |    CAST(sum(fet) AS BIGINT) AS n_fetched,
+      |    CAST(sum(decl * fet) AS BIGINT) AS n_both,
+      |    CAST(sum(decl * (1 - fet)) AS BIGINT) AS n_declared_only,
+      |    CAST(sum((1 - decl) * fet) AS BIGINT) AS n_fetched_only,
+      |    CAST(sum(decl * lastmod_day) AS BIGINT) AS sum_lastmod_day
+      |  FROM j GROUP BY host)
+      |SELECT h.host,
+      |  CAST(CASE WHEN h.hv = 2 THEN 1 ELSE 0 END AS BIGINT) AS is_index,
+      |  CAST(CASE WHEN h.hv = 2 THEN 3 ELSE 0 END AS BIGINT) AS n_index_locs,
+      |  coalesce(c.n_declared, 0) AS n_declared,
+      |  coalesce(c.n_fetched, 0) AS n_fetched,
+      |  coalesce(c.n_both, 0) AS n_both,
+      |  coalesce(c.n_declared_only, 0) AS n_declared_only,
+      |  coalesce(c.n_fetched_only, 0) AS n_fetched_only,
+      |  coalesce(c.sum_lastmod_day, 0) AS sum_lastmod_day
+      |FROM hosts h LEFT JOIN cov c ON h.host = c.host""".stripMargin
 }
