@@ -1218,6 +1218,19 @@ object SparkEntry {
       val docs = t(s, dir, "documents")
       graft.ops.PageMeta.extract(graft.ops.PageMeta.syntheticHeads(docs))
     }),
+    "web_warc_records" -> ((s, _) => {
+      // WARC/1.0 shard ingestion (ISO 28500, the Common-Crawl
+      // container): REAL byte-level record framing — version line,
+      // CRLF headers, Content-Length-framed payload, record
+      // separator — with truncated shards yielding their complete
+      // prefix; oracle re-derives every field incl. the FNV payload
+      // fingerprint from the generator formula
+      import s.implicits._
+      val shards = s.range(0, 40, 1, 4)
+        .map(id => (id, graft.ops.Warc.syntheticShard(id)))
+        .toDF("shard_id", "warc")
+      graft.ops.Warc.records(shards)
+    }),
     "web_sitemap_gap" -> ((s, dir) => {
       // crawl-completeness audit: REAL sitemap-protocol parse (urlset
       // / sitemapindex / lastmod / truncated-entry leniency) vs the
@@ -1888,6 +1901,7 @@ object SparkEntry {
     "web_crawl_schedule" -> graft.ops.WebGraph.crawlScheduleOracleSql(1000L),
     "web_redirects" -> graft.ops.WebGraph.redirectsOracleSql,
     "web_sitemap_gap" -> graft.ops.WebGraph.sitemapGapOracleSql,
+    "web_warc_records" -> graft.ops.Warc.recordsOracleSql(40),
     "web_head_meta" -> graft.ops.PageMeta.headsOracleSql,
     "web_canonical_map" -> graft.ops.PageMeta.canonicalMapOracleSql,
     "web_canonical_clusters" ->
