@@ -621,6 +621,11 @@ object SparkEntry {
       Dedup.minhashLshIncremental(baseSig,
         docs.filter(col("doc_id") >= 400))
     }),
+    "dedup_threshold_sweep" -> ((s, dir) =>
+      // (b,r)-tuning harness: exact gram-set Jaccard truth on an
+      // audit-bounded universe vs the production banding's candidate
+      // set, recall per threshold — all-integer decisions
+      graft.ops.Dedup.thresholdSweep(t(s, dir, "documents"))),
     "dedup_minhash_verified" -> ((s, dir) =>
       Dedup.minhashVerified(t(s, dir, "documents"))),
     "dedup_edit" -> ((s, dir) =>
@@ -1979,6 +1984,9 @@ object SparkEntry {
     "dedup_incremental_lsh" -> graft.ops.MinhashOracle.lshIncrementalSql(400L),
     "dedup_winnow" -> graft.ops.Winnow.matchesOracleSql(),
     "dedup_minhash_verified" -> graft.ops.MinhashOracle.verifiedSql(),
+    // gram truth from the SAME sh3 stage; shared-gram equi-join
+    // formulation vs the engine's bounded crossJoin
+    "dedup_threshold_sweep" -> graft.ops.MinhashOracle.thresholdSweepSql(),
     "dedup_edit" -> graft.ops.MinhashOracle.editVerifiedSql(),
     // content-signature features replicated exactly (recursive-CTE FNV
     // chain + exact dyadic accumulator sums; Multimodal scaladoc)

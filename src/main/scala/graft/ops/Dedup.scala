@@ -100,13 +100,7 @@ object Dedup {
     val n = math.max(1, toks.length - shingleWidth + 1)
     var i = 0
     while (i < n) {
-      // base hash of the w-gram (chained FNV over tokens)
-      var h = 0xcbf29ce484222325L
-      var w = 0
-      while (w < shingleWidth && i + w < toks.length) {
-        h = (h ^ hash64(toks(i + w), 0, toks(i + w).length)) * 1099511628211L
-        w += 1
-      }
+      val h = gramHash(toks, i, shingleWidth)
       var j = 0
       while (j < k) {
         val hj = mix64(h + j * 0xc2b2ae3d27d4eb4fL)
@@ -116,6 +110,35 @@ object Dedup {
       i += 1
     }
     sig
+  }
+
+  /** Chained-FNV hash of the w-gram starting at token i (clamped at
+    * the text end) — THE gram unit of the entire minhash family;
+    * factored out of [[sigKernel]] so the sweep's truth arm hashes
+    * the exact same grams the signatures minimize over. */
+  @inline private[ops] def gramHash(toks: Array[String], i: Int, w: Int): Long = {
+    var h = 0xcbf29ce484222325L
+    var g = 0
+    while (g < w && i + g < toks.length) {
+      h = (h ^ hash64(toks(i + g), 0, toks(i + g).length)) * 1099511628211L
+      g += 1
+    }
+    h
+  }
+
+  /** Sorted distinct w-gram hash set of a (lowercased) text — the
+    * exact set whose Jaccard the minhash signature estimates. */
+  private[ops] def gramSet(text: String, w: Int): Array[Long] = {
+    val toks = text.split("\\s+").filter(_.nonEmpty)
+    val n = math.max(1, toks.length - w + 1)
+    val set = new java.util.TreeSet[java.lang.Long]()
+    var i = 0
+    while (i < n) { set.add(gramHash(toks, i, w)); i += 1 }
+    val out = new Array[Long](set.size)
+    var j = 0
+    val it = set.iterator()
+    while (it.hasNext) { out(j) = it.next(); j += 1 }
+    out
   }
 
   /** Host-level content overlap via MERGEABLE minhash union — the
@@ -938,4 +961,55 @@ object Dedup {
        | CAST(sum(CASE WHEN gap IS NULL OR gap > $w THEN 1
        |               ELSE 0 END) AS BIGINT) AS n_spans
        |FROM p GROUP BY doc_id""".stripMargin
+
+  /** LSH banding-recall sweep — "measure, don't guess" for the (b, r)
+    * choice, the dedup analog of the ANN recall harness: ground truth
+    * is the EXACT gram-set Jaccard (the quantity minhash estimates —
+    * [[gramSet]], same [[gramHash]] grams the signatures minimize
+    * over) on an audit-bounded universe (doc_id < auditMax, quadratic
+    * BY DESIGN — the simhash-cap-audit precedent), and each threshold
+    * row reports how many true pairs the production banding
+    * ([[minhashLsh]] at est-threshold 0, same restricted corpus)
+    * actually surfaced. Threshold tests are all-integer
+    * (inter·1000 ≥ uni·t) — no IEEE in any decision.
+    *
+    * Scale shape: audit arm is explicitly bounded; the banding arm is
+    * the production pipeline unchanged; truth pairs localCheckpoint
+    * (answer-sized) before the 5-way threshold explode. */
+  def thresholdSweep(docs: DataFrame, auditMax: Long = 800L,
+                     thresholds: Seq[Int] = Seq(200, 350, 500, 650, 800),
+                     k: Int = 64, bands: Int = 16, shingleWidth: Int = 3,
+                     bucketCap: Int = 1000): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val bounded = docs.filter(col("doc_id") < auditMax)
+    val grams = bounded.select(col("doc_id").cast("long"), lower(col("text")))
+      .as[(Long, String)]
+      .mapPartitions(_.map { case (id, t) => (id, gramSet(t, shingleWidth)) })
+      .toDF("doc_id", "grams")
+      .localCheckpoint(true)
+    val tMin = thresholds.min
+    val truth = grams.select(col("doc_id").as("a_id"), col("grams").as("ga"))
+      .crossJoin(grams.select(col("doc_id").as("b_id"), col("grams").as("gb")))
+      .filter(col("a_id") < col("b_id"))
+      .withColumn("inter",
+        size(array_intersect(col("ga"), col("gb"))).cast("long"))
+      .withColumn("uni",
+        (size(col("ga")) + size(col("gb"))).cast("long") - col("inter"))
+      .filter(col("inter") * 1000 >= col("uni") * tMin)
+      .select(col("a_id"), col("b_id"), col("inter"), col("uni"))
+      .localCheckpoint(true)
+    val cand = minhashLsh(bounded, k, bands, threshold = 0.0,
+        shingleWidth, bucketCap)
+      .select(col("a_id"), col("b_id"), lit(1L).as("caught"))
+    val flagged = truth.join(cand, Seq("a_id", "b_id"), "left")
+      .withColumn("caught", coalesce(col("caught"), lit(0L)))
+    thresholds.toDF("t_permille").crossJoin(flagged)
+      .filter(col("inter") * 1000 >= col("uni") * col("t_permille"))
+      .groupBy(col("t_permille"))
+      .agg(count(lit(1)).as("n_truth"), sum(col("caught")).as("n_caught"))
+      .select(col("t_permille").cast("long").as("t_permille"),
+        col("n_truth"), col("n_caught"),
+        expr("n_caught * 1000 div n_truth").as("recall_permille"))
+  }
 }

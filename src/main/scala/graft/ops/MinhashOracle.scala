@@ -75,12 +75,13 @@ object MinhashOracle {
        |  FROM mh4 GROUP BY doc_id, j)""".stripMargin
   }
 
-  private def pipeline(k: Int, bands: Int, bucketCap: Int): String = {
+  private def pipeline(k: Int, bands: Int, bucketCap: Int,
+                       docSrc: String = "documents"): String = {
     val r = k / bands
     val bandRows = (0 until bands).map { b =>
       s"($b, CAST('${java.lang.Long.toUnsignedString(0xcbf29ce484222325L ^ b)}' AS HUGEINT))"
     }.mkString(", ")
-    s"""${sigStages(k)},
+    s"""${sigStages(k, docSrc)},
        |bands(b, bstart) AS (VALUES $bandRows),
        |bh AS (SELECT doc_id, b,
        |  list_reduce(list_prepend(any_value(bstart),
@@ -216,4 +217,44 @@ object MinhashOracle {
        |SELECT a_host, b_host, matches,
        |  matches * 1000 // $k AS est_permille
        |FROM pairs WHERE matches >= $minMatches""".stripMargin
+
+  /** Oracle for `Dedup.thresholdSweep(documents)` — the full
+    * signature/banding replica on the audit-restricted corpus, with
+    * ground truth derived from the SAME sh3 gram-hash stage the
+    * signatures minimize over (DISTINCT doc grams → shared-gram
+    * equi-join intersection counts — a different formulation from the
+    * engine's array crossJoin: pairs sharing zero grams never appear,
+    * which the ≥ t·uni filter makes equivalent), all-integer
+    * threshold tests, LEFT join against the banding candidates. */
+  def thresholdSweepSql(auditMax: Long = 800L,
+                        thresholds: Seq[Int] = Seq(200, 350, 500, 650, 800),
+                        k: Int = 64, bands: Int = 16,
+                        bucketCap: Int = 1000): String = {
+    val tRows = thresholds.map(t => s"($t)").mkString(", ")
+    s"""WITH ${pipeline(k, bands, bucketCap,
+          s"(SELECT * FROM documents WHERE doc_id < $auditMax)")},
+       |gs AS (SELECT DISTINCT doc_id, h FROM sh3),
+       |gn AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n
+       |       FROM gs GROUP BY doc_id),
+       |tp AS (SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+       |         CAST(count(*) AS BIGINT) AS inter
+       |       FROM gs a JOIN gs b ON a.h = b.h AND a.doc_id < b.doc_id
+       |       GROUP BY a.doc_id, b.doc_id),
+       |tr AS (SELECT tp.a_id, tp.b_id, tp.inter,
+       |         na.n + nb.n - tp.inter AS uni
+       |       FROM tp JOIN gn na ON na.doc_id = tp.a_id
+       |       JOIN gn nb ON nb.doc_id = tp.b_id
+       |       WHERE tp.inter * 1000 >= (na.n + nb.n - tp.inter) * ${thresholds.min}),
+       |fl AS (SELECT tr.inter, tr.uni,
+       |         CASE WHEN c.a_id IS NOT NULL THEN 1 ELSE 0 END AS caught
+       |       FROM tr LEFT JOIN cand c
+       |         ON c.a_id = tr.a_id AND c.b_id = tr.b_id),
+       |ths(t) AS (VALUES $tRows)
+       |SELECT CAST(t AS BIGINT) AS t_permille,
+       |  CAST(count(*) AS BIGINT) AS n_truth,
+       |  CAST(sum(caught) AS BIGINT) AS n_caught,
+       |  CAST(sum(caught) * 1000 // count(*) AS BIGINT) AS recall_permille
+       |FROM ths, fl WHERE inter * 1000 >= uni * t
+       |GROUP BY t""".stripMargin
+  }
 }
