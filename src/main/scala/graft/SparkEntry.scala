@@ -527,6 +527,15 @@ object SparkEntry {
       // AvailableNow equals the batch join — which IS the oracle
       graft.ops.Events.attributionStream(s, t(s, dir, "events"),
         windowUs = 3600L * 1000000L)),
+    "stream_dedup_ttl" -> ((s, dir) =>
+      // TTL-evicting stateful dedup (flatMapGroupsWithState +
+      // EventTimeTimeout, deterministic 4-batch replay): first
+      // arrival emits, in-TTL re-arrivals suppressed, eviction on
+      // watermark passage re-opens the key; oracle unrolls the state
+      // machine per batch incl. the ms-floored watermarks, the
+      // SPARK-24634 lagged late filter, strict timeout inequality
+      // and the setTimeoutTimestamp clamp
+      graft.ops.Events.dedupTtlStream(s, t(s, dir, "events"))),
     "stream_late_events" -> ((s, dir) =>
       // watermark late-data census: three deterministic micro-batches
       // (mtime-ordered files, maxFilesPerTrigger=1); every batch spans
@@ -1542,6 +1551,7 @@ object SparkEntry {
     // so one oracle covers both formulations unconditionally)
     "stream_sessionize" -> graft.ops.Events.sessionizeOracleSql(21600L * 1000000L),
     "stream_late_events" -> graft.ops.Events.lateEventsOracleSql(),
+    "stream_dedup_ttl" -> graft.ops.Events.dedupTtlOracleSql(),
     "stream_attribution" -> graft.ops.Events.attributionOracleSql(3600L * 1000000L),
     "corpus_shard_assign" -> graft.ops.Sampling.shardAssignOracleSql(64L),
     "corpus_epoch_order" -> graft.ops.Sampling.epochOrderOracleSql(),

@@ -650,4 +650,176 @@ object Events {
        |  CAST(count(*) AS BIGINT) AS n_events,
        |  CAST(min(event_id) AS BIGINT) AS min_event_id
        |FROM surv GROUP BY window_us""".stripMargin
+
+  /** Per-key state for [[dedupTtlStream]]: the latest event time seen
+    * (microseconds). Public — Catalyst codegen instantiates it
+    * reflectively; a private modifier breaks the generated
+    * constructor call. */
+  final case class TtlState(lastSeenUs: Long)
+
+  /** TTL-EVICTING streaming dedup — the production memory/correctness
+    * trade every stateful dedup makes at 10^12 keys: a key's first
+    * arrival emits; re-arrivals are suppressed while its state lives;
+    * state carries an EVENT-TIME timeout at lastSeen + ttl, and once
+    * the eviction watermark passes it the key is forgotten — the next
+    * arrival emits AGAIN. Runs on `flatMapGroupsWithState` with
+    * `GroupStateTimeout.EventTimeTimeout` under the same
+    * deterministic mtime-ordered multi-batch replay as
+    * [[lateEventsStream]].
+    *
+    * Semantics pinned (empirically; the oracle restates the state
+    * machine first-principles, unrolled per batch):
+    *  - watermarks are millisecond-floored: eviction watermark before
+    *    batch i = floor(max event-time us over batches < i / 1000) −
+    *    delayMs; the LATE-row filter uses the PREVIOUS batch's
+    *    eviction watermark (SPARK-24634 lag, as in lateEventsStream)
+    *    and keeps a row iff us > wm·1000 STRICTLY — a row at exactly
+    *    the watermark microsecond drops, one microsecond above
+    *    survives (both pinned in the spec);
+    *  - a key's timeout fires in batch i only if the key has NO data
+    *    in batch i and timeoutMs < wmEvictionMs (strict — equality
+    *    does NOT fire, pinned); a timed-out callback only removes
+    *    state (emits nothing);
+    *  - setTimeoutTimestamp REJECTS values below the current
+    *    (eviction) watermark — Spark throws
+    *    FLATMAPGROUPSWITHSTATE_USER_FUNCTION_ERROR — so the stored
+    *    timeout is max(lastSeenMs + ttl, wmEvictionMs + 1): state
+    *    whose natural TTL already passed lives exactly until the
+    *    watermark next advances (replicated by the oracle);
+    *  - a key WITH data never times out in that batch even if its
+    *    timeout expired — state persists, the arrival is suppressed
+    *    (pinned: re-arrival in the eviction batch itself does NOT
+    *    re-emit; only a later batch does);
+    *  - batch rows fold order-insensitively (min for the emit ts, max
+    *    into lastSeen) — the dedupFirstSeen determinism rule.
+    * Output: (user_id, emit_us) per emission. */
+  def dedupTtlStream(spark: org.apache.spark.sql.SparkSession,
+                     events: DataFrame,
+                     ttlMs: Long = 7200L * 1000,
+                     delayMs: Long = 1800L * 1000,
+                     nBatches: Int = 4): DataFrame = {
+    import org.apache.spark.sql.streaming.{GroupStateTimeout, OutputMode, Trigger}
+    import org.apache.spark.sql.types.TimestampType
+    import spark.implicits._
+    val base = java.nio.file.Files.createTempDirectory("graft_ttl").toString
+    val src = events.select(col("event_id").cast("long"),
+      col("ts").cast(TimestampType).as("ts"), col("user_id").cast("long"))
+    val inDir = new java.io.File(s"$base/in"); inDir.mkdirs()
+    (0 until nBatches).foreach { b =>
+      src.filter(col("event_id") % nBatches === b)
+        .coalesce(1).write.parquet(s"$base/stage$b")
+      val part = new java.io.File(s"$base/stage$b").listFiles()
+        .filter(_.getName.endsWith(".parquet")).head
+      val dst = new java.io.File(inDir, f"b$b%d.parquet")
+      java.nio.file.Files.copy(part.toPath, dst.toPath)
+      assert(dst.setLastModified((b + 1) * 600000L))
+    }
+    val stream = spark.readStream
+      .schema(spark.read.parquet(s"$base/in").schema)
+      .option("maxFilesPerTrigger", "1")
+      .option("latestFirst", "false")
+      .parquet(s"$base/in")
+      .withWatermark("ts", s"$delayMs milliseconds")
+    val q = stream
+      // the watermarked ts column must SURVIVE into the stateful
+      // operator (dropping it fails analysis: "Watermark must be
+      // specified ... for event-time timeout"); us rides alongside
+      .select(col("user_id"), col("ts"), unix_micros(col("ts")).as("us"))
+      .as[(Long, java.sql.Timestamp, Long)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[TtlState, (Long, Long)](
+        OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) {
+        (key, rows, state) =>
+          if (state.hasTimedOut) { state.remove(); Iterator.empty }
+          else {
+            var mn = Long.MaxValue
+            var mx = Long.MinValue
+            rows.foreach { r =>
+              if (r._3 < mn) mn = r._3
+              if (r._3 > mx) mx = r._3
+            }
+            val existed = state.exists
+            val last = if (existed) math.max(state.get.lastSeenUs, mx) else mx
+            state.update(TtlState(last))
+            // setTimeoutTimestamp THROWS below the current watermark
+            // (a row can pass the LAGGED late filter yet sit far
+            // below the eviction watermark) — clamp to wm + 1 ms, so
+            // such state lives exactly until the watermark next moves
+            state.setTimeoutTimestamp(math.max(last / 1000 + ttlMs,
+              state.getCurrentWatermarkMs() + 1))
+            if (existed) Iterator.empty else Iterator((key, mn))
+          }
+      }
+      .toDF("user_id", "emit_us")
+      .writeStream.format("parquet")
+      .option("path", s"$base/out")
+      .option("checkpointLocation", s"$base/ckpt")
+      .outputMode("append")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    spark.read.parquet(s"$base/out")
+  }
+
+  /** DuckDB replica of [[dedupTtlStream]] — the per-batch state
+    * machine UNROLLED (the kmeans/SCC precedent): ms-floored
+    * watermark scalars, the lagged late filter, strict-inequality
+    * timeout eviction for data-less keys, emit-iff-no-state, and the
+    * min/max batch folds. */
+  def dedupTtlOracleSql(ttlMs: Long = 7200L * 1000,
+                        delayMs: Long = 1800L * 1000,
+                        nBatches: Int = 4): String = {
+    val sb = new StringBuilder
+    sb.append(
+      s"""WITH e AS (
+         |  SELECT user_id, epoch_us(ts) AS us, event_id % $nBatches AS b
+         |  FROM events),
+         |mxs AS (SELECT b, max(us) AS m FROM e GROUP BY b),
+         |st_init(user_id, last_seen, tmo) AS (
+         |  SELECT CAST(NULL AS BIGINT), CAST(NULL AS BIGINT),
+         |         CAST(NULL AS BIGINT) WHERE false)""".stripMargin)
+    var prev = "st_init"
+    (0 until nBatches).foreach { i =>
+      // eviction watermark (ms, floored at 0 like Spark's) in effect
+      // DURING batch i; the late filter uses the PREVIOUS batch's
+      val wmE =
+        if (i == 0) "0"
+        else s"(SELECT greatest(0, max(m) // 1000 - $delayMs) FROM mxs WHERE b < $i)"
+      val wmL =
+        if (i <= 1) "0"
+        else s"(SELECT greatest(0, max(m) // 1000 - $delayMs) FROM mxs WHERE b < ${i - 1})"
+      sb.append(
+        s""",
+           |wmE$i(v) AS (SELECT $wmE),
+           |wmL$i(v) AS (SELECT $wmL),
+           |g$i AS MATERIALIZED (
+           |  SELECT user_id, min(us) AS mn, max(us) AS mx
+           |  FROM e WHERE b = $i
+           |    AND us > (SELECT v FROM wmL$i) * 1000
+           |  GROUP BY user_id),
+           |em$i AS (
+           |  SELECT g.user_id, g.mn AS emit_us
+           |  FROM g$i g LEFT JOIN $prev s USING (user_id)
+           |  WHERE s.user_id IS NULL),
+           |st$i AS MATERIALIZED (
+           |  SELECT g.user_id,
+           |    CASE WHEN s.last_seen IS NULL OR g.mx > s.last_seen
+           |         THEN g.mx ELSE s.last_seen END AS last_seen,
+           |    greatest(
+           |      CASE WHEN s.last_seen IS NULL OR g.mx > s.last_seen
+           |           THEN g.mx ELSE s.last_seen END // 1000 + $ttlMs,
+           |      (SELECT v FROM wmE$i) + 1) AS tmo
+           |  FROM g$i g LEFT JOIN $prev s USING (user_id)
+           |  UNION ALL
+           |  SELECT s.user_id, s.last_seen, s.tmo
+           |  FROM $prev s LEFT JOIN g$i g USING (user_id)
+           |  WHERE g.user_id IS NULL
+           |    AND NOT (s.tmo < (SELECT v FROM wmE$i)))""".stripMargin)
+      prev = s"st$i"
+    }
+    sb.append("\n" + (0 until nBatches)
+      .map(i => s"SELECT user_id, emit_us FROM em$i")
+      .mkString("\nUNION ALL\n"))
+    sb.toString
+  }
 }
