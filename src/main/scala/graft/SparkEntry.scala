@@ -782,6 +782,11 @@ object SparkEntry {
       // Flesch–Kincaid grade from exact integer word/sentence/syllable
       // counts; one fixed-shape IEEE expression per row
       TextAnalysis.readability(t(s, dir, "documents"))),
+    "text_ngram_novelty" -> ((s, dir) =>
+      // memorization-risk / template signal: share of each doc's
+      // DISTINCT trigrams seen in no other doc; distinct-in-row
+      // before the single gram shuffle, exact integer permille
+      graft.ops.Ngram.trigramNovelty(t(s, dir, "documents"))),
     "text_code_detect" -> ((s, dir) =>
       // code-vs-prose routing census: integer line/keyword/indent/
       // symbol signals over the deterministic code-planted corpus;
@@ -1567,6 +1572,8 @@ object SparkEntry {
     "text_readability" -> graft.ops.TextAnalysis.readabilityOracleSql(),
     // planted arms in closed form + Java-RE2-common-subset regexes
     "text_code_detect" -> graft.ops.TextAnalysis.codeDetectOracleSql(),
+    // generate_series slice formulation vs the engine's double zip_with
+    "text_ngram_novelty" -> graft.ops.Ngram.trigramNoveltyOracleSql(),
     "q9_retention" -> graft.ops.Events.retentionOracleSql(
       eventsSrc = "(SELECT * FROM events WHERE event_id % 11 = 0)"),
     "q8_funnel" -> graft.ops.Events.funnelOracleSql(

@@ -139,4 +139,64 @@ object Ngram {
        |FROM base b
        |LEFT JOIN kn USING (doc_id)
        |LEFT JOIN oov USING (doc_id)""".stripMargin
+
+  /** Per-document trigram NOVELTY — the memorization-risk /
+    * templated-content signal: for each document (≥ 3 tokens), the
+    * share of its DISTINCT trigrams that occur in no other document.
+    * Low novelty = boilerplate/template/mirrored content the dedup
+    * tiers may have missed; high novelty = genuinely unique text.
+    * novelty_permille = n_unique·1000 div n_distinct — exact integers
+    * only.
+    *
+    * Scale shape: per-doc DISTINCT grams first (array_distinct inside
+    * the row — the within-doc repeat never reaches the shuffle), ONE
+    * gram-keyed partial-agg shuffle for document frequency, one join
+    * back (the gram side re-partitions on gram — both sides land
+    * co-partitioned), one per-doc rollup. The Zipf head is bounded by
+    * |docs| per gram, not occurrences. */
+  def trigramNovelty(docs: DataFrame): DataFrame = {
+    val toks = TextAnalysis.tokens(col("text"))
+    val tris = zip_with(
+      zip_with(
+        slice(toks, lit(1), greatest(size(toks) - 2, lit(0))),
+        slice(toks, lit(2), greatest(size(toks) - 2, lit(0))),
+        (a, b) => concat(a, lit(" "), b)),
+      slice(toks, lit(3), greatest(size(toks) - 2, lit(0))),
+      (ab, c) => concat(ab, lit(" "), c))
+    val docGrams = docs.filter(size(TextAnalysis.tokens(col("text"))) >= 3)
+      .select(col("doc_id"), explode(array_distinct(tris)).as("gram"))
+      .localCheckpoint(true) // two consumers: df rollup + join back
+    val df = docGrams.groupBy(col("gram"))
+      .agg(count(lit(1)).as("doc_freq"))
+    docGrams.join(df, Seq("gram"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_distinct"),
+        sum(when(col("doc_freq") === 1, 1L).otherwise(0L)).as("n_unique"))
+      .select(col("doc_id"), col("n_distinct"), col("n_unique"),
+        expr("n_unique * 1000 div n_distinct").as("novelty_permille"))
+  }
+
+  /** DuckDB oracle for [[trigramNovelty]] — the same tokenizer, a
+    * generate_series slice formulation of the trigrams (vs the
+    * engine's double zip_with), DISTINCT, doc-frequency, rollup. */
+  def trigramNoveltyOracleSql(table: String = "documents"): String =
+    s"""WITH t AS (
+       |  SELECT doc_id,
+       |    list_filter(string_split_regex(lower(text), '[\\s\\x0b]+'),
+       |                x -> len(x) > 0) AS l
+       |  FROM $table),
+       |g AS (
+       |  SELECT DISTINCT doc_id, gram FROM (
+       |    SELECT doc_id, l[i] || ' ' || l[i + 1] || ' ' || l[i + 2] AS gram
+       |    FROM (SELECT doc_id, l, unnest(generate_series(1, len(l) - 2)) AS i
+       |          FROM t WHERE len(l) >= 3))),
+       |df AS (SELECT gram, CAST(count(*) AS BIGINT) AS doc_freq
+       |       FROM g GROUP BY gram)
+       |SELECT g.doc_id, CAST(count(*) AS BIGINT) AS n_distinct,
+       |  CAST(sum(CASE WHEN df.doc_freq = 1 THEN 1 ELSE 0 END) AS BIGINT)
+       |    AS n_unique,
+       |  CAST(sum(CASE WHEN df.doc_freq = 1 THEN 1 ELSE 0 END) * 1000
+       |    // count(*) AS BIGINT) AS novelty_permille
+       |FROM g JOIN df USING (gram)
+       |GROUP BY g.doc_id""".stripMargin
 }
