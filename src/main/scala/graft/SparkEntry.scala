@@ -782,6 +782,12 @@ object SparkEntry {
       // Flesch–Kincaid grade from exact integer word/sentence/syllable
       // counts; one fixed-shape IEEE expression per row
       TextAnalysis.readability(t(s, dir, "documents"))),
+    "corpus_license_detect" -> ((s, dir) =>
+      // compliance routing: first-match license-family ladder
+      // (spdx > apache > cc > mit > proprietary > none) over the
+      // planted-notice corpus; scan-local signals, one cell rollup
+      TextAnalysis.licenseDetect(
+        TextAnalysis.syntheticLicenseMix(t(s, dir, "documents")))),
     "text_ngram_novelty" -> ((s, dir) =>
       // memorization-risk / template signal: share of each doc's
       // DISTINCT trigrams seen in no other doc; distinct-in-row
@@ -1574,6 +1580,8 @@ object SparkEntry {
     "text_code_detect" -> graft.ops.TextAnalysis.codeDetectOracleSql(),
     // generate_series slice formulation vs the engine's double zip_with
     "text_ngram_novelty" -> graft.ops.Ngram.trigramNoveltyOracleSql(),
+    "corpus_license_detect" ->
+      graft.ops.TextAnalysis.licenseDetectOracleSql(),
     "q9_retention" -> graft.ops.Events.retentionOracleSql(
       eventsSrc = "(SELECT * FROM events WHERE event_id % 11 = 0)"),
     "q8_funnel" -> graft.ops.Events.funnelOracleSql(

@@ -979,6 +979,85 @@ object TextAnalysis {
     "FROM v"
 
   // ------------------------------------------------------------------
+  // License-notice routing (corpus_license_detect): training-data
+  // compliance — route docs carrying license/copyright notices to
+  // the policy tier before mixing.
+  // ------------------------------------------------------------------
+
+  /** Deterministic license-planted corpus: doc_id % 6 selects the
+    * appended notice (copyright line / Apache / CC-BY / MIT grant /
+    * SPDX tag / none). Replicated closed-form by the oracle. */
+  private[graft] def syntheticLicenseMix(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"), col("source"),
+      concat(col("text"),
+        when(col("doc_id") % 6 === 0,
+          lit("\nCopyright (c) 2024 Example Corp. All rights reserved."))
+        .when(col("doc_id") % 6 === 1,
+          lit("\nLicensed under the Apache License, Version 2.0"))
+        .when(col("doc_id") % 6 === 2,
+          lit("\nThis work is licensed under a Creative Commons Attribution 4.0 License."))
+        .when(col("doc_id") % 6 === 3,
+          lit("\nPermission is hereby granted, free of charge, to any person."))
+        .when(col("doc_id") % 6 === 4,
+          lit("\nSPDX-License-Identifier: MIT"))
+        .otherwise(lit(""))).as("text"))
+
+  /** License-family router + census: FIRST-MATCH priority ladder
+    * (spdx > apache > cc > mit > proprietary-copyright > none) over
+    * lowercased text — SPDX tags are machine-readable and win;
+    * a bare copyright line without a grant routes to `proprietary`.
+    * Census per (source, family): docs + copyright-bearing docs.
+    * Scan-local signals, ONE partial-agg shuffle to ≤ |sources|·6
+    * cells. */
+  def licenseDetect(docs: DataFrame): DataFrame = {
+    val t = lower(col("text"))
+    val hasCopyright = t.contains("copyright (c)") ||
+      t.contains("all rights reserved")
+    val family = when(t.contains("spdx-license-identifier"), "spdx")
+      .when(t.contains("apache license"), "apache")
+      .when(t.contains("creative commons"), "cc")
+      .when(t.contains("permission is hereby granted"), "mit")
+      .when(hasCopyright, "proprietary")
+      .otherwise("none")
+    docs.select(col("source"), family.as("license_family"),
+        when(hasCopyright, 1L).otherwise(0L).as("cp"))
+      .groupBy(col("source"), col("license_family"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("cp")).as("n_copyright"))
+  }
+
+  /** DuckDB oracle for licenseDetect(syntheticLicenseMix(documents)):
+    * the planted variants AND the detection ladder both restated —
+    * organic text is checked by the same contains() ladder, so a
+    * false positive in either engine breaks the match. */
+  def licenseDetectOracleSql(): String =
+    s"""WITH mix AS (
+       |  SELECT doc_id, source, text ||
+       |    CASE doc_id % 6
+       |      WHEN 0 THEN chr(10) || 'Copyright (c) 2024 Example Corp. All rights reserved.'
+       |      WHEN 1 THEN chr(10) || 'Licensed under the Apache License, Version 2.0'
+       |      WHEN 2 THEN chr(10) || 'This work is licensed under a Creative Commons Attribution 4.0 License.'
+       |      WHEN 3 THEN chr(10) || 'Permission is hereby granted, free of charge, to any person.'
+       |      WHEN 4 THEN chr(10) || 'SPDX-License-Identifier: MIT'
+       |      ELSE '' END AS text
+       |  FROM documents),
+       |sig AS (
+       |  SELECT source,
+       |    CASE WHEN contains(lower(text), 'spdx-license-identifier') THEN 'spdx'
+       |         WHEN contains(lower(text), 'apache license') THEN 'apache'
+       |         WHEN contains(lower(text), 'creative commons') THEN 'cc'
+       |         WHEN contains(lower(text), 'permission is hereby granted') THEN 'mit'
+       |         WHEN contains(lower(text), 'copyright (c)')
+       |           OR contains(lower(text), 'all rights reserved') THEN 'proprietary'
+       |         ELSE 'none' END AS license_family,
+       |    CASE WHEN contains(lower(text), 'copyright (c)')
+       |           OR contains(lower(text), 'all rights reserved')
+       |         THEN 1 ELSE 0 END AS cp
+       |  FROM mix)
+       |SELECT source, license_family, CAST(count(*) AS BIGINT) AS n_docs,
+       |  CAST(sum(cp) AS BIGINT) AS n_copyright
+       |FROM sig GROUP BY source, license_family""".stripMargin
+
+  // ------------------------------------------------------------------
   // Code-vs-prose routing (text_code_detect): training pipelines route
   // code to a separate mixture bucket (different dedup/quality rules,
   // different tokenizer behavior); this is the deterministic routing
