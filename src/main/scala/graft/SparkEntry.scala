@@ -782,6 +782,11 @@ object SparkEntry {
       // Flesch–Kincaid grade from exact integer word/sentence/syllable
       // counts; one fixed-shape IEEE expression per row
       TextAnalysis.readability(t(s, dir, "documents"))),
+    "corpus_quality_drift" -> ((s, dir) =>
+      // pipeline monitoring: decile quality buckets on two snapshots
+      // + exact integer total-variation distance (PSI needs log; TV
+      // is the rational drift metric); <= 10 rows before any join
+      TextAnalysis.qualityDrift(t(s, dir, "documents"))),
     "corpus_license_detect" -> ((s, dir) =>
       // compliance routing: first-match license-family ladder
       // (spdx > apache > cc > mit > proprietary > none) over the
@@ -1580,6 +1585,36 @@ object SparkEntry {
     "text_code_detect" -> graft.ops.TextAnalysis.codeDetectOracleSql(),
     // generate_series slice formulation vs the engine's double zip_with
     "text_ngram_novelty" -> graft.ops.Ngram.trigramNoveltyOracleSql(),
+    "corpus_quality_drift" -> {
+      // shared quality SQL on both snapshot subqueries (concatenated,
+      // never re-stripMargin'd); TV restated with the same integer
+      // algebra
+      val prevQ = qualityScoreSql(
+        table = "(SELECT doc_id, text FROM documents WHERE doc_id % 5 <> 0)")
+      val curQ = qualityScoreSql(
+        table = "(SELECT doc_id, CASE WHEN doc_id % 3 = 0 " +
+          "THEN text || ' v2' ELSE text END AS text " +
+          "FROM documents WHERE doc_id % 7 <> 0)")
+      "WITH pq AS (\n" + prevQ + "\n),\ncq AS (\n" + curQ + "\n),\n" +
+        """pb AS (SELECT least(CAST(floor(quality * 10) AS BIGINT), 9) AS bucket,
+          |  CAST(count(*) AS BIGINT) AS n_prev FROM pq GROUP BY 1),
+          |cb AS (SELECT least(CAST(floor(quality * 10) AS BIGINT), 9) AS bucket,
+          |  CAST(count(*) AS BIGINT) AS n_cur FROM cq GROUP BY 1),
+          |j AS (SELECT coalesce(pb.bucket, cb.bucket) AS bucket,
+          |  coalesce(n_prev, 0) AS n_prev, coalesce(n_cur, 0) AS n_cur
+          |  FROM pb FULL OUTER JOIN cb ON pb.bucket = cb.bucket),
+          |t AS (SELECT CAST(sum(n_prev) AS BIGINT) AS tp,
+          |  CAST(sum(n_cur) AS BIGINT) AS tc FROM j),
+          |tv AS (SELECT CAST(sum(abs(n_prev * (SELECT tc FROM t)
+          |    - n_cur * (SELECT tp FROM t))) * 500
+          |    // ((SELECT tp FROM t) * (SELECT tc FROM t)) AS BIGINT) AS v
+          |  FROM j)
+          |SELECT bucket, n_prev, n_cur,
+          |  CAST(n_prev * 1000 // (SELECT tp FROM t) AS BIGINT) AS prev_share_permille,
+          |  CAST(n_cur * 1000 // (SELECT tc FROM t) AS BIGINT) AS cur_share_permille,
+          |  (SELECT v FROM tv) AS tv_permille
+          |FROM j""".stripMargin
+    },
     "corpus_license_detect" ->
       graft.ops.TextAnalysis.licenseDetectOracleSql(),
     "q9_retention" -> graft.ops.Events.retentionOracleSql(

@@ -978,6 +978,52 @@ object TextAnalysis {
     "             ELSE 1 END AS INT) AS rounds\n" +
     "FROM v"
 
+  /** Cross-snapshot quality-DRIFT census — the pipeline-monitoring
+    * table a recurring crawl watches: decile-bucket the shared
+    * quality score on two snapshots (prev = doc_id % 5 ≠ 0; cur =
+    * doc_id % 7 ≠ 0 with the % 3 docs re-fetched as text+" v2" — the
+    * cdc_delta snapshot convention), then the EXACT total-variation
+    * distance between the two bucket distributions:
+    * tv_permille = Σ_b |n_prev_b·Tc − n_cur_b·Tp| · 500 div (Tp·Tc)
+    * — all-integer (PSI would need log; TV is the rational drift
+    * metric). Bucket = least(floor(quality·10), 9): quality is the
+    * SAME engine-exact double both sides already hash-match on, and
+    * ·10/floor are deterministic IEEE.
+    *
+    * Scale shape: two corpus passes (one per snapshot) collapse to
+    * ≤ 10 bucket rows before ANYTHING joins; totals and TV are
+    * driver scalars over the 10-row table (localCheckpoint'd once).
+    * Long arithmetic safe to 3·10^15 docs per snapshot. */
+  def qualityDrift(docs: DataFrame): DataFrame = {
+    val prev = docs.filter(col("doc_id") % 5 =!= 0)
+      .select(col("doc_id"), col("text"))
+    val cur = docs.filter(col("doc_id") % 7 =!= 0)
+      .select(col("doc_id"),
+        when(col("doc_id") % 3 === 0, concat(col("text"), lit(" v2")))
+          .otherwise(col("text")).as("text"))
+    def buckets(df: DataFrame, name: String) =
+      withQuality(df)
+        .select(least(floor(col("quality") * 10).cast("long"), lit(9L))
+          .as("bucket"))
+        .groupBy(col("bucket")).agg(count(lit(1)).as(name))
+    val joined = buckets(prev, "n_prev")
+      .join(buckets(cur, "n_cur"), Seq("bucket"), "full_outer")
+      .select(col("bucket"),
+        coalesce(col("n_prev"), lit(0L)).as("n_prev"),
+        coalesce(col("n_cur"), lit(0L)).as("n_cur"))
+      .localCheckpoint(true) // <= 10 rows, three consumers
+    val tot = joined.agg(sum(col("n_prev")), sum(col("n_cur"))).collect()(0)
+    val (tp, tc) = (tot.getLong(0), tot.getLong(1))
+    val tvNum = joined
+      .agg(sum(abs(col("n_prev") * tc - col("n_cur") * tp))).collect()(0)
+      .getLong(0)
+    val tv = tvNum * 500L / (tp * tc)
+    joined.select(col("bucket"), col("n_prev"), col("n_cur"),
+      expr(s"n_prev * 1000 div ${tp}L").as("prev_share_permille"),
+      expr(s"n_cur * 1000 div ${tc}L").as("cur_share_permille"),
+      lit(tv).as("tv_permille"))
+  }
+
   // ------------------------------------------------------------------
   // License-notice routing (corpus_license_detect): training-data
   // compliance — route docs carrying license/copyright notices to
