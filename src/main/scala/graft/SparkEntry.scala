@@ -1389,6 +1389,17 @@ object SparkEntry {
           .select(col("src"), col("dst"))
           .union(graft.ops.WebGraph.syntheticFarmEdges(docs)))
     }),
+    "web_graph_reorder" -> ((s, dir) => {
+      // ordering-vs-compression census (the WebGraph/BV lesson):
+      // price the SAME edge set under natural doc ids vs a BFS
+      // renumbering (two-pass rank, never a partitionless window);
+      // one summary row per ordering
+      val docs = t(s, dir, "documents")
+      graft.ops.WebGraph.graphReorder(
+        graft.ops.WebGraph.extractAnchors(
+          graft.ops.WebGraph.syntheticWeb(docs, docs.count())),
+        graft.ops.WebGraph.syntheticSeeds(docs, mod = 29))
+    }),
     "web_crawl_depth" -> ((s, dir) => {
       // BFS crawl depth from the mod-29 seed set over the anchor
       // graph (frontier planning: what's reachable within k hops).
@@ -1999,6 +2010,9 @@ object SparkEntry {
     "web_reciprocity" -> graft.ops.WebGraph.reciprocityOracleSql(
       "SELECT src, dst FROM (" + graft.ops.WebGraph.syntheticEdgesOracleSql +
         ")\nUNION ALL\n" + graft.ops.WebGraph.farmEdgesOracleSql()),
+    "web_graph_reorder" -> graft.ops.WebGraph.graphReorderOracleSql(
+      graft.ops.WebGraph.syntheticEdgesOracleSql,
+      graft.ops.WebGraph.syntheticSeedsSql(29)),
     "web_crawl_depth" -> graft.ops.WebGraph.crawlDepthOracleSql(
       graft.ops.WebGraph.syntheticEdgesOracleSql,
       graft.ops.WebGraph.syntheticSeedsSql(29), maxDepth = 10),

@@ -2404,6 +2404,128 @@ object WebGraph {
       |  max(code) AS max_code
       |FROM c GROUP BY src_id""".stripMargin
 
+  /** Graph-ordering cost comparison — the WebGraph/BV lesson that
+    * node NUMBERING decides adjacency compressibility: renumber nodes
+    * in BFS order (depth from the seed set, ties by url;
+    * unreached nodes after all reached ones) and price the SAME edge
+    * set under the natural doc-id ordering vs the BFS ordering with
+    * the [[gapCompressionStats]] zigzag+varint model. BFS numbering
+    * clusters each frontier's ids, so neighbor gaps shrink where
+    * crawl locality exists — this census measures by how much, per
+    * snapshot, before a 10^11-edge store commits to an ordering.
+    *
+    * Scale shape: the BFS rank is the two-pass zipWithIndex pattern
+    * (range-partition on (depth, url) + frozen-pid offsets — NEVER a
+    * partitionless window; the oracle's row_number is the bounded
+    * audit formulation); the id map joins back by url (co-partitioned
+    * equi-joins); each ordering collapses to per-src rows then ONE
+    * summary row. */
+  def graphReorder(edges: DataFrame, seeds: DataFrame,
+                   maxDepth: Int = 10, nPartitions: Int = 16): DataFrame = {
+    val spark = edges.sparkSession
+    import spark.implicits._
+    val e = edges.select(col("src"), col("dst"))
+      .filter(col("src") =!= col("dst")).distinct().localCheckpoint(true)
+    val nodes = e.select(col("src").as("url"))
+      .union(e.select(col("dst").as("url"))).distinct()
+    val depths = crawlDepth(e, seeds, maxDepth)
+    val keyed = nodes.join(depths, Seq("url"), "left")
+      .select(col("url"),
+        coalesce(col("depth"), lit(Int.MaxValue)).as("depth"))
+    val sorted = keyed
+      .repartitionByRange(nPartitions, col("depth"), col("url"))
+      .sortWithinPartitions(col("depth"), col("url"))
+      .withColumn("pid", spark_partition_id())
+      .localCheckpoint(true) // pin layout for both passes
+    val counts = sorted.groupBy(col("pid")).agg(count(lit(1)).as("c"))
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    val offsets = (0 until nPartitions)
+      .scanLeft(0L)((a, p) => a + counts.getOrElse(p, 0L)).toArray
+    val bc = spark.sparkContext.broadcast(offsets)
+    val ids = sorted.select(col("url"), col("pid")).as[(String, Int)]
+      .mapPartitions { it =>
+        val buf = it.buffered
+        if (!buf.hasNext) Iterator.empty
+        else {
+          var pos = bc.value(buf.head._2)
+          buf.map { case (url, _) => val p = pos; pos += 1; (url, p) }
+        }
+      }.toDF("url", "bfs_id").localCheckpoint(true)
+    val natural = e.select(
+      regexp_extract(col("src"), "doc([0-9]+)$", 1).cast("long").as("src_id"),
+      regexp_extract(col("dst"), "doc([0-9]+)$", 1).cast("long").as("dst_id"))
+    val bfs = e
+      .join(ids.select(col("url").as("src"), col("bfs_id").as("src_id")),
+        Seq("src"))
+      .join(ids.select(col("url").as("dst"), col("bfs_id").as("dst_id")),
+        Seq("dst"))
+      .select(col("src_id"), col("dst_id"))
+    def summarize(g: DataFrame, name: String) =
+      gapCompressionStats(g).agg(
+          count(lit(1)).as("n_lists"),
+          sum(col("out_deg")).as("n_edges"),
+          sum(col("raw_bytes")).as("raw_bytes"),
+          sum(col("packed_bytes")).as("packed_bytes"))
+        .select(lit(name).as("ordering"), col("n_lists"), col("n_edges"),
+          col("raw_bytes"), col("packed_bytes"),
+          expr("packed_bytes * 1000 div raw_bytes").as("packed_permille"))
+    summarize(natural, "natural").unionByName(summarize(bfs, "bfs"))
+  }
+
+  /** DuckDB oracle for [[graphReorder]] — BFS depths via the
+    * min-over-walks recursive CTE (crawlDepth's oracle formulation),
+    * the rank as a plain row_number audit (bounded node table), the
+    * same zigzag+varint arithmetic on both orderings. The id-pair
+    * DISTINCT matters: the natural mapping is NOT injective on urls
+    * (the same doc number on two hosts), so it can collapse edges the
+    * bijective BFS ids keep apart — gapCompressionStats dedups, and
+    * so must both oracle chains. */
+  def graphReorderOracleSql(edgesSql: String, seedsSql: String,
+                            maxDepth: Int = 10): String = {
+    def gapChain(src: String, p: String): String =
+      s"""g$p AS (SELECT src_id, dst_id,
+         |   lag(dst_id) OVER (PARTITION BY src_id ORDER BY dst_id) AS prev
+         |  FROM (SELECT DISTINCT src_id, dst_id FROM $src) d$p),
+         |c$p AS (SELECT src_id,
+         |   CASE WHEN prev IS NULL THEN
+         |     CASE WHEN dst_id - src_id >= 0 THEN (dst_id - src_id) * 2
+         |          ELSE -(dst_id - src_id) * 2 - 1 END
+         |   ELSE dst_id - prev - 1 END AS code
+         |  FROM g$p),
+         |s$p AS (SELECT src_id, count(*) AS deg, count(*) * 8 AS raw,
+         |   sum(CASE WHEN code < 128 THEN 1 WHEN code < 16384 THEN 2
+         |     WHEN code < 2097152 THEN 3 WHEN code < 268435456 THEN 4
+         |     ELSE 5 END) AS packed
+         |  FROM c$p GROUP BY src_id)""".stripMargin
+    def total(p: String, name: String): String =
+      s"SELECT '$name' AS ordering, CAST(count(*) AS BIGINT) AS n_lists, " +
+        s"CAST(sum(deg) AS BIGINT) AS n_edges, " +
+        s"CAST(sum(raw) AS BIGINT) AS raw_bytes, " +
+        s"CAST(sum(packed) AS BIGINT) AS packed_bytes, " +
+        s"CAST(sum(packed) * 1000 // sum(raw) AS BIGINT) AS packed_permille " +
+        s"FROM s$p"
+    s"WITH e0 AS ($edgesSql),\n" +
+      "e AS (SELECT DISTINCT src, dst FROM e0 WHERE src <> dst),\n" +
+      "d AS (SELECT * FROM (" +
+      crawlDepthOracleSql(edgesSql, seedsSql, maxDepth) + ") dd),\n" +
+      """nodes AS (SELECT DISTINCT url FROM
+        |  (SELECT src AS url FROM e UNION SELECT dst FROM e)),
+        |ord AS (SELECT n.url,
+        |   row_number() OVER (ORDER BY coalesce(d.depth, 2147483647),
+        |     n.url) - 1 AS bfs_id
+        |  FROM nodes n LEFT JOIN d ON n.url = d.url),
+        |en AS (SELECT
+        |   CAST(regexp_extract(src, 'doc([0-9]+)$', 1) AS BIGINT) AS src_id,
+        |   CAST(regexp_extract(dst, 'doc([0-9]+)$', 1) AS BIGINT) AS dst_id
+        |  FROM e),
+        |eb AS (SELECT o1.bfs_id AS src_id, o2.bfs_id AS dst_id
+        |  FROM e JOIN ord o1 ON e.src = o1.url
+        |  JOIN ord o2 ON e.dst = o2.url),
+        |""".stripMargin +
+      gapChain("en", "n") + ",\n" + gapChain("eb", "b") + "\n" +
+      total("n", "natural") + "\nUNION ALL\n" + total("b", "bfs")
+  }
+
   // ------------------------------------------------------------------
   // Sitemap coverage (web_sitemap_gap): declared-vs-crawled census —
   // the crawl-completeness audit every large crawl runs against the
