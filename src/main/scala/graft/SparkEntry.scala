@@ -1344,6 +1344,16 @@ object SparkEntry {
       graft.ops.WebGraph.weaklyConnected(
         graft.ops.WebGraph.syntheticBlockEdges(t(s, dir, "documents")))
     }),
+    "web_spam_mass" -> ((s, dir) => {
+      // link-spam demotion signal (Gyongyi et al.): the share of a
+      // page's PageRank not backed by seed trust — composes the two
+      // integer fixed points, aligns totals exactly, all-long output
+      val docs = t(s, dir, "documents")
+      val edges = graft.ops.WebGraph.extractAnchors(
+        graft.ops.WebGraph.syntheticWeb(docs, docs.count()))
+      graft.ops.WebGraph.spamMass(edges,
+        graft.ops.WebGraph.syntheticSeeds(docs, mod = 17))
+    }),
     "web_trustrank" -> ((s, dir) => {
       // seeded PageRank (TrustRank family): teleport mass restricted
       // to the seed set (docs ≡ 0 mod 17) — the spam-demotion
@@ -1982,6 +1992,9 @@ object SparkEntry {
     "web_canonical_map" -> graft.ops.PageMeta.canonicalMapOracleSql,
     "web_canonical_clusters" ->
       graft.ops.PageMeta.canonicalClustersOracleSql,
+    "web_spam_mass" -> graft.ops.WebGraph.spamMassOracleSql(
+      graft.ops.WebGraph.syntheticEdgesOracleSql,
+      graft.ops.WebGraph.syntheticSeedsSql(17)),
     "web_pagerank" -> graft.ops.WebGraph.pageRankOracleSql(
       graft.ops.WebGraph.syntheticEdgesOracleSql, iterations = 5),
     "web_hits" -> graft.ops.WebGraph.hitsOracleSql(

@@ -687,6 +687,57 @@ object WebGraph {
     ranks
   }
 
+  /** Spam-mass census (Gyöngyi/Garcia-Molina/Pedersen): the share of
+    * a page's PageRank that does NOT come with trust — pages whose
+    * rank is boosted by link spam score high, trusted-neighborhood
+    * pages score ~0. Composes the two existing integer fixed points
+    * ([[pageRankInt]] global teleport, [[pageRankSeeded]] seed-only
+    * teleport), aligns their totals exactly, and reports
+    * spam_mass_permille = (p·Tt − t·Tp)·1000 div (p·Tt) floored at 0
+    * — where p/t are the ranks down-scaled by `div` so every product
+    * stays within long (p ≤ scale/div = 10^7, Tt ≤ 10^7, product
+    * ≤ 10^14, ·1000 ≤ 10^17). All-integer; the floors are identical
+    * both engines.
+    *
+    * Scale shape: two existing rank pipelines + ONE url equi-join;
+    * totals are driver scalars over the checkpointed join. */
+  def spamMass(edges: DataFrame, seeds: DataFrame, iterations: Int = 5,
+               div: Long = 100000L): DataFrame = {
+    val pr = pageRankInt(edges, iterations)
+      .select(col("url"), col("pr"), expr(s"pr div ${div}L").as("p"))
+    val tr = pageRankSeeded(edges, seeds, iterations)
+      .select(col("url"), col("trust"), expr(s"trust div ${div}L").as("t"))
+    val joined = pr.join(tr, Seq("url")).localCheckpoint(true)
+    val tot = joined.agg(sum(col("p")), sum(col("t"))).collect()(0)
+    val (tp, tt) = (tot.getLong(0), tot.getLong(1))
+    joined.select(col("url"), col("pr"), col("trust"),
+      expr(s"CASE WHEN p = 0 OR p * ${tt}L <= t * ${tp}L THEN 0L " +
+        s"ELSE (p * ${tt}L - t * ${tp}L) * 1000 div (p * ${tt}L) END")
+        .as("spam_mass_permille"))
+  }
+
+  /** DuckDB oracle for [[spamMass]] — the two full rank replicas as
+    * scoped subqueries plus the identical down-scale/align/permille
+    * integer algebra. */
+  def spamMassOracleSql(edgesSql: String, seedsSql: String,
+                        iterations: Int = 5, div: Long = 100000L): String =
+    "WITH prt AS (SELECT * FROM (" +
+      pageRankOracleSql(edgesSql, iterations) + ") x),\n" +
+      "trt AS (SELECT * FROM (" +
+      trustRankOracleSql(edgesSql, seedsSql, iterations) + ") y),\n" +
+      s"""j AS (SELECT prt.url, prt.pr, trt.trust,
+         |  prt.pr // $div AS p, trt.trust // $div AS t
+         |  FROM prt JOIN trt ON prt.url = trt.url),
+         |tot AS (SELECT CAST(sum(p) AS BIGINT) AS tp,
+         |  CAST(sum(t) AS BIGINT) AS tt FROM j)
+         |SELECT url, pr, trust,
+         |  CAST(CASE WHEN p = 0
+         |    OR p * (SELECT tt FROM tot) <= t * (SELECT tp FROM tot) THEN 0
+         |   ELSE (p * (SELECT tt FROM tot) - t * (SELECT tp FROM tot)) * 1000
+         |     // (p * (SELECT tt FROM tot)) END AS BIGINT)
+         |   AS spam_mass_permille
+         |FROM j""".stripMargin
+
   /** DuckDB replica of [[pageRankSeeded]] (staged flat CTEs). `edgesSql`
     * yields (src, dst); `seedsSql` yields (url). */
   def trustRankOracleSql(edgesSql: String, seedsSql: String,
