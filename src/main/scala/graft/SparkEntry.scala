@@ -28,6 +28,34 @@ object SparkEntry {
     * `corpus_training_set`, and the AUC census (single source of
     * truth, no drift). `key` is the identity column carried through
     * (doc_id for the per-doc rows, source for the AUC grouping). */
+  /** Connected-component survivors oracle (recursive closure) — shared by
+    * the dedup_survivors row and the cluster-stats rollup. */
+  private def survivorsOracleSql: String =
+      """WITH RECURSIVE toks AS (
+        | SELECT doc_id, lang, source, unnest(list_distinct(list_filter(
+        |   string_split_regex(lower(text), '[\s\x0b]+'), x -> len(x) > 0))) AS tok
+        | FROM documents),
+        |sizes AS (SELECT doc_id, count(*) AS sz FROM toks GROUP BY doc_id),
+        |inter AS (
+        | SELECT a.doc_id AS a_id, b.doc_id AS b_id, count(*) AS i
+        | FROM toks a JOIN toks b ON a.lang = b.lang AND a.source = b.source
+        |   AND a.tok = b.tok AND a.doc_id < b.doc_id
+        | GROUP BY 1, 2),
+        |pairs AS (
+        | SELECT a_id, b_id FROM inter
+        | JOIN sizes sa ON inter.a_id = sa.doc_id
+        | JOIN sizes sb ON inter.b_id = sb.doc_id
+        | WHERE CAST(i AS DOUBLE) / CAST(sa.sz + sb.sz - i AS DOUBLE) >= 0.95),
+        |edges AS (SELECT a_id AS src, b_id AS dst FROM pairs
+        |          UNION SELECT b_id, a_id FROM pairs),
+        |reach(id, r) AS (
+        | SELECT src, src FROM edges
+        | UNION
+        | SELECT e.src, reach.r FROM edges e JOIN reach ON e.dst = reach.id),
+        |comp AS (SELECT id, min(r) AS rep FROM reach GROUP BY id)
+        |SELECT d.doc_id, coalesce(c.rep, d.doc_id) AS rep_id
+        |FROM documents d LEFT JOIN comp c ON d.doc_id = c.id""".stripMargin
+
   private def qualityScoreSql(table: String = "documents",
       key: String = "doc_id"): String =
     s"""WITH base AS (
@@ -661,6 +689,15 @@ object SparkEntry {
       val docs = t(s, dir, "documents")
       Dedup.survivors(docs,
         Dedup.jaccardPairs(docs, threshold = 0.95).select(col("a_id"), col("b_id")))
+    }),
+    "dedup_cluster_stats" -> ((s, dir) => {
+      // dedup observability: log2-bucket histogram of survivor
+      // cluster sizes (mega-cluster watch); two tiny rollups over
+      // the survivors pipeline
+      val docs = t(s, dir, "documents")
+      Dedup.clusterStats(Dedup.survivors(docs,
+        Dedup.jaccardPairs(docs, threshold = 0.95)
+          .select(col("a_id"), col("b_id"))))
     }),
     "dedup_minhash_cover" -> ((s, dir) => {
       // containment cross-check, driver-checkable: minhashVerified is
@@ -1739,31 +1776,19 @@ object SparkEntry {
         |WHERE CAST(i AS DOUBLE) / CAST(sa.sz + sb.sz - i AS DOUBLE) >= 0.7""".stripMargin,
     // min-id connected components over the blocked Jaccard≥0.95 pairs
     // (DuckDB: recursive reachability, then min per vertex)
-    "dedup_survivors" ->
-      """WITH RECURSIVE toks AS (
-        | SELECT doc_id, lang, source, unnest(list_distinct(list_filter(
-        |   string_split_regex(lower(text), '[\s\x0b]+'), x -> len(x) > 0))) AS tok
-        | FROM documents),
-        |sizes AS (SELECT doc_id, count(*) AS sz FROM toks GROUP BY doc_id),
-        |inter AS (
-        | SELECT a.doc_id AS a_id, b.doc_id AS b_id, count(*) AS i
-        | FROM toks a JOIN toks b ON a.lang = b.lang AND a.source = b.source
-        |   AND a.tok = b.tok AND a.doc_id < b.doc_id
-        | GROUP BY 1, 2),
-        |pairs AS (
-        | SELECT a_id, b_id FROM inter
-        | JOIN sizes sa ON inter.a_id = sa.doc_id
-        | JOIN sizes sb ON inter.b_id = sb.doc_id
-        | WHERE CAST(i AS DOUBLE) / CAST(sa.sz + sb.sz - i AS DOUBLE) >= 0.95),
-        |edges AS (SELECT a_id AS src, b_id AS dst FROM pairs
-        |          UNION SELECT b_id, a_id FROM pairs),
-        |reach(id, r) AS (
-        | SELECT src, src FROM edges
-        | UNION
-        | SELECT e.src, reach.r FROM edges e JOIN reach ON e.dst = reach.id),
-        |comp AS (SELECT id, min(r) AS rep FROM reach GROUP BY id)
-        |SELECT d.doc_id, coalesce(c.rep, d.doc_id) AS rep_id
-        |FROM documents d LEFT JOIN comp c ON d.doc_id = c.id""".stripMargin,
+    "dedup_survivors" -> survivorsOracleSql,
+    "dedup_cluster_stats" ->
+      ("WITH surv AS (" + survivorsOracleSql + "),\n" +
+        """cz AS (SELECT rep_id, CAST(count(*) AS BIGINT) AS sz
+          |      FROM surv GROUP BY rep_id),
+          |b AS (SELECT rep_id, sz,
+          |      CAST(length(bin(sz)) AS BIGINT) AS bucket FROM cz)
+          |SELECT bucket, CAST(count(*) AS BIGINT) AS n_clusters,
+          |  CAST(sum(sz) AS BIGINT) AS n_docs,
+          |  CAST(max(sz) AS BIGINT) AS max_size,
+          |  CAST(min(rep_id) AS BIGINT) AS min_rep
+          |FROM b GROUP BY bucket""".stripMargin),
+
     "ann_bruteforce" ->
       """SELECT query_id, neighbor_id, rn AS rank FROM (
         | SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,

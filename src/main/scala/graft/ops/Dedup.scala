@@ -962,6 +962,22 @@ object Dedup {
        |               ELSE 0 END) AS BIGINT) AS n_spans
        |FROM p GROUP BY doc_id""".stripMargin
 
+  /** Near-dup cluster-size observability: log2-bucket histogram of
+    * the survivor clusters ([[survivors]] output) — the table a dedup
+    * operator watches for pathological mega-clusters (boilerplate
+    * sinks, SEO farms) before they eat the corpus. Bucket = binary
+    * digit count of the cluster size (pure integer, no float log2 —
+    * the quantile-sketch rule); per bucket: clusters, docs, max size,
+    * min representative as witness. Two partial-agg rollups over the
+    * already-computed survivor table; output O(log max-size) rows. */
+  def clusterStats(surv: DataFrame): DataFrame =
+    surv.groupBy(col("rep_id")).agg(count(lit(1)).as("sz"))
+      .select(col("rep_id"), col("sz"),
+        length(bin(col("sz"))).cast("long").as("bucket"))
+      .groupBy(col("bucket"))
+      .agg(count(lit(1)).as("n_clusters"), sum(col("sz")).as("n_docs"),
+        max(col("sz")).as("max_size"), min(col("rep_id")).as("min_rep"))
+
   /** LSH banding-recall sweep — "measure, don't guess" for the (b, r)
     * choice, the dedup analog of the ANN recall harness: ground truth
     * is the EXACT gram-set Jaccard (the quantity minhash estimates —
