@@ -824,6 +824,13 @@ object SparkEntry {
       // + exact integer total-variation distance (PSI needs log; TV
       // is the rational drift metric); <= 10 rows before any join
       TextAnalysis.qualityDrift(t(s, dir, "documents"))),
+    "text_date_extract" -> ((s, dir) =>
+      // content-date extraction for freshness weighting: first-match
+      // kind ladder (iso > mdy > dmy > none), exact int fields,
+      // scan-local regex projection; oracle restates every field
+      // from the generator arithmetic, never re-parsing
+      TextAnalysis.dateExtract(
+        TextAnalysis.syntheticDateMix(t(s, dir, "documents")))),
     "corpus_license_detect" -> ((s, dir) =>
       // compliance routing: first-match license-family ladder
       // (spdx > apache > cc > mit > proprietary > none) over the
@@ -1675,6 +1682,7 @@ object SparkEntry {
     },
     "corpus_license_detect" ->
       graft.ops.TextAnalysis.licenseDetectOracleSql(),
+    "text_date_extract" -> graft.ops.TextAnalysis.dateExtractOracleSql(),
     "q9_retention" -> graft.ops.Events.retentionOracleSql(
       eventsSrc = "(SELECT * FROM events WHERE event_id % 11 = 0)"),
     "q8_funnel" -> graft.ops.Events.funnelOracleSql(

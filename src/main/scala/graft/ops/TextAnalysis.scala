@@ -1025,6 +1025,100 @@ object TextAnalysis {
   }
 
   // ------------------------------------------------------------------
+  // Publication-date extraction (text_date_extract): content dates
+  // for freshness weighting when no crawl timestamp exists.
+  // ------------------------------------------------------------------
+
+  /** Deterministic date-planted corpus, doc_id % 5 variants: ISO
+    * prefix / "Month DD, YYYY" / "DD Month YYYY" suffix / two ISO
+    * dates (first wins) / none. Values derive from doc_id so every
+    * field is closed-form. */
+  private[graft] def syntheticDateMix(docs: DataFrame): DataFrame = {
+    val d = col("doc_id")
+    val yy = (lit(2015) + d % 10).cast("string")
+    val mmN = (d % 12 + 1).cast("int")
+    val mm = lpad(mmN.cast("string"), 2, "0")
+    val dd2 = lpad((d % 28 + 1).cast("string"), 2, "0")
+    val dd1 = (d % 28 + 1).cast("string")
+    val monthName = element_at(array(
+      lit("January"), lit("February"), lit("March"), lit("April"),
+      lit("May"), lit("June"), lit("July"), lit("August"),
+      lit("September"), lit("October"), lit("November"), lit("December")),
+      mmN)
+    docs.select(col("doc_id"), col("source"),
+      when(d % 5 === 0,
+        concat(lit("Published "), yy, lit("-"), mm, lit("-"), dd2,
+          lit(". "), col("text")))
+      .when(d % 5 === 1,
+        concat(lit("Updated on "), monthName, lit(" "), dd1, lit(", "),
+          yy, lit(": "), col("text")))
+      .when(d % 5 === 2,
+        concat(col("text"), lit(" ("), dd1, lit(" "), monthName,
+          lit(" "), yy, lit(")")))
+      .when(d % 5 === 3,
+        concat(yy, lit("-"), mm, lit("-"), dd2, lit(" edited 2026-01-01 "),
+          col("text")))
+      .otherwise(col("text")).as("text"))
+  }
+
+  /** First publication date per document under a FIRST-MATCH kind
+    * ladder (iso > "Month DD, YYYY" > "DD Month YYYY" > none), fields
+    * as exact ints; regexes live in the Java∩RE2 common subset and
+    * regexp_extract's empty-string-on-no-match convention is shared
+    * by both engines. Scan-local projection, zero shuffle. */
+  def dateExtract(docs: DataFrame): DataFrame = {
+    val t = col("text")
+    val months = Seq("January", "February", "March", "April", "May",
+      "June", "July", "August", "September", "October", "November",
+      "December")
+    val monthAlt = months.mkString("|")
+    def monthNum(c: Column): Column =
+      months.zipWithIndex.foldLeft(lit(0)) { case (acc, (m, i)) =>
+        when(c === m, lit(i + 1)).otherwise(acc)
+      }
+    val isoP = "(\\d{4})-(\\d{2})-(\\d{2})"
+    val mdyP = s"($monthAlt) (\\d{1,2}), (\\d{4})"
+    val dmyP = s"(\\d{1,2}) ($monthAlt) (\\d{4})"
+    val iso1 = regexp_extract(t, isoP, 1)
+    val mdy1 = regexp_extract(t, mdyP, 1)
+    val dmy1 = regexp_extract(t, dmyP, 1)
+    val kind = when(iso1 =!= "", "iso")
+      .when(mdy1 =!= "", "mdy")
+      .when(dmy1 =!= "", "dmy")
+      .otherwise("none")
+    val year = when(iso1 =!= "", iso1.cast("long"))
+      .when(mdy1 =!= "", regexp_extract(t, mdyP, 3).cast("long"))
+      .when(dmy1 =!= "", regexp_extract(t, dmyP, 3).cast("long"))
+      .otherwise(lit(0L))
+    val month = when(iso1 =!= "", regexp_extract(t, isoP, 2).cast("long"))
+      .when(mdy1 =!= "", monthNum(mdy1).cast("long"))
+      .when(dmy1 =!= "", monthNum(regexp_extract(t, dmyP, 2)).cast("long"))
+      .otherwise(lit(0L))
+    val day = when(iso1 =!= "", regexp_extract(t, isoP, 3).cast("long"))
+      .when(mdy1 =!= "", regexp_extract(t, mdyP, 2).cast("long"))
+      .when(dmy1 =!= "", regexp_extract(t, dmyP, 1).cast("long"))
+      .otherwise(lit(0L))
+    docs.select(col("doc_id"), kind.as("date_kind"), year.as("year"),
+      month.as("month"), day.as("day"))
+  }
+
+  /** DuckDB oracle for dateExtract(syntheticDateMix(documents)) —
+    * fields restated from the GENERATOR arithmetic per variant, never
+    * re-parsed (the closed-form pattern): variant 3's first-match ISO
+    * must beat the planted second date. */
+  def dateExtractOracleSql(): String =
+    s"""SELECT doc_id,
+       |  CASE doc_id % 5 WHEN 0 THEN 'iso' WHEN 1 THEN 'mdy'
+       |    WHEN 2 THEN 'dmy' WHEN 3 THEN 'iso' ELSE 'none' END AS date_kind,
+       |  CAST(CASE WHEN doc_id % 5 IN (0, 1, 2, 3)
+       |    THEN 2015 + doc_id % 10 ELSE 0 END AS BIGINT) AS year,
+       |  CAST(CASE WHEN doc_id % 5 IN (0, 1, 2, 3)
+       |    THEN doc_id % 12 + 1 ELSE 0 END AS BIGINT) AS month,
+       |  CAST(CASE WHEN doc_id % 5 IN (0, 1, 2, 3)
+       |    THEN doc_id % 28 + 1 ELSE 0 END AS BIGINT) AS day
+       |FROM documents""".stripMargin
+
+  // ------------------------------------------------------------------
   // License-notice routing (corpus_license_detect): training-data
   // compliance — route docs carrying license/copyright notices to
   // the policy tier before mixing.
