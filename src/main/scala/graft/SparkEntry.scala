@@ -555,6 +555,11 @@ object SparkEntry {
       // AvailableNow equals the batch join — which IS the oracle
       graft.ops.Events.attributionStream(s, t(s, dir, "events"),
         windowUs = 3600L * 1000000L)),
+    "events_anomaly_mad" -> ((s, dir) =>
+      // robust crawl-volume monitor: hourly counts vs lower-median
+      // +/- k*MAD (heavy-tail-proof), all-integer; the hour table is
+      // bounded by the time span so median/MAD are driver scalars
+      graft.ops.Events.hourlyAnomalies(t(s, dir, "events"))),
     "stream_dedup_ttl" -> ((s, dir) =>
       // TTL-evicting stateful dedup (flatMapGroupsWithState +
       // EventTimeTimeout, deterministic 4-batch replay): first
@@ -1633,6 +1638,9 @@ object SparkEntry {
     "stream_sessionize" -> graft.ops.Events.sessionizeOracleSql(21600L * 1000000L),
     "stream_late_events" -> graft.ops.Events.lateEventsOracleSql(),
     "stream_dedup_ttl" -> graft.ops.Events.dedupTtlOracleSql(),
+    // lower medians via the rank formulation (value at a rank is
+    // tie-order-proof)
+    "events_anomaly_mad" -> graft.ops.Events.hourlyAnomaliesOracleSql(),
     "stream_attribution" -> graft.ops.Events.attributionOracleSql(3600L * 1000000L),
     "corpus_shard_assign" -> graft.ops.Sampling.shardAssignOracleSql(64L),
     "corpus_epoch_order" -> graft.ops.Sampling.epochOrderOracleSql(),

@@ -651,6 +651,62 @@ object Events {
        |  CAST(min(event_id) AS BIGINT) AS min_event_id
        |FROM surv GROUP BY window_us""".stripMargin
 
+  /** Robust hourly-volume anomaly detection — the crawl-telemetry
+    * monitor: bucket events into epoch hours, then flag hours whose
+    * count deviates from the LOWER MEDIAN by more than k · MAD (the
+    * median absolute deviation) — median/MAD instead of mean/stddev
+    * because crawl volumes are heavy-tailed and one burst hour would
+    * drag a mean-based threshold toward itself. All-integer: the
+    * lower median (the value at 0-based rank (H−1)/2) avoids the
+    * even-count average, and the flag test is |c − med| > k·mad
+    * exactly (mad = 0 ⇒ ANY deviation flags — documented).
+    *
+    * Scale shape: ONE partial-agg shuffle collapses the corpus to the
+    * hour table — BOUNDED by the time span (720 rows/month), the
+    * quantile-sketch argument — so median/MAD are driver scalars over
+    * the collected bounded table, never a corpus sort. */
+  def hourlyAnomalies(events: DataFrame, k: Long = 3L): DataFrame = {
+    val hour = expr(
+      "unix_micros(CAST(ts AS TIMESTAMP)) div 3600000000").as("hour_idx")
+    val counts = events.select(hour)
+      .groupBy(col("hour_idx")).agg(count(lit(1)).as("n_events"))
+      .localCheckpoint(true) // bounded: hours in the corpus span
+    val cs = counts.select(col("n_events")).collect()
+      .map(_.getLong(0)).sorted
+    val med = cs((cs.length - 1) / 2)
+    val devs = cs.map(c => math.abs(c - med)).sorted
+    val mad = devs((devs.length - 1) / 2)
+    counts.select(col("hour_idx"), col("n_events"),
+      abs(col("n_events") - med).as("deviation"),
+      (abs(col("n_events") - med) > k * mad).cast("long").as("is_anomaly"),
+      lit(med).as("med"), lit(mad).as("mad"))
+  }
+
+  /** DuckDB oracle for [[hourlyAnomalies]] — the lower medians via
+    * rank formulation (value at rank (H+1) div 2 under ORDER BY value
+    * — tie order cannot change the value at a rank), same flag
+    * algebra. */
+  def hourlyAnomaliesOracleSql(k: Long = 3L): String =
+    s"""WITH c AS (
+       |  SELECT epoch_us(ts) // 3600000000 AS hour_idx,
+       |    CAST(count(*) AS BIGINT) AS n_events
+       |  FROM events GROUP BY hour_idx),
+       |h AS (SELECT CAST(count(*) AS BIGINT) AS n FROM c),
+       |r AS (SELECT n_events,
+       |    row_number() OVER (ORDER BY n_events) AS rn FROM c),
+       |med AS (SELECT n_events AS v FROM r
+       |        WHERE rn = ((SELECT n FROM h) + 1) // 2),
+       |d AS (SELECT abs(n_events - (SELECT v FROM med)) AS dev FROM c),
+       |dr AS (SELECT dev, row_number() OVER (ORDER BY dev) AS rn FROM d),
+       |mad AS (SELECT dev AS v FROM dr
+       |        WHERE rn = ((SELECT n FROM h) + 1) // 2)
+       |SELECT hour_idx, n_events,
+       |  CAST(abs(n_events - (SELECT v FROM med)) AS BIGINT) AS deviation,
+       |  CAST(CASE WHEN abs(n_events - (SELECT v FROM med)) >
+       |    $k * (SELECT v FROM mad) THEN 1 ELSE 0 END AS BIGINT) AS is_anomaly,
+       |  (SELECT v FROM med) AS med, (SELECT v FROM mad) AS mad
+       |FROM c""".stripMargin
+
   /** Per-key state for [[dedupTtlStream]]: the latest event time seen
     * (microseconds). Public — Catalyst codegen instantiates it
     * reflectively; a private modifier breaks the generated
