@@ -824,6 +824,11 @@ object SparkEntry {
       // Flesch–Kincaid grade from exact integer word/sentence/syllable
       // counts; one fixed-shape IEEE expression per row
       TextAnalysis.readability(t(s, dir, "documents"))),
+    "corpus_dataset_card" -> ((s, dir) =>
+      // the release datasheet, quantitative half: exact counts, dup
+      // census, source concentration, quality terciles — one corpus
+      // scan into a checkpointed narrow projection, integer output
+      TextAnalysis.datasetCard(t(s, dir, "documents"))),
     "corpus_quality_drift" -> ((s, dir) =>
       // pipeline monitoring: decile quality buckets on two snapshots
       // + exact integer total-variation distance (PSI needs log; TV
@@ -1688,6 +1693,37 @@ object SparkEntry {
           |  (SELECT v FROM tv) AS tv_permille
           |FROM j""".stripMargin
     },
+    "corpus_dataset_card" ->
+      ("WITH q AS (\n" + qualityScoreSql(key = "doc_id, lang, source") +
+        "\n),\n" +
+        """proj AS (
+          |  SELECT q.lang, q.source, q.quality,
+          |    CAST(len(list_filter(string_split_regex(lower(d.text),
+          |      '[\s\x0b]+'), x -> len(x) > 0)) AS BIGINT) AS toks,
+          |    CAST(length(d.text) AS BIGINT) AS chars, d.text
+          |  FROM q JOIN documents d ON q.doc_id = d.doc_id),
+          |a AS (SELECT CAST(count(*) AS BIGINT) AS n_docs,
+          |  CAST(sum(toks) AS BIGINT) AS n_tokens,
+          |  CAST(sum(chars) AS BIGINT) AS n_chars,
+          |  CAST(count(DISTINCT lang) AS BIGINT) AS n_langs,
+          |  CAST(count(DISTINCT source) AS BIGINT) AS n_sources,
+          |  CAST(count(DISTINCT text) AS BIGINT) AS n_distinct_texts,
+          |  CAST(sum(CASE WHEN quality >= 0.7 THEN 1 ELSE 0 END) AS BIGINT)
+          |    AS q_hi_docs,
+          |  CAST(sum(CASE WHEN quality >= 0.4 AND quality < 0.7
+          |    THEN 1 ELSE 0 END) AS BIGINT) AS q_mid_docs,
+          |  CAST(sum(CASE WHEN quality < 0.4 THEN 1 ELSE 0 END) AS BIGINT)
+          |    AS q_lo_docs FROM proj),
+          |st AS (SELECT CAST(max(t) AS BIGINT) AS top FROM
+          |  (SELECT sum(toks) AS t FROM proj GROUP BY source))
+          |SELECT n_docs, n_tokens, n_chars, n_langs, n_sources,
+          |  n_distinct_texts,
+          |  CAST(n_docs - n_distinct_texts AS BIGINT) AS n_dup_docs,
+          |  (SELECT top FROM st) AS top_source_tokens,
+          |  CAST((SELECT top FROM st) * 1000 // n_tokens AS BIGINT)
+          |    AS top_source_tokens_permille,
+          |  q_hi_docs, q_mid_docs, q_lo_docs
+          |FROM a""".stripMargin),
     "corpus_license_detect" ->
       graft.ops.TextAnalysis.licenseDetectOracleSql(),
     "text_date_extract" -> graft.ops.TextAnalysis.dateExtractOracleSql(),

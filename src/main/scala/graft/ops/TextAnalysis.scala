@@ -1024,6 +1024,50 @@ object TextAnalysis {
       lit(tv).as("tv_permille"))
   }
 
+  /** One-row DATASET CARD — the datasheet a corpus release ships
+    * (Gebru et al. "Datasheets for Datasets", the quantitative half):
+    * exact corpus counts (docs/tokens/chars/langs/sources), the exact
+    * duplicate census (docs minus distinct texts — engine dedups by
+    * xxhash64(text), equal to distinct-text absent a 64-bit collision,
+    * the exactByHash contract), source concentration (top source's
+    * token share, permille), and the quality tercile counts over the
+    * SHARED score. Integer-only output.
+    *
+    * Scale shape: ONE corpus scan materializes the narrow per-doc
+    * projection (lang, source, toks, chars, quality, text hash) via
+    * localCheckpoint; every census arm reads that projection — the
+    * corpus is never re-scanned; the source rollup is bounded and its
+    * max/total are driver scalars. */
+  def datasetCard(docs: DataFrame): DataFrame = {
+    val proj = withQuality(docs)
+      .select(col("lang"), col("source"),
+        size(tokens(col("text"))).cast("long").as("toks"),
+        length(col("text")).cast("long").as("chars"),
+        col("quality"), xxhash64(col("text")).as("h"))
+      .localCheckpoint(true)
+    val agg = proj.agg(
+      count(lit(1)).as("n_docs"),
+      sum(col("toks")).as("n_tokens"),
+      sum(col("chars")).as("n_chars"),
+      countDistinct(col("lang")).as("n_langs"),
+      countDistinct(col("source")).as("n_sources"),
+      countDistinct(col("h")).as("n_distinct_texts"),
+      sum(when(col("quality") >= 0.7, 1L).otherwise(0L)).as("q_hi_docs"),
+      sum(when(col("quality") >= 0.4 && col("quality") < 0.7, 1L)
+        .otherwise(0L)).as("q_mid_docs"),
+      sum(when(col("quality") < 0.4, 1L).otherwise(0L)).as("q_lo_docs"))
+    val srcTop = proj.groupBy(col("source"))
+      .agg(sum(col("toks")).as("t"))
+      .agg(max(col("t"))).collect()(0).getLong(0)
+    agg.select(col("n_docs"), col("n_tokens"), col("n_chars"),
+      col("n_langs"), col("n_sources"), col("n_distinct_texts"),
+      (col("n_docs") - col("n_distinct_texts")).as("n_dup_docs"),
+      lit(srcTop).as("top_source_tokens"),
+      expr(s"${srcTop}L * 1000 div n_tokens")
+        .as("top_source_tokens_permille"),
+      col("q_hi_docs"), col("q_mid_docs"), col("q_lo_docs"))
+  }
+
   // ------------------------------------------------------------------
   // Publication-date extraction (text_date_extract): content dates
   // for freshness weighting when no crawl timestamp exists.
