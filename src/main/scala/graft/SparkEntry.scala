@@ -497,6 +497,15 @@ object SparkEntry {
         .agg(sum(col("l_quantity")).as("sum_qty"),
           count(lit(1)).as("n_rows"),
           grouping_id().as("gid"))),
+    "q14_cube" -> ((s, dir) =>
+      // CUBE completes the grouping-sets family (ROLLUP in q10): all
+      // four (lang, source) subtotal combinations from ONE Expand
+      // shuffle; grouping_id's bit encoding is identical in DuckDB
+      t(s, dir, "documents")
+        .cube(col("lang"), col("source"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_chars")).as("sum_chars"),
+          grouping_id().as("gid"))),
     "q11_pivot" -> ((s, dir) =>
       // pivot with EXPLICIT values (deterministic column order; the
       // inferred-values form adds a driver distinct pass) — compiles
@@ -1604,6 +1613,11 @@ object SparkEntry {
         | CAST(count(*) AS BIGINT) AS n_rows,
         | CAST(GROUPING(l_returnflag, l_linestatus) AS BIGINT) AS gid
         |FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)""".stripMargin,
+    "q14_cube" ->
+      """SELECT lang, source, CAST(count(*) AS BIGINT) AS n_docs,
+        | CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+        | CAST(GROUPING(lang, source) AS BIGINT) AS gid
+        |FROM documents GROUP BY CUBE (lang, source)""".stripMargin,
     "q11_pivot" ->
       """SELECT user_id % 10 AS cohort,
         | CAST(count(*) FILTER (event_type = 'click') AS BIGINT) AS click,
