@@ -850,6 +850,11 @@ object SparkEntry {
       // from the generator arithmetic, never re-parsing
       TextAnalysis.dateExtract(
         TextAnalysis.syntheticDateMix(t(s, dir, "documents")))),
+    "corpus_instruction_detect" -> ((s, dir) =>
+      // instruct-data contamination routing: marker counts + first-
+      // match family ladder (inst_md > inst_tag > qa > chat > none)
+      TextAnalysis.instructionDetect(
+        TextAnalysis.syntheticInstructMix(t(s, dir, "documents")))),
     "corpus_license_detect" -> ((s, dir) =>
       // compliance routing: first-match license-family ladder
       // (spdx > apache > cc > mit > proprietary > none) over the
@@ -1741,6 +1746,8 @@ object SparkEntry {
     "corpus_license_detect" ->
       graft.ops.TextAnalysis.licenseDetectOracleSql(),
     "text_date_extract" -> graft.ops.TextAnalysis.dateExtractOracleSql(),
+    "corpus_instruction_detect" ->
+      graft.ops.TextAnalysis.instructionDetectOracleSql(),
     "q9_retention" -> graft.ops.Events.retentionOracleSql(
       eventsSrc = "(SELECT * FROM events WHERE event_id % 11 = 0)"),
     "q8_funnel" -> graft.ops.Events.funnelOracleSql(

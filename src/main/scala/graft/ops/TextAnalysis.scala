@@ -1069,6 +1069,94 @@ object TextAnalysis {
   }
 
   // ------------------------------------------------------------------
+  // Instruction-format detection (corpus_instruction_detect):
+  // pretraining corpora must not silently absorb instruct/chat data
+  // (it skews the base-model distribution and leaks eval formats) —
+  // route documents carrying dialogue/instruction scaffolding.
+  // ------------------------------------------------------------------
+
+  /** Deterministic instruct-planted corpus, doc_id % 6 variants:
+    * Q:/A: pair, markdown Instruction/Response, User/Assistant chat
+    * tail, [INST] tags, a lone System: line, none. */
+  private[graft] def syntheticInstructMix(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"), col("source"),
+      when(col("doc_id") % 6 === 0,
+        concat(lit("Q: what is x?\nA: it is y.\n"), col("text")))
+      .when(col("doc_id") % 6 === 1,
+        concat(lit("### Instruction:\nDo the thing\n### Response:\nDone\n"),
+          col("text")))
+      .when(col("doc_id") % 6 === 2,
+        concat(col("text"), lit("\nUser: hello\nAssistant: hi")))
+      .when(col("doc_id") % 6 === 3,
+        concat(lit("[INST] do [/INST] done "), col("text")))
+      .when(col("doc_id") % 6 === 4,
+        concat(col("text"), lit("\nSystem: you are helpful")))
+      .otherwise(col("text")).as("text"))
+
+  /** Instruction-format router + census: integer marker counts
+    * ((?m)-anchored line starts / literal scaffolding, Java∩RE2
+    * common subset) and a FIRST-MATCH family ladder — paired
+    * markdown scaffolding > [INST] tag pair > Q:/A: pair > any chat
+    * line > none. Census per (source, family): docs + total marker
+    * hits. Scan-local signals, ONE partial-agg rollup. */
+  def instructionDetect(docs: DataFrame): DataFrame = {
+    val t = col("text")
+    val qa = regexp_count(t, lit("(?m)^(Q|A): ")).cast("long")
+    val chat = regexp_count(t,
+      lit("(?m)^(User|Assistant|System): ")).cast("long")
+    val md = regexp_count(t, lit("### (Instruction|Response):")).cast("long")
+    val tag = regexp_count(t, lit("\\[/?INST\\]")).cast("long")
+    val family = when(md >= 2, "inst_md")
+      .when(tag >= 2, "inst_tag")
+      .when(qa >= 2, "qa")
+      .when(chat >= 1, "chat")
+      .otherwise("none")
+    docs.select(col("source"), family.as("family"),
+        (qa + chat + md + tag).as("hits"))
+      .groupBy(col("source"), col("family"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("hits")).as("n_marker_hits"))
+  }
+
+  /** DuckDB oracle for
+    * instructionDetect(syntheticInstructMix(documents)) — variants
+    * AND the ladder both restated; organic text runs the same
+    * regex counts so a false positive on either side breaks it. */
+  def instructionDetectOracleSql(): String =
+    s"""WITH mix AS (
+       |  SELECT doc_id, source, 
+       |    CASE doc_id % 6
+       |      WHEN 0 THEN 'Q: what is x?' || chr(10) || 'A: it is y.'
+       |        || chr(10) || text
+       |      WHEN 1 THEN '### Instruction:' || chr(10) || 'Do the thing'
+       |        || chr(10) || '### Response:' || chr(10) || 'Done'
+       |        || chr(10) || text
+       |      WHEN 2 THEN text || chr(10) || 'User: hello' || chr(10)
+       |        || 'Assistant: hi'
+       |      WHEN 3 THEN '[INST] do [/INST] done ' || text
+       |      WHEN 4 THEN text || chr(10) || 'System: you are helpful'
+       |      ELSE text END AS text
+       |  FROM documents),
+       |sig AS (
+       |  SELECT source,
+       |    len(regexp_extract_all(text, '(?m)^(Q|A): ')) AS qa,
+       |    len(regexp_extract_all(text, '(?m)^(User|Assistant|System): ')) AS chat,
+       |    len(regexp_extract_all(text, '### (Instruction|Response):')) AS md,
+       |    len(regexp_extract_all(text, '\\[/?INST\\]')) AS tag
+       |  FROM mix),
+       |fam AS (
+       |  SELECT source,
+       |    CASE WHEN md >= 2 THEN 'inst_md'
+       |         WHEN tag >= 2 THEN 'inst_tag'
+       |         WHEN qa >= 2 THEN 'qa'
+       |         WHEN chat >= 1 THEN 'chat'
+       |         ELSE 'none' END AS family,
+       |    qa + chat + md + tag AS hits
+       |  FROM sig)
+       |SELECT source, family, CAST(count(*) AS BIGINT) AS n_docs,
+       |  CAST(sum(hits) AS BIGINT) AS n_marker_hits
+       |FROM fam GROUP BY source, family""".stripMargin
+
+  // ------------------------------------------------------------------
   // Publication-date extraction (text_date_extract): content dates
   // for freshness weighting when no crawl timestamp exists.
   // ------------------------------------------------------------------
