@@ -564,6 +564,10 @@ object SparkEntry {
       // AvailableNow equals the batch join — which IS the oracle
       graft.ops.Events.attributionStream(s, t(s, dir, "events"),
         windowUs = 3600L * 1000000L)),
+    "events_json_props" -> ((s, dir) =>
+      // the JSON-column surface: codegen get_json_object extraction
+      // + one partial-agg rollup per event type, integer-only
+      graft.ops.Events.jsonProps(t(s, dir, "events"))),
     "events_anomaly_mad" -> ((s, dir) =>
       // robust crawl-volume monitor: hourly counts vs lower-median
       // +/- k*MAD (heavy-tail-proof), all-integer; the hour table is
@@ -1665,6 +1669,7 @@ object SparkEntry {
     // lower medians via the rank formulation (value at a rank is
     // tie-order-proof)
     "events_anomaly_mad" -> graft.ops.Events.hourlyAnomaliesOracleSql(),
+    "events_json_props" -> graft.ops.Events.jsonPropsOracleSql(),
     "stream_attribution" -> graft.ops.Events.attributionOracleSql(3600L * 1000000L),
     "corpus_shard_assign" -> graft.ops.Sampling.shardAssignOracleSql(64L),
     "corpus_epoch_order" -> graft.ops.Sampling.epochOrderOracleSql(),

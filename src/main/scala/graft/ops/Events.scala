@@ -651,6 +651,39 @@ object Events {
        |  CAST(min(event_id) AS BIGINT) AS min_event_id
        |FROM surv GROUP BY window_us""".stripMargin
 
+  /** Semi-structured payload extraction — the JSON-column surface
+    * (every event pipeline carries one): parse the `props` JSON with
+    * a codegen path expression (get_json_object — no UDF, no
+    * driver-side schema inference) and roll up per event type:
+    * count, sum/min/max of the extracted k, distinct k values, and
+    * rows where extraction failed (NULL path). Integer-only.
+    * Scale shape: scan-local extraction + ONE partial-agg shuffle to
+    * |event_types| rows. */
+  def jsonProps(events: DataFrame): DataFrame = {
+    val k = get_json_object(col("props"), "$.k").cast("long")
+    events.select(col("event_type"), k.as("k"))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(col("k")).as("sum_k"),
+        min(col("k")).as("min_k"),
+        max(col("k")).as("max_k"),
+        countDistinct(col("k")).as("n_distinct_k"),
+        sum(when(col("k").isNull, 1L).otherwise(0L)).as("n_bad"))
+  }
+
+  /** DuckDB oracle for [[jsonProps]] — the ->> JSON path operator on
+    * the same expression. */
+  def jsonPropsOracleSql(): String =
+    s"""SELECT event_type, CAST(count(*) AS BIGINT) AS n_events,
+       |  CAST(sum(k) AS BIGINT) AS sum_k,
+       |  CAST(min(k) AS BIGINT) AS min_k,
+       |  CAST(max(k) AS BIGINT) AS max_k,
+       |  CAST(count(DISTINCT k) AS BIGINT) AS n_distinct_k,
+       |  CAST(sum(CASE WHEN k IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_bad
+       |FROM (SELECT event_type,
+       |        CAST(props ->> '$$.k' AS BIGINT) AS k FROM events)
+       |GROUP BY event_type""".stripMargin
+
   /** Robust hourly-volume anomaly detection — the crawl-telemetry
     * monitor: bucket events into epoch hours, then flag hours whose
     * count deviates from the LOWER MEDIAN by more than k · MAD (the
