@@ -837,6 +837,10 @@ object SparkEntry {
       // Flesch–Kincaid grade from exact integer word/sentence/syllable
       // counts; one fixed-shape IEEE expression per row
       TextAnalysis.readability(t(s, dir, "documents"))),
+    "corpus_token_compression" -> ((s, dir) =>
+      // Kaplan-style chars-per-piece source-quality proxy: exact
+      // integer sums + milli-ratios, one partial-agg rollup
+      TextAnalysis.tokenCompression(t(s, dir, "documents"))),
     "corpus_dataset_card" -> ((s, dir) =>
       // the release datasheet, quantitative half: exact counts, dup
       // census, source concentration, quality terciles — one corpus
@@ -1753,6 +1757,8 @@ object SparkEntry {
     "text_date_extract" -> graft.ops.TextAnalysis.dateExtractOracleSql(),
     "corpus_instruction_detect" ->
       graft.ops.TextAnalysis.instructionDetectOracleSql(),
+    "corpus_token_compression" ->
+      graft.ops.TextAnalysis.tokenCompressionOracleSql(),
     "q9_retention" -> graft.ops.Events.retentionOracleSql(
       eventsSrc = "(SELECT * FROM events WHERE event_id % 11 = 0)"),
     "q8_funnel" -> graft.ops.Events.funnelOracleSql(

@@ -28,6 +28,48 @@ object TextAnalysis {
       aggregate(toks, lit(0L), (acc, t) => acc + length(t)).as("sum_tok_len"))
   }
 
+  /** Per-source tokenizer-compression rollup — the Kaplan-style
+    * "chars per piece" signal as a source-quality proxy: gibberish
+    * and non-linguistic content compress badly (few chars per BPE
+    * piece), over-segmented scripts show high pieces-per-word. Exact
+    * integer sums + milli-ratios by integer division (one rollup,
+    * scan-local signals — the tokenStats expressions re-used
+    * verbatim). */
+  def tokenCompression(docs: DataFrame): DataFrame = {
+    val toks = tokens(col("text"))
+    docs.select(col("source"),
+        size(toks).cast("long").as("t"),
+        size(regexp_extract_all(col("text"),
+          lit("[A-Za-z0-9]+|[^A-Za-z0-9\\s]"), lit(0))).cast("long").as("p"),
+        length(col("text")).cast("long").as("c"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("c")).as("sum_chars"),
+        sum(col("t")).as("sum_tokens"), sum(col("p")).as("sum_pieces"))
+      .select(col("source"), col("n_docs"), col("sum_chars"),
+        col("sum_tokens"), col("sum_pieces"),
+        expr("sum_chars * 1000 div sum_pieces").as("chars_per_piece_milli"),
+        expr("sum_pieces * 1000 div sum_tokens").as("pieces_per_token_milli"))
+  }
+
+  /** DuckDB oracle for [[tokenCompression]] — the token_stats regexes
+    * rolled up per source with the same integer ratios. */
+  def tokenCompressionOracleSql(): String =
+    s"""WITH sig AS (
+       |  SELECT source,
+       |    CAST(len(list_filter(string_split_regex(lower(text), '[\\s\\x0b]+'),
+       |      x -> len(x) > 0)) AS BIGINT) AS t,
+       |    CAST(len(regexp_extract_all(text,
+       |      '[A-Za-z0-9]+|[^A-Za-z0-9\\s]')) AS BIGINT) AS p,
+       |    CAST(length(text) AS BIGINT) AS c
+       |  FROM documents)
+       |SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+       |  CAST(sum(c) AS BIGINT) AS sum_chars,
+       |  CAST(sum(t) AS BIGINT) AS sum_tokens,
+       |  CAST(sum(p) AS BIGINT) AS sum_pieces,
+       |  CAST(sum(c) * 1000 // sum(p) AS BIGINT) AS chars_per_piece_milli,
+       |  CAST(sum(p) * 1000 // sum(t) AS BIGINT) AS pieces_per_token_milli
+       |FROM sig GROUP BY source""".stripMargin
+
   private val stopwordList = Seq(
     "the", "a", "an", "of", "to", "in", "and", "or", "is", "are",
     "was", "for", "on", "with", "as", "by", "at", "it", "this", "that")
