@@ -610,6 +610,12 @@ object SparkEntry {
       // first-fit-prefix greedy under an exact integer budget (12/5 of
       // one pass); bounded |sources|*E grid is the only window input
       graft.ops.Sampling.epochAllocation(t(s, dir, "documents"))),
+    "corpus_shuffle_adjacency" -> ((s, dir) =>
+      // shuffle-quality census: adjacent-position same-source rate
+      // per epoch vs the natural-order baseline (epoch -1); adjacency
+      // by (epoch, pos+1) self-join — never an epoch-partitioned
+      // window over the corpus
+      graft.ops.Sampling.shuffleAdjacency(t(s, dir, "documents"))),
     "corpus_epoch_order" -> ((s, dir) =>
       // per-epoch reshuffle: 32-bit Feistel BIJECTION re-keyed by
       // epoch (collision-free, no rand()), dense per-epoch positions
@@ -1677,6 +1683,8 @@ object SparkEntry {
     "stream_attribution" -> graft.ops.Events.attributionOracleSql(3600L * 1000000L),
     "corpus_shard_assign" -> graft.ops.Sampling.shardAssignOracleSql(64L),
     "corpus_epoch_order" -> graft.ops.Sampling.epochOrderOracleSql(),
+    "corpus_shuffle_adjacency" ->
+      graft.ops.Sampling.shuffleAdjacencyOracleSql(),
     // cross-formulation stop rule: engine running-overflow max vs
     // oracle NOT-EXISTS earlier-overflow
     "corpus_epoch_allocation" ->

@@ -1217,6 +1217,74 @@ object Sampling {
        |FROM k""".stripMargin
   }
 
+  /** Shuffle-QUALITY census over the Feistel epoch order — does the
+    * shuffle actually break source runs? Per epoch: adjacent training
+    * positions sharing a source, vs the natural doc_id-order baseline
+    * (epoch −1). A well-mixed order sits at ≈ Σ(share_s²) of
+    * adjacency (the random-mix expectation); a sorted-by-source
+    * corpus reads ≈ 1000 permille in the baseline row and collapses
+    * after shuffling; a round-robin corpus reads 0 and RISES to the
+    * random level — either direction, the census says whether the
+    * epoch order behaves like a random permutation.
+    *
+    * Scale shape: adjacency by SELF-JOIN on (epoch, pos + 1) — never
+    * a window partitioned only by epoch (each epoch partition would
+    * hold the whole corpus); positions come from [[epochOrder]]'s
+    * two-pass enumeration; one co-partitioned join + per-epoch
+    * rollup. */
+  def shuffleAdjacency(docs: DataFrame, epochs: Int = 3,
+                       seed: Long = 17L): DataFrame = {
+    val src = docs.select(col("doc_id"), col("source"))
+    val t = epochOrder(docs, epochs, seed)
+      .select(col("epoch"), col("doc_id"), col("pos"))
+      .join(src, Seq("doc_id"))
+      .select(col("epoch"), col("pos"), col("source"))
+      .localCheckpoint(true) // both sides of the adjacency join
+    val adj = t.select(col("epoch"), col("pos"), col("source").as("s1"))
+      .join(t.select(col("epoch"), (col("pos") - 1).as("pos"),
+        col("source").as("s2")), Seq("epoch", "pos"))
+      .groupBy(col("epoch"))
+      .agg(count(lit(1)).as("n_adjacent"),
+        sum(when(col("s1") === col("s2"), 1L).otherwise(0L))
+          .as("n_same_source"))
+    val nat = src.select(col("doc_id").as("k"), col("source").as("s1"))
+      .join(src.select((col("doc_id") - 1).as("k"),
+        col("source").as("s2")), Seq("k"))
+      .agg(count(lit(1)).as("n_adjacent"),
+        sum(when(col("s1") === col("s2"), 1L).otherwise(0L))
+          .as("n_same_source"))
+      .select(lit(-1).as("epoch"), col("n_adjacent"),
+        col("n_same_source"))
+    adj.unionByName(nat)
+      .select(col("epoch"), col("n_adjacent"), col("n_same_source"),
+        expr("n_same_source * 1000 div n_adjacent").as("same_permille"))
+  }
+
+  /** DuckDB oracle for [[shuffleAdjacency]] — the epochOrder replay
+    * joined to sources, adjacency as the same pos+1 self-join, plus
+    * the doc_id+1 natural baseline. */
+  def shuffleAdjacencyOracleSql(epochs: Int = 3, seed: Long = 17L): String =
+    "WITH eo AS (" + epochOrderOracleSql(epochs, seed) + "),\n" +
+      """t AS (SELECT eo.epoch, eo.pos, d.source
+        |      FROM eo JOIN documents d USING (doc_id)),
+        |adj AS (
+        |  SELECT a.epoch, CAST(count(*) AS BIGINT) AS n_adjacent,
+        |    CAST(sum(CASE WHEN a.source = b.source THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS n_same_source
+        |  FROM t a JOIN t b ON a.epoch = b.epoch AND b.pos = a.pos + 1
+        |  GROUP BY a.epoch),
+        |nat AS (
+        |  SELECT CAST(-1 AS INT) AS epoch,
+        |    CAST(count(*) AS BIGINT) AS n_adjacent,
+        |    CAST(sum(CASE WHEN a.source = b.source THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS n_same_source
+        |  FROM documents a JOIN documents b ON b.doc_id = a.doc_id + 1),
+        |u AS (SELECT * FROM adj UNION ALL SELECT * FROM nat)
+        |SELECT epoch, n_adjacent, n_same_source,
+        |  CAST(n_same_source * 1000 // n_adjacent AS BIGINT)
+        |    AS same_permille
+        |FROM u""".stripMargin
+
   /** Data-constrained epoch allocation (the Muennighoff-style repeat
     * schedule): when the token budget exceeds one pass over the data,
     * which sources get a 2nd/3rd/... epoch? Each epoch of source s
