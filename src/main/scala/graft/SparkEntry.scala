@@ -1343,6 +1343,14 @@ object SparkEntry {
         .toDF("shard_id", "warc")
       graft.ops.Warc.records(shards)
     }),
+    "web_url_params" -> ((s, dir) =>
+      // crawl-frontier canonicalization planning: per query-param
+      // urls carried, distinct values (constant decoration vs
+      // identifier), tracking-strip flag; real query-string parse,
+      // one partial-agg shuffle; oracle restates the counts from the
+      // variant arithmetic
+      graft.ops.WebGraph.urlParamCensus(
+        graft.ops.WebGraph.paramUrls(t(s, dir, "documents")))),
     "web_sitemap_gap" -> ((s, dir) => {
       // crawl-completeness audit: REAL sitemap-protocol parse (urlset
       // / sitemapindex / lastmod / truncated-entry leniency) vs the
@@ -2104,6 +2112,7 @@ object SparkEntry {
     "web_crawl_schedule" -> graft.ops.WebGraph.crawlScheduleOracleSql(1000L),
     "web_redirects" -> graft.ops.WebGraph.redirectsOracleSql,
     "web_sitemap_gap" -> graft.ops.WebGraph.sitemapGapOracleSql,
+    "web_url_params" -> graft.ops.WebGraph.urlParamsOracleSql,
     "web_warc_records" -> graft.ops.Warc.recordsOracleSql(40),
     "web_head_meta" -> graft.ops.PageMeta.headsOracleSql,
     "web_canonical_map" -> graft.ops.PageMeta.canonicalMapOracleSql,

@@ -337,6 +337,67 @@ object WebGraph {
     docs.select(d.as("doc_id"), raw.as("url"))
   }
 
+  /** Deterministic param-bearing url corpus, doc_id % 5 variants:
+    * id+utm_source / utm_campaign+gclid / page / fbclid+id / none. */
+  private[graft] def paramUrls(docs: DataFrame): DataFrame = {
+    val d = col("doc_id")
+    val base = concat(lit("https://host"), (d % 13).cast("string"),
+      lit(".example/doc"), d.cast("string"))
+    docs.select(d.as("doc_id"),
+      when(d % 5 === 0, concat(base, lit("?id="), d.cast("string"),
+          lit("&utm_source=news")))
+        .when(d % 5 === 1, concat(base,
+          lit("?utm_campaign=spring&gclid=g"), d.cast("string")))
+        .when(d % 5 === 2, concat(base, lit("?page=2")))
+        .when(d % 5 === 3, concat(base, lit("?fbclid=f"), d.cast("string"),
+          lit("&id="), d.cast("string")))
+        .otherwise(base).as("url"))
+  }
+
+  /** Query-parameter census — the crawl-frontier canonicalization
+    * planning table: per parameter NAME, how many urls carry it, how
+    * many DISTINCT values it takes (1 distinct value over many urls =
+    * a constant decoration; distinct-per-url = an identifier), and
+    * whether it is a known tracking parameter (utm_*, gclid, fbclid —
+    * the strip list). Real query-string parsing with built-ins
+    * (regexp_extract + split + explode), one partial-agg shuffle on
+    * the param name. */
+  def urlParamCensus(urls: DataFrame): DataFrame = {
+    val qs = regexp_extract(col("url"), "\\?(.*)$", 1)
+    urls.select(explode(split(qs, "&")).as("kv"))
+      .filter(col("kv") =!= "")
+      .select(split(col("kv"), "=").getItem(0).as("param"),
+        split(col("kv"), "=").getItem(1).as("value"))
+      .groupBy(col("param"))
+      .agg(count(lit(1)).as("n_urls"),
+        countDistinct(col("value")).as("n_distinct_values"))
+      .select(col("param"), col("n_urls"), col("n_distinct_values"),
+        (col("param").startsWith("utm_") ||
+          col("param").isin("gclid", "fbclid")).cast("long")
+          .as("is_tracking"))
+  }
+
+  /** Closed-form oracle for urlParamCensus(paramUrls(documents)) —
+    * per-param counts derived from the variant arithmetic, never
+    * re-parsed. */
+  def urlParamsOracleSql: String =
+    """WITH n AS (SELECT
+      |  CAST(sum(CASE WHEN doc_id % 5 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n0,
+      |  CAST(sum(CASE WHEN doc_id % 5 = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n1,
+      |  CAST(sum(CASE WHEN doc_id % 5 = 2 THEN 1 ELSE 0 END) AS BIGINT) AS n2,
+      |  CAST(sum(CASE WHEN doc_id % 5 = 3 THEN 1 ELSE 0 END) AS BIGINT) AS n3
+      |  FROM documents)
+      |SELECT 'id' AS param, n0 + n3 AS n_urls,
+      |  n0 + n3 AS n_distinct_values, CAST(0 AS BIGINT) AS is_tracking FROM n
+      |UNION ALL SELECT 'utm_source', n0, CAST(1 AS BIGINT),
+      |  CAST(1 AS BIGINT) FROM n
+      |UNION ALL SELECT 'utm_campaign', n1, CAST(1 AS BIGINT),
+      |  CAST(1 AS BIGINT) FROM n
+      |UNION ALL SELECT 'gclid', n1, n1, CAST(1 AS BIGINT) FROM n
+      |UNION ALL SELECT 'page', n2, CAST(1 AS BIGINT),
+      |  CAST(0 AS BIGINT) FROM n
+      |UNION ALL SELECT 'fbclid', n3, n3, CAST(1 AS BIGINT) FROM n""".stripMargin
+
   /** Closed-form oracle for normalizeUrls(messyUrls(documents)). */
   def messyUrlsOracleSql: String =
     """WITH d AS (SELECT doc_id,
