@@ -62,9 +62,13 @@ class SuffixRankSpec extends AnyFunSuite with BeforeAndAfterAll {
     val texts = (0 until 25).map(_ =>
       Iterator.continually("abcd".charAt(rnd.nextInt(4))).take(30 + rnd.nextInt(40)).mkString)
     val df = docs(texts: _*)
-    SuffixRank.ranks(df, 4).foreach { case (w, p) =>
+    // rounds=5 exercises the radix-4 path twice PLUS the odd-tail
+    // single-doubling fallback (levels 2,4 | 8,16 | 32)
+    SuffixRank.ranks(df, 5).foreach { case (w, p) =>
+      // frame is (packed, r): unpack doc/pos from the packed long
       val byRank = p.collect()
-        .map(r => (r.getLong(3), (r.getLong(0), r.getLong(1).toInt)))
+        .map(r => (r.getLong(1),
+          (r.getLong(0) >> 20, (r.getLong(0) & ((1L << 20) - 1)).toInt)))
         .groupBy(_._1).map { case (k, v) => k -> v.map(_._2).toSeq.sorted }
       val byWindow = brute(texts, w).map { case (_, v) => v.sorted }.toSet
       assert(byRank.values.map(_.sorted).toSet === byWindow, s"level w=$w")
