@@ -240,15 +240,14 @@ object SparkEntry {
             lit(".example/"), regexp_extract(col("url"), "doc[0-9]+\\.(pdf|html)", 0)))
       val sink = "qm_" + java.util.UUID.randomUUID().toString.replace("-", "")
       // stateful-stream shuffle partitions = state stores to checkpoint
-      // per batch; 8 is plenty for the staged corpus (result-invariant)
-      val prevSp = s.conf.get("spark.sql.shuffle.partitions")
-      s.conf.set("spark.sql.shuffle.partitions", "8")
-      try {
+      // per batch; a handful is plenty for the staged corpus
+      // (result-invariant; centralized knob in Events.withStreamShuffle)
+      graft.ops.Events.withStreamShuffle(s) {
         val q = graft.spark.ExtractStreamJob.qualityMetrics(pages)
           .writeStream.format("memory").queryName(sink).outputMode("complete")
           .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
         q.awaitTermination()
-      } finally s.conf.set("spark.sql.shuffle.partitions", prevSp)
+      }
       s.table(sink)
         .select(col("host"), unix_timestamp(col("window.start")).as("win_start"),
           col("n_docs"), col("n_ok"), col("n_bytes"), col("n_pages"))
@@ -265,16 +264,14 @@ object SparkEntry {
       val schema = s.read.parquet(s"$base/pages").schema
       val stream = s.readStream.schema(schema)
         .option("maxFilesPerTrigger", "2").parquet(s"$base/pages")
-      val prevSp = s.conf.get("spark.sql.shuffle.partitions")
-      s.conf.set("spark.sql.shuffle.partitions", "8")
-      try {
+      graft.ops.Events.withStreamShuffle(s) {
         val q = graft.spark.ExtractStreamJob.dedupFirstSeen(stream)
           .writeStream.format("parquet")
           .option("path", s"$base/out").option("checkpointLocation", s"$base/ckpt")
           .outputMode("append")
           .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
         q.awaitTermination()
-      } finally s.conf.set("spark.sql.shuffle.partitions", prevSp)
+      }
       s.read.parquet(s"$base/out")
         .select(col("url"), unix_timestamp(col("warc_ts")).as("ts_sec"),
           xxhash64(col("html")).as("html_hash"))

@@ -16,6 +16,25 @@ import org.apache.spark.sql.functions._
   */
 object Events {
 
+  /** Set/restore `spark.sql.shuffle.partitions` around a staged-replay
+    * streaming run (the SparkEntry extract_stream_* idiom, centralized).
+    * Stateful-stream shuffle partitions = state stores created,
+    * checkpointed and committed PER MICRO-BATCH, so a bounded replay
+    * pin pays (session default, e.g. 32) stores x batches x stateful
+    * operators of pure fixed cost; a handful is right-sized for these
+    * pins' state volume at any cluster width, and every pinned op folds
+    * order-insensitively per key, so results are partition-invariant.
+    * Production state volumes override via SPARK_GRAFT_STREAM_SHUFFLE —
+    * the value binds at streaming-checkpoint creation, which is why it
+    * wraps query start instead of living in the session conf. */
+  private[graft] def withStreamShuffle[T](
+      spark: org.apache.spark.sql.SparkSession)(f: => T): T = {
+    val prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions",
+      sys.env.getOrElse("SPARK_GRAFT_STREAM_SHUFFLE", "4"))
+    try f finally spark.conf.set("spark.sql.shuffle.partitions", prev)
+  }
+
   /** Gap-based sessionization: a new session starts when a user's
     * inter-event gap exceeds `gapUs` microseconds. Classic two-pass
     * window formulation (lag → boundary flag → running sum = session
@@ -250,24 +269,26 @@ object Events {
         lit(-1L).as("event_id"),
         timestamp_micros(lit(flushTs)).as("ts"), lit(-1L).as("user_id")))
       .write.parquet(s"$base/in")
-    val stream = spark.readStream.schema(src.schema).parquet(s"$base/in")
-      .withWatermark("ts", "0 seconds")
-      .withColumn("us", unix_micros(col("ts")))
-    val q = stream
-      .groupBy(col("user_id"),
-        session_window(col("ts"), s"$gapUs microseconds"))
-      .agg(min(col("event_id")).as("session_start"),
-        count(lit(1)).as("n_events"),
-        (max(col("us")) - min(col("us"))).as("duration_us"))
-      .select(col("user_id"), col("session_start"), col("n_events"),
-        col("duration_us"))
-      .writeStream.format("parquet")
-      .option("path", s"$base/out")
-      .option("checkpointLocation", s"$base/ckpt")
-      .outputMode("append")
-      .trigger(Trigger.AvailableNow())
-      .start()
-    q.awaitTermination()
+    withStreamShuffle(spark) {
+      val stream = spark.readStream.schema(src.schema).parquet(s"$base/in")
+        .withWatermark("ts", "0 seconds")
+        .withColumn("us", unix_micros(col("ts")))
+      val q = stream
+        .groupBy(col("user_id"),
+          session_window(col("ts"), s"$gapUs microseconds"))
+        .agg(min(col("event_id")).as("session_start"),
+          count(lit(1)).as("n_events"),
+          (max(col("us")) - min(col("us"))).as("duration_us"))
+        .select(col("user_id"), col("session_start"), col("n_events"),
+          col("duration_us"))
+        .writeStream.format("parquet")
+        .option("path", s"$base/out")
+        .option("checkpointLocation", s"$base/ckpt")
+        .outputMode("append")
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
     spark.read.parquet(s"$base/out").filter(col("user_id") >= 0)
   }
 
@@ -300,33 +321,35 @@ object Events {
         col("ts").cast(TimestampType).as("ts"), col("user_id").cast("long"),
         col("event_type").cast("string"))
       .write.parquet(s"$base/in")
-    val src = spark.readStream
-      .schema(spark.read.parquet(s"$base/in").schema)
-      .parquet(s"$base/in")
-    val clicks = src.filter(col("event_type") === "click")
-      .select(col("event_id").as("click_id"), col("user_id"),
-        col("ts").as("c_ts"))
-      .withWatermark("c_ts", "0 seconds")
-    val purchases = src.filter(col("event_type") === "purchase")
-      .select(col("event_id").as("purchase_id"),
-        col("user_id").as("p_user"), col("ts").as("p_ts"))
-      .withWatermark("p_ts", "0 seconds")
-    // the bound is written as interval arithmetic on the event-time
-    // columns — the shape Spark's streaming analyzer recognizes to
-    // derive state-eviction thresholds from the watermarks
-    val q = clicks.join(purchases,
-        col("user_id") === col("p_user") &&
-        col("p_ts") >= col("c_ts") &&
-        col("p_ts") <= expr(s"c_ts + INTERVAL $windowUs MICROSECOND"))
-      .select(col("click_id"), col("purchase_id"),
-        (unix_micros(col("p_ts")) - unix_micros(col("c_ts"))).as("lag_us"))
-      .writeStream.format("parquet")
-      .option("path", s"$base/out")
-      .option("checkpointLocation", s"$base/ckpt")
-      .outputMode("append")
-      .trigger(Trigger.AvailableNow())
-      .start()
-    q.awaitTermination()
+    withStreamShuffle(spark) {
+      val src = spark.readStream
+        .schema(spark.read.parquet(s"$base/in").schema)
+        .parquet(s"$base/in")
+      val clicks = src.filter(col("event_type") === "click")
+        .select(col("event_id").as("click_id"), col("user_id"),
+          col("ts").as("c_ts"))
+        .withWatermark("c_ts", "0 seconds")
+      val purchases = src.filter(col("event_type") === "purchase")
+        .select(col("event_id").as("purchase_id"),
+          col("user_id").as("p_user"), col("ts").as("p_ts"))
+        .withWatermark("p_ts", "0 seconds")
+      // the bound is written as interval arithmetic on the event-time
+      // columns — the shape Spark's streaming analyzer recognizes to
+      // derive state-eviction thresholds from the watermarks
+      val q = clicks.join(purchases,
+          col("user_id") === col("p_user") &&
+          col("p_ts") >= col("c_ts") &&
+          col("p_ts") <= expr(s"c_ts + INTERVAL $windowUs MICROSECOND"))
+        .select(col("click_id"), col("purchase_id"),
+          (unix_micros(col("p_ts")) - unix_micros(col("c_ts"))).as("lag_us"))
+        .writeStream.format("parquet")
+        .option("path", s"$base/out")
+        .option("checkpointLocation", s"$base/ckpt")
+        .outputMode("append")
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
     spark.read.parquet(s"$base/out")
   }
 
@@ -603,25 +626,27 @@ object Events {
       // strictly increasing mtimes drive the batch replay order
       assert(dst.setLastModified((b + 1) * 600000L))
     }
-    val stream = spark.readStream
-      .schema(spark.read.parquet(s"$base/in").schema)
-      .option("maxFilesPerTrigger", "1")
-      .option("latestFirst", "false")
-      .parquet(s"$base/in")
-      .withWatermark("ts", s"$delayUs microseconds")
-    val q = stream
-      .groupBy(window(col("ts"), s"$windowUs microseconds"))
-      .agg(count(lit(1)).as("n_events"),
-        min(col("event_id")).as("min_event_id"))
-      .select(unix_micros(col("window.start")).as("window_us"),
-        col("n_events"), col("min_event_id"))
-      .writeStream.format("parquet")
-      .option("path", s"$base/out")
-      .option("checkpointLocation", s"$base/ckpt")
-      .outputMode("append")
-      .trigger(Trigger.AvailableNow())
-      .start()
-    q.awaitTermination()
+    withStreamShuffle(spark) {
+      val stream = spark.readStream
+        .schema(spark.read.parquet(s"$base/in").schema)
+        .option("maxFilesPerTrigger", "1")
+        .option("latestFirst", "false")
+        .parquet(s"$base/in")
+        .withWatermark("ts", s"$delayUs microseconds")
+      val q = stream
+        .groupBy(window(col("ts"), s"$windowUs microseconds"))
+        .agg(count(lit(1)).as("n_events"),
+          min(col("event_id")).as("min_event_id"))
+        .select(unix_micros(col("window.start")).as("window_us"),
+          col("n_events"), col("min_event_id"))
+        .writeStream.format("parquet")
+        .option("path", s"$base/out")
+        .option("checkpointLocation", s"$base/ckpt")
+        .outputMode("append")
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
     // the sentinel's window cannot have been emitted (end > final wm),
     // but guard the contract explicitly rather than rely on it
     spark.read.parquet(s"$base/out")
@@ -803,6 +828,7 @@ object Events {
       java.nio.file.Files.copy(part.toPath, dst.toPath)
       assert(dst.setLastModified((b + 1) * 600000L))
     }
+    withStreamShuffle(spark) {
     val stream = spark.readStream
       .schema(spark.read.parquet(s"$base/in").schema)
       .option("maxFilesPerTrigger", "1")
@@ -847,6 +873,7 @@ object Events {
       .trigger(Trigger.AvailableNow())
       .start()
     q.awaitTermination()
+    }
     spark.read.parquet(s"$base/out")
   }
 
