@@ -536,10 +536,16 @@ object Dedup {
                  driverSolveMaxEdges: Long = 200000L): DataFrame = {
     val spark = pairs.sparkSession
     import spark.implicits._
-    val edges = pairs.select(col("a_id").as("src"), col("b_id").as("dst"))
-      .union(pairs.select(col("b_id").as("src"), col("a_id").as("dst")))
+    // the caller's pair subtree is often EXPENSIVE (an LSH bucket join
+    // or a within-cluster cosine pass); the symmetrization union below
+    // references it twice, so checkpoint the pair set first — lazily,
+    // it materializes inside the edges job — or the upstream join runs
+    // once per union branch
+    val p = pairs.select(col("a_id"), col("b_id")).localCheckpoint(false)
+    val edges = p.select(col("a_id").as("src"), col("b_id").as("dst"))
+      .union(p.select(col("b_id").as("src"), col("a_id").as("dst")))
       .distinct()
-      .localCheckpoint(true)
+      .localCheckpoint(false) // materialized by the count() gate below
     if (edges.count() <= driverSolveMaxEdges) {
       val es = edges.as[(Long, Long)].collect()
       val parent = new java.util.HashMap[Long, Long]()
@@ -564,11 +570,13 @@ object Dedup {
     // every vertex that appears in `pairs` (incl. self-loop-only ones)
     // must come back labeled; the star loop drops self-loops, so the
     // vertex universe is pinned here and re-attached at the end.
-    val allVerts = edges.select(col("src").as("id")).distinct().localCheckpoint(true)
+    val allVerts = edges.select(col("src").as("id")).distinct().localCheckpoint(false)
     // canonical directed form: larger → smaller, self-loops dropped
+    // (LAZY checkpoint: the fingerprint agg that follows each round is
+    // a full-scan action, materializing the round in the same job)
     var star = edges.filter(col("src") > col("dst"))
       .select(col("src").as("u"), col("dst").as("v"))
-      .localCheckpoint(true)
+      .localCheckpoint(false)
     def fingerprint(e: DataFrame): (Long, Long) = {
       // bit_xor, not sum: order-independent and cannot overflow under ANSI
       val r = e.agg(count(lit(1)), coalesce(bit_xor(xxhash64(col("u"), col("v"))), lit(0L)))
@@ -596,7 +604,7 @@ object Dedup {
         .select(col("v").as("u"), col("m").as("v"))
         .union(m2.select(col("u"), col("m").as("v")))
         .distinct()
-        .localCheckpoint(true)
+        .localCheckpoint(false)
       val cur = fingerprint(ss)
       converged = cur == prev
       prev = cur
@@ -999,21 +1007,43 @@ object Dedup {
     val spark = docs.sparkSession
     import spark.implicits._
     val bounded = docs.filter(col("doc_id") < auditMax)
-    val grams = bounded.select(col("doc_id").cast("long"), lower(col("text")))
+    val tMin = thresholds.min
+    // truth arm (audit-bounded by contract: auditMax docs): gram sets
+    // collect to the driver and broadcast — a bounded model-sized
+    // payload, the LSH-query-side discipline — and the O(auditMax²)
+    // pair pass runs a primitive MERGE intersection over the sorted
+    // gram arrays. The previous crossJoin + array_intersect shape
+    // rebuilt a hash set per pair (1.5+ s of the query at sf0.1 for
+    // the same counts).
+    val gramArr: Array[(Long, Array[Long])] = bounded
+      .select(col("doc_id").cast("long"), lower(col("text")))
       .as[(Long, String)]
       .mapPartitions(_.map { case (id, t) => (id, gramSet(t, shingleWidth)) })
-      .toDF("doc_id", "grams")
-      .localCheckpoint(true)
-    val tMin = thresholds.min
-    val truth = grams.select(col("doc_id").as("a_id"), col("grams").as("ga"))
-      .crossJoin(grams.select(col("doc_id").as("b_id"), col("grams").as("gb")))
-      .filter(col("a_id") < col("b_id"))
-      .withColumn("inter",
-        size(array_intersect(col("ga"), col("gb"))).cast("long"))
-      .withColumn("uni",
-        (size(col("ga")) + size(col("gb"))).cast("long") - col("inter"))
-      .filter(col("inter") * 1000 >= col("uni") * tMin)
-      .select(col("a_id"), col("b_id"), col("inter"), col("uni"))
+      .collect().sortBy(_._1)
+    val gB = spark.sparkContext.broadcast(gramArr)
+    val truth = spark.createDataset(gramArr.indices.toSeq)
+      .repartition(spark.sparkContext.defaultParallelism)
+      .mapPartitions { it =>
+        val g = gB.value
+        it.flatMap { ai =>
+          val (aId, ga) = g(ai)
+          Iterator.range(ai + 1, g.length).flatMap { bi =>
+            val (bId, gb) = g(bi)
+            // sorted-distinct merge intersection — same counts as
+            // size(array_intersect(ga, gb)) on these arrays
+            var i = 0; var j = 0; var inter = 0L
+            while (i < ga.length && j < gb.length) {
+              if (ga(i) < gb(j)) i += 1
+              else if (ga(i) > gb(j)) j += 1
+              else { inter += 1; i += 1; j += 1 }
+            }
+            val uni = ga.length.toLong + gb.length.toLong - inter
+            if (inter * 1000 >= uni * tMin) Iterator.single((aId, bId, inter, uni))
+            else Iterator.empty
+          }
+        }
+      }
+      .toDF("a_id", "b_id", "inter", "uni")
       .localCheckpoint(true)
     val cand = minhashLsh(bounded, k, bands, threshold = 0.0,
         shingleWidth, bucketCap)

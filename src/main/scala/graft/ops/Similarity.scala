@@ -21,6 +21,26 @@ object Similarity {
     dot / (na * nb)
   }
 
+  /** Primitive-loop cosine-threshold test, arithmetic-identical to
+    * [[cosine]] `>= threshold`: the same left fold (0.0 seed, one
+    * double product per element, dot and both norms accumulated in
+    * element order), one sqrt each, one division. Mismatched lengths
+    * reject the pair — exactly zip_with's null-extension poisoning.
+    * Zero vectors give 0/0 = NaN, and NaN >= t is false either way.
+    * The HOF form dispatches a boxed lambda per element (~µs/pair at
+    * dim 64), which dominates any O(n²/k) within-cluster pair pass;
+    * this kernel is the bruteForceTopK discipline applied to it. */
+  private[ops] def cosineAtLeast(a: Array[Float], b: Array[Float],
+                                 threshold: Double): Boolean = {
+    if (a == null || b == null || a.length != b.length) return false
+    var dot = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+    while (i < a.length) {
+      val x = a(i).toDouble; val y = b(i).toDouble
+      dot += x * y; na += x * x; nb += y * y; i += 1
+    }
+    dot / (math.sqrt(na) * math.sqrt(nb)) >= threshold
+  }
+
   /** Exact top-k neighbors for each query vector (brute force).
     * The small query side is broadcast as plain arrays; the corpus
     * scans ONCE with a primitive-loop kernel emitting per-partition
@@ -800,10 +820,19 @@ object Similarity {
       col("embedding").as("av"))
     val rhs = withVec.select(col("vec_id").as("b_id"), col("cluster"),
       col("embedding").as("bv"))
+    // the pair pass evaluates Σ|cluster|² cosines — run it through the
+    // primitive kernel (bit-identical, see cosineAtLeast) instead of
+    // per-element HOF lambdas
+    val spark2 = corpus.sparkSession
+    import spark2.implicits._
     val pairs = lhs.join(rhs, Seq("cluster"))
       .filter(col("a_id") < col("b_id"))
-      .filter(cosine(col("av"), col("bv")) >= threshold)
-      .select(col("a_id"), col("b_id"))
+      .select(col("a_id"), col("b_id"), col("av"), col("bv"))
+      .as[(Long, Long, Array[Float], Array[Float])]
+      .mapPartitions(_.collect {
+        case (a, b, av, bv) if cosineAtLeast(av, bv, threshold) => (a, b)
+      })
+      .toDF("a_id", "b_id")
     val surv = Dedup.survivors(
       corpus.select(col("vec_id").as("doc_id")), pairs)
     assign

@@ -612,19 +612,24 @@ object WebGraph {
     require(iterations >= 1, "iterations must be >= 1")
     require(scale > 0 && scale <= Long.MaxValue / 85,
       "scale must keep 85*rank within Long")
-    val e = distinctEdges(edges).localCheckpoint(true)
+    // LAZY checkpoints: the iteration count is fixed (no per-round
+    // convergence action), so every round still materializes exactly
+    // once — inside ONE job DAG at the final action instead of
+    // `iterations` sequential driver-blocking jobs, and the edge
+    // table's exchange is reused across rounds within that job
+    val e = distinctEdges(edges).localCheckpoint(false)
     val nodes = e.select(col("src").as("url"))
       .union(e.select(col("dst").as("url"))).distinct()
-      .localCheckpoint(true)
+      .localCheckpoint(false)
     val n = nodes.count()
     val init = scale / n
     val base = 15L * init / 100L
     val outdeg = e.groupBy(col("src"))
-      .agg(count(lit(1)).as("outdeg")).localCheckpoint(true)
+      .agg(count(lit(1)).as("outdeg")).localCheckpoint(false)
     var ranks = nodes.select(col("url"), lit(init).as("pr"))
     var i = 0
     while (i < iterations) {
-      ranks = iterate(e, outdeg, nodes, ranks, base).localCheckpoint(true)
+      ranks = iterate(e, outdeg, nodes, ranks, base).localCheckpoint(false)
       i += 1
     }
     ranks
@@ -710,12 +715,13 @@ object WebGraph {
     require(iterations >= 1, "iterations must be >= 1")
     require(scale > 0 && scale <= Long.MaxValue / 85,
       "scale must keep 85*rank within Long")
-    val e = distinctEdges(edges).localCheckpoint(true)
+    // LAZY checkpoints — the pageRankInt argument verbatim
+    val e = distinctEdges(edges).localCheckpoint(false)
     val nodes = e.select(col("src").as("url"))
       .union(e.select(col("dst").as("url"))).distinct()
-      .localCheckpoint(true)
+      .localCheckpoint(false)
     val sd = seeds.select(col("url")).distinct()
-      .join(nodes, Seq("url")).localCheckpoint(true)
+      .join(nodes, Seq("url")).localCheckpoint(false)
     val nS = sd.count()
     require(nS > 0, "no seed url is present in the edge set's node universe")
     val init = scale / nS
@@ -727,9 +733,9 @@ object WebGraph {
       .select(col("url"),
         when(col("is_seed"), lit(base)).otherwise(lit(0L)).as("base"),
         when(col("is_seed"), lit(init)).otherwise(lit(0L)).as("init"))
-      .localCheckpoint(true)
+      .localCheckpoint(false)
     val outdeg = e.groupBy(col("src"))
-      .agg(count(lit(1)).as("outdeg")).localCheckpoint(true)
+      .agg(count(lit(1)).as("outdeg")).localCheckpoint(false)
     var ranks = flagged.select(col("url"), col("init").as("trust"))
     var i = 0
     while (i < iterations) {
@@ -742,7 +748,7 @@ object WebGraph {
         .select(col("url"),
           (col("base") +
             expr("(85 * coalesce(contrib, 0L)) div 100")).as("trust"))
-        .localCheckpoint(true)
+        .localCheckpoint(false)
       i += 1
     }
     ranks
@@ -768,7 +774,7 @@ object WebGraph {
       .select(col("url"), col("pr"), expr(s"pr div ${div}L").as("p"))
     val tr = pageRankSeeded(edges, seeds, iterations)
       .select(col("url"), col("trust"), expr(s"trust div ${div}L").as("t"))
-    val joined = pr.join(tr, Seq("url")).localCheckpoint(true)
+    val joined = pr.join(tr, Seq("url")).localCheckpoint(false)
     val tot = joined.agg(sum(col("p")), sum(col("t"))).collect()(0)
     val (tp, tt) = (tot.getLong(0), tot.getLong(1))
     joined.select(col("url"), col("pr"), col("trust"),
@@ -1121,10 +1127,17 @@ object WebGraph {
     * recursive-CTE min-over-all-walks formulation. */
   def crawlDepth(edges: DataFrame, seeds: DataFrame,
                  maxDepth: Int = 10): DataFrame = {
+    // LAZY checkpoints + count-as-materializer: one job per BFS level
+    // instead of an eager checkpoint job plus an isEmpty job.
+    // (A persist() pre-partitioned on src was tried to save the
+    // per-round e-side exchange — the InMemoryRelation keeps its
+    // outputPartitioning where a checkpoint's LogicalRDD loses it —
+    // but measured WORSE at sf0.1: columnar cache decode per round
+    // plus the upfront exchange outweigh the saved shuffles.)
     val e = edges.select(col("src"), col("dst")).distinct()
-      .localCheckpoint(true)
+      .localCheckpoint(false)
     val seed0 = seeds.select(col("url")).distinct()
-      .select(col("url"), lit(0).as("depth")).localCheckpoint(true)
+      .select(col("url"), lit(0).as("depth")).localCheckpoint(false)
     var levels = List(seed0) // one checkpointed leaf per BFS level
     var frontier = seed0
     var d = 0
@@ -1137,8 +1150,8 @@ object WebGraph {
         .select(col("dst").as("url")).distinct()
         .join(visited, Seq("url"), "left_anti")
         .select(col("url"), lit(d).as("depth"))
-        .localCheckpoint(true)
-      if (next.isEmpty) exhausted = true
+        .localCheckpoint(false)
+      if (next.count() == 0L) exhausted = true
       else { levels ::= next; frontier = next }
     }
     levels.reduce(_ union _)
@@ -1205,10 +1218,11 @@ object WebGraph {
     require(scale > 0 && maxDegree > 0 &&
       scale <= Long.MaxValue / scale / maxDegree,
       "scale must keep maxDegree*scale^2 within Long")
-    val e = distinctEdges(edges).localCheckpoint(true)
+    // LAZY checkpoints — the pageRankInt argument verbatim
+    val e = distinctEdges(edges).localCheckpoint(false)
     val nodes = e.select(col("src").as("url"))
       .union(e.select(col("dst").as("url"))).distinct()
-      .localCheckpoint(true)
+      .localCheckpoint(false)
     val n = nodes.count()
     require(n > 0, "hitsInt: empty edge set (no nodes to score)")
     val init = scale / n
@@ -1220,12 +1234,12 @@ object WebGraph {
         scores.select(col("url").as("dst"), col("auth")), Seq("dst"))
         .groupBy(col("src").as("url")).agg(sum(col("auth")).as("raw"))
       val h = renormL1(nodes, hRaw, scale).withColumnRenamed("s", "hub")
-        .localCheckpoint(true)
+        .localCheckpoint(false)
       val aRaw = e.join(
         h.select(col("url").as("src"), col("hub")), Seq("src"))
         .groupBy(col("dst").as("url")).agg(sum(col("hub")).as("raw"))
       val a = renormL1(nodes, aRaw, scale).withColumnRenamed("s", "auth")
-      scores = h.join(a, Seq("url")).localCheckpoint(true)
+      scores = h.join(a, Seq("url")).localCheckpoint(false)
       i += 1
     }
     scores.select(col("url"), col("hub"), col("auth"))
@@ -1951,25 +1965,28 @@ object WebGraph {
     val m = 1 << p
     val spark = edges.sparkSession
     import spark.implicits._
+    // LAZY checkpoints (fixed round count, no partial actions): all
+    // rounds + the fold materialize in one job DAG, each level cached
+    // exactly once
     val e = edges.select(col("src"), col("dst"))
       .where(col("src") =!= col("dst")).distinct()
-      .localCheckpoint(true) // joined every round by both arms
+      .localCheckpoint(false) // joined every round by both arms
     val nodes = e.select(col("src").as("v"))
       .unionAll(e.select(col("dst").as("v"))).distinct()
     var state = nodes.as[String].mapPartitions(_.map { v =>
       val (reg, rank) = Cardinality.regRank(v, p); (v, reg, rank)
-    }).toDF("v", "reg", "mx").localCheckpoint(true)
-    var pairs = nodes.select(col("v"), col("v").as("u")).localCheckpoint(true)
+    }).toDF("v", "reg", "mx").localCheckpoint(false)
+    var pairs = nodes.select(col("v"), col("v").as("u")).localCheckpoint(false)
     for (_ <- 1 to rounds) {
       state = state.unionAll(
           e.join(state.withColumnRenamed("v", "dst"), Seq("dst"))
             .select(col("src").as("v"), col("reg"), col("mx")))
         .groupBy(col("v"), col("reg")).agg(max(col("mx")).as("mx"))
-        .localCheckpoint(true)
+        .localCheckpoint(false)
       pairs = pairs.unionAll(
           e.join(pairs.withColumnRenamed("v", "dst"), Seq("dst"))
             .select(col("src").as("v"), col("u")))
-        .distinct().localCheckpoint(true)
+        .distinct().localCheckpoint(false)
     }
     val folded = state
       .select(col("v"), col("reg"), expr(
@@ -2072,10 +2089,12 @@ object WebGraph {
     * [[pageRankOracleSql]] stages its iterations. */
   def kCore(edges: DataFrame, k: Int, maxIter: Int = 50): DataFrame = {
     require(k >= 1 && maxIter >= 1)
+    // LAZY checkpoints: each round's keep.count() is a full-scan
+    // action over the new live set, materializing it in the same job
     var live = edges.select(least(col("src"), col("dst")).as("a"),
         greatest(col("src"), col("dst")).as("b"))
       .where(col("a") < col("b")).distinct()
-      .localCheckpoint(true)
+      .localCheckpoint(false)
     var prevNodes = -1L
     var round = 0
     var done = false
@@ -2091,7 +2110,7 @@ object WebGraph {
         live = live
           .join(keep.select(col("v").as("a")), Seq("a"), "left_semi")
           .join(keep.select(col("v").as("b")), Seq("b"), "left_semi")
-          .localCheckpoint(true)
+          .localCheckpoint(false)
         round += 1
       }
     }
@@ -2239,10 +2258,13 @@ object WebGraph {
                         driverEdgeGate: Long = 200000L): DataFrame = {
     import edges.sparkSession.implicits._
     val spark = edges.sparkSession
+    // checkpoint+count pairs here and below are LAZY checkpoint +
+    // count(): a full-scan action materializes the checkpoint in the
+    // same job, halving the driver-blocking jobs per barrier
     var live = edges.select(col("src_id").as("s"), col("dst_id").as("t"))
-      .where(col("s") =!= col("t")).distinct().localCheckpoint(true)
+      .where(col("s") =!= col("t")).distinct().localCheckpoint(false)
     var nodes = live.select(col("s").as("v"))
-      .unionAll(live.select(col("t").as("v"))).distinct().localCheckpoint(true)
+      .unionAll(live.select(col("t").as("v"))).distinct().localCheckpoint(false)
     var assigned = spark.createDataFrame(
       spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
       org.apache.spark.sql.types.StructType(Seq(
@@ -2282,16 +2304,16 @@ object WebGraph {
             .localCheckpoint(false)
           h += 1
         }
-        n2 = n2.localCheckpoint(true)
+        n2 = n2.localCheckpoint(false)
         val nLeft = n2.count()
         if (nLeft == remaining) trimming = false
         else {
           val trimmed = nodes.join(n2, Seq("v"), "left_anti")
           assigned = assigned
             .unionAll(trimmed.select(col("v"), col("v").as("scc_id")))
-            .localCheckpoint(true)
+            .localCheckpoint(false)
           nodes = n2
-          live = l2.localCheckpoint(true)
+          live = l2.localCheckpoint(false)
           remaining = nLeft
         }
       }
@@ -2307,7 +2329,7 @@ object WebGraph {
         val comp = kosaraju(es)
         assigned = assigned
           .unionAll(comp.toSeq.toDF("v", "scc_id"))
-          .localCheckpoint(true)
+          .localCheckpoint(false)
         remaining = 0L
       }
       if (remaining > 0) {
@@ -2320,7 +2342,7 @@ object WebGraph {
           cIn.join(inMin, Seq("v"), "left")
             .select(col("v"), least(col("c"), coalesce(col("m"), col("c"))).as("c"))
         }
-        var c = nodes.select(col("v"), col("v").as("c")).localCheckpoint(true)
+        var c = nodes.select(col("v"), col("v").as("c")).localCheckpoint(false)
         var coloring = true
         while (coloring) {
           spend()
@@ -2328,7 +2350,7 @@ object WebGraph {
           var h = 0
           // lazy per hop (plan-growth guard, see trim loop)
           while (h < hops) { c2 = colorStep(c2).localCheckpoint(false); h += 1 }
-          c2 = c2.localCheckpoint(true)
+          c2 = c2.localCheckpoint(false)
           // fixpoint iff NOTHING moved across the whole batch (labels
           // only ever decrease, so batch-end equality == fixpoint)
           val nChanged = c2.select(col("v"), col("c").as("c2"))
@@ -2348,7 +2370,7 @@ object WebGraph {
             .select(col("s").as("v"), col("sc").as("c"))
           m.unionAll(next).groupBy(col("v")).agg(min(col("c")).as("c"))
         }
-        var mark = c.where(col("v") === col("c")).localCheckpoint(true)
+        var mark = c.where(col("v") === col("c")).localCheckpoint(false)
         var markCount = mark.count()
         var growing = true
         while (growing) {
@@ -2357,20 +2379,20 @@ object WebGraph {
           var h = 0
           // lazy per hop (plan-growth guard, see trim loop)
           while (h < hops) { m2 = growStep(m2).localCheckpoint(false); h += 1 }
-          m2 = m2.localCheckpoint(true)
+          m2 = m2.localCheckpoint(false)
           val cnt = m2.count()
           if (cnt == markCount) growing = false
           else { mark = m2; markCount = cnt }
         }
         assigned = assigned
           .unionAll(mark.select(col("v"), col("c").as("scc_id")))
-          .localCheckpoint(true)
-        nodes = nodes.join(mark, Seq("v"), "left_anti").localCheckpoint(true)
+          .localCheckpoint(false)
+        nodes = nodes.join(mark, Seq("v"), "left_anti").localCheckpoint(false)
         remaining = nodes.count()
         live = live
           .join(nodes.select(col("v").as("s")), Seq("s"), "left_semi")
           .join(nodes.select(col("v").as("t")), Seq("t"), "left_semi")
-          .localCheckpoint(true)
+          .localCheckpoint(false)
       }
     }
     val sizes = assigned.groupBy(col("scc_id")).agg(count(lit(1)).as("scc_size"))
