@@ -761,7 +761,7 @@ object SparkEntry {
     }),
     "ann_lsh" -> ((s, dir) => {
       val emb = t(s, dir, "embeddings")
-      Similarity.lshTopK(emb, emb.filter(col("vec_id") < 10), k = 5, dim = 64)
+      Similarity.lshTopK(emb, emb.filter(col("vec_id") < 10), k = 5)
     }),
     "ann_ivf" -> ((s, dir) => {
       // IVF scale shape: one inverted list per corpus vector, queries

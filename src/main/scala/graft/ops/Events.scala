@@ -731,9 +731,11 @@ object Events {
       .localCheckpoint(true) // bounded: hours in the corpus span
     val cs = counts.select(col("n_events")).collect()
       .map(_.getLong(0)).sorted
-    val med = cs((cs.length - 1) / 2)
+    // empty corpus: no hours, the select below is empty regardless of
+    // the scalars — 0/0 keeps the schema instead of throwing on (-1)/2
+    val med = if (cs.isEmpty) 0L else cs((cs.length - 1) / 2)
     val devs = cs.map(c => math.abs(c - med)).sorted
-    val mad = devs((devs.length - 1) / 2)
+    val mad = if (devs.isEmpty) 0L else devs((devs.length - 1) / 2)
     counts.select(col("hour_idx"), col("n_events"),
       abs(col("n_events") - med).as("deviation"),
       (abs(col("n_events") - med) > k * mad).cast("long").as("is_anomaly"),

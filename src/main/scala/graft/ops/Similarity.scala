@@ -61,9 +61,17 @@ object Similarity {
       .mapPartitions { rows =>
         val qs = qB.value
         // per-query bounded candidate lists for this partition
+        // min-heap under (score ASC, id DESC) — the sq8TopK ordering:
+        // evicting the head drops the globally-worst candidate, and
+        // equal scores keep the SMALLER id, matching the oracle's
+        // (cos DESC, id ASC) cut so ties at the k boundary cannot
+        // make recall rows partitioning-dependent
         val best = Array.fill(qs.length)(
           new java.util.PriorityQueue[(Double, Long)](k + 1,
-            (a: (Double, Long), b: (Double, Long)) => java.lang.Double.compare(a._1, b._1)))
+            (a: (Double, Long), b: (Double, Long)) => {
+              val c = java.lang.Double.compare(a._1, b._1)
+              if (c != 0) c else java.lang.Long.compare(b._2, a._2)
+            }))
         rows.foreach { case (id, v) =>
           val nv = norm(v)
           var qi = 0
@@ -169,7 +177,7 @@ object Similarity {
   /** LSH-bucketed ANN: both sides signed with the same hyperplanes;
     * candidates share a bucket (multi-probe via nTables different
     * seeds); exact cosine re-rank inside the candidate set only. */
-  def lshTopK(corpus: DataFrame, queries: DataFrame, k: Int, dim: Int,
+  def lshTopK(corpus: DataFrame, queries: DataFrame, k: Int,
               nBits: Int = 12, nTables: Int = 4): DataFrame = {
     def signed(df: DataFrame, idCol: String): DataFrame =
       lshSignatures(df, idCol, nBits, nTables)
@@ -1048,7 +1056,7 @@ object Similarity {
     val arms: Seq[(String, DataFrame)] = Seq(
       "bf"  -> truth,
       "ivf" -> ivfTopK(corpus, queries, k),
-      "lsh" -> lshTopK(corpus, queries, k, dim = 64),
+      "lsh" -> lshTopK(corpus, queries, k),
       "pq"  -> pqTopK(corpus, queries, k = k),
       "sq8" -> sq8TopK(corpus, queries, k))
     arms.map { case (name, approx) =>

@@ -1059,7 +1059,10 @@ object TextAnalysis {
     val tvNum = joined
       .agg(sum(abs(col("n_prev") * tc - col("n_cur") * tp))).collect()(0)
       .getLong(0)
-    val tv = tvNum * 500L / (tp * tc)
+    // BigInt: tvNum is bounded by tp*tc, so the Long multiply would
+    // overflow once tp*tc > ~1.8e16 (~1.3e8 docs per snapshot); the
+    // quotient is <= 500 and exact in BigInt at any corpus size
+    val tv = (BigInt(tvNum) * 500 / (BigInt(tp) * BigInt(tc))).toLong
     joined.select(col("bucket"), col("n_prev"), col("n_cur"),
       expr(s"n_prev * 1000 div ${tp}L").as("prev_share_permille"),
       expr(s"n_cur * 1000 div ${tc}L").as("cur_share_permille"),

@@ -64,10 +64,15 @@ object Warc {
       // so the record must NOT be emitted
       val lastPl = 20 + ((s * 13 + (nRecs - 1) * 7) % 50).toInt
       val headersEnd = {
-        // scan from lastRecStart for the blank line
+        // scan from lastRecStart for the blank line, bounded so a
+        // generator-layout change fails loudly instead of walking off
+        // the array
         var i = lastRecStart
-        while (!(bytes(i) == '\r' && bytes(i + 1) == '\n' &&
+        while (i + 3 < bytes.length &&
+               !(bytes(i) == '\r' && bytes(i + 1) == '\n' &&
                  bytes(i + 2) == '\r' && bytes(i + 3) == '\n')) i += 1
+        require(i + 3 < bytes.length,
+          s"syntheticShard: no CRLFCRLF header terminator after offset $lastRecStart")
         i + 4
       }
       java.util.Arrays.copyOf(bytes, headersEnd + lastPl / 2)

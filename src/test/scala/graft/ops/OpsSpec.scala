@@ -83,7 +83,7 @@ class OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(top1.length == 1)
     assert(Set(1L, 2L).contains(top1(0).getLong(1)), top1.mkString)
     // LSH variant agrees on this easy case
-    val lsh1 = Similarity.lshTopK(emb, emb.filter("vec_id = 0"), k = 1, dim = 8)
+    val lsh1 = Similarity.lshTopK(emb, emb.filter("vec_id = 0"), k = 1)
       .collect()
     assert(lsh1.length == 1 && Set(1L, 2L).contains(lsh1(0).getLong(1)), lsh1.mkString)
     // IVF variant agrees too: cluster-mates have near-identical centroid
