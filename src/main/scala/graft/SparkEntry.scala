@@ -958,23 +958,27 @@ object SparkEntry {
       val docs = t(s, dir, "documents")
       val corpus = docs.filter(col("doc_id") >= 20)
       val bench = docs.filter(col("doc_id") < 20)
-      // Each per-doc signal arm is MATERIALIZED (localCheckpoint) before
-      // the filters/joins. This is load-bearing, not belt-and-braces:
+      // Each per-doc signal arm is CHECKPOINT-BARRIERED before the
+      // filters/joins. This is load-bearing, not belt-and-braces:
       // without the barrier, PushDownPredicate substitutes the filter
       // through the signal projection, and for langId's argmax that
       // re-inlines `m = greatest(7 score exprs)` into every CASE branch
       // — where codegen's subexpression elimination cannot reach
       // (branches are conditionally evaluated) — so every marker
       // replace() runs ~8x per row. Measured at sf0.1: the lang arm
-      // alone went 0.49 s -> 17.3 s (35x). The checkpointed tables are
+      // alone went 0.49 s -> 17.3 s (35x). The checkpoints are LAZY
+      // (round 6): a LogicalRDD leaf blocks pushdown exactly like the
+      // eager variant, but the four signal arms + final join now
+      // materialize in ONE job (independent arm stages overlap)
+      // instead of 4 sequential driver-blocking scans. The tables are
       // (id, scalar) — trivially shardable at any scale — and the
       // downstream joins stay lazy and broadcastable.
-      val survivors = Dedup.exactByHash(corpus).select("doc_id").localCheckpoint(true)
-      val quality = TextAnalysis.qualityScore(corpus).localCheckpoint(true)
+      val survivors = Dedup.exactByHash(corpus).select("doc_id").localCheckpoint(false)
+      val quality = TextAnalysis.qualityScore(corpus).localCheckpoint(false)
       val lang = TextAnalysis.langId(corpus).select(col("doc_id"), col("lang_pred"))
-        .localCheckpoint(true)
+        .localCheckpoint(false)
       val contam = TextAnalysis.contamination(corpus, bench, w = 5)
-        .select("doc_id").localCheckpoint(true)
+        .select("doc_id").localCheckpoint(false)
       corpus.join(survivors, Seq("doc_id"))
         .join(quality, Seq("doc_id")).filter(col("quality") >= 0.6)
         .join(lang, Seq("doc_id")).filter(col("lang_pred") === "en")

@@ -761,8 +761,14 @@ object Dedup {
       .select(col("x.doc_id").as("a_id"), col("y.doc_id").as("b_id"),
         lit(0).cast("int").as("hamming"))
     val brute = cross.union(same)
-    // observed behavior of the REAL capped pipeline
-    val observed = simhashNearDups(docs, maxDist, bucketCap)
+    // observed behavior of the REAL capped pipeline — driven off the
+    // ALREADY-COMPUTED persisted signature table (round 6): simhash()
+    // is deterministic, so handing `sh` to the banding kernel is
+    // bit-identical to simhashNearDups(docs, …) recomputing it, and
+    // the token-explode + 64-vote aggregation runs once instead of
+    // twice per audit.
+    val observed = hammingNearDups64(
+        sh.select(col("doc_id"), col("simhash").as("h")), maxDist, bucketCap)
       .select(col("a_id"), col("b_id")).withColumn("in_capped", lit(1))
     brute.join(observed, Seq("a_id", "b_id"), "left_outer")
       .na.fill(0, Seq("in_capped"))

@@ -531,14 +531,17 @@ object WebGraph {
     * anything bigger than the edge list. */
   def communities(edges: DataFrame, rounds: Int = 3): DataFrame = {
     val e = distinctEdges(edges)
+    // LAZY checkpoints (round 6): fixed round count, no partial
+    // action — the whole LPA chain materializes in one job DAG at the
+    // caller's action instead of 2 + rounds sequential blocking jobs.
     val und = e.unionAll(e.select(col("dst").as("src"), col("src").as("dst")))
       .distinct()
       .toDF("v", "nb")
-      .localCheckpoint(true)
+      .localCheckpoint(false)
     val nodes = und.select(col("v").as("url")).distinct()
-      .localCheckpoint(true)
+      .localCheckpoint(false)
     var labels = nodes.select(col("url"), col("url").as("lbl"))
-      .localCheckpoint(true)
+      .localCheckpoint(false)
     val byV = org.apache.spark.sql.expressions.Window
       .partitionBy(col("v"))
       .orderBy(col("c").desc, col("lbl").asc)
@@ -552,7 +555,7 @@ object WebGraph {
       labels = labels
         .join(winner, Seq("url"), "left")
         .select(col("url"), coalesce(col("wlbl"), col("lbl")).as("lbl"))
-        .localCheckpoint(true)
+        .localCheckpoint(false)
     }
     labels.toDF("url", "community")
   }
@@ -617,7 +620,17 @@ object WebGraph {
     // once — inside ONE job DAG at the final action instead of
     // `iterations` sequential driver-blocking jobs, and the edge
     // table's exchange is reused across rounds within that job
-    val e = distinctEdges(edges).localCheckpoint(false)
+    pageRankIntClean(distinctEdges(edges).localCheckpoint(false),
+      iterations, scale)
+  }
+
+  /** [[pageRankInt]] over an ALREADY-cleaned (self-loop-free,
+    * distinct, checkpointed) edge table — lets composites like
+    * [[spamMass]] run both rank fixed points off ONE materialization
+    * of an expensive edge subtree (round 6; the anchor-extraction
+    * parse ran once per pipeline before). */
+  private[graft] def pageRankIntClean(e: DataFrame, iterations: Int,
+                  scale: Long = 1000000000000L): DataFrame = {
     val nodes = e.select(col("src").as("url"))
       .union(e.select(col("dst").as("url"))).distinct()
       .localCheckpoint(false)
@@ -716,7 +729,15 @@ object WebGraph {
     require(scale > 0 && scale <= Long.MaxValue / 85,
       "scale must keep 85*rank within Long")
     // LAZY checkpoints — the pageRankInt argument verbatim
-    val e = distinctEdges(edges).localCheckpoint(false)
+    pageRankSeededClean(distinctEdges(edges).localCheckpoint(false),
+      seeds, iterations, scale)
+  }
+
+  /** [[pageRankSeeded]] over an already-cleaned edge table — see
+    * [[pageRankIntClean]]. */
+  private[graft] def pageRankSeededClean(e: DataFrame, seeds: DataFrame,
+                     iterations: Int,
+                     scale: Long = 1000000000000L): DataFrame = {
     val nodes = e.select(col("src").as("url"))
       .union(e.select(col("dst").as("url"))).distinct()
       .localCheckpoint(false)
@@ -770,9 +791,15 @@ object WebGraph {
     * totals are driver scalars over the checkpointed join. */
   def spamMass(edges: DataFrame, seeds: DataFrame, iterations: Int = 5,
                div: Long = 100000L): DataFrame = {
-    val pr = pageRankInt(edges, iterations)
+    // ONE edge cleanup shared by both fixed points (round 6): the
+    // caller's edge subtree (typically an HTML anchor-extraction
+    // parse) materializes once; distinctEdges is idempotent, so the
+    // cleaned set handed to both kernels is exactly what each computed
+    // for itself before — bit-identical ranks.
+    val e = distinctEdges(edges).localCheckpoint(false)
+    val pr = pageRankIntClean(e, iterations)
       .select(col("url"), col("pr"), expr(s"pr div ${div}L").as("p"))
-    val tr = pageRankSeeded(edges, seeds, iterations)
+    val tr = pageRankSeededClean(e, seeds, iterations)
       .select(col("url"), col("trust"), expr(s"trust div ${div}L").as("t"))
     val joined = pr.join(tr, Seq("url")).localCheckpoint(false)
     val tot = joined.agg(sum(col("p")), sum(col("t"))).collect()(0)
@@ -1141,8 +1168,14 @@ object WebGraph {
     var levels = List(seed0) // one checkpointed leaf per BFS level
     var frontier = seed0
     var d = 0
-    var exhausted = false
-    while (d < maxDepth && !exhausted) {
+    // NO per-level count barrier (round 6): the early-exit count cost
+    // one driver-blocking job per BFS level; an exhausted frontier
+    // instead just yields empty frames for the remaining levels (an
+    // empty-frontier join is free — AQE propagates the empty relation
+    // and skips the stages), so all maxDepth levels chain lazily and
+    // the caller's single action materializes the whole BFS as one
+    // job DAG. Identical result: union with empty tail levels.
+    while (d < maxDepth) {
       d += 1
       val visited = levels.map(_.select("url")).reduce(_ union _)
       val next = e
@@ -1151,8 +1184,8 @@ object WebGraph {
         .join(visited, Seq("url"), "left_anti")
         .select(col("url"), lit(d).as("depth"))
         .localCheckpoint(false)
-      if (next.count() == 0L) exhausted = true
-      else { levels ::= next; frontier = next }
+      levels ::= next
+      frontier = next
     }
     levels.reduce(_ union _)
   }
@@ -1226,23 +1259,42 @@ object WebGraph {
     val n = nodes.count()
     require(n > 0, "hitsInt: empty edge set (no nodes to score)")
     val init = scale / n
-    var scores = nodes.select(col("url"), lit(init).as("hub"),
-      lit(init).as("auth"))
+    // SPARSE mid-loop scores (round 6): a node absent from a raw table
+    // has score 0 and contributes 0 to every downstream sum, so the
+    // per-half-iteration densification onto the full node set (a left
+    // join + exchange, twice per round) is only needed ONCE at the
+    // end for the output contract (hub 0 / no-out-edge, auth 0 /
+    // no-in-edge). Mid-loop renorm is a 1-row broadcast crossJoin over
+    // the sparse raw table; the L1 total is unchanged (absent rows add
+    // 0), so every emitted integer is bit-identical to the dense
+    // formulation — same oracle, fewer exchanges per round. The
+    // per-round h⋈a pairing join is likewise deferred to the end.
+    def renormSparse(raw: DataFrame, out: String): DataFrame = {
+      val tot = raw.agg(sum(col("raw")).as("tot"))
+      raw.crossJoin(broadcast(tot))
+        .select(col("url"),
+          when(col("tot").isNull || col("tot") === 0L, lit(0L))
+            .otherwise(expr(s"(raw * ${scale}L) div tot")).as(out))
+    }
+    var hub = nodes.select(col("url"), lit(init).as("hub"))
+    var auth = nodes.select(col("url"), lit(init).as("auth"))
     var i = 0
     while (i < iterations) {
       val hRaw = e.join(
-        scores.select(col("url").as("dst"), col("auth")), Seq("dst"))
+        auth.select(col("url").as("dst"), col("auth")), Seq("dst"))
         .groupBy(col("src").as("url")).agg(sum(col("auth")).as("raw"))
-      val h = renormL1(nodes, hRaw, scale).withColumnRenamed("s", "hub")
-        .localCheckpoint(false)
+      hub = renormSparse(hRaw, "hub").localCheckpoint(false)
       val aRaw = e.join(
-        h.select(col("url").as("src"), col("hub")), Seq("src"))
+        hub.select(col("url").as("src"), col("hub")), Seq("src"))
         .groupBy(col("dst").as("url")).agg(sum(col("hub")).as("raw"))
-      val a = renormL1(nodes, aRaw, scale).withColumnRenamed("s", "auth")
-      scores = h.join(a, Seq("url")).localCheckpoint(false)
+      auth = renormSparse(aRaw, "auth").localCheckpoint(false)
       i += 1
     }
-    scores.select(col("url"), col("hub"), col("auth"))
+    nodes
+      .join(hub, Seq("url"), "left")
+      .join(auth, Seq("url"), "left")
+      .select(col("url"), coalesce(col("hub"), lit(0L)).as("hub"),
+        coalesce(col("auth"), lit(0L)).as("auth"))
   }
 
   /** L1-renormalize a sparse (url, raw) score table onto the full node
@@ -2098,21 +2150,36 @@ object WebGraph {
     var prevNodes = -1L
     var round = 0
     var done = false
+    // Batched peels (round 6, the SCC-trim BSP lever): each driver
+    // barrier (count) costs fixed job latency at any data size, so
+    // `hops` peels run lazily between barriers — surplus peels past
+    // the fixpoint are identity, and the node count is monotone
+    // non-increasing, so batch-boundary count equality == fixpoint.
+    // Each peel is lazily checkpointed (it references `live` three
+    // times; an unbroken chain grows the logical plan exponentially).
+    val hops = 3
     while (!done && round < maxIter) {
-      val keep = live.select(col("a").as("v"))
-        .unionAll(live.select(col("b").as("v")))
-        .groupBy(col("v")).agg(count(lit(1)).as("deg"))
-        .where(col("deg") >= k).select(col("v"))
-      val n = keep.count()
-      if (n == prevNodes) done = true // removal-only ⇒ stable count = fixpoint
-      else {
-        prevNodes = n
-        live = live
+      var l2 = live
+      var h = 0
+      while (h < hops) {
+        val keep = l2.select(col("a").as("v"))
+          .unionAll(l2.select(col("b").as("v")))
+          .groupBy(col("v")).agg(count(lit(1)).as("deg"))
+          .where(col("deg") >= k).select(col("v"))
+        l2 = l2
           .join(keep.select(col("v").as("a")), Seq("a"), "left_semi")
           .join(keep.select(col("v").as("b")), Seq("b"), "left_semi")
           .localCheckpoint(false)
-        round += 1
+        h += 1
       }
+      // one barrier per batch: the surviving node count of the batch
+      val n = l2.select(col("a").as("v"))
+        .unionAll(l2.select(col("b").as("v")))
+        .groupBy(col("v")).agg(count(lit(1)).as("deg"))
+        .where(col("deg") >= k)
+        .count()
+      if (n == prevNodes) done = true // removal-only ⇒ stable count = fixpoint
+      else { prevNodes = n; live = l2; round += 1 }
     }
     live.select(col("a").as("v")).unionAll(live.select(col("b").as("v")))
       .groupBy(col("v")).agg(count(lit(1)).as("core_deg"))
@@ -2274,6 +2341,23 @@ object WebGraph {
     def spend(): Unit = {
       barriers += 1
       require(barriers <= maxIter, s"SCC did not converge within $maxIter supersteps")
+    }
+    // Upfront size gate (the components() idiom, round 6): when the
+    // WHOLE graph already fits the driver budget, solve it there
+    // immediately — Kosaraju on ≤200k edges beats ~60 sequential
+    // trim/color/extract exchange stages of pure scheduling latency,
+    // and at crawl scale the gate simply never fires here (the
+    // distributed trim shrinks the live set first, and the same gate
+    // swallows the residue below, unchanged). Same labels either way:
+    // scc_id = min member, trim-singletons are their own SCC.
+    if (live.count() <= driverEdgeGate) {
+      val es = live.select(col("s"), col("t")).as[(Long, Long)].collect()
+      val comp = kosaraju(es)
+      val out = if (comp.isEmpty) assigned
+        else assigned.unionAll(comp.toSeq.toDF("v", "scc_id"))
+      val sz = out.groupBy(col("scc_id")).agg(count(lit(1)).as("scc_size"))
+      return out.join(sz, Seq("scc_id"))
+        .select(col("v"), col("scc_id"), col("scc_size"))
     }
     var remaining = nodes.count()
     while (remaining > 0) {
@@ -2558,8 +2642,13 @@ object WebGraph {
                    maxDepth: Int = 10, nPartitions: Int = 16): DataFrame = {
     val spark = edges.sparkSession
     import spark.implicits._
+    // LAZY checkpoints (round 6): every checkpoint below is followed
+    // by an action that materializes it (counts.collect for `sorted`,
+    // the bfs joins for `ids`), so the eager variants only added
+    // sequential blocking jobs. `e` persists on first compute and is
+    // reused by the BFS, both orderings and the node set.
     val e = edges.select(col("src"), col("dst"))
-      .filter(col("src") =!= col("dst")).distinct().localCheckpoint(true)
+      .filter(col("src") =!= col("dst")).distinct().localCheckpoint(false)
     val nodes = e.select(col("src").as("url"))
       .union(e.select(col("dst").as("url"))).distinct()
     val depths = crawlDepth(e, seeds, maxDepth)
@@ -2570,7 +2659,8 @@ object WebGraph {
       .repartitionByRange(nPartitions, col("depth"), col("url"))
       .sortWithinPartitions(col("depth"), col("url"))
       .withColumn("pid", spark_partition_id())
-      .localCheckpoint(true) // pin layout for both passes
+      .localCheckpoint(false) // pin layout for both passes (the
+      // counts.collect below materializes it)
     val counts = sorted.groupBy(col("pid")).agg(count(lit(1)).as("c"))
       .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
     val offsets = (0 until nPartitions)
@@ -2584,7 +2674,7 @@ object WebGraph {
           var pos = bc.value(buf.head._2)
           buf.map { case (url, _) => val p = pos; pos += 1; (url, p) }
         }
-      }.toDF("url", "bfs_id").localCheckpoint(true)
+      }.toDF("url", "bfs_id").localCheckpoint(false)
     val natural = e.select(
       regexp_extract(col("src"), "doc([0-9]+)$", 1).cast("long").as("src_id"),
       regexp_extract(col("dst"), "doc([0-9]+)$", 1).cast("long").as("dst_id"))

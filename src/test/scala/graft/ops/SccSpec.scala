@@ -158,4 +158,15 @@ class SccSpec extends AnyFunSuite with BeforeAndAfterAll {
     val b = run(edges(es: _*).repartition(7))
     assert(a === b)
   }
+
+  test("upfront driver gate matches the distributed path exactly") {
+    // round-6 optimization pin: a graph under the edge gate short-
+    // circuits to driver Kosaraju BEFORE any trim round; labels and
+    // sizes must equal the forced-distributed run bit for bit.
+    val rnd = new scala.util.Random(7)
+    val es = (0 until 200).map(_ => (rnd.nextInt(60).toLong, rnd.nextInt(60).toLong))
+    val viaGate = run(edges(es: _*), gate = 1000000L)
+    val distributed = run(edges(es: _*), gate = 0L)
+    assert(viaGate === distributed)
+  }
 }
