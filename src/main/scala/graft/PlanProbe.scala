@@ -17,6 +17,7 @@ object PlanProbe {
     val lines = new java.util.concurrent.ConcurrentLinkedQueue[String]()
     val stageCount = new java.util.concurrent.atomic.AtomicInteger()
     val jobCount = new java.util.concurrent.atomic.AtomicInteger()
+    val jobNanos = new java.util.concurrent.atomic.AtomicLong()
     spark.sparkContext.addSparkListener(new SparkListener {
       override def onJobStart(js: SparkListenerJobStart): Unit = {
         jobCount.incrementAndGet()
@@ -25,6 +26,7 @@ object PlanProbe {
       override def onJobEnd(je: SparkListenerJobEnd): Unit = {
         val t0 = starts.getOrDefault(je.jobId, 0L)
         val dt = (System.nanoTime()-t0)/1e9
+        jobNanos.addAndGet((dt*1e9).toLong)
         if (dt > 0.15) lines.add(f"job ${je.jobId}%3d ${dt}%6.2f s")
       }
       override def onStageCompleted(sc: SparkListenerStageCompleted): Unit = {
@@ -36,13 +38,13 @@ object PlanProbe {
       try { fn(spark, sfDir).count() } catch { case _: Throwable => () } // warmup
       spark.catalog.clearCache()
       Thread.sleep(200)
-      lines.clear(); stageCount.set(0); jobCount.set(0)
+      lines.clear(); stageCount.set(0); jobCount.set(0); jobNanos.set(0L)
       val t0 = System.nanoTime()
       fn(spark, sfDir).count()
       val wall = (System.nanoTime()-t0)/1e9
       Thread.sleep(300)
       lines.forEach(l => println(s"[probe] $name " + l))
-      println(f"[probe] $name WALL $wall%.2f s, jobs=${jobCount.get}, stages=${stageCount.get}")
+      println(f"[probe] $name WALL $wall%.2f s, jobs=${jobCount.get}, stages=${stageCount.get}, inJobs=${jobNanos.get/1e9}%.2f s")
       spark.catalog.clearCache()
     }
     spark.stop()

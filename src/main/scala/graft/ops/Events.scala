@@ -35,6 +35,43 @@ object Events {
     try f finally spark.conf.set("spark.sql.shuffle.partitions", prev)
   }
 
+  /** Stage a staged-replay corpus in ONE Spark job (round 6): the
+    * per-batch filter+coalesce+write loop cost nBatches sequential
+    * jobs of fixed latency; a single partitionBy("b") write of the
+    * pre-tagged frame produces the same one-file-per-batch layout
+    * (coalesce(1) ⇒ one task ⇒ exactly one part file per partition
+    * dir), and the files are then renamed into the replay dir with
+    * the same strictly increasing mtimes that drive
+    * `maxFilesPerTrigger=1, latestFirst=false` batch order. Row order
+    * WITHIN a batch file may differ from the old per-batch writes —
+    * irrelevant by construction: every pinned operator folds
+    * order-insensitively per key within a micro-batch.
+    * `tagged` must carry an integer column "b" in [0, nBatches); the
+    * partition column is stripped from the written files, so the
+    * replay schema is exactly `tagged` minus "b". */
+  private def stageReplayBatches(tagged: DataFrame, base: String,
+                                 nBatches: Int): Unit = {
+    val inDir = new java.io.File(s"$base/in"); inDir.mkdirs()
+    tagged.coalesce(1).write.partitionBy("b").parquet(s"$base/stage")
+    (0 until nBatches).foreach { b =>
+      val dir = new java.io.File(s"$base/stage/b=$b")
+      if (!dir.isDirectory) {
+        // EMPTY batch: partitionBy skips it, but a zero-row file is
+        // still a trigger (and the pinned per-batch watermark fold
+        // counts it) — write it explicitly. Never hit by the driver
+        // corpora (dense event ids); a one-off tiny job when it is.
+        tagged.filter(col("b") === b).drop("b")
+          .coalesce(1).write.parquet(dir.toString)
+      }
+      val part = dir.listFiles()
+        .filter(_.getName.endsWith(".parquet")).head
+      val dst = new java.io.File(inDir, f"b$b%d.parquet")
+      java.nio.file.Files.copy(part.toPath, dst.toPath)
+      // strictly increasing mtimes drive the batch replay order
+      assert(dst.setLastModified((b + 1) * 600000L))
+    }
+  }
+
   /** Gap-based sessionization: a new session starts when a user's
     * inter-event gap exceeds `gapUs` microseconds. Classic two-pass
     * window formulation (lag → boundary flag → running sum = session
@@ -317,13 +354,15 @@ object Events {
     import org.apache.spark.sql.streaming.Trigger
     import org.apache.spark.sql.types.TimestampType
     val base = java.nio.file.Files.createTempDirectory("graft_attr").toString
-    events.select(col("event_id").cast("long"),
-        col("ts").cast(TimestampType).as("ts"), col("user_id").cast("long"),
-        col("event_type").cast("string"))
-      .write.parquet(s"$base/in")
+    val staged = events.select(col("event_id").cast("long"),
+      col("ts").cast(TimestampType).as("ts"), col("user_id").cast("long"),
+      col("event_type").cast("string"))
+    staged.write.parquet(s"$base/in")
     withStreamShuffle(spark) {
+      // schema from the staged projection (round 6) — the footer
+      // re-read job only restated what the writer already knew
       val src = spark.readStream
-        .schema(spark.read.parquet(s"$base/in").schema)
+        .schema(staged.schema)
         .parquet(s"$base/in")
       val clicks = src.filter(col("event_type") === "click")
         .select(col("event_id").as("click_id"), col("user_id"),
@@ -611,24 +650,17 @@ object Events {
     val src = events.select(col("event_id").cast("long"),
       col("ts").cast(TimestampType).as("ts"))
     val maxUs = src.agg(max(unix_micros(col("ts")))).collect()(0).getLong(0)
-    val inDir = new java.io.File(s"$base/in"); inDir.mkdirs()
-    (0 until nBatches).foreach { b =>
-      val batch = src.filter(col("event_id") % nBatches === b)
-      val staged = if (b == nBatches - 1)
-        batch.unionAll(spark.range(1).select(lit(-1L).as("event_id"),
-          timestamp_micros(lit(maxUs + 10L * delayUs)).as("ts")))
-      else batch
-      staged.coalesce(1).write.parquet(s"$base/stage$b")
-      val part = new java.io.File(s"$base/stage$b").listFiles()
-        .filter(_.getName.endsWith(".parquet")).head
-      val dst = new java.io.File(inDir, f"b$b%d.parquet")
-      java.nio.file.Files.copy(part.toPath, dst.toPath)
-      // strictly increasing mtimes drive the batch replay order
-      assert(dst.setLastModified((b + 1) * 600000L))
-    }
+    // one-job staging (round 6): batch tag as a partition column; the
+    // flush sentinel rides in the LAST batch as before
+    stageReplayBatches(
+      src.withColumn("b", (col("event_id") % nBatches).cast("int"))
+        .unionAll(spark.range(1).select(lit(-1L).as("event_id"),
+          timestamp_micros(lit(maxUs + 10L * delayUs)).as("ts"),
+          lit(nBatches - 1).cast("int").as("b"))),
+      base, nBatches)
     withStreamShuffle(spark) {
       val stream = spark.readStream
-        .schema(spark.read.parquet(s"$base/in").schema)
+        .schema(src.schema)
         .option("maxFilesPerTrigger", "1")
         .option("latestFirst", "false")
         .parquet(s"$base/in")
@@ -820,19 +852,13 @@ object Events {
     val base = java.nio.file.Files.createTempDirectory("graft_ttl").toString
     val src = events.select(col("event_id").cast("long"),
       col("ts").cast(TimestampType).as("ts"), col("user_id").cast("long"))
-    val inDir = new java.io.File(s"$base/in"); inDir.mkdirs()
-    (0 until nBatches).foreach { b =>
-      src.filter(col("event_id") % nBatches === b)
-        .coalesce(1).write.parquet(s"$base/stage$b")
-      val part = new java.io.File(s"$base/stage$b").listFiles()
-        .filter(_.getName.endsWith(".parquet")).head
-      val dst = new java.io.File(inDir, f"b$b%d.parquet")
-      java.nio.file.Files.copy(part.toPath, dst.toPath)
-      assert(dst.setLastModified((b + 1) * 600000L))
-    }
+    // one-job staging (round 6), see stageReplayBatches
+    stageReplayBatches(
+      src.withColumn("b", (col("event_id") % nBatches).cast("int")),
+      base, nBatches)
     withStreamShuffle(spark) {
     val stream = spark.readStream
-      .schema(spark.read.parquet(s"$base/in").schema)
+      .schema(src.schema)
       .option("maxFilesPerTrigger", "1")
       .option("latestFirst", "false")
       .parquet(s"$base/in")
