@@ -326,9 +326,13 @@ object SparkEntry {
     }),
     "extract_char_mode" -> ((s, _) => {
       // legacy char-clustering path (reference markdown.rs char mode):
-      // per-glyph extraction → spatial word/line clustering → markdown
+      // per-glyph extraction → spatial word/line clustering → markdown.
+      // Parallelism cluster-derived (round 6): the fixed 4 was an
+      // artificial cap on the most expensive per-doc kernel in the
+      // suite — per-doc results are id-deterministic, so partitioning
+      // never changes rows.
       import s.implicits._
-      s.range(0, 60, 1, 4).map { id =>
+      s.range(0, 60, 1, math.min(60, s.sparkContext.defaultParallelism)).map { id =>
         val (bytes, kind) = PagesGen.payload(id, 42L)
         val md = if (kind == "pdf")
           graft.pdf.PdfExtractor.extractCharMarkdown(bytes) else ""
@@ -341,9 +345,10 @@ object SparkEntry {
       }.toDF("doc_id", "kind", "md_len", "md_hash")
     }),
     "extract_hybrid_mode" -> ((s, _) => {
-      // hybrid smart dispatch (complexity-routed layout analysis)
+      // hybrid smart dispatch (complexity-routed layout analysis);
+      // cluster-derived parallelism, see extract_char_mode
       import s.implicits._
-      s.range(0, 60, 1, 4).flatMap { id =>
+      s.range(0, 60, 1, math.min(16, s.sparkContext.defaultParallelism)).flatMap { id =>
         val (bytes, kind) = PagesGen.payload(id, 42L)
         if (kind != "pdf") None
         else {
@@ -675,7 +680,7 @@ object SparkEntry {
       val docs = t(s, dir, "documents")
       val baseSig = Dedup.minhashSignatures(
         docs.filter(col("doc_id") < 400), k = 64, shingleWidth = 3)
-        .localCheckpoint(true)
+        .localCheckpoint(false)
       Dedup.minhashLshIncremental(baseSig,
         docs.filter(col("doc_id") >= 400))
     }),
@@ -730,9 +735,11 @@ object SparkEntry {
       // narrow-vocabulary testdata, so the check stays sf-independent.
       // (500 = the full sf0.01 table, the scale the driver verifies at.)
       val docs = t(s, dir, "documents").filter(col("doc_id") < 500)
+      // lazy checkpoint per arm (round 6) — see dedup_embedding_cover
       Dedup.minhashVerified(docs).select(col("a_id"), col("b_id"))
+        .localCheckpoint(false)
         .union(Dedup.jaccardPairs(docs, threshold = 0.7, blockCols = Nil)
-          .select(col("a_id"), col("b_id")))
+          .select(col("a_id"), col("b_id")).localCheckpoint(false))
         .distinct()
     }),
     "dedup_embedding" -> ((s, dir) =>
@@ -749,8 +756,13 @@ object SparkEntry {
       // cosine per candidate (precision 1), so LSH ∪ exact == exact —
       // a false LSH pair would show up as an extra row vs the oracle
       val emb = t(s, dir, "embeddings")
-      Similarity.nearDupPairsLsh(emb, threshold = 0.45)
-        .union(Similarity.nearDupPairsExact(emb, threshold = 0.45))
+      // lazy checkpoint per arm (round 6): the union.distinct over two
+      // deep pipelines made AQE re-optimize the combined plan at every
+      // stage; checkpointed arms plan independently and the distinct
+      // sees two leaves. Results unchanged (same rows unioned).
+      Similarity.nearDupPairsLsh(emb, threshold = 0.45).localCheckpoint(false)
+        .union(Similarity.nearDupPairsExact(emb, threshold = 0.45)
+          .localCheckpoint(false))
         .distinct()
     }),
 

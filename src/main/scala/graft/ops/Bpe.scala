@@ -67,7 +67,7 @@ object Bpe {
             c => length(c) > 0), "~~"),
           lit("~~</w>~")).as("sym"),
         col("cnt"))
-      .localCheckpoint(true) // vocabulary-sized from here on
+      .localCheckpoint(false) // vocabulary-sized from here on
     val rules = Seq.newBuilder[(Int, String, String, Long)]
     var step = 1
     var exhausted = false
@@ -94,7 +94,7 @@ object Bpe {
           .select(col("w"),
             expr(s"replace(sym, '~$a~~$b~', '~$a$b~')").as("sym"),
             col("cnt"))
-          .localCheckpoint(true)
+          .localCheckpoint(false)
         step += 1
       }
     }

@@ -92,7 +92,7 @@ object Cardinality {
     val withHost = urls.select(
       regexp_extract(col("url"), "^https?://([^/]+)", 1).as("host"),
       col("url").cast("string").as("url"))
-      .localCheckpoint(true) // feeds sketch + audit arms once
+      .localCheckpoint(false) // feeds sketch + audit arms once
     val hashed = withHost.as[(String, String)]
       .mapPartitions(_.map { case (h, u) =>
         val (reg, rank) = regRank(u, p); (h, reg, rank)
@@ -331,7 +331,7 @@ object CountMin {
       .toDF("row", "col")
       .groupBy(col("row"), col("col"))
       .agg(count(lit(1)).as("cnt"))
-      .localCheckpoint(true) // sketch state: at most d*2^p rows
+      .localCheckpoint(false) // sketch state: at most d*2^p rows
     val exact = toks.groupBy(col("term"))
       .agg(count(lit(1)).as("exact_count"))
     // global top-k via orderBy+limit → TakeOrderedAndProject (each map
@@ -339,7 +339,7 @@ object CountMin {
     // the whole term dictionary into one reducer at corpus scale
     val top = exact.orderBy(col("exact_count").desc, col("term").asc)
       .limit(k)
-      .localCheckpoint(true) // k rows
+      .localCheckpoint(false) // k rows
     val topCells = top.select(col("term")).as[String]
       .mapPartitions(_.flatMap(t =>
         cells(t, d, p).iterator.map { case (j, c) => (t, j, c) }))

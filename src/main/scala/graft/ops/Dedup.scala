@@ -173,7 +173,7 @@ object Dedup {
         Iterator.tabulate(k)(j => (host, j, sig(j)))
       }).toDF("host", "j", "s")
       .groupBy(col("host"), col("j")).agg(min(col("s")).as("s"))
-      .localCheckpoint(true) // |hosts| x k rows
+      .localCheckpoint(false) // |hosts| x k rows
     val a = hostSig.select(col("host").as("a_host"), col("j"), col("s"))
     val b = hostSig.select(col("host").as("b_host"), col("j"), col("s"))
     a.join(b, Seq("j", "s"))
@@ -1050,7 +1050,7 @@ object Dedup {
         }
       }
       .toDF("a_id", "b_id", "inter", "uni")
-      .localCheckpoint(true)
+      .localCheckpoint(false)
     val cand = minhashLsh(bounded, k, bands, threshold = 0.0,
         shingleWidth, bucketCap)
       .select(col("a_id"), col("b_id"), lit(1L).as("caught"))

@@ -519,7 +519,7 @@ object Events {
       .repartitionByRange(nPartitions, col("key"), col("tag"), col("qid"))
       .sortWithinPartitions(col("key"), col("tag"), col("qid"))
       .withColumn("pid", spark_partition_id())
-      .localCheckpoint(true)
+      .localCheckpoint(false)
     val counts = sorted.where(col("tag") === itemTag)
       .groupBy(col("pid")).agg(count(lit(1)).as("c"))
       .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
@@ -558,7 +558,7 @@ object Events {
     * comparisons only, so epoch/timezone reading cancels out. */
   def sessionOverlap(events: DataFrame, gapUs: Long,
                      nPartitions: Int = 32): DataFrame = {
-    val sess = sessionIntervals(events, gapUs).localCheckpoint(true)
+    val sess = sessionIntervals(events, gapUs).localCheckpoint(false)
     val startsLe = countBelow(
       items = sess.select(col("s_us").as("key")),
       queries = sess.select(col("e_us").as("key"),
@@ -760,7 +760,7 @@ object Events {
       "unix_micros(CAST(ts AS TIMESTAMP)) div 3600000000").as("hour_idx")
     val counts = events.select(hour)
       .groupBy(col("hour_idx")).agg(count(lit(1)).as("n_events"))
-      .localCheckpoint(true) // bounded: hours in the corpus span
+      .localCheckpoint(false) // bounded: hours in the corpus span
     val cs = counts.select(col("n_events")).collect()
       .map(_.getLong(0)).sorted
     // empty corpus: no hours, the select below is empty regardless of

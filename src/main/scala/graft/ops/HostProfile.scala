@@ -138,7 +138,7 @@ object HostProfile {
       .repartitionByRange(nPartitions, col("x"), col("host"))
       .sortWithinPartitions(col("x"), col("host"))
       .withColumn("pid", spark_partition_id())
-      .localCheckpoint(true) // pin layout: both passes must see ONE layout
+      .localCheckpoint(false) // pin layout: both passes must see ONE layout
     val counts = sorted.groupBy(col("pid")).agg(count(lit(1)).as("c"))
       .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
     val offsets = (0 until nPartitions)

@@ -82,7 +82,7 @@ object Importance {
     import spark.implicits._
     // dc feeds three consumers (raw totals, target totals, scoring):
     // materialize once — it is the expensive pass over the text.
-    val dc = bucketCounts(docs, buckets).localCheckpoint(true)
+    val dc = bucketCounts(docs, buckets).localCheckpoint(false)
     val rf = dc.groupBy("bucket").agg(sum("c").as("r"))
     val tf = dc.filter(col("source").isin(targetSources: _*))
       .groupBy("bucket").agg(sum("c").as("t"))

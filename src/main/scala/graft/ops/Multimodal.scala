@@ -441,7 +441,7 @@ object Multimodal {
       .toDF("vid_id", "frame_idx", "n_frames", "width", "height", "fp")
       // two consumers (census + join side): materialize so the
       // container parse runs exactly once per payload
-      .localCheckpoint(true)
+      .localCheckpoint(false)
     val share = frames.groupBy("fp")
       .agg(countDistinct(col("vid_id")).as("n_share"))
     frames.join(share, "fp")

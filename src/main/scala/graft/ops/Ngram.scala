@@ -165,7 +165,7 @@ object Ngram {
       (ab, c) => concat(ab, lit(" "), c))
     val docGrams = docs.filter(size(TextAnalysis.tokens(col("text"))) >= 3)
       .select(col("doc_id"), explode(array_distinct(tris)).as("gram"))
-      .localCheckpoint(true) // two consumers: df rollup + join back
+      .localCheckpoint(false) // two consumers: df rollup + join back
     val df = docGrams.groupBy(col("gram"))
       .agg(count(lit(1)).as("doc_freq"))
     docGrams.join(df, Seq("gram"))

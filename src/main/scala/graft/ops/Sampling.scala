@@ -312,13 +312,13 @@ object Sampling {
     * scalars; top-R is TakeOrderedAndProject + broadcast semi-join. */
   private[graft] def hamilton(weights: DataFrame, budget: Long): DataFrame = {
     require(budget > 0, "budget must be positive")
-    val w = weights.localCheckpoint(true) // |hosts| rows
+    val w = weights.localCheckpoint(false) // |hosts| rows
     val totW = w.agg(sum(col("tokens_w"))).collect()(0).getLong(0)
     require(totW > 0, "corpus has no weight mass")
     val based = w.select(col("host"), col("tokens_w"),
       expr(s"tokens_w * ${budget}L div ${totW}L").as("base"),
       expr(s"(tokens_w * ${budget}L) % ${totW}L").as("rem"))
-      .localCheckpoint(true)
+      .localCheckpoint(false)
     val sumBase = based.agg(sum(col("base"))).collect()(0).getLong(0)
     val r = (budget - sumBase).toInt
     val topR = based.orderBy(col("rem").desc, col("host").asc)
@@ -352,7 +352,7 @@ object Sampling {
       .when(col("quality") >= 0.4, 1L).otherwise(0L)
     val w = scored.groupBy(col("source").as("host"))
       .agg(sum(toks).as("pre_w"), sum(toks * mult).as("ann_w"))
-      .localCheckpoint(true) // |hosts| rows; quality computed ONCE
+      .localCheckpoint(false) // |hosts| rows; quality computed ONCE
     val pre = hamilton(
       w.select(col("host"), col("pre_w").as("tokens_w")), pretrainBudget)
       .select(lit("pretrain").as("phase"), col("host"), col("tokens_w"),
@@ -386,7 +386,7 @@ object Sampling {
     // barrier the corpus text is scanned and hashed twice. 48 B/row
     // beats a second 100-TB text read.
     val fp = docs.select(col("doc_id"), md5(col("text")).as("fp"))
-      .localCheckpoint(true)
+      .localCheckpoint(false)
     val clusters = fp.groupBy(col("fp")).agg(min(col("doc_id")).as("rep_id"))
     val tagged = fp.join(clusters, "fp").select(col("fp"),
       splitOf(pmod(shuffleKey(col("rep_id")), lit(10L))).as("split"),
@@ -538,7 +538,7 @@ object Sampling {
       .repartitionByRange(nPartitions, col("k"), col("doc_id"))
       .sortWithinPartitions(col("k"), col("doc_id"))
       .withColumn("pid", spark_partition_id())
-      .localCheckpoint(true) // pin layout: both passes must see ONE layout
+      .localCheckpoint(false) // pin layout: both passes must see ONE layout
     val counts = sorted.groupBy(col("pid"))
       .agg(count(lit(1)).as("c"))
       .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
@@ -588,7 +588,7 @@ object Sampling {
       .repartitionByRange(nPartitions, col("k"), col("doc_id"))
       .sortWithinPartitions(col("k"), col("doc_id"))
       .withColumn("pid", spark_partition_id())
-      .localCheckpoint(true) // pin layout: both passes must see ONE layout
+      .localCheckpoint(false) // pin layout: both passes must see ONE layout
     val counts = sorted.groupBy(col("pid"))
       .agg(sum(col("n_tokens")).as("c"))
       .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
@@ -645,7 +645,7 @@ object Sampling {
       .repartitionByRange(nPartitions, col("skey"), col("source"), col("k"))
       .sortWithinPartitions(col("skey"), col("source"), col("k"))
       .withColumn("pid", spark_partition_id())
-      .localCheckpoint(true) // pin layout: both passes must see ONE layout
+      .localCheckpoint(false) // pin layout: both passes must see ONE layout
     val counts = sorted.groupBy(col("pid"))
       .agg(count(lit(1)).as("c"))
       .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
@@ -1028,7 +1028,7 @@ object Sampling {
       .repartitionByRange(nPartitions, col("epoch"), col("key"))
       .sortWithinPartitions(col("epoch"), col("key"))
       .withColumn("pid", spark_partition_id())
-      .localCheckpoint(true) // pin layout: both passes must see ONE layout
+      .localCheckpoint(false) // pin layout: both passes must see ONE layout
     val counts = sorted.groupBy(col("pid"), col("epoch"))
       .agg(count(lit(1)).as("c"))
       .collect().map(r => (r.getInt(0), r.getInt(1)) -> r.getLong(2)).toMap
@@ -1239,7 +1239,7 @@ object Sampling {
       .select(col("epoch"), col("doc_id"), col("pos"))
       .join(src, Seq("doc_id"))
       .select(col("epoch"), col("pos"), col("source"))
-      .localCheckpoint(true) // both sides of the adjacency join
+      .localCheckpoint(false) // both sides of the adjacency join
     val adj = t.select(col("epoch"), col("pos"), col("source").as("s1"))
       .join(t.select(col("epoch"), (col("pos") - 1).as("pos"),
         col("source").as("s2")), Seq("epoch", "pos"))
@@ -1315,7 +1315,7 @@ object Sampling {
     val toks = docs.groupBy(col("source"))
       .agg(sum(size(TextAnalysis.tokens(col("text"))).cast("long"))
         .as("toks"))
-      .localCheckpoint(true) // |sources| rows; two consumers
+      .localCheckpoint(false) // |sources| rows; two consumers
     val total = toks.agg(sum(col("toks"))).collect()(0).getLong(0)
     val budget = total * budgetNum / budgetDen // exact driver scalar
     val grid = toks.crossJoin(

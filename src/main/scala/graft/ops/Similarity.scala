@@ -758,7 +758,7 @@ object Similarity {
       .mapPartitions { rows =>
         val m = mB.value
         rows.map { case (id, v) => (id, sq8Quantize(v, m)) }
-      }.toDF("vec_id", "code").localCheckpoint(true)
+      }.toDF("vec_id", "code").localCheckpoint(false)
     var centroids: Array[Array[Int]] = codes
       .orderBy(col("vec_id")).limit(k)
       .as[(Long, Array[Int])].collect().map(_._2)
@@ -821,7 +821,7 @@ object Similarity {
   def semanticDedup(corpus: DataFrame, k: Int = 8, iters: Int = 3,
                     threshold: Double = 0.45): DataFrame = {
     val assign = kmeansSq8(corpus, k, iters)
-      .select(col("vec_id"), col("cluster")).localCheckpoint(true)
+      .select(col("vec_id"), col("cluster")).localCheckpoint(false)
     val withVec = assign
       .join(corpus.select(col("vec_id"), col("embedding")), Seq("vec_id"))
     val lhs = withVec.select(col("vec_id").as("a_id"), col("cluster"),
@@ -897,7 +897,7 @@ object Similarity {
       .mapPartitions { rows =>
         val ma = mB.value
         rows.map { case (id, v) => (id, sq8Quantize(v, ma)) }
-      }.toDF("vec_id", "code").localCheckpoint(true)
+      }.toDF("vec_id", "code").localCheckpoint(false)
     // ---- 2. joint per-subspace Lloyd: centroids(sub)(c)(sd)
     var cents: Array[Array[Array[Int]]] = {
       val seeds = codes.orderBy(col("vec_id")).limit(kCode)
@@ -957,7 +957,7 @@ object Similarity {
       }
     }
     // ---- 4/5. ADC scan with per-query lookup tables
-    val encoded = enc.localCheckpoint(true)
+    val encoded = enc.localCheckpoint(false)
     val qCodes: Array[(Long, Array[Int])] = queries
       .select(col("vec_id").cast("long"), col("embedding"))
       .as[(Long, Array[Float])].collect().sortBy(_._1)
@@ -1051,7 +1051,7 @@ object Similarity {
     val queries = corpus.filter(col("vec_id") < 10)
     val truth = bruteForceTopK(corpus, queries, k)
       .select(col("query_id"), col("neighbor_id"))
-      .localCheckpoint(true)
+      .localCheckpoint(false)
     val nTruth: Long = truth.count()
     val arms: Seq[(String, DataFrame)] = Seq(
       "bf"  -> truth,

@@ -64,6 +64,9 @@ object SuffixRank {
       .filter(length(col("col")) === 1)
       .select((col("doc_id") * Pack + col("pos")).as("packed"),
         col("col").as("chr"))
+      // two consumers (alphabet census + the rank join): checkpoint so
+      // the corpus-wide split/posexplode runs ONCE (round 6)
+      .localCheckpoint(false)
     val charRanks = chars.groupBy(col("chr")).agg(min(col("packed")).as("r"))
     var p = chars.join(broadcast(charRanks), Seq("chr"))
       .select(col("packed"), col("r"))

@@ -142,7 +142,7 @@ object TextAnalysis {
     // scoring pipeline re-runs per consumer (the first plan ran the
     // quality regexes 4x). Two narrow columns, far cheaper than
     // re-scanning text at 100 TB.
-    val flat = df.select(col(group), col(score)).localCheckpoint(true)
+    val flat = df.select(col(group), col(score)).localCheckpoint(false)
     val vals = flat.groupBy(col(score)).agg(count(lit(1)).as("g"))
       .withColumn("c", coalesce(
         sum(col("g")).over(Window.orderBy(col(score))
@@ -151,7 +151,7 @@ object TextAnalysis {
     val per = flat.join(broadcast(vals), score)
       .groupBy(col(group))
       .agg(count(lit(1)).as("n_docs"), sum(col("m2")).as("rank2_sum"))
-      .localCheckpoint(true) // |groups| rows; feeds the total AND the output
+      .localCheckpoint(false) // |groups| rows; feeds the total AND the output
     val tot = per.agg(sum(col("n_docs")).as("n_total"))
     per.crossJoin(broadcast(tot))
       .select(col(group), col("n_docs"), col("rank2_sum"),
@@ -264,7 +264,7 @@ object TextAnalysis {
       .agg(count(lit(1)).as("n_docs"))
       // ≤ |langs|² rows, two consumers (cells + row totals): barrier,
       // or the marker-count classifier re-runs over the corpus twice
-      .localCheckpoint(true)
+      .localCheckpoint(false)
     val tot = cm.groupBy(col("lang_true"))
       .agg(sum(col("n_docs")).as("n_true"))
     cm.join(broadcast(tot), "lang_true")
@@ -367,7 +367,7 @@ object TextAnalysis {
       df.select(col("doc_id"), explode(Dedup.shingles(col("text"), w)).as("g"))
     // materialize the benchmark gram set once (it feeds the bloom build
     // AND the verify join); eval suites are small by construction
-    val bench = grams(benchmark).select(col("g")).distinct().localCheckpoint(true)
+    val bench = grams(benchmark).select(col("g")).distinct().localCheckpoint(false)
     // Bloom prefilter (round-2 verdict): probe a ~KB-scale filter at
     // the corpus gram source instead of shipping EVERY exploded gram
     // into the join — at corpus scale the non-contaminated grams
@@ -463,7 +463,7 @@ object TextAnalysis {
     val m = mBits.toLong
     val bench = benchmark
       .select(explode(Dedup.shingles(col("text"), w)).as("g"))
-      .distinct().localCheckpoint(true)
+      .distinct().localCheckpoint(false)
     val words = bench.as[String]
       .flatMap { g =>
         val (p0, p1) = bloomPositions(g, m)
@@ -605,7 +605,7 @@ object TextAnalysis {
           out
         }
       }.toDF("doc_id", "tri", "c")
-      .localCheckpoint(true)
+      .localCheckpoint(false)
     val global = triCounts.groupBy(col("tri")).agg(sum(col("c")).as("c"))
     val stats = global.agg(sum(col("c")).as("total"), count(lit(1)).as("n_distinct"))
     val rare = global.crossJoin(broadcast(stats))
@@ -1053,7 +1053,7 @@ object TextAnalysis {
       .select(col("bucket"),
         coalesce(col("n_prev"), lit(0L)).as("n_prev"),
         coalesce(col("n_cur"), lit(0L)).as("n_cur"))
-      .localCheckpoint(true) // <= 10 rows, three consumers
+      .localCheckpoint(false) // <= 10 rows, three consumers
     val tot = joined.agg(sum(col("n_prev")), sum(col("n_cur"))).collect()(0)
     val (tp, tc) = (tot.getLong(0), tot.getLong(1))
     val tvNum = joined
@@ -1089,7 +1089,7 @@ object TextAnalysis {
         size(tokens(col("text"))).cast("long").as("toks"),
         length(col("text")).cast("long").as("chars"),
         col("quality"), xxhash64(col("text")).as("h"))
-      .localCheckpoint(true)
+      .localCheckpoint(false)
     val agg = proj.agg(
       count(lit(1)).as("n_docs"),
       sum(col("toks")).as("n_tokens"),

@@ -474,7 +474,7 @@ object WebGraph {
     * Long moments are safe to ~10^9 edges with degrees ≤ 10^4;
     * beyond that the same query runs on DECIMAL(38,0) unchanged. */
   def assortativity(edges: DataFrame): DataFrame = {
-    val e = distinctEdges(edges).localCheckpoint(true)
+    val e = distinctEdges(edges).localCheckpoint(false)
     val outd = e.groupBy(col("src")).agg(count(lit(1)).as("x"))
     val ind = e.groupBy(col("dst")).agg(count(lit(1)).as("y"))
     e.join(outd, Seq("src")).join(ind, Seq("dst"))
@@ -977,13 +977,13 @@ object WebGraph {
   def weaklyConnected(edges: DataFrame, maxIter: Int = 50,
                       driverSolveMaxEdges: Long = 200000L): DataFrame = {
     val spark = edges.sparkSession
-    val e = edges.select(col("src"), col("dst")).localCheckpoint(true)
+    val e = edges.select(col("src"), col("dst")).localCheckpoint(false)
     val verts = e.select(col("src").as("url"))
       .union(e.select(col("dst").as("url"))).distinct()
     val ids = spark.createDataFrame(
       verts.orderBy("url").select("url").rdd
         .map(_.getString(0)).zipWithIndex()
-    ).toDF("url", "id").localCheckpoint(true)
+    ).toDF("url", "id").localCheckpoint(false)
     val pairs = e
       .join(ids.select(col("url").as("src"), col("id").as("a_id")), Seq("src"))
       .join(ids.select(col("url").as("dst"), col("id").as("b_id")), Seq("dst"))
@@ -1065,7 +1065,7 @@ object WebGraph {
     // and both sides of the semi-join — without the barrier the whole
     // upstream (anchor extraction at corpus scale) runs three times
     val e = edges.select(col("src"), col("dst"))
-      .filter(col("src") =!= col("dst")).distinct().localCheckpoint(true)
+      .filter(col("src") =!= col("dst")).distinct().localCheckpoint(false)
     val recip = e.join(
       e.select(col("dst").as("src"), col("src").as("dst")),
       Seq("src", "dst"), "left_semi")
@@ -1442,7 +1442,7 @@ object WebGraph {
     var m = redirects.groupBy(col("src"))
       .agg(min(col("dst")).as("dst"))
       .select(col("src"), col("dst"), lit(1L).as("hops"))
-      .localCheckpoint(true)
+      .localCheckpoint(false)
     var round = 0
     var done = false
     while (round < maxRounds && !done) {
@@ -1453,10 +1453,11 @@ object WebGraph {
           coalesce(col("b_dst"), m("dst")).as("dst"),
           (m("hops") + coalesce(col("b_hops"), lit(0L))).as("hops"),
           col("b_src").isNotNull.as("advanced"))
-        .localCheckpoint(true)
+        .localCheckpoint(false)
       done = m2.filter(col("advanced")).limit(1).count() == 0L
+      // projection over the (already-persisted) round checkpoint —
+      // no second materialization needed, plan depth stays constant
       m = m2.select(col("src"), col("dst"), col("hops"))
-        .localCheckpoint(true)
       round += 1
     }
     val srcs = m.select(col("src").as("cyc_key")).distinct()
@@ -2131,7 +2132,7 @@ object WebGraph {
     * node count IS the fixpoint (nothing was removed ⇒ nothing ever
     * will be). Rounds are bounded by the peeling depth (single digits
     * on web graphs, ≤7 on this corpus at both SFs); each round ends in
-    * localCheckpoint(true) — same lineage-truncation discipline as
+    * localCheckpoint(false) — same lineage-truncation discipline as
     * [[weaklyConnected]], without which the plan doubles per round.
     * Driver traffic is one count per round.
     *

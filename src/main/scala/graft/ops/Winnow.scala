@@ -88,7 +88,7 @@ object Winnow {
               docFreqCap: Long = 20L, minShared: Long = 2L): DataFrame = {
     val sel = fingerprints(docs, k, w)
       .select(col("doc_id"), col("h40")).distinct()
-      .localCheckpoint(true) // feeds the df rollup AND both join sides
+      .localCheckpoint(false) // feeds the df rollup AND both join sides
     val rare = sel.groupBy(col("h40"))
       .agg(count(lit(1)).as("df"))
       .filter(col("df") <= docFreqCap)
