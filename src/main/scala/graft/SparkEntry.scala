@@ -1398,8 +1398,10 @@ object SparkEntry {
       // canonical-cluster dedup summary: size, declared-arrival count,
       // representative = the canonical itself when fetched else min url
       val docs = t(s, dir, "documents")
+      // head-parse projection feeds the map AND the membership join:
+      // checkpoint so it is parsed once (round 6)
       val meta = graft.ops.PageMeta.extract(
-        graft.ops.PageMeta.syntheticHeads(docs))
+        graft.ops.PageMeta.syntheticHeads(docs)).localCheckpoint(false)
       graft.ops.PageMeta.canonicalClusters(
         graft.ops.PageMeta.canonicalMap(meta,
           graft.ops.WebGraph.syntheticRedirects(docs)), meta)

@@ -455,6 +455,11 @@ object Dedup {
       .withColumn("sz", size(col("toks")))
       .withColumn("p",
         (col("sz") - ceil(lit(threshold) * col("sz") - lit(1e-9)) + 1).cast("int"))
+      // two consumers (prefix arm + the exact-verify array join):
+      // checkpoint so the token explode/df join/collect_list pipeline
+      // runs ONCE (round 6). Doc-sized rows (one token array per doc)
+      // — the same size class as the input, safe to persist at scale.
+      .localCheckpoint(false)
     val prefix = docToks.select(col("doc_id") +: bc :+ col("sz") :+
       posexplode(slice(col("toks"), lit(1), col("p"))).as(Seq("pos0", "tok")): _*)
     // Candidates: prefix-token equi-join inside the blocks.
@@ -674,10 +679,19 @@ object Dedup {
     * machinery documented on [[simhashNearDups]]. */
   def hammingNearDups64(hashes: DataFrame, maxDist: Int = 3,
                         bucketCap: Int = 2000): DataFrame = {
-    require(maxDist >= 0 && maxDist < 32, s"maxDist out of range: $maxDist")
-    val nChunks = maxDist + 1
     val sh = hashes.select(col("doc_id"), col("h").as("simhash"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    hammingNearDups64Persisted(sh, maxDist, bucketCap)
+  }
+
+  /** [[hammingNearDups64]] over an ALREADY-persisted (doc_id, simhash)
+    * table — lets callers that hold the signature table (the cap
+    * audit) skip a second persist of the same rows (round 6: the
+    * double caching measurably cost more than it saved at bench SF). */
+  private[ops] def hammingNearDups64Persisted(sh: DataFrame, maxDist: Int,
+                        bucketCap: Int): DataFrame = {
+    require(maxDist >= 0 && maxDist < 32, s"maxDist out of range: $maxDist")
+    val nChunks = maxDist + 1
     // Band over DISTINCT simhash VALUES, not docs: identical docs
     // (template spam — the common mega-cluster case) collapse to ONE
     // row, so the banded self-join is sized by hash diversity, not
@@ -767,8 +781,7 @@ object Dedup {
     // bit-identical to simhashNearDups(docs, …) recomputing it, and
     // the token-explode + 64-vote aggregation runs once instead of
     // twice per audit.
-    val observed = hammingNearDups64(
-        sh.select(col("doc_id"), col("simhash").as("h")), maxDist, bucketCap)
+    val observed = hammingNearDups64Persisted(sh, maxDist, bucketCap)
       .select(col("a_id"), col("b_id")).withColumn("in_capped", lit(1))
     brute.join(observed, Seq("a_id", "b_id"), "left_outer")
       .na.fill(0, Seq("in_capped"))

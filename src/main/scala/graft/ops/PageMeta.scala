@@ -252,7 +252,9 @@ object PageMeta {
     val resolved = WebGraph.resolveRedirects(redirects, maxRounds)
       .select(col("src").as("r_src"), col("final_dst"),
         col("hops"), col("is_cycle").as("r_cycle"))
-    val m = meta.select(col("url"), col("canonical"))
+    // two consumers (stepped join + the terminal's canonical lookup):
+    // checkpoint so the caller's head-parse subtree runs once (round 6)
+    val m = meta.select(col("url"), col("canonical")).localCheckpoint(false)
     val stepped = m.join(resolved, m("url") === resolved("r_src"), "left")
       .select(m("url"),
         when(col("r_cycle"), m("url"))
