@@ -735,11 +735,9 @@ object SparkEntry {
       // narrow-vocabulary testdata, so the check stays sf-independent.
       // (500 = the full sf0.01 table, the scale the driver verifies at.)
       val docs = t(s, dir, "documents").filter(col("doc_id") < 500)
-      // lazy checkpoint per arm (round 6) — see dedup_embedding_cover
       Dedup.minhashVerified(docs).select(col("a_id"), col("b_id"))
-        .localCheckpoint(false)
         .union(Dedup.jaccardPairs(docs, threshold = 0.7, blockCols = Nil)
-          .select(col("a_id"), col("b_id")).localCheckpoint(false))
+          .select(col("a_id"), col("b_id")))
         .distinct()
     }),
     "dedup_embedding" -> ((s, dir) =>
@@ -757,9 +755,10 @@ object SparkEntry {
       // a false LSH pair would show up as an extra row vs the oracle
       val emb = t(s, dir, "embeddings")
       // lazy checkpoint per arm (round 6): the union.distinct over two
-      // deep pipelines made AQE re-optimize the combined plan at every
-      // stage; checkpointed arms plan independently and the distinct
-      // sees two leaves. Results unchanged (same rows unioned).
+      // deep mapPartitions pipelines re-planned as one tree; with
+      // checkpointed arms the distinct sees two leaves (measured ~0.3 s
+      // at sf0.1; the same transform HURT dedup_minhash_cover, whose
+      // arms are cheap-to-recompute column pipelines — A/B'd both).
       Similarity.nearDupPairsLsh(emb, threshold = 0.45).localCheckpoint(false)
         .union(Similarity.nearDupPairsExact(emb, threshold = 0.45)
           .localCheckpoint(false))
